@@ -1,0 +1,293 @@
+"""Distributed kernel layer: the 9 dataflow primitives every solver uses.
+
+Reference analogue: SURVEY.md §2.5 (P1-P9). Every solver iteration is some
+combination of:
+
+  P1 mat-vec        X·beta            -> per-row `xb` Column expression
+  P2 gradient       X^T r(xb,y)       -> p-vector partial+final aggregation
+  P3 weighted Gram  X^T diag(w) X     -> p×p partial+final aggregation
+  P4 scalar maps    exp/log1p/sigmoid -> built-in Column functions
+  P5 reductions     sum(loss terms)   -> df.agg(F.sum(...))
+  P6 column moments mean/std per col  -> one agg (population std!)
+  P7 per-partition fan-out (ADMM)     -> mapInPandas, see operators/solvers.py
+  P8 broadcast of beta                -> literal folding (p floats -> codegen
+                                         constants) or closure capture
+  P9 intercept append                 -> F.concat(features, array(1.0))
+
+Each aggregation kernel has two physical paths:
+
+- ``sql``: fully unrolled JVM Column expressions — whole-stage codegen,
+  partial+final HashAggregate, zero Python in the loop. Best for small p
+  (the unroll produces p (+p²/2) sum columns). This is also the
+  DuckDB-checkable form (SURVEY §2.6 queries).
+- ``arrow``: ``mapInPandas`` partials — each partition computes its numpy
+  BLAS partial (``X.T @ r``: one GEMV per Arrow batch), emits ONE row of
+  ``(pid, partials...)``; the driver sums partials **in sorted partition
+  order** (bit-deterministic across runs, replicating dask's deterministic
+  chunk-tree reductions — needed by the reference determinism tests,
+  ``tests/test_algos_families.py:141-160``). Scales to wide p where
+  unrolling would blow up codegen.
+
+Path choice (``auto``): sql for p <= UNROLL_MAX, arrow beyond. At 100 TB
+both are a single scan of the cached feature table with only O(p) or O(p²)
+bytes leaving each executor — the shape of MLlib's treeAggregate; there is
+no shuffle of X, ever.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+UNROLL_MAX = 64
+
+
+# ---------------------------------------------------------------------------
+# P1: mat-vec as a codegen'd expression (beta folded in as literals — P8)
+# ---------------------------------------------------------------------------
+def matvec_expr(beta: Iterable[float], features_col: str = "features") -> Column:
+    """``xb = Σ_j features[j] * beta[j]`` — unrolled, constant-folded."""
+    col = F.col(features_col)
+    terms = [col[int(j)] * float(b) for j, b in enumerate(beta)]
+    return reduce(lambda a, b: a + b, terms)
+
+
+# P9: intercept append (reference ``dask_glm/utils.py:139-162``)
+def add_intercept(df: DataFrame, features_col: str = "features") -> DataFrame:
+    return df.withColumn(
+        features_col, F.concat(F.col(features_col), F.array(F.lit(1.0)))
+    )
+
+
+def infer_p(df: DataFrame, features_col: str = "features") -> int:
+    row = df.select(F.size(F.col(features_col)).alias("p")).first()
+    if row is None:
+        raise ValueError("empty input DataFrame")
+    return int(row["p"])
+
+
+# ---------------------------------------------------------------------------
+# Arrow partial-aggregation machinery (P2/P3/P5 fused, deterministic merge)
+# ---------------------------------------------------------------------------
+def _features_matrix(pdf: pd.DataFrame, features_col: str) -> np.ndarray:
+    vals = pdf[features_col].to_numpy()
+    return np.array(list(vals), dtype=np.float64)
+
+
+def _arrow_partials(
+    df: DataFrame,
+    features_col: str,
+    label_col: str,
+    partial_fn,
+    out_fields: str,
+) -> list:
+    """Run ``partial_fn(X, y) -> dict`` per partition; one output row each.
+
+    Partials are merged on the driver in sorted partition-id order so the
+    float reduction order is run-invariant.
+    """
+    from pyspark import TaskContext
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _features_matrix(pdf, features_col)
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            part = partial_fn(X, y)
+            if acc is None:
+                acc = part
+            else:
+                for k, v in part.items():
+                    acc[k] = acc[k] + v
+        if acc is not None:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            row = {"pid": [pid]}
+            for k, v in acc.items():
+                row[k] = [v.tolist() if isinstance(v, np.ndarray) else float(v)]
+            yield pd.DataFrame(row)
+
+    out = df.mapInPandas(op, schema=f"pid int, {out_fields}")
+    rows = out.collect()
+    rows.sort(key=lambda r: r["pid"])
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Fused loss + gradient (the per-iteration job of lbfgs/GD/prox_grad; O4:
+# loss and gradient share the xb subexpression and one scan of X)
+# ---------------------------------------------------------------------------
+def loss_gradient(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    p: int | None = None,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+) -> tuple[float, np.ndarray]:
+    beta = np.asarray(beta, dtype=np.float64)
+    p = p or len(beta)
+    if path == "auto":
+        path = "sql" if p <= UNROLL_MAX else "arrow"
+    if path == "sql":
+        xb = matvec_expr(beta, features_col)
+        y = F.col(label_col)
+        r = family.residual(xb, y)
+        fcol = F.col(features_col)
+        aggs = [F.sum(family.loglike_terms(xb, y)).alias("loss")]
+        aggs += [F.sum(fcol[j] * r).alias(f"g{j}") for j in range(p)]
+        row = df.agg(*aggs).collect()[0]
+        return float(row["loss"]), np.array([row[f"g{j}"] for j in range(p)])
+
+    def partial(X: np.ndarray, y: np.ndarray) -> dict:
+        xb = X @ beta
+        return {
+            "loss": family.loglike_np(xb, y),
+            "grad": X.T @ family.residual_np(xb, y),
+        }
+
+    rows = _arrow_partials(df, features_col, label_col, partial, "loss double, grad array<double>")
+    loss = 0.0
+    grad = np.zeros(p)
+    for r_ in rows:
+        loss += r_["loss"]
+        grad += np.asarray(r_["grad"])
+    return loss, grad
+
+
+def gradient(df, family, beta, **kw) -> np.ndarray:
+    return loss_gradient(df, family, beta, **kw)[1]
+
+
+# ---------------------------------------------------------------------------
+# Fused gradient + Hessian (the Newton per-iteration job)
+# ---------------------------------------------------------------------------
+def gradient_hessian(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    p: int | None = None,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    beta = np.asarray(beta, dtype=np.float64)
+    p = p or len(beta)
+    if path == "auto":
+        # p² agg columns unroll much faster than p — lower threshold.
+        path = "sql" if p <= 16 else "arrow"
+    if path == "sql":
+        xb = matvec_expr(beta, features_col)
+        y = F.col(label_col)
+        r = family.residual(xb, y)
+        w = family.hess_weight(xb)
+        fcol = F.col(features_col)
+        aggs = [F.sum(fcol[j] * r).alias(f"g{j}") for j in range(p)]
+        aggs += [
+            F.sum(w * fcol[i] * fcol[j]).alias(f"h{i}_{j}")
+            for i in range(p)
+            for j in range(i, p)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        grad = np.array([row[f"g{j}"] for j in range(p)])
+        hess = np.empty((p, p))
+        for i in range(p):
+            for j in range(i, p):
+                hess[i, j] = hess[j, i] = row[f"h{i}_{j}"]
+        return grad, hess
+
+    def partial(X: np.ndarray, y: np.ndarray) -> dict:
+        xb = X @ beta
+        w = family.hess_weight_np(xb)
+        return {
+            "grad": X.T @ family.residual_np(xb, y),
+            "hess": (X.T @ (w[:, None] * X)).ravel(),
+        }
+
+    rows = _arrow_partials(
+        df, features_col, label_col, partial, "grad array<double>, hess array<double>"
+    )
+    grad = np.zeros(p)
+    hess = np.zeros(p * p)
+    for r_ in rows:
+        grad += np.asarray(r_["grad"])
+        hess += np.asarray(r_["hess"])
+    return grad, hess.reshape(p, p)
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe loss: k candidate betas in ONE scan (vectorized line search —
+# the Spark-side improvement over the reference's one-job-per-backtrack,
+# SURVEY §2.1). Arrow path: one (n,p)x(p,k) GEMM per batch.
+# ---------------------------------------------------------------------------
+def multi_loss(
+    df: DataFrame,
+    family,
+    betas: list[np.ndarray],
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+) -> np.ndarray:
+    k = len(betas)
+    p = len(betas[0])
+    if path == "auto":
+        path = "sql" if p * k <= 4 * UNROLL_MAX else "arrow"
+    if path == "sql":
+        y = F.col(label_col)
+        aggs = [
+            F.sum(family.loglike_terms(matvec_expr(b, features_col), y)).alias(f"s{i}")
+            for i, b in enumerate(betas)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        return np.array([row[f"s{i}"] for i in range(k)])
+
+    B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
+
+    def partial(X: np.ndarray, y: np.ndarray) -> dict:
+        XB = X @ B  # (n, k)
+        losses = np.array([family.loglike_np(XB[:, i], y) for i in range(k)])
+        return {"losses": losses}
+
+    rows = _arrow_partials(df, features_col, label_col, partial, "losses array<double>")
+    out = np.zeros(k)
+    for r_ in rows:
+        out += np.asarray(r_["losses"])
+    return out
+
+
+def loss(df, family, beta, **kw) -> float:
+    return float(multi_loss(df, family, [np.asarray(beta)], **kw)[0])
+
+
+# ---------------------------------------------------------------------------
+# P6: per-feature column moments (population std — numpy ddof=0 parity;
+# Spark's default `stddev` is the SAMPLE std. SURVEY §7 correctness trap.)
+# ---------------------------------------------------------------------------
+def column_moments(
+    df: DataFrame, p: int, features_col: str = "features"
+) -> tuple[np.ndarray, np.ndarray]:
+    fcol = F.col(features_col)
+    aggs = [F.avg(fcol[j]).alias(f"m{j}") for j in range(p)]
+    aggs += [F.stddev_pop(fcol[j]).alias(f"s{j}") for j in range(p)]
+    row = df.agg(*aggs).collect()[0]
+    mean = np.array([row[f"m{j}"] for j in range(p)])
+    std = np.array([row[f"s{j}"] for j in range(p)])
+    return mean, std
+
+
+def standardize_expr(
+    mean: np.ndarray, std: np.ndarray, features_col: str = "features"
+) -> Column:
+    """Per-element ``(x - mean_j) / std_j`` as a new features array."""
+    col = F.col(features_col)
+    return F.array(
+        *[(col[j] - float(mean[j])) / float(std[j]) for j in range(len(mean))]
+    )

@@ -1,0 +1,176 @@
+"""sklearn-style estimator API over Spark DataFrames.
+
+Replicates the reference's public surface (``dask_glm/estimators.py``):
+same constructor signature and defaults (solver='admm', regularizer='l2',
+``estimators.py:39-61``), same per-solver kwarg routing (:67-77), same
+coef_/intercept_ split where the intercept is the LAST coefficient (:87-91),
+and the same deferred-execution contract — ``predict*`` return lazy
+DataFrames (the reference returns lazy dask arrays the user ``.compute()``s).
+
+Reference quirks kept for parity:
+- ``LogisticRegression.predict`` is ``predict_proba > 0.5`` (:146);
+- ``LinearRegression.score`` is **MSE, not R²** (:203-204);
+- ``PoissonRegression.get_deviance`` uses the nonstandard log1p deviance.
+
+Input convention: ``fit(df)`` where ``df`` has a features array column and
+a label column (names configurable). This fuses the reference's X and y
+into one relation — co-partitioning for free (SURVEY §1.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_glm_spark.functions import families, kernels, metrics
+from dask_glm_spark.operators import solvers
+
+
+class _GLM:
+    """Base estimator. Subclass + set ``family`` (families.Logistic etc.)."""
+
+    family = None
+
+    def __init__(
+        self,
+        fit_intercept=True,
+        solver="admm",
+        regularizer="l2",
+        max_iter=100,
+        tol=1e-4,
+        lamduh=1.0,
+        rho=1,
+        over_relax=1,
+        abstol=1e-4,
+        reltol=1e-2,
+        features_col="features",
+        label_col="label",
+    ):
+        self.fit_intercept = fit_intercept
+        self.solver = solver
+        self.regularizer = regularizer
+        self.max_iter = max_iter
+        self.tol = tol
+        self.lamduh = lamduh
+        self.rho = rho
+        self.over_relax = over_relax
+        self.abstol = abstol
+        self.reltol = reltol
+        self.features_col = features_col
+        self.label_col = label_col
+
+        self.coef_ = None
+        self.intercept_ = None
+        self._coef = None  # coef, maybe with intercept appended
+
+    def _routed_kwargs(self):
+        # per-solver kwarg routing, reference estimators.py:67-77
+        fit_kwargs = {"max_iter", "tol"}
+        if self.solver == "admm":
+            fit_kwargs.discard("tol")
+            fit_kwargs.update(
+                {"regularizer", "lamduh", "rho", "over_relax", "abstol", "reltol"}
+            )
+        elif self.solver in ("proximal_grad", "lbfgs"):
+            fit_kwargs.update({"regularizer", "lamduh"})
+        return {k: getattr(self, k) for k in fit_kwargs}
+
+    # sklearn clone/grid-search compatibility
+    def get_params(self, deep=True):
+        return {
+            k: getattr(self, k)
+            for k in (
+                "fit_intercept solver regularizer max_iter tol lamduh rho "
+                "over_relax abstol reltol features_col label_col".split()
+            )
+        }
+
+    def set_params(self, **params):
+        for k, v in params.items():
+            setattr(self, k, v)
+        return self
+
+    def _maybe_add_intercept(self, df: DataFrame) -> DataFrame:
+        if self.fit_intercept:
+            return kernels.add_intercept(df, self.features_col)
+        return df
+
+    def fit(self, df: DataFrame, y=None, **extra):
+        df_ = self._maybe_add_intercept(df)
+        kw = self._routed_kwargs()
+        kw.update(extra)
+        self._coef = np.asarray(
+            solvers._solvers[self.solver](
+                df_,
+                family=self.family,
+                features_col=self.features_col,
+                label_col=self.label_col,
+                **kw,
+            )
+        )
+        if self.fit_intercept:
+            self.coef_ = self._coef[:-1]
+            self.intercept_ = self._coef[-1]
+        else:
+            self.coef_ = self._coef
+        return self
+
+    def _linear_expr(self):
+        # X·coef over the (maybe intercept-extended) features column
+        return kernels.matvec_expr(self._coef, self.features_col)
+
+
+class LogisticRegression(_GLM):
+    """Logistic regression (reference ``estimators.py:101-153``)."""
+
+    family = families.Logistic
+
+    def decision_function(self, df: DataFrame) -> DataFrame:
+        df_ = self._maybe_add_intercept(df)
+        return df_.withColumn("decision", self._linear_expr())
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        df_ = self._maybe_add_intercept(df)
+        return df_.withColumn(
+            "probability", families.sigmoid_expr(self._linear_expr())
+        )
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        # reference: predict_proba > 0.5 (estimators.py:146)
+        return self.predict_proba(df).withColumn(
+            "prediction", (F.col("probability") > 0.5).cast("double")
+        )
+
+    def score(self, df: DataFrame) -> float:
+        pred = self.predict(df)
+        return metrics.accuracy_score(pred, self.label_col, "prediction")
+
+
+class LinearRegression(_GLM):
+    """OLS (reference ``estimators.py:156-204``)."""
+
+    family = families.Normal
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        df_ = self._maybe_add_intercept(df)
+        return df_.withColumn("prediction", self._linear_expr())
+
+    def score(self, df: DataFrame) -> float:
+        # reference quirk: score is MSE, not R² (estimators.py:203-204)
+        pred = self.predict(df)
+        return metrics.mean_squared_error(pred, self.label_col, "prediction")
+
+
+class PoissonRegression(_GLM):
+    """Poisson regression (reference ``estimators.py:207-255``)."""
+
+    family = families.Poisson
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        df_ = self._maybe_add_intercept(df)
+        return df_.withColumn("prediction", F.exp(self._linear_expr()))
+
+    def get_deviance(self, df: DataFrame) -> float:
+        pred = self.predict(df)
+        return metrics.poisson_deviance(pred, self.label_col, "prediction")

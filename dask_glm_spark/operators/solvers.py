@@ -1,0 +1,459 @@
+"""The five GLM solvers: driver-resident control flow over kernel jobs.
+
+Reference semantics: ``dask_glm/algorithms.py`` (each solver's docstring
+cites the lines it replicates). The universal input is one DataFrame with
+``features: array<double>`` and ``label: double`` columns; model state
+(beta, p floats) lives on the driver and is folded into each job as
+codegen literals or closure capture — never shuffled.
+
+Per-iteration cluster cost (the scale contract):
+
+  solver            jobs/iter   bytes leaving executors
+  ----------------- ----------- -------------------------
+  lbfgs             1           p + 1 floats per partition
+  gradient_descent  1 + probes/8  (same)
+  proximal_grad     1 + probes/8  (same)
+  newton            1           p² + p floats per partition
+  admm              1           p floats per partition (NO scan of X by the
+                                JVM at all — partition-local scipy solves)
+
+X is scanned from cache each job (MEMORY_AND_DISK); lineage never grows
+because every job is a fresh plan over the cached scan — Spark's analogue
+of the reference's ``recalcRate`` graph-depth bounding (algorithms.py:117)
+comes for free.
+"""
+
+from __future__ import annotations
+
+from functools import wraps
+
+import numpy as np
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_glm_spark.functions import kernels
+from dask_glm_spark.functions.families import Logistic
+from dask_glm_spark.functions.regularizers import Regularizer
+
+PROBE_BATCH = 8  # line-search candidates evaluated per scan
+MAX_BACKTRACKS = 100  # reference: algorithms.py:71,478
+
+
+def normalize(algo):
+    """Standardize-fit-backtransform wrapper (``dask_glm/utils.py:14-39``).
+
+    Reference quirks replicated exactly:
+    - population std (numpy ddof=0) — Spark's ``stddev`` would be wrong;
+    - >1 constant column raises;
+    - when NO constant column exists the mean is treated as zero (scale-only
+      standardization) — see ``utils.py:26-30``.
+
+    Also owns persistence: the input is cached here (the moments pass is
+    the first materialization, mirroring the reference's first compute at
+    ``utils.py:19``), and the standardized view is lazy arithmetic over the
+    cache — nothing standardized is ever materialized.
+    """
+
+    @wraps(algo)
+    def wrapped(df: DataFrame, *args, **kwargs):
+        do_norm = kwargs.pop("normalize", True)
+        features_col = kwargs.get("features_col", "features")
+        persist = kwargs.pop("persist", True)
+        we_persisted = False
+        if persist and not df.is_cached:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            we_persisted = True
+        try:
+            if not do_norm:
+                return algo(df, *args, **kwargs)
+            p = kernels.infer_p(df, features_col)
+            mean, std = kernels.column_moments(df, p, features_col)
+            intercept_idx = np.where(std == 0)[0]
+            if len(intercept_idx) > 1:
+                raise ValueError("Multiple constant columns detected!")
+            mean[intercept_idx] = 0
+            std[intercept_idx] = 1
+            if len(intercept_idx) == 0:
+                mean = np.zeros_like(mean)
+            dfn = df.withColumn(
+                features_col, kernels.standardize_expr(mean, std, features_col)
+            )
+            out = np.array(algo(dfn, *args, **kwargs), dtype=np.float64)
+            i_adj = np.sum(out * mean / std)
+            out[intercept_idx] -= i_adj
+            return out / std
+        finally:
+            if we_persisted:
+                df.unpersist()
+
+    return wrapped
+
+
+def _armijo_probe(
+    df,
+    family,
+    beta,
+    step_dir,
+    lf,
+    step_size,
+    steplen,
+    armijo_mult,
+    backtrack_mult,
+    features_col,
+    label_col,
+    path,
+):
+    """Backtracking Armijo line search (``algorithms.py:27-86``), with the
+    sequential candidate schedule evaluated in batched single-scan probes.
+
+    Candidates ``s_i = step_size * backtrack_mult**i`` are exactly the
+    reference's sequence; evaluating PROBE_BATCH of them per scan keeps the
+    accept decision identical (first ``i`` meeting the Armijo test wins)
+    while cutting jobs ~8x.
+    """
+    func = lf
+    for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
+        sizes = [step_size * backtrack_mult**i for i in range(base, base + PROBE_BATCH)]
+        # reference early-exit (algorithms.py:73-75): candidate beta no
+        # longer distinguishable from current beta -> stepSize 0.
+        candidates, kept_sizes = [], []
+        for idx, s in enumerate(sizes):
+            cand = beta - s * step_dir
+            if (base + idx) > 0 and np.array_equal(cand, beta):
+                if candidates:
+                    losses = kernels.multi_loss(
+                        df, family, candidates, features_col, label_col, path
+                    )
+                    for s2, fval in zip(kept_sizes, losses):
+                        if lf - fval >= armijo_mult * s2 * steplen:
+                            return s2, fval
+                return 0.0, func
+            candidates.append(cand)
+            kept_sizes.append(s)
+        losses = kernels.multi_loss(df, family, candidates, features_col, label_col, path)
+        for s2, fval in zip(kept_sizes, losses):
+            func = fval
+            if lf - fval >= armijo_mult * s2 * steplen:
+                return s2, fval
+    return kept_sizes[-1], func
+
+
+@normalize
+def gradient_descent(
+    df: DataFrame,
+    max_iter: int = 100,
+    tol: float = 1e-14,
+    family=Logistic,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+    **kwargs,
+):
+    """Batch GD with Armijo backtracking (``algorithms.py:89-167``).
+
+    One fused loss+gradient scan per iteration (the reference's separate
+    grad / Xgradient / line-search jobs collapse: loss and gradient share
+    the xb subexpression — O4) plus batched line-search probes.
+    """
+    p = kernels.infer_p(df, features_col)
+    first_backtrack, next_backtrack = 0.1, 0.5
+    armijo_mult, step_growth = 0.1, 1.25
+    step_size = 1.0
+    backtrack_mult = first_backtrack
+    beta = np.zeros(p)
+
+    for _ in range(max_iter):
+        func, grad = kernels.loss_gradient(
+            df, family, beta, p, features_col, label_col, path
+        )
+        steplen = float(np.sum(grad**2))
+        lf = func
+        step_size, func = _armijo_probe(
+            df, family, beta, grad, lf, step_size, steplen,
+            armijo_mult, backtrack_mult, features_col, label_col, path,
+        )
+        beta = beta - step_size * grad
+        if step_size == 0:
+            break
+        df_rel = (lf - func) / max(func, lf)
+        if df_rel < tol:
+            break
+        step_size *= step_growth
+        backtrack_mult = next_backtrack
+    return beta
+
+
+@normalize
+def newton(
+    df: DataFrame,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+    family=Logistic,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+    **kwargs,
+):
+    """Full Newton (``algorithms.py:170-221``): one fused grad+Hessian scan
+    per iteration; the p×p solve stays driver-side numpy (lstsq), exactly
+    like the reference."""
+    p = kernels.infer_p(df, features_col)
+    beta = np.zeros(p)
+    iter_count = 0
+    converged = False
+    while not converged:
+        grad, hess = kernels.gradient_hessian(
+            df, family, beta, p, features_col, label_col, path
+        )
+        step, *_ = np.linalg.lstsq(hess, grad, rcond=-1)
+        beta_old = beta
+        beta = beta_old - step
+        iter_count += 1
+        coef_change = np.absolute(beta_old - beta)
+        converged = (not np.any(coef_change > tol)) or (iter_count > max_iter)
+    return beta
+
+
+@normalize
+def lbfgs(
+    df: DataFrame,
+    regularizer=None,
+    lamduh: float = 1.0,
+    max_iter: int = 100,
+    tol: float = 1e-4,
+    family=Logistic,
+    verbose: bool = False,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+    **kwargs,
+):
+    """scipy L-BFGS-B on the driver; each objective evaluation is ONE fused
+    loss+gradient scan (``algorithms.py:351-419``; the reference's shared
+    ``compute(loss_fn, gradient_fn)`` at :405 is the same single-scan idea).
+    Architecturally identical to MLlib's LogisticRegression (breeze LBFGS +
+    treeAggregate), which doubles as an independent oracle in tests."""
+    from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
+
+    p = kernels.infer_p(df, features_col)
+    reg_f = reg_grad = None
+    if regularizer is not None:
+        reg = Regularizer.get(regularizer)
+        reg_f, reg_grad = reg.f, reg.gradient
+
+    def compute_loss_grad(beta):
+        loss, grad = kernels.loss_gradient(
+            df, family, beta, p, features_col, label_col, path
+        )
+        if reg_f is not None:
+            loss = loss + lamduh * reg_f(beta)
+            grad = grad + lamduh * reg_grad(beta)
+        return loss, grad
+
+    beta, _, _ = fmin_l_bfgs_b(
+        compute_loss_grad,
+        np.zeros(p),
+        fprime=None,
+        iprint=(verbose > 0) - 1,
+        pgtol=tol,
+        maxiter=max_iter,
+    )
+    return beta
+
+
+@normalize
+def proximal_grad(
+    df: DataFrame,
+    regularizer="l1",
+    lamduh: float = 0.1,
+    family=Logistic,
+    max_iter: int = 100,
+    tol: float = 1e-8,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+    **kwargs,
+):
+    """Proximal gradient / ISTA with backtracking (``algorithms.py:422-505``).
+
+    Per outer iteration: one fused loss+gradient scan, then batched probe
+    scans where each candidate is ``prox(beta - s*grad, s*lamduh)`` and
+    acceptance is simple decrease (``df > 0``, :489-491)."""
+    p = kernels.infer_p(df, features_col)
+    first_backtrack, next_backtrack = 0.1, 0.5
+    step_growth = 1.25
+    step_size = 1.0
+    backtrack_mult = first_backtrack
+    beta = np.zeros(p)
+    regularizer = Regularizer.get(regularizer)
+
+    for _ in range(max_iter):
+        func, grad = kernels.loss_gradient(
+            df, family, beta, p, features_col, label_col, path
+        )
+        obeta = beta
+        lf = func
+        accepted = False
+        df_rel = 0.0
+        for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
+            sizes = [
+                step_size * backtrack_mult**i for i in range(base, base + PROBE_BATCH)
+            ]
+            cands = [
+                regularizer.proximal_operator(obeta - s * grad, s * lamduh)
+                for s in sizes
+            ]
+            losses = kernels.multi_loss(df, family, cands, features_col, label_col, path)
+            for s, cand, fval in zip(sizes, cands, losses):
+                beta, func = cand, fval
+                if lf - fval > 0:
+                    step_size = s
+                    accepted = True
+                    break
+            if accepted:
+                break
+        else:
+            step_size = sizes[-1]
+        if step_size == 0:
+            break
+        df_rel = (lf - func) / max(func, lf)
+        if df_rel < tol:
+            break
+        step_size *= step_growth
+        backtrack_mult = next_backtrack
+    return beta
+
+
+def _admm_local_update(X, y, beta, z, u, rho, family, solver=None):
+    """Single-partition augmented-Lagrangian solve (``algorithms.py:339-348``,
+    objective augmentation :263-283). Pure numpy — runs inside the Arrow
+    batch on each executor's Python worker."""
+    from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
+
+    solver = solver or fmin_l_bfgs_b
+
+    def f(b, X_, y_, z_, u_, rho_):
+        return family.pointwise_loss(b, X_, y_) + (rho_ / 2) * np.dot(
+            b - z_ + u_, b - z_ + u_
+        )
+
+    def fprime(b, X_, y_, z_, u_, rho_):
+        return family.pointwise_gradient(b, X_, y_) + rho_ * (b - z_ + u_)
+
+    solver_args = (X, y, z.ravel(), u.ravel(), rho)
+    beta, _, _ = solver(
+        f, beta.ravel(), fprime=fprime, args=solver_args, maxiter=200, maxfun=250
+    )
+    return beta
+
+
+@normalize
+def admm(
+    df: DataFrame,
+    regularizer="l1",
+    lamduh: float = 0.1,
+    rho: float = 1,
+    over_relax: float = 1,
+    max_iter: int = 250,
+    abstol: float = 1e-4,
+    reltol: float = 1e-2,
+    family=Logistic,
+    features_col: str = "features",
+    label_col: str = "label",
+    **kwargs,
+):
+    """Consensus ADMM (``algorithms.py:224-336``).
+
+    The one genuinely partition-parallel solver. Physical plan per round:
+    ONE ``mapInPandas`` pass over the cached input — each partition runs its
+    local scipy L-BFGS-B solve and emits a single ``(pid, beta)`` row (p
+    floats); the z-prox / u-dual updates and the primal/dual residual
+    stopping rule are driver numpy. X is never shuffled; partition identity
+    comes from the cached partitioning (``spark_partition_id`` over a cached
+    plan is stable across rounds — the analogue of dask's fixed chunks)."""
+    regularizer = Regularizer.get(regularizer)
+    p = kernels.infer_p(df, features_col)
+    nchunks = df.rdd.getNumPartitions()
+
+    z = np.zeros(p)
+    u = np.array([np.zeros(p) for _ in range(nchunks)])
+    betas = np.array([np.ones(p) for _ in range(nchunks)])
+
+    fcol, lcol = features_col, label_col
+    fam = family
+
+    for _ in range(max_iter):
+        state = {
+            "z": z,
+            "rho": rho,
+            "u": {i: u[i] for i in range(nchunks)},
+            "betas": {i: betas[i] for i in range(nchunks)},
+        }
+        bc = df.sparkSession.sparkContext.broadcast(state)
+
+        def x_update(batches):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            Xs, ys = [], []
+            for pdf in batches:
+                if len(pdf):
+                    Xs.append(kernels._features_matrix(pdf, fcol))
+                    ys.append(pdf[lcol].to_numpy(dtype=np.float64))
+            if not Xs:
+                return
+            st = bc.value
+            pid = TaskContext.get().partitionId()
+            X = np.vstack(Xs)
+            y = np.concatenate(ys)
+            new_beta = _admm_local_update(
+                X, y, st["betas"][pid], st["z"], st["u"][pid], st["rho"], fam
+            )
+            yield pd.DataFrame({"pid": [pid], "beta": [new_beta.tolist()]})
+
+        rows = df.mapInPandas(x_update, schema="pid int, beta array<double>").collect()
+        got = {r["pid"]: np.asarray(r["beta"]) for r in rows}
+        new_betas = np.array(
+            [
+                got.get(
+                    i,
+                    # empty partition: solve with a 0-row X (objective is the
+                    # pure augmentation term -> optimum near z - u)
+                    _admm_local_update(
+                        np.zeros((0, p)), np.zeros(0), betas[i], z, u[i], rho, fam
+                    ),
+                )
+                for i in range(nchunks)
+            ]
+        )
+        bc.destroy()
+
+        beta_hat = over_relax * new_betas + (1 - over_relax) * z
+
+        zold = z.copy()
+        ztilde = np.mean(beta_hat + np.array(u), axis=0)
+        z = regularizer.proximal_operator(ztilde, lamduh / (rho * nchunks))
+
+        u += beta_hat - z
+
+        primal_res = np.linalg.norm(new_betas - z)
+        dual_res = np.linalg.norm(rho * (z - zold))
+        eps_pri = np.sqrt(p * nchunks) * abstol + reltol * np.maximum(
+            np.linalg.norm(new_betas), np.sqrt(nchunks) * np.linalg.norm(z)
+        )
+        eps_dual = np.sqrt(p * nchunks) * abstol + reltol * np.linalg.norm(rho * u)
+        if primal_res < eps_pri and dual_res < eps_dual:
+            break
+
+    betas = new_betas
+    return z
+
+
+_solvers = {
+    "admm": admm,
+    "gradient_descent": gradient_descent,
+    "newton": newton,
+    "lbfgs": lbfgs,
+    "proximal_grad": proximal_grad,
+}

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine's workload shape.
+
+Workload: iterative full-table scans with tiny (p or p**2 floats) results,
+plus text/embedding pipeline operators. Configs chosen for that shape:
+
+- AQE on: coalesces the tiny post-agg exchanges and handles skew joins in
+  the dedup/similarity operators at scale.
+- Arrow on: every solver hot path is a pandas-UDF partial aggregation.
+- shuffle.partitions defaults to the local core count; on a real cluster
+  this should be ~2-3x total cores (the engine never shuffles the feature
+  matrix, so this only affects the pipeline operators).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "dask_glm_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(DEFAULT_CPUS)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Large Arrow batches amortize Python-worker round trips in the
+        # pandas-UDF partial-aggregation kernels (each batch is one numpy
+        # BLAS call; bigger batch => fewer calls, same memory order as a
+        # parquet row group).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

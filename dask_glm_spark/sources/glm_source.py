@@ -1,0 +1,77 @@
+"""Ingest: build the universal GLM DataFrame from parquet sources.
+
+The reference consumes row-block-partitioned dask arrays X (n,p) and a
+co-chunked y (``dask_glm/algorithms.py:96-97``, ``datasets.py:48-56``); its
+docs ingest CSV via ``dd.read_csv(...).values`` (docs/examples/
+basic_api.ipynb cells 4-12). Here the universal input is one DataFrame
+
+    (id bigint, f1..fp double, features array<double>, label double, ...)
+
+which stores label and features in the same rows — eliminating the
+reference's X/y chunk-alignment hazard by construction.
+
+The `glm` view (FIXTURES.md §A) is derived from the driver's lineitem
+table identically in Spark and DuckDB so kernel queries can be
+oracle-checked. The ``id`` from ``row_number() OVER (ORDER BY l_orderkey,
+l_linenumber)`` exists for oracle determinism; the solver path never uses
+it (a global sort at 100 TB would be wrong — real pipelines carry a
+source-provided key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FEATURE_COLS = ["f1", "f2", "f3", "f4"]
+
+# SQL text shared verbatim between Spark SQL and the DuckDB oracle
+# (FIXTURES.md §A). Keep engine-portable: ANSI expressions only.
+GLM_VIEW_SQL = """
+SELECT
+  row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS id,
+  l_quantity * 1.0        AS f1,
+  l_extendedprice / 1e4   AS f2,
+  l_discount * 10.0       AS f3,
+  l_tax * 10.0            AS f4,
+  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+  l_quantity * 1.0        AS label_reg,
+  CAST(round(l_quantity) AS DOUBLE) AS label_cnt
+FROM lineitem
+"""
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_glm(spark: SparkSession, sf_dir: str, with_features_array: bool = True) -> DataFrame:
+    """The oracle-parity glm table (includes the row_number id)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    df = spark.sql(GLM_VIEW_SQL)
+    if with_features_array:
+        df = df.withColumn("features", F.array(*[F.col(c) for c in FEATURE_COLS]))
+    return df
+
+
+def load_glm_fast(spark: SparkSession, sf_dir: str, label_col: str = "label") -> DataFrame:
+    """Solver-path variant: no global row_number sort, no unused columns.
+
+    Column pruning reaches the parquet scan (only the 5-6 source columns are
+    read); at 100 TB this is a pure narrow map over the scan — zero shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    label_expr = {
+        "label": F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0),
+        "label_reg": F.col("l_quantity") * 1.0,
+        "label_cnt": F.round(F.col("l_quantity")).cast("double"),
+    }[label_col]
+    return li.select(
+        F.array(
+            F.col("l_quantity") * 1.0,
+            F.col("l_extendedprice") / 1e4,
+            F.col("l_discount") * 10.0,
+            F.col("l_tax") * 10.0,
+        ).alias("features"),
+        label_expr.alias("label"),
+    )
