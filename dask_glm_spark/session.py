@@ -44,6 +44,9 @@ def get_spark(
         # BLAS call; bigger batch => fewer calls, same memory order as a
         # parquet row group).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # testdata parquet uses TIMESTAMP(NANOS); read as long + convert in
+        # sources.glm_source.load_table (DuckDB-truncation parity).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

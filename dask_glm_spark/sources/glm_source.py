@@ -29,7 +29,7 @@ FEATURE_COLS = ["f1", "f2", "f3", "f4"]
 # (FIXTURES.md §A). Keep engine-portable: ANSI expressions only.
 GLM_VIEW_SQL = """
 SELECT
-  row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS id,
+  CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS id,
   l_quantity * 1.0        AS f1,
   l_extendedprice / 1e4   AS f2,
   l_discount * 10.0       AS f3,
@@ -41,8 +41,25 @@ FROM lineitem
 """
 
 
+# Columns stored as TIMESTAMP(NANOS) in the testdata parquet. Spark reads
+# them as nanos-since-epoch longs (spark.sql.legacy.parquet.nanosAsLong);
+# we integer-divide to micros — exactly DuckDB's nanos->micros truncation —
+# so timestamp semantics match the oracle.
+NANO_TS_COLS = {
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+    "events": ["ts"],
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NANO_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
+            )
+    return df
 
 
 def load_glm(spark: SparkSession, sf_dir: str, with_features_array: bool = True) -> DataFrame:

@@ -1,0 +1,67 @@
+"""Side-by-side Spark vs DuckDB check of every declared query — a local
+replica of the driver's correctness gate (row-count + schema + sorted
+value comparison). Run directly:  python tests/oracle_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_df) != len(duck_df):
+        problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if s_cols != d_cols:
+        problems.append(f"schema spark={s_cols} duck={d_cols}")
+        return problems
+    s = spark_df[s_cols].sort_values(s_cols).reset_index(drop=True)
+    d = duck_df[d_cols].sort_values(d_cols).reset_index(drop=True)
+    for c in s_cols:
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv = sv.astype(np.float64)
+            dv = dv.astype(np.float64)
+            if not np.array_equal(sv, dv):
+                bad = np.where(sv != dv)[0][:3]
+                problems.append(
+                    f"col {c}: {len(np.where(sv != dv)[0])} mismatches, first {[(sv[i], dv[i]) for i in bad]}"
+                )
+        elif not (sv == dv).all():
+            problems.append(f"col {c}: value mismatch (non-float)")
+    return problems
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    import __spark_entry__ as e
+    from dask_glm_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in e.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_fail = 0
+    for name in sorted(qs):
+        sdf = qs[name](spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name:28s} rows={len(sdf):6d}  (no oracle — rows-only check)")
+            continue
+        ddf = con.sql(oracles[name]).df()
+        problems = compare(name, sdf, ddf)
+        status = "OK " if not problems else "FAIL"
+        n_fail += bool(problems)
+        print(f"{name:28s} {status} rows={len(sdf):6d} {problems if problems else ''}")
+    print(f"\n{n_fail} failures / {len(qs)} queries")
+    return n_fail
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(*sys.argv[1:]))
