@@ -1,0 +1,79 @@
+"""Estimator API tests (``dask_glm/tests/test_estimators.py``, SURVEY §5.4)."""
+
+import numpy as np
+import pytest
+
+from dask_glm_spark import LinearRegression, LogisticRegression, PoissonRegression
+from dask_glm_spark.sources.datasets import (
+    make_classification,
+    make_poisson,
+    make_regression,
+)
+
+
+@pytest.fixture(scope="module")
+def cls_data(spark):
+    df, _, _ = make_classification(spark, n_samples=400, n_features=3, seed=20009,
+                                  npartitions=4)
+    return df.persist()
+
+
+@pytest.mark.parametrize("fit_intercept", [True, False])
+def test_logistic_fit_predict(cls_data, fit_intercept):
+    lr = LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=fit_intercept
+    ).fit(cls_data)
+    assert len(lr.coef_) == 3
+    assert (lr.intercept_ is not None) == fit_intercept
+    pred = lr.predict(cls_data)
+    # lazy DataFrame contract; probabilities in (0,1); predictions binary
+    rows = pred.select("probability", "prediction").collect()
+    assert all(0.0 < r["probability"] < 1.0 for r in rows)
+    assert set(r["prediction"] for r in rows) <= {0.0, 1.0}
+    assert 0.5 <= lr.score(cls_data) <= 1.0
+
+
+def test_solver_kwarg_routing(cls_data):
+    # admm must not receive tol; newton must not receive regularizer
+    for solver in ["admm", "newton", "lbfgs", "proximal_grad", "gradient_descent"]:
+        est = LogisticRegression(solver=solver, max_iter=3)
+        kw = est._routed_kwargs()
+        if solver == "admm":
+            assert "tol" not in kw and "rho" in kw
+        elif solver in ("lbfgs", "proximal_grad"):
+            assert "regularizer" in kw and "rho" not in kw
+        else:
+            assert "regularizer" not in kw
+        est.fit(cls_data)  # smoke: every solver runs through the estimator
+
+
+def test_linear_regression_score_is_mse(spark):
+    df, _, _ = make_regression(spark, n_samples=300, n_features=3, seed=90210,
+                              npartitions=3)
+    df = df.persist()
+    est = LinearRegression(solver="lbfgs", regularizer=None).fit(df)
+    # reference quirk: score == MSE (lower is better), NOT R^2
+    mse = est.score(df)
+    assert 0.0 <= mse < 1.0  # y ~ U(0,1): MSE of any fit is < var-ish bound
+    df.unpersist()
+
+
+def test_poisson_regression_deviance(spark):
+    df, _, _ = make_poisson(spark, n_samples=300, n_features=3, seed=70605,
+                           npartitions=3)
+    df = df.persist()
+    est = PoissonRegression(solver="lbfgs", regularizer=None).fit(df)
+    dev = est.get_deviance(df)
+    assert np.isfinite(dev) and dev >= 0
+    pred = est.predict(df)
+    assert all(r["prediction"] > 0 for r in pred.select("prediction").collect())
+    df.unpersist()
+
+
+def test_sklearn_style_clone_params(cls_data):
+    est = LogisticRegression(solver="lbfgs", lamduh=0.5)
+    params = est.get_params()
+    est2 = LogisticRegression(**params)
+    assert est2.get_params() == params
+    est2.set_params(lamduh=2.0)
+    assert est2.lamduh == 2.0

@@ -1,0 +1,68 @@
+"""Standardization-wrapper semantics (``dask_glm/tests/test_utils.py:10-51``)."""
+
+import numpy as np
+import pytest
+
+from dask_glm_spark.operators.solvers import normalize
+
+
+def _df_from(spark, X, y):
+    rows = [(i, [float(v) for v in X[i]], float(y[i])) for i in range(len(y))]
+    return spark.createDataFrame(
+        rows, schema="id long, features array<double>, label double"
+    )
+
+
+def test_normalize_backtransform_exact(spark):
+    """Reference fixture: X=[[1,0,0],[1,2,2]], no-op solver returning [0,1,2]
+    must back-transform to [-3,1,2] (tests/test_utils.py:10-35)."""
+
+    @normalize
+    def solver_returns(df, **kwargs):
+        return np.array([0.0, 1.0, 2.0])
+
+    X = np.array([[1.0, 0.0, 0.0], [1.0, 2.0, 2.0]])
+    y = np.array([0.0, 1.0])
+    df = _df_from(spark, X, y)
+    out = solver_returns(df)
+    # constant col 1 (std=0): mean zeroed->? columns 2,3 have std 1 (pop std of
+    # {0,2} = 1), means 1. intercept adj: sum(out*mean/std) = 0*1+1*1+2*1 = 3
+    np.testing.assert_allclose(out, [-3.0, 1.0, 2.0])
+
+
+def test_normalize_skipped_when_disabled(spark):
+    @normalize
+    def solver_returns(df, **kwargs):
+        return np.array([0.0, 1.0, 2.0])
+
+    X = np.array([[1.0, 0.0, 0.0], [1.0, 2.0, 2.0]])
+    df = _df_from(spark, X, np.zeros(2))
+    np.testing.assert_allclose(solver_returns(df, normalize=False), [0.0, 1.0, 2.0])
+
+
+def test_normalize_multiple_constant_columns_raise(spark):
+    @normalize
+    def solver_returns(df, **kwargs):
+        return np.zeros(3)
+
+    X = np.array([[1.0, 5.0, 0.0], [1.0, 5.0, 2.0]])
+    df = _df_from(spark, X, np.zeros(2))
+    with pytest.raises(ValueError, match="Multiple constant columns"):
+        solver_returns(df)
+
+
+def test_normalize_no_constant_column_scales_only(spark):
+    """Reference quirk (utils.py:26-30): without a constant column the mean
+    is zeroed — scale-only standardization."""
+    captured = {}
+
+    @normalize
+    def spy(df, **kwargs):
+        captured["first"] = df.select("features").orderBy("id").first()["features"]
+        return np.zeros(2)
+
+    X = np.array([[1.0, 10.0], [3.0, 30.0]])
+    df = _df_from(spark, X, np.zeros(2))
+    spy(df)
+    # scale-only: first row = X[0]/std = [1/1, 10/10] = [1, 1]
+    np.testing.assert_allclose(captured["first"], [1.0, 1.0])
