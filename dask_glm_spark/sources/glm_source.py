@@ -53,6 +53,12 @@ NANO_TS_COLS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Session-independence (VERDICT r1 #1): the driver supplies its own plain
+    # SparkSession, so the nanos handling must be set HERE, at runtime — it is
+    # a runtime-settable SQLConf — not only in session.get_spark().  Without
+    # it, reading any TIMESTAMP(NANOS) column (events.ts, l_shipdate,
+    # o_orderdate) throws PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":

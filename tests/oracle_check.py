@@ -5,11 +5,14 @@ value comparison). Run directly:  python tests/oracle_check.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import numpy as np
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
@@ -28,10 +31,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
             sv = sv.astype(np.float64)
             dv = dv.astype(np.float64)
-            if not np.array_equal(sv, dv):
-                bad = np.where(sv != dv)[0][:3]
+            # Half-ulp-of-the-rounding-unit tolerance: queries pin round(x, k)
+            # in the SQL text (k >= 3), so values differing by < 5e-7 are the
+            # same rounded number accumulated in a different order.  NaN==NaN
+            # counts as equal (ADVICE r1).
+            mism = ~(np.isclose(sv, dv, rtol=0.0, atol=5e-7) | (np.isnan(sv) & np.isnan(dv)))
+            if mism.any():
+                bad = np.where(mism)[0][:3]
                 problems.append(
-                    f"col {c}: {len(np.where(sv != dv)[0])} mismatches, first {[(sv[i], dv[i]) for i in bad]}"
+                    f"col {c}: {int(mism.sum())} mismatches, first {[(sv[i], dv[i]) for i in bad]}"
                 )
         elif not (sv == dv).all():
             problems.append(f"col {c}: value mismatch (non-float)")
@@ -40,9 +48,12 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     import __spark_entry__ as e
-    from dask_glm_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(shuffle_partitions=8)
+    # Deliberately a VANILLA session — zero repo-specific configs — so this
+    # harness reproduces the driver's environment (VERDICT r1 #2: building it
+    # via get_spark() masked the nanosAsLong session-coupling bug).
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
     con = duckdb.connect()
     for t in e.TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
