@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: wall time of ``LogisticRegression(solver='admm',
+fit_intercept=False).fit`` — the reference's single published number is the
+same fit at the same data scale (57.7 s, 637k rows x 5 features,
+docs/examples/basic_api.ipynb cell 12; see BASELINE.md).
+
+Per-query timings cover every solver plus the kernel and pipeline operator
+surfaces so regressions are attributable to a layer, not just "slower".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dask_glm_spark.session import get_spark
+    from dask_glm_spark.sources.glm_source import load_glm_fast
+    from dask_glm_spark.operators.estimators import LogisticRegression
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        try:
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            timings[name] = -1.0
+
+    # -- warm the JVM + page cache with one cheap count, not timed ---------
+    df = load_glm_fast(spark, sf_dir)
+    df.count()
+
+    # -- solver fits (the baseline-comparable numbers) ---------------------
+    # Baseline parity config: fit_intercept=False, admm + l2 (BASELINE.md).
+    timed(
+        "fit_admm_l2",
+        lambda: LogisticRegression(
+            solver="admm", regularizer="l2", fit_intercept=False, max_iter=10
+        ).fit(load_glm_fast(spark, sf_dir)),
+    )
+    timed(
+        "fit_lbfgs",
+        lambda: LogisticRegression(
+            solver="lbfgs", regularizer=None, fit_intercept=False
+        ).fit(load_glm_fast(spark, sf_dir)),
+    )
+    timed(
+        "fit_newton",
+        lambda: LogisticRegression(solver="newton", max_iter=20).fit(
+            load_glm_fast(spark, sf_dir)
+        ),
+    )
+    timed(
+        "fit_gradient_descent",
+        lambda: LogisticRegression(solver="gradient_descent", max_iter=30).fit(
+            load_glm_fast(spark, sf_dir)
+        ),
+    )
+    timed(
+        "fit_proximal_grad_l1",
+        lambda: LogisticRegression(
+            solver="proximal_grad", regularizer="l1", lamduh=0.01, max_iter=30
+        ).fit(load_glm_fast(spark, sf_dir)),
+    )
+
+    # -- declared queries (kernel + pipeline surfaces) ---------------------
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in sorted(qs):
+        timed(name, lambda name=name: qs[name](spark, sf_dir).collect())
+
+    headline = timings.get("fit_admm_l2", -1.0)
+    print(
+        json.dumps(
+            {
+                "metric": "fit_logistic_admm_wall",
+                "value": headline,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
