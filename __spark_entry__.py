@@ -150,6 +150,235 @@ def _sql_runner(
     return run
 
 
+# ---------------------------------------------------------------------------
+# Engine-backed Spark runners (ADVICE r1, medium): the Spark side of each
+# correctness check runs the ENGINE's kernel/family/metric code — the same
+# functions every solver iteration calls — not the oracle's SQL text.  The
+# DuckDB oracle (KERNEL_SQL above) stays the independent formulation, so the
+# gate now validates the implementation, not Spark/DuckDB dialect agreement.
+# Rounding is applied as Spark expressions (F.round) so half-away-from-zero
+# semantics match both engines; driver-side scalars/vectors from the kernels
+# are re-wrapped in tiny DataFrames at full precision, then rounded in Spark.
+# ---------------------------------------------------------------------------
+BETA = [0.1, -0.2, 0.3, 0.05]  # fixed kernel-check coefficients (FIXTURES.md §A)
+
+
+def _glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.sources.glm_source import load_glm
+
+    return load_glm(spark, sf_dir)
+
+
+def _scalar_df(spark: SparkSession, value: float, name: str, digits: int) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(
+        F.round(F.lit(float(value)), digits).cast("double").alias(name)
+    )
+
+
+def _q_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+
+    df = _glm(spark, sf_dir)
+    return (
+        df.select(
+            "id", F.round(kernels.matvec_expr(BETA), 6).cast("double").alias("xb")
+        )
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+def _q_loglike(family_name: str, label_col: str, out_name: str, digits: int):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dask_glm_spark.functions import kernels
+        from dask_glm_spark.functions.families import FAMILIES
+
+        df = _glm(spark, sf_dir)
+        val = kernels.loss(df, FAMILIES[family_name], BETA, label_col=label_col)
+        return _scalar_df(spark, val, out_name, digits)
+
+    return run
+
+
+def _q_gradient(family_name: str, label_col: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from dask_glm_spark.functions import kernels
+        from dask_glm_spark.functions.families import FAMILIES
+
+        df = _glm(spark, sf_dir)
+        g = kernels.gradient(df, FAMILIES[family_name], BETA, label_col=label_col)
+        rows = [(j + 1, float(g[j])) for j in range(len(g))]
+        return (
+            spark.createDataFrame(rows, "j int, g double")
+            .select("j", F.round("g", 4).cast("double").alias("g"))
+            .orderBy("j")
+        )
+
+    return run
+
+
+def _q_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+    from dask_glm_spark.functions.families import Logistic
+
+    df = _glm(spark, sf_dir)
+    _, hess = kernels.gradient_hessian(df, Logistic, BETA, label_col="label")
+    p = hess.shape[0]
+    rows = [(i + 1, j + 1, float(hess[i, j])) for i in range(p) for j in range(i, p)]
+    return (
+        spark.createDataFrame(rows, "i int, j int, h double")
+        .select("i", "j", F.round("h", 4).cast("double").alias("h"))
+        .orderBy("i", "j")
+    )
+
+
+def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+
+    df = _glm(spark, sf_dir)
+    mean, std = kernels.column_moments(df, p=4)
+    rows = [(j + 1, float(mean[j]), float(std[j])) for j in range(4)]
+    return (
+        spark.createDataFrame(rows, "j int, mean double, std double")
+        .select(
+            "j",
+            F.round("mean", 6).cast("double").alias("mean"),
+            F.round("std", 6).cast("double").alias("std"),
+        )
+        .orderBy("j")
+    )
+
+
+def _q_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+    from dask_glm_spark.functions.families import sigmoid_expr
+
+    df = _glm(spark, sf_dir)
+    return (
+        df.select(
+            "id",
+            F.round(sigmoid_expr(kernels.matvec_expr(BETA)), 6)
+            .cast("double")
+            .alias("sig"),
+        )
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels, metrics
+    from dask_glm_spark.functions.families import sigmoid_expr
+
+    df = _glm(spark, sf_dir)
+    scored = df.select(
+        (sigmoid_expr(kernels.matvec_expr(BETA)) > 0.5).cast("double").alias("pred"),
+        (F.col("label") > 0.5).cast("double").alias("truth"),
+    )
+    val = metrics.accuracy_score(scored, "truth", "pred")
+    return _scalar_df(spark, val, "acc", 6)
+
+
+def _q_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.functions import kernels, metrics
+
+    df = _glm(spark, sf_dir)
+    scored = df.select(
+        kernels.matvec_expr(BETA).alias("pred"), df["label_reg"].alias("truth")
+    )
+    val = metrics.mean_squared_error(scored, "truth", "pred")
+    return _scalar_df(spark, val, "mse", 6)
+
+
+def _q_poisson_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels, metrics
+
+    df = _glm(spark, sf_dir)
+    scored = df.select(
+        F.exp(kernels.matvec_expr(BETA)).alias("mu"), df["label_cnt"].alias("y")
+    )
+    val = metrics.poisson_deviance(scored, "y", "mu")
+    return _scalar_df(spark, val, "deviance", 3)
+
+
+def _q_add_intercept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+
+    df = kernels.add_intercept(_glm(spark, sf_dir))
+    fc = F.col("features")
+    return (
+        df.select(
+            "id",
+            fc[0].alias("f1"),
+            fc[1].alias("f2"),
+            fc[2].alias("f3"),
+            fc[3].alias("f4"),
+            fc[4].alias("icpt"),
+        )
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+def _q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+
+    df = _glm(spark, sf_dir)
+    mean, std = kernels.column_moments(df, p=4)
+    z = kernels.standardize_expr(mean, std)
+    return (
+        df.withColumn("z", z)
+        .select(
+            "id",
+            *[
+                F.round(F.col("z")[j], 6).cast("double").alias(f"z{j + 1}")
+                for j in range(4)
+            ],
+        )
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_matvec": _q_matvec,
+    "q02_logistic_loglike": _q_loglike("logistic", "label", "loglike", 3),
+    "q03_normal_loglike": _q_loglike("normal", "label_reg", "sse", 3),
+    "q04_poisson_loglike": _q_loglike("poisson", "label_cnt", "loglike", 3),
+    "q05_logistic_gradient": _q_gradient("logistic", "label"),
+    "q06_normal_gradient": _q_gradient("normal", "label_reg"),
+    "q07_poisson_gradient": _q_gradient("poisson", "label_cnt"),
+    "q08_gram_hessian": _q_gram,
+    "q09_moments": _q_moments,
+    "q10_sigmoid": _q_sigmoid,
+    "q11_accuracy": _q_accuracy,
+    "q12_mse": _q_mse,
+    "q13_poisson_deviance": _q_poisson_deviance,
+    "q14_add_intercept": _q_add_intercept,
+    "q15_standardize": _q_standardize,
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: logistic regression fit (newton) on sf0.001 + lazy scoring.
 
@@ -175,10 +404,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: _sql_runner(sql) for name, sql in KERNEL_SQL.items()
-    }
-    return out
+    return dict(ENGINE_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -75,8 +75,10 @@ def infer_p(df: DataFrame, features_col: str = "features") -> int:
 # Arrow partial-aggregation machinery (P2/P3/P5 fused, deterministic merge)
 # ---------------------------------------------------------------------------
 def _features_matrix(pdf: pd.DataFrame, features_col: str) -> np.ndarray:
+    # np.stack over the object array of ndarrays is a single vectorized copy
+    # (ADVICE r1: np.array(list(...)) looped per row inside the hot Arrow path).
     vals = pdf[features_col].to_numpy()
-    return np.array(list(vals), dtype=np.float64)
+    return np.stack(vals).astype(np.float64, copy=False)
 
 
 def _arrow_partials(
@@ -142,8 +144,10 @@ def loss_gradient(
         y = F.col(label_col)
         r = family.residual(xb, y)
         fcol = F.col(features_col)
-        aggs = [F.sum(family.loglike_terms(xb, y)).alias("loss")]
-        aggs += [F.sum(fcol[j] * r).alias(f"g{j}") for j in range(p)]
+        # coalesce: F.sum is NULL on empty input; the arrow path returns
+        # 0.0/zeros — keep both physical paths consistent (ADVICE r1).
+        aggs = [F.coalesce(F.sum(family.loglike_terms(xb, y)), F.lit(0.0)).alias("loss")]
+        aggs += [F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"g{j}") for j in range(p)]
         row = df.agg(*aggs).collect()[0]
         return float(row["loss"]), np.array([row[f"g{j}"] for j in range(p)])
 
@@ -190,9 +194,9 @@ def gradient_hessian(
         r = family.residual(xb, y)
         w = family.hess_weight(xb)
         fcol = F.col(features_col)
-        aggs = [F.sum(fcol[j] * r).alias(f"g{j}") for j in range(p)]
+        aggs = [F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"g{j}") for j in range(p)]
         aggs += [
-            F.sum(w * fcol[i] * fcol[j]).alias(f"h{i}_{j}")
+            F.coalesce(F.sum(w * fcol[i] * fcol[j]), F.lit(0.0)).alias(f"h{i}_{j}")
             for i in range(p)
             for j in range(i, p)
         ]
@@ -243,7 +247,9 @@ def multi_loss(
     if path == "sql":
         y = F.col(label_col)
         aggs = [
-            F.sum(family.loglike_terms(matvec_expr(b, features_col), y)).alias(f"s{i}")
+            F.coalesce(
+                F.sum(family.loglike_terms(matvec_expr(b, features_col), y)), F.lit(0.0)
+            ).alias(f"s{i}")
             for i, b in enumerate(betas)
         ]
         row = df.agg(*aggs).collect()[0]
