@@ -151,6 +151,329 @@ def _sql_runner(
 
 
 # ---------------------------------------------------------------------------
+# Pipeline-operator oracles (text / dedup / similarity / events / TF).
+# The engine side runs operators from dask_glm_spark.operators.*; the DuckDB
+# side recomputes the same deterministic definitions in portable SQL.  All
+# hashing is the shared 31-base polynomial hash so both engines agree bit-
+# for-bit.
+# ---------------------------------------------------------------------------
+def _duck_polyhash(expr: str) -> str:
+    """DuckDB SQL computing operators.text.polyhash_expr exactly."""
+    # CAST to BIGINT: DuckDB infers INT32 for the lambda accumulator and
+    # overflows at h*31 otherwise.
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split({expr}, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h*31 + c) % 1000000007)"
+    )
+
+
+def _duck_lang_scores() -> dict[str, str]:
+    from dask_glm_spark.operators.text import MARKER_WORDS
+
+    return {
+        lang: "("
+        + " + ".join(
+            f"CASE WHEN contains(' '||lower(text)||' ', ' {w} ') THEN 1 ELSE 0 END"
+            for w in words
+        )
+        + ")"
+        for lang, words in MARKER_WORDS.items()
+    }
+
+
+def _langid_oracle_sql() -> str:
+    from dask_glm_spark.operators.text import LANG_ORDER
+
+    s = _duck_lang_scores()
+    whens = []
+    for i, lang in enumerate(LANG_ORDER[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in LANG_ORDER[i + 1 :]
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{LANG_ORDER[-1]}' END"
+    scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in s.items())
+    return f"""WITH scored AS (SELECT {scores} FROM documents),
+pred AS (SELECT {case} AS lang_pred FROM scored)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred"""
+
+
+def _quality_oracle_sql() -> str:
+    s_en = _duck_lang_scores()["en"]
+    return f"""SELECT doc_id,
+  CAST(round(
+    0.4 * ({s_en} / 5.0)
+    + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+    + 0.3 * (length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 / length(text)),
+  6) AS DOUBLE) AS quality
+FROM documents ORDER BY doc_id"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.5) -> str:
+    from dask_glm_spark.operators.dedup import (
+        BANDS,
+        PERM_A,
+        PERM_B,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+    )
+
+    k = SHINGLE_K
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh_hashes, h -> (h*{a} + {b}) % 1000000007)) AS s{i}"
+        for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
+    )
+    band_keys = []
+    for b in range(BANDS):
+        parts = "||'-'||".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        band_keys.append(_duck_polyhash(f"'{b}-'||{parts}"))
+    gram = "||' '||".join(f"T[i+{d}]" for d in range(k))
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS T FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(T) >= {k}
+      THEN list_distinct(list_transform(generate_series(1, len(T)-{k - 1}), i -> {gram}))
+      ELSE [array_to_string(T, ' ')] END AS shingles
+  FROM toks
+),
+hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> {_duck_polyhash("s")}) AS sh_hashes FROM sh),
+sigs AS (SELECT doc_id, {sig_exprs} FROM hs),
+bands AS (SELECT doc_id, unnest([{", ".join(band_keys)}]) AS band_key FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+    round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM cands
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard FROM j
+WHERE jaccard >= {threshold} ORDER BY id_a, id_b"""
+
+
+def _simhash_oracle_sql() -> str:
+    from dask_glm_spark.operators.dedup import SIMHASH_BITS
+
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS T FROM documents
+),
+h AS (SELECT doc_id, list_transform(T, t -> {_duck_polyhash("t")}) AS hs FROM toks)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h ORDER BY doc_id"""
+
+
+PIPELINE_SQL: dict[str, str] = {
+    "q16_token_stats": """SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) AS avg_token_len
+FROM documents ORDER BY doc_id""",
+    "q17_langid": _langid_oracle_sql(),
+    "q18_quality": _quality_oracle_sql(),
+    "q19_fingerprint": f"""SELECT doc_id,
+  CAST({_duck_polyhash("lower(text)")} AS BIGINT) AS fp
+FROM documents ORDER BY doc_id""",
+    "q20_exact_dedup": """SELECT
+  CAST(count(*) AS BIGINT) AS dup_groups,
+  CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_rows
+FROM (SELECT text, count(*) AS c FROM documents GROUP BY text HAVING count(*) > 1)""",
+    "q21_minhash_dedup": _minhash_oracle_sql(0.5),
+    "q22_simhash": _simhash_oracle_sql(),
+    "q23_embedding_neardup": """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS DOUBLE) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY id_a, id_b""",
+    "q24_cosine_topk": """WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+  FROM q, c WHERE neighbor_id != query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(round(cos, 5) AS DOUBLE) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q25_events_hourly": """SELECT
+  CAST(floor(epoch_ns(ts) / 3600e9) AS BIGINT) AS hour_bucket,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(round(sum(value), 3) AS DOUBLE) AS sum_value
+FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type""",
+    "q26_hashing_tf": f"""SELECT doc_id,
+  CAST({_duck_polyhash("tok")} % 64 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+}
+
+
+def _pq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count_expr("text")
+    stripped = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stripped.cast("double") / n_tok.cast("double"), 4)
+        .cast("double")
+        .alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def _pq_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(T.langid_expr("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.quality_score_expr("text"), 6).cast("double").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _pq_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.fingerprint_expr("text").cast("long").alias("fp")
+    ).orderBy("doc_id")
+
+
+def _pq_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.sources.glm_source import load_table
+
+    return D.duplicate_stats(load_table(spark, sf_dir, "documents"), ["text"])
+
+
+def _pq_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.sources.glm_source import load_table
+
+    return D.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def _pq_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash_expr("text").cast("long").alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _pq_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import similarity as S
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(
+        emb, threshold=0.4, block_col="label", method="exact"
+    )
+
+
+def _pq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import similarity as S
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 5).cast("double").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def _pq_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.streaming.scoring import hourly_event_stats, load_events
+
+    return hourly_event_stats(load_events(spark, sf_dir))
+
+
+def _pq_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens_expr("text")).alias("tok")
+    ).where(F.length("tok") > 0)
+    return (
+        tok.select(
+            "doc_id", (T.polyhash_expr(F.col("tok")) % 64).cast("long").alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q16_token_stats": _pq_token_stats,
+    "q17_langid": _pq_langid,
+    "q18_quality": _pq_quality,
+    "q19_fingerprint": _pq_fingerprint,
+    "q20_exact_dedup": _pq_exact_dedup,
+    "q21_minhash_dedup": _pq_minhash_dedup,
+    "q22_simhash": _pq_simhash,
+    "q23_embedding_neardup": _pq_embedding_neardup,
+    "q24_cosine_topk": _pq_cosine_topk,
+    "q25_events_hourly": _pq_events_hourly,
+    "q26_hashing_tf": _pq_hashing_tf,
+}
+
+
+# ---------------------------------------------------------------------------
 # Engine-backed Spark runners (ADVICE r1, medium): the Spark side of each
 # correctness check runs the ENGINE's kernel/family/metric code — the same
 # functions every solver iteration calls — not the oracle's SQL text.  The
@@ -404,8 +727,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(ENGINE_QUERIES)
+    return {**ENGINE_QUERIES, **PIPELINE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(KERNEL_SQL)
+    return {**KERNEL_SQL, **PIPELINE_SQL}

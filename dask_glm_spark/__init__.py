@@ -13,8 +13,11 @@ Brand-new engine with the capabilities of dask/dask-glm (reference at
 - Families / regularizers / solvers / estimators mirror the reference's
   public API surface exactly (``dask_glm/{families,regularizers,algorithms,
   estimators}.py``).
-- ``operators.{dedup,similarity,text}`` extend beyond the reference with the
-  operators a 100 TB training-data pipeline needs.
+- ``operators.{dedup,similarity,text}`` and ``streaming.scoring`` extend
+  beyond the reference with the operators a 100 TB training-data pipeline
+  needs: exact + MinHash-LSH + SimHash dedup, cosine top-k / LSH ANN over
+  embeddings, language-ID / quality / fingerprint / TF-IDF text analysis,
+  and Structured Streaming event rollups + model scoring.
 
 Scale design: the only large object is the feature DataFrame; model state
 (p floats) lives on the driver and is broadcast per job. Every cluster-side

@@ -1,0 +1,232 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Beyond-reference surface (SURVEY.md §7 step 10). Two-tier design:
+
+- **Brute-force cosine top-k** — the correctness baseline. The query side
+  is explicitly ``F.broadcast``: a handful of query vectors against the
+  full corpus is a broadcast nested-loop with a *narrow* cosine map; the
+  only shuffle is the per-query top-k (rows = n_corpus x n_queries of 3
+  scalar columns, not vectors).
+- **Random-hyperplane LSH ANN** — the 100 TB path. Corpus vectors hash to
+  sign-pattern buckets (one narrow map; hyperplanes are deterministic,
+  seeded, folded into the plan as literals); queries probe only their own
+  bucket (optionally Hamming-1 neighbors), so candidate count per query is
+  ~n / 2^planes instead of n. Recall is tested in tests/test_similarity.py.
+
+Cosine is computed with built-in ``zip_with``/``aggregate`` (JVM, codegen)
+— no Python UDFs. Vectors are cast float->double before the dot product so
+results are exactly reproducible in the DuckDB oracle
+(``list_dot_product(a::DOUBLE[], b::DOUBLE[])``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_SEED = 42
+DEFAULT_PLANES = 8
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return dot_expr(ad, bd) / (norm_expr(ad) * norm_expr(bd))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k, self-match
+    excluded, ties broken by neighbor id (full-precision ordering — the
+    displayed cosine is rounded by the caller, never the sort key).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+def _hyperplanes(dim: int, n_planes: int, seed: int = LSH_SEED) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit i set iff <v, plane_i> >= 0. Hyperplane
+    coefficients fold into the plan as literals (P8: broadcast-as-constant)."""
+    vd = vec.cast("array<double>")
+    out = F.lit(0).cast("long")
+    for i, row in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in row])
+        out = out + F.when(dot_expr(vd, lit) >= 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    dim: int | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    With ``multiprobe`` (default), each query also probes every Hamming-1
+    neighbor bucket (the n_planes buckets one sign-flip away) — the classic
+    multi-probe LSH recall fix: candidate volume grows by ~(1 + n_planes)x
+    while the corpus side still hashes each vector exactly once. The join
+    is a hash equi-join on the bucket id; only the small query side is
+    exploded and broadcast.
+    """
+    if dim is None:
+        dim = int(corpus.select(F.size(F.col(vec_col))).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket0"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[
+                F.col("bucket0").bitwiseXOR(F.lit(2**i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.select(
+            "query_id", "qvec", F.explode(probes).alias("bucket")
+        )
+    else:
+        qb = qb.select("query_id", "qvec", F.col("bucket0").alias("bucket"))
+    q = F.broadcast(qb)
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate pairs
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    method: str = "lsh",
+    n_planes: int = DEFAULT_PLANES,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine >= threshold.
+
+    method='lsh': candidates from a bucketed self-join on the sign-pattern
+    bucket (near-identical vectors almost surely share all sign bits at
+    high thresholds) — the scale path.
+    method='exact': within-block all-pairs (requires ``block_col``; block
+    sizes bound the quadratic term) — the small-scale / oracle baseline.
+    """
+    if method == "exact":
+        if block_col is None:
+            raise ValueError("exact method requires block_col to bound the join")
+        a = df.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+        )
+        b = df.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+        )
+        pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+        planes = _hyperplanes(dim, n_planes)
+        h = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        )
+        a = h.select(
+            F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = h.select(
+            F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,213 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (SURVEY.md §7 step 10; the reference dask-glm has
+no text layer — these operators exist so a 100 TB document corpus can be
+filtered/featurized and fed into the GLM ``features`` path end-to-end).
+
+Everything here is **built-in Spark SQL functions only** — no Python UDFs
+anywhere, so the whole layer stays inside whole-stage codegen and scales as
+a narrow map over the scan (zero shuffles except the TF-IDF doc-frequency
+aggregate, which is a broadcast-sized k-row table).
+
+Operators:
+
+- ``tokens_expr``            whitespace tokenization
+- ``token_count_expr``       whitespace token count
+- ``regex_token_count_expr`` BPE-ish regex token count (words / digits /
+                             punctuation runs)
+- ``lang_scores`` / ``langid_expr``  marker-stopword language ID heuristic
+- ``quality_score_expr``     composite document quality in [0, 1]
+- ``fingerprint_expr``       31-base rolling polynomial hash (mod 1e9+7) —
+                             engine-portable (same value computable in
+                             ANSI SQL, used by the DuckDB oracle), also the
+                             shingle hash for operators/dedup.py
+- ``hashing_tf`` / ``tfidf_features``  hashed TF / TF-IDF dense vectors
+                             sized for the GLM kernel layer
+"""
+
+from __future__ import annotations
+
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+# Marker stopwords per language (public-knowledge closed-class words).
+# Scoring = number of DISTINCT markers present (presence, not counts, so the
+# oracle SQL stays trivially portable); ties break by LANG_ORDER position.
+MARKER_WORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "que", "los", "una"),
+    "fr": ("le", "les", "des", "une", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+LANG_ORDER: tuple[str, ...] = ("en", "es", "fr", "de", "zh")
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count_expr(text: Column | str) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def regex_token_count_expr(text: Column | str) -> Column:
+    """BPE-ish token count: runs of letters, digits, or single punctuation.
+
+    A cheap upper-bound proxy for subword token counts (letters runs split
+    further by a real BPE; this is the standard pre-tokenization regex
+    shape) — useful for corpus-level token budgeting without a tokenizer
+    library in the cluster image.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    )
+
+
+def _contains_word(text: Column, word: str) -> Column:
+    """Word-boundary membership via space padding (corpus is space-tokenized;
+    identical semantics in the DuckDB oracle's ``contains``)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return F.instr(padded, f" {word} ") > 0
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-presence scores (0..len(markers))."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for lang, words in MARKER_WORDS.items():
+        hits = [_contains_word(c, w).cast("int") for w in words]
+        out[lang] = _reduce(lambda a, b: a + b, hits)
+    return out
+
+
+def langid_expr(text: Column | str) -> Column:
+    """argmax of marker scores; deterministic tie-break by LANG_ORDER.
+
+    At 100 TB this is a pure narrow map (a handful of substring probes per
+    row, all codegen'd) — no shuffle, no Python.
+    """
+    scores = lang_scores(text)
+    expr: Column = F.lit(LANG_ORDER[-1])
+    # Build CASE chain back-to-front so earlier languages win ties.
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [scores[o] for o in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
+        cond = _reduce(lambda a, b: a & b, [scores[lang] >= o for o in later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Composite quality in [0,1]: stopword ratio, length, alpha ratio.
+
+    quality = 0.4 * (en-marker hits / 5)
+            + 0.3 * least(n_tokens / 100, 1)
+            + 0.3 * (alpha-or-space chars / chars)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    stop = lang_scores(c)["en"].cast("double") / float(len(MARKER_WORDS["en"]))
+    n_tok = token_count_expr(c).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z ]", ""))
+    alpha_ratio = alpha.cast("double") / F.length(c).cast("double")
+    return F.lit(0.4) * stop + F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio
+
+
+def polyhash_expr(s: Column) -> Column:
+    """Rolling polynomial hash h = (h*31 + code(ch)) mod 1e9+7 over chars.
+
+    Engine-portable: DuckDB computes the identical value via
+    ``list_reduce(list_prepend(0, list_transform(string_split(s,''),
+    c -> ascii(c))), (h,c) -> (h*31+c) % 1000000007)``.
+    """
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * POLY_BASE + F.ascii(ch)) % POLY_MOD,
+    )
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return polyhash_expr(F.lower(c))
+
+
+# ---------------------------------------------------------------------------
+# Hashed TF / TF-IDF featurization -> GLM `features array<double>`
+# ---------------------------------------------------------------------------
+def hashing_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 64,
+) -> DataFrame:
+    """Hashed term-frequency vectors: (id_col, features array<double>).
+
+    Plan shape at scale: explode (narrow) -> groupBy(id, bucket) count
+    (shuffle on id — co-partitioned with every later per-doc op) -> per-doc
+    dense array build via map lookup (narrow). The bucket space is
+    ``num_features`` so the per-doc state is O(k), never vocabulary-sized.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens_expr(text_col)).alias("tok"),
+    ).where(F.length("tok") > 0)
+    bucketed = tok.select(
+        id_col, (polyhash_expr(F.col("tok")) % num_features).alias("bucket")
+    )
+    counts = bucketed.groupBy(id_col, "bucket").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "tf"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(num_features - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)),
+    )
+    return per_doc.select(F.col(id_col), dense.alias("features"))
+
+
+def tfidf_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 64,
+) -> DataFrame:
+    """TF-IDF vectors: tf(d, b) * ln((N + 1) / (df(b) + 1)).
+
+    The doc-frequency table is exactly ``num_features`` rows — broadcast to
+    every executor, so the idf join is shuffle-free regardless of corpus
+    size. The only shuffle in the whole pipeline is the per-doc TF groupBy.
+    """
+    n_docs = df.count()
+    tf = hashing_tf(df, text_col, id_col, num_features)
+    dfreq = (
+        tf.select(F.posexplode("features").alias("bucket", "tf"))
+        .where(F.col("tf") > 0)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    idf_map = {
+        int(r["bucket"]): float(r["df"]) for r in dfreq.collect()
+    }  # k rows, driver-side fold into literals (P8 broadcast-as-constant)
+    import math
+
+    idf = [
+        math.log((n_docs + 1.0) / (idf_map.get(b, 0.0) + 1.0))
+        for b in range(num_features)
+    ]
+    scaled = F.expr(
+        "transform(features, (x, i) -> x * element_at(array({}), i + 1))".format(
+            ",".join(f"{v!r}D" for v in idf)
+        )
+    )
+    return tf.select(F.col(id_col), scaled.alias("features"))

@@ -1,0 +1,116 @@
+"""Tests for operators/dedup.py: exact, MinHash/LSH, SimHash, blocked
+Jaccard. Duplicates are planted so behavior is visible regardless of what
+the synthetic corpus happens to contain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the morning sun"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the evening sun"
+)
+OTHER = "completely different text about spark dataframes and shuffle plans"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "s0", BASE),
+        (1, "s0", NEAR),       # near-dup of 0
+        (2, "s0", BASE),       # exact dup of 0
+        (3, "s1", OTHER),
+        (4, "s1", "short text"),
+        (5, "s1", "spark plans differ completely from anything else here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_exact_dedup_and_stats(spark, corpus):
+    stats = D.duplicate_stats(corpus, ["text"]).first()
+    assert stats["dup_groups"] == 1
+    assert stats["dup_rows"] == 1
+    deduped = D.exact_dedup(corpus, ["text"])
+    assert deduped.count() == 5
+    # survivor is deterministic: min doc_id of the group
+    kept = {r["doc_id"] for r in deduped.collect()}
+    assert 0 in kept and 2 not in kept
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    sh = df.select(D.shingles_expr("text").alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "text string")
+    sh2 = short.select(D.shingles_expr("text").alias("s")).first()["s"]
+    assert sh2 == ["a b"]
+
+
+def test_minhash_identical_signatures(spark, corpus):
+    sig = {r["doc_id"]: r["signature"] for r in D.minhash_signatures(corpus).collect()}
+    assert sig[0] == sig[2]  # exact dups -> identical signatures
+    assert len(sig[0]) == D.NUM_PERM
+    # near-dup shares most signature slots
+    shared = sum(a == b for a, b in zip(sig[0], sig[1]))
+    assert shared >= D.NUM_PERM // 2
+
+
+def test_lsh_candidates_far_below_all_pairs(spark, corpus):
+    n = corpus.count()
+    cands = D.lsh_candidates(corpus).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (0, 2) in pairs  # exact dup must be a candidate
+    # candidate generation must not degenerate to all-pairs
+    assert len(pairs) < n * (n - 1) // 2
+
+
+def test_minhash_dedup_pairs_verified(spark, corpus):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.minhash_dedup_pairs(corpus, threshold=0.5).collect()}
+    assert out[(0, 2)] == 1.0
+    assert (0, 1) in out and out[(0, 1)] >= 0.5
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_lsh_candidates_scale_shape(spark):
+    """On the real corpus: candidates << n^2/2 (the VERDICT r1 exit bar)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    n_cand = D.lsh_candidates(docs).count()
+    assert n_cand < 0.05 * n * (n - 1) / 2
+
+
+def test_jaccard_expr_matches_python(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
+    j = df.select(D.jaccard_expr(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    assert j == pytest.approx(2 / 4)
+
+
+def test_simhash_properties(spark, corpus):
+    sh = {r["doc_id"]: r["sh"] for r in corpus.select("doc_id", D.simhash_expr("text").alias("sh")).collect()}
+    assert sh[0] == sh[2]  # identical docs -> identical simhash
+    df = spark.createDataFrame([(sh[0], sh[1]), (sh[0], sh[3])], "a long, b long")
+    d_near, d_far = [
+        r["d"] for r in df.select(D.hamming_expr(F.col("a"), F.col("b")).alias("d")).collect()
+    ]
+    assert d_near < d_far  # near-dup closer than unrelated doc
+
+
+def test_simhash_dedup_pairs(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_dedup_pairs(corpus, max_hamming=3).collect()}
+    assert pairs[(0, 2)] == 0
+
+
+def test_ngram_jaccard_blocked(spark, corpus):
+    out = D.ngram_jaccard_pairs(corpus, "source", threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs
+    # cross-block pairs never compared
+    assert all(not (a < 3 <= b) for a, b in pairs)

@@ -1,0 +1,108 @@
+"""Tests for operators/similarity.py: brute-force cosine top-k vs a numpy
+oracle, LSH ANN recall, and near-dup pair detection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators import similarity as S
+
+DIM = 16
+N = 120
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    # Clustered data (12 centers x 10 points): LSH assumes neighborhood
+    # structure; on isotropic Gaussian noise no hashing scheme beats chance.
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((12, DIM))
+    X = np.vstack(
+        [c + 0.15 * rng.standard_normal((10, DIM)) for c in centers]
+    ).astype(np.float32)
+    # plant a near-duplicate of vector 0
+    X[1] = X[0] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    return X
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _np_cosine(a, b):
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_expr_matches_numpy(spark, vectors, emb_df):
+    a = emb_df.where(F.col("vec_id") == 0).select(F.col("embedding").alias("a"))
+    b = emb_df.where(F.col("vec_id") == 5).select(F.col("embedding").alias("b"))
+    v = (
+        a.crossJoin(b)
+        .select(S.cosine_expr(F.col("a"), F.col("b")).alias("c"))
+        .first()["c"]
+    )
+    assert v == pytest.approx(_np_cosine(vectors[0], vectors[5]), abs=1e-12)
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors, emb_df):
+    k = 5
+    queries = emb_df.where(F.col("vec_id") < 3)
+    got = S.brute_force_topk(emb_df, queries, k=k).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    Xd = vectors.astype(np.float64)
+    Xn = Xd / np.linalg.norm(Xd, axis=1, keepdims=True)
+    for q in range(3):
+        cos = Xn @ Xn[q]
+        cos[q] = -np.inf
+        expect = list(np.argsort(-cos)[:k])
+        assert by_q[q] == expect
+
+
+def test_lsh_ann_recall(spark, emb_df, vectors):
+    """ANN with few planes must recover most true neighbors (recall@5)."""
+    k = 5
+    queries = emb_df.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb_df, queries, k=k).collect()
+    approx = S.lsh_ann_topk(emb_df, queries, k=k, n_planes=6).collect()
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    found: dict[int, set] = {}
+    for r in approx:
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(truth[q] & found.get(q, set())) / k for q in truth
+    ]
+    # 6 planes + Hamming-1 multiprobe: 7/64 of bucket space probed per query
+    assert np.mean(recalls) >= 0.5
+
+
+def test_lsh_planted_neardup_same_bucket(spark, emb_df):
+    """A near-identical vector pair lands in the same LSH bucket and is
+    returned by the near-dup operator."""
+    pairs = S.embedding_neardup_pairs(emb_df, threshold=0.99, method="lsh").collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+
+
+def test_neardup_exact_blocked(spark, emb_df):
+    blocked = emb_df.withColumn("blk", (F.col("vec_id") % 2).cast("int"))
+    # 0 and 1 are both even/odd? 0 even, 1 odd -> different blocks; put the
+    # planted pair together instead: block by vec_id // 64
+    blocked = emb_df.withColumn("blk", (F.col("vec_id") / 64).cast("int"))
+    pairs = S.embedding_neardup_pairs(
+        blocked, threshold=0.99, block_col="blk", method="exact"
+    ).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+
+
+def test_exact_requires_block(emb_df):
+    with pytest.raises(ValueError):
+        S.embedding_neardup_pairs(emb_df, method="exact")

@@ -1,0 +1,121 @@
+"""Tests for operators/text.py (tokenization, lang-ID, quality,
+fingerprint, TF-IDF)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators import text as T
+
+
+def _one(spark, text: str, expr):
+    return spark.createDataFrame([(text,)], "text string").select(
+        expr.alias("v")
+    ).first()["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", T.token_count_expr("text")) == 3
+    assert _one(spark, "  hello   world ", T.token_count_expr("text")) == 2
+    assert _one(spark, "one", T.token_count_expr("text")) == 1
+
+
+def test_regex_token_count(spark):
+    # words + digits runs + single punctuation marks
+    assert _one(spark, "hello, world 42", T.regex_token_count_expr("text")) == 4
+
+
+def test_langid_markers(spark):
+    assert _one(spark, "el perro que corre", T.langid_expr("text")) == "es"
+    assert _one(spark, "der hund und die katze", T.langid_expr("text")) == "de"
+    assert _one(spark, "le chat est petit", T.langid_expr("text")) == "fr"
+    assert _one(spark, "the cat and the dog", T.langid_expr("text")) == "en"
+
+
+def test_langid_tiebreak_prefers_lang_order(spark):
+    # zero markers anywhere -> every score ties at 0 -> first in LANG_ORDER
+    assert _one(spark, "xyzzy plugh", T.langid_expr("text")) == T.LANG_ORDER[0]
+
+
+def test_quality_score_bounds(spark):
+    v = _one(spark, "the quick brown fox and all of it is to go", T.quality_score_expr("text"))
+    assert 0.0 <= v <= 1.0
+    # stopword-free junk scores strictly lower than stopword-rich text
+    junk = _one(spark, "zzz qqq ### !!!", T.quality_score_expr("text"))
+    assert junk < v
+
+
+def test_fingerprint_matches_python_reference(spark):
+    def py_polyhash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * T.POLY_BASE + ord(ch)) % T.POLY_MOD
+        return h
+
+    for s in ["abc", "the quick brown fox", "a" * 100]:
+        assert _one(spark, s, T.fingerprint_expr("text")) == py_polyhash(s)
+
+
+def test_fingerprint_case_insensitive(spark):
+    a = _one(spark, "Hello World", T.fingerprint_expr("text"))
+    b = _one(spark, "hello world", T.fingerprint_expr("text"))
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "apple apple apple unique_token_xyz"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hashing_tf_shape_and_counts(spark, tiny_corpus):
+    tf = T.hashing_tf(tiny_corpus, num_features=32)
+    rows = {r["doc_id"]: r["features"] for r in tf.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(len(v) == 32 for v in rows.values())
+    # doc 0 has 3 tokens total
+    assert sum(rows[0]) == 3.0
+    assert sum(rows[1]) == 2.0
+    assert sum(rows[2]) == 4.0
+
+
+def test_tfidf_downweights_common_tokens(spark, tiny_corpus):
+    out = {r["doc_id"]: r["features"] for r in T.tfidf_features(tiny_corpus, num_features=32).collect()}
+
+    def py_polyhash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * T.POLY_BASE + ord(ch)) % T.POLY_MOD
+        return h
+
+    b_apple = py_polyhash("apple") % 32
+    b_uniq = py_polyhash("unique_token_xyz") % 32
+    # idf: apple appears in 2 docs, unique token in 1 (of 3 docs)
+    idf_apple = math.log(4.0 / 3.0)
+    idf_uniq = math.log(4.0 / 2.0)
+    assert out[2][b_apple] == pytest.approx(3 * idf_apple)
+    assert out[2][b_uniq] == pytest.approx(1 * idf_uniq)
+
+
+def test_text_pipeline_feeds_glm(spark, tiny_corpus):
+    """TF-IDF features flow into the GLM fit path end-to-end."""
+    from dask_glm_spark.operators.estimators import LogisticRegression
+
+    feats = T.tfidf_features(tiny_corpus, num_features=8)
+    labeled = feats.withColumn(
+        "label", (F.col("doc_id") % 2).cast("double")
+    ).select("features", "label")
+    # normalize=False: hashed-TF vectors have empty (constant-zero) buckets,
+    # which the reference's standardization guard rejects — same reason the
+    # reference disables normalization for sparse inputs (estimators.py:82-83)
+    lr = LogisticRegression(solver="lbfgs", regularizer=None, max_iter=5).fit(
+        labeled, normalize=False
+    )
+    assert len(lr.coef_) == 8
