@@ -321,6 +321,14 @@ FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type"""
   CAST(count(*) AS BIGINT) AS tf
 FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
 GROUP BY 1, 2 ORDER BY 1, 2""",
+    # byte histogram of the UTF-8 payload (corpus is printable ASCII, so
+    # bytes == code points and the SQL side can use ascii()); this is the
+    # oracle over the engine's mapInPandas multimodal feature path
+    "q27_multimodal_bytehist": """SELECT doc_id,
+  CAST(ascii(c) % 16 AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+GROUP BY 1, 2 ORDER BY 1, 2""",
 }
 
 
@@ -458,6 +466,26 @@ def _pq_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_multimodal_bytehist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import multimodal as M
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.byte_histogram_features(M.attach_text_payloads(docs))
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("bin", "cnt"))
+        .where(F.col("cnt") > 0)
+        .select(
+            "doc_id",
+            F.col("bin").cast("long").alias("bin"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .orderBy("doc_id", "bin")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_token_stats": _pq_token_stats,
     "q17_langid": _pq_langid,
@@ -470,6 +498,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_cosine_topk": _pq_cosine_topk,
     "q25_events_hourly": _pq_events_hourly,
     "q26_hashing_tf": _pq_hashing_tf,
+    "q27_multimodal_bytehist": _pq_multimodal_bytehist,
 }
 
 

@@ -1,0 +1,74 @@
+"""Tests for operators/multimodal.py: schema plumbing, Arrow batch shapes,
+byte-histogram determinism, frame sampling, and the stubbed codec guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(0, "hello world"), (1, "abc"), (2, "x" * 500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return M.attach_text_payloads(df)
+
+
+def test_payload_schema(media):
+    dtypes = dict(media.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["media_type"] == "string"
+
+
+def test_byte_histogram_matches_numpy(media):
+    out = {r["doc_id"]: r["features"] for r in M.byte_histogram_features(media).collect()}
+    for doc_id, text in [(0, "hello world"), (1, "abc"), (2, "x" * 500)]:
+        expect = np.bincount(
+            np.frombuffer(text.encode(), dtype=np.uint8) % M.N_HIST_BINS,
+            minlength=M.N_HIST_BINS,
+        )
+        assert out[doc_id] == expect.tolist()
+        assert len(out[doc_id]) == M.N_HIST_BINS
+        assert sum(out[doc_id]) == len(text)
+
+
+def test_byte_histogram_survives_repartition(media):
+    """Partitioning must not change results (Arrow batch boundaries are
+    invisible to the per-row computation)."""
+    a = sorted(M.byte_histogram_features(media).collect())
+    b = sorted(M.byte_histogram_features(media.repartition(7)).collect())
+    assert a == b
+
+
+def test_repartition_for_payloads(media):
+    out = M.repartition_for_payloads(media, target_mb=1)
+    assert out.rdd.getNumPartitions() >= 1
+    assert out.count() == media.count()
+
+
+def test_frame_sample_indices(spark):
+    rows = [(0, (640, 480, 25, 0)), (1, (640, 480, 0, 0))]
+    df = spark.createDataFrame(
+        rows, f"vid long, meta struct<{M.META_FIELDS}>"
+    )
+    out = {r["vid"]: r["frame_indices"] for r in M.frame_sample_indices(df, every_n=10).collect()}
+    assert out[0] == [0, 10, 20]
+    assert out[1] == []
+
+
+def test_decode_is_clearly_stubbed(media):
+    """Without a codec library the decode step must raise the documented
+    NotImplementedError (never silently fake pixels)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("codec installed; stub guard not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="STUB"):
+        M.decode_image(media)
+    with pytest.raises(NotImplementedError, match="STUB"):
+        M.resize_images(media, 32, 32)
