@@ -81,19 +81,47 @@ def _features_matrix(pdf: pd.DataFrame, features_col: str) -> np.ndarray:
     return np.stack(vals).astype(np.float64, copy=False)
 
 
+# Above this partition count, insert an executor-side combine stage before
+# the driver merge (tree aggregation). At 10^4-10^5 partitions x wide p the
+# single-level driver merge of p² Hessian partials is the bottleneck
+# (VERDICT r1); below it, one level is both faster and simpler.
+TREE_MERGE_THRESHOLD = 256
+TREE_FANIN = 64
+
+
+def _sum_partial_rows(rows: Iterable, columns: list[str]) -> dict:
+    """Fold partial rows (already sorted by pid) column-wise: arrays sum
+    element-wise, scalars add."""
+    acc: dict = {}
+    for r in rows:
+        for c in columns:
+            v = r[c]
+            v = np.asarray(v, dtype=np.float64) if isinstance(v, (list, tuple)) else v
+            acc[c] = v if c not in acc else acc[c] + v
+    return acc
+
+
 def _arrow_partials(
     df: DataFrame,
     features_col: str,
     label_col: str,
     partial_fn,
     out_fields: str,
+    tree_threshold: int | None = None,
 ) -> list:
     """Run ``partial_fn(X, y) -> dict`` per partition; one output row each.
 
     Partials are merged on the driver in sorted partition-id order so the
-    float reduction order is run-invariant.
+    float reduction order is run-invariant. Above ``tree_threshold``
+    partitions a two-level (tree) merge combines ~TREE_FANIN partials per
+    group executor-side first — the driver then folds #groups rows instead
+    of #partitions (what MLlib's treeAggregate does for the same reason).
+    Grouping is pid-deterministic (``pid // TREE_FANIN``) and group-internal
+    order is sorted-pid, so tree results are also run-invariant.
     """
     from pyspark import TaskContext
+
+    value_cols = [f.split()[0] for f in out_fields.split(",")]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict | None = None
@@ -117,6 +145,32 @@ def _arrow_partials(
             yield pd.DataFrame(row)
 
     out = df.mapInPandas(op, schema=f"pid int, {out_fields}")
+
+    if tree_threshold is None:
+        tree_threshold = TREE_MERGE_THRESHOLD
+    nparts = df.rdd.getNumPartitions()
+    if nparts > tree_threshold:
+        fanin = TREE_FANIN
+        n_groups = (nparts + fanin - 1) // fanin
+
+        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rows = [r for pdf in batches for r in pdf.sort_values("pid").to_dict("records")]
+            if not rows:
+                return
+            rows.sort(key=lambda r: r["pid"])
+            acc = _sum_partial_rows(rows, value_cols)
+            row = {"pid": [int(rows[0]["pid"])]}
+            for c in value_cols:
+                v = acc[c]
+                row[c] = [v.tolist() if isinstance(v, np.ndarray) else float(v)]
+            yield pd.DataFrame(row)
+
+        out = (
+            out.repartition(n_groups, (F.col("pid") / fanin).cast("int"))
+            .sortWithinPartitions("pid")
+            .mapInPandas(combine, schema=f"pid int, {out_fields}")
+        )
+
     rows = out.collect()
     rows.sort(key=lambda r: r["pid"])
     return rows

@@ -26,8 +26,21 @@ from pyspark.sql import functions as F
 from dask_glm_spark.functions import families, kernels, metrics
 from dask_glm_spark.operators import solvers
 
+try:
+    # Reference estimators subclass sklearn.base.BaseEstimator
+    # (dask_glm/estimators.py:4,19) so clone/Pipeline/GridSearchCV work.
+    # sklearn is optional here (not in the minimal cluster image); the
+    # explicit get_params/set_params below keep clone-compatibility either
+    # way, and tests/test_sklearn_compat.py exercises the real integration
+    # when sklearn is importable.
+    from sklearn.base import BaseEstimator
+except ImportError:  # pragma: no cover - exercised only without sklearn
 
-class _GLM:
+    class BaseEstimator:  # type: ignore[no-redef]
+        """Minimal stand-in keeping the class hierarchy identical."""
+
+
+class _GLM(BaseEstimator):
     """Base estimator. Subclass + set ``family`` (families.Logistic etc.)."""
 
     family = None

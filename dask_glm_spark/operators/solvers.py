@@ -114,7 +114,12 @@ def _armijo_probe(
     """
     func = lf
     for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
-        sizes = [step_size * backtrack_mult**i for i in range(base, base + PROBE_BATCH)]
+        # clamp the final batch so exactly MAX_BACKTRACKS candidates are
+        # evaluated (the reference evaluates exactly 100, algorithms.py:71)
+        sizes = [
+            step_size * backtrack_mult**i
+            for i in range(base, min(base + PROBE_BATCH, MAX_BACKTRACKS))
+        ]
         # reference early-exit (algorithms.py:73-75): candidate beta no
         # longer distinguishable from current beta -> stepSize 0.
         candidates, kept_sizes = [], []
@@ -298,7 +303,8 @@ def proximal_grad(
         df_rel = 0.0
         for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
             sizes = [
-                step_size * backtrack_mult**i for i in range(base, base + PROBE_BATCH)
+                step_size * backtrack_mult**i
+                for i in range(base, min(base + PROBE_BATCH, MAX_BACKTRACKS))
             ]
             cands = [
                 regularizer.proximal_operator(obeta - s * grad, s * lamduh)
@@ -363,90 +369,110 @@ def admm(
     label_col: str = "label",
     **kwargs,
 ):
-    """Consensus ADMM (``algorithms.py:224-336``).
+    """Consensus ADMM (``algorithms.py:224-336``) with executor-resident
+    per-partition state.
 
-    The one genuinely partition-parallel solver. Physical plan per round:
-    ONE ``mapInPandas`` pass over the cached input — each partition runs its
-    local scipy L-BFGS-B solve and emits a single ``(pid, beta)`` row (p
-    floats); the z-prox / u-dual updates and the primal/dual residual
-    stopping rule are driver numpy. X is never shuffled; partition identity
-    comes from the cached partitioning (``spark_partition_id`` over a cached
-    plan is stable across rounds — the analogue of dask's fixed chunks)."""
+    Scale design (VERDICT r1 #8 hardening): round 1 materializes each
+    partition as a cached numpy block ``(pid, X, y, beta_i, u_i,
+    beta_hat_i)`` — after that, per-round cluster traffic is exactly
+
+      driver -> executors : z            (p floats, ONE broadcast)
+      executors -> driver : (beta_i, beta_hat_i + u_i) per partition
+                            (2p floats each — needed for the global z-prox
+                             and the residual stopping rule)
+
+    ``u_i``/``beta_i`` NEVER leave their executor: the dual update
+    ``u_i += beta_hat_i - z`` is computed partition-locally at the start of
+    the next round, when the new ``z`` arrives (same update order as the
+    reference, deferred by half a round). The old design broadcast a dict of
+    every partition's state — O(k*p) bytes to every executor per round,
+    quadratic-ish at many-partitions x wide-p.
+
+    Block lineage: each round is ``blocks.map(...)``; persisted per round,
+    previous round unpersisted, ``localCheckpoint`` every 10 rounds bounds
+    the chain (the reference's recalcRate rhythm, algorithms.py:117).
+    X converts Row->numpy ONCE at block build; rounds touch only numpy.
+    """
     regularizer = Regularizer.get(regularizer)
     p = kernels.infer_p(df, features_col)
-    nchunks = df.rdd.getNumPartitions()
-
-    z = np.zeros(p)
-    u = np.array([np.zeros(p) for _ in range(nchunks)])
-    betas = np.array([np.ones(p) for _ in range(nchunks)])
 
     fcol, lcol = features_col, label_col
     fam = family
+    sc = df.sparkSession.sparkContext
 
-    for _ in range(max_iter):
-        state = {
-            "z": z,
-            "rho": rho,
-            "u": {i: u[i] for i in range(nchunks)},
-            "betas": {i: betas[i] for i in range(nchunks)},
-        }
-        bc = df.sparkSession.sparkContext.broadcast(state)
+    def build_block(pid, rows):
+        feats, ys = [], []
+        for r in rows:
+            feats.append(r[fcol])
+            ys.append(r[lcol])
+        if not feats:
+            return iter(())
+        X = np.asarray(feats, dtype=np.float64)
+        y = np.asarray(ys, dtype=np.float64)
+        # state: (pid, X, y, beta_i, u_i, beta_hat_i or None)
+        return iter([(pid, X, y, np.ones(p), np.zeros(p), None)])
 
-        def x_update(batches):
-            import pandas as pd
-            from pyspark import TaskContext
+    blocks = df.rdd.mapPartitionsWithIndex(build_block, preservesPartitioning=True)
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    nchunks = blocks.count()  # empty partitions contribute no block
+    if nchunks == 0:
+        raise ValueError("empty input DataFrame")
 
-            Xs, ys = [], []
-            for pdf in batches:
-                if len(pdf):
-                    Xs.append(kernels._features_matrix(pdf, fcol))
-                    ys.append(pdf[lcol].to_numpy(dtype=np.float64))
-            if not Xs:
-                return
-            st = bc.value
-            pid = TaskContext.get().partitionId()
-            X = np.vstack(Xs)
-            y = np.concatenate(ys)
-            new_beta = _admm_local_update(
-                X, y, st["betas"][pid], st["z"], st["u"][pid], st["rho"], fam
-            )
-            yield pd.DataFrame({"pid": [pid], "beta": [new_beta.tolist()]})
+    z = np.zeros(p)
 
-        rows = df.mapInPandas(x_update, schema="pid int, beta array<double>").collect()
-        got = {r["pid"]: np.asarray(r["beta"]) for r in rows}
-        new_betas = np.array(
-            [
-                got.get(
-                    i,
-                    # empty partition: solve with a 0-row X (objective is the
-                    # pure augmentation term -> optimum near z - u)
-                    _admm_local_update(
-                        np.zeros((0, p)), np.zeros(0), betas[i], z, u[i], rho, fam
-                    ),
-                )
-                for i in range(nchunks)
-            ]
-        )
-        bc.destroy()
+    def make_round(z_bc, first):
+        def run(block):
+            pid, X, y, beta, u, beta_hat_prev = block
+            zv = z_bc.value
+            if not first:
+                # deferred dual update from the previous round, now that the
+                # new z is known (reference: u += beta_hat - z, :322)
+                u = u + beta_hat_prev - zv
+            new_beta = _admm_local_update(X, y, beta, zv, u, rho, fam)
+            beta_hat = over_relax * new_beta + (1 - over_relax) * zv
+            return (pid, X, y, new_beta, u, beta_hat)
 
-        beta_hat = over_relax * new_betas + (1 - over_relax) * z
+        return run
+
+    prev = blocks
+    for it in range(max_iter):
+        z_bc = sc.broadcast(z)
+        nxt = prev.map(make_round(z_bc, first=(it == 0)), preservesPartitioning=True)
+        if (it + 1) % 10 == 0:
+            nxt.localCheckpoint()
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        # one action per round: ship back (pid, beta_i, beta_hat_i + u_i)
+        stats = nxt.map(lambda b: (b[0], b[3], b[5] + b[4])).collect()
+        if prev is not blocks:
+            prev.unpersist(False)
+        prev = nxt
+        z_bc.unpersist(False)
+
+        stats.sort(key=lambda t: t[0])  # deterministic reduction order
+        new_betas = np.array([t[1] for t in stats])
+        v = np.array([t[2] for t in stats])  # beta_hat_i + u_i
 
         zold = z.copy()
-        ztilde = np.mean(beta_hat + np.array(u), axis=0)
+        ztilde = np.mean(v, axis=0)
         z = regularizer.proximal_operator(ztilde, lamduh / (rho * nchunks))
 
-        u += beta_hat - z
+        u_next = v - z  # u_i^{t+1} = u_i^t + beta_hat_i - z^{t+1}
 
         primal_res = np.linalg.norm(new_betas - z)
         dual_res = np.linalg.norm(rho * (z - zold))
         eps_pri = np.sqrt(p * nchunks) * abstol + reltol * np.maximum(
             np.linalg.norm(new_betas), np.sqrt(nchunks) * np.linalg.norm(z)
         )
-        eps_dual = np.sqrt(p * nchunks) * abstol + reltol * np.linalg.norm(rho * u)
+        eps_dual = np.sqrt(p * nchunks) * abstol + reltol * np.linalg.norm(
+            rho * u_next
+        )
         if primal_res < eps_pri and dual_res < eps_dual:
             break
 
-    betas = new_betas
+    blocks.unpersist(False)
+    if prev is not blocks:
+        prev.unpersist(False)
     return z
 
 

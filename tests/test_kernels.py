@@ -78,3 +78,32 @@ def test_arrow_path_is_deterministic(data):
     for loss, grad in results[1:]:
         assert loss == results[0][0]  # bit-identical
         np.testing.assert_array_equal(grad, results[0][1])
+
+
+def test_tree_merge_matches_single_level(data, monkeypatch):
+    """Two-level (tree) partial merge: same math as the single-level driver
+    merge to fp tolerance, and bit-deterministic across runs."""
+    df, X, y = data
+    single_loss, single_grad = kernels.loss_gradient(df, Logistic, BETA, path="arrow")
+    # force the tree path: threshold below the partition count
+    monkeypatch.setattr(kernels, "TREE_MERGE_THRESHOLD", 2)
+    monkeypatch.setattr(kernels, "TREE_FANIN", 2)
+    many = df.repartition(9)
+    tree_runs = [
+        kernels.loss_gradient(many, Logistic, BETA, path="arrow") for _ in range(2)
+    ]
+    for loss, grad in tree_runs:
+        np.testing.assert_allclose(loss, single_loss, rtol=1e-12)
+        np.testing.assert_allclose(grad, single_grad, rtol=1e-12)
+    assert tree_runs[0][0] == tree_runs[1][0]
+    np.testing.assert_array_equal(tree_runs[0][1], tree_runs[1][1])
+
+
+def test_tree_merge_gradient_hessian(data, monkeypatch):
+    df, X, y = data
+    g0, h0 = kernels.gradient_hessian(df, Logistic, BETA, path="arrow")
+    monkeypatch.setattr(kernels, "TREE_MERGE_THRESHOLD", 2)
+    monkeypatch.setattr(kernels, "TREE_FANIN", 2)
+    g1, h1 = kernels.gradient_hessian(df.repartition(9), Logistic, BETA, path="arrow")
+    np.testing.assert_allclose(g1, g0, rtol=1e-12)
+    np.testing.assert_allclose(h1, h0, rtol=1e-12)
