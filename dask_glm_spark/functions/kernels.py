@@ -101,15 +101,14 @@ def _sum_partial_rows(rows: Iterable, columns: list[str]) -> dict:
     return acc
 
 
-def _arrow_partials(
+def _arrow_partials_generic(
     df: DataFrame,
-    features_col: str,
-    label_col: str,
-    partial_fn,
+    batch_partial_fn,
     out_fields: str,
     tree_threshold: int | None = None,
 ) -> list:
-    """Run ``partial_fn(X, y) -> dict`` per partition; one output row each.
+    """Run ``batch_partial_fn(pdf) -> dict`` per Arrow batch, sum within the
+    partition, one output row per partition.
 
     Partials are merged on the driver in sorted partition-id order so the
     float reduction order is run-invariant. Above ``tree_threshold``
@@ -118,6 +117,8 @@ def _arrow_partials(
     of #partitions (what MLlib's treeAggregate does for the same reason).
     Grouping is pid-deterministic (``pid // TREE_FANIN``) and group-internal
     order is sorted-pid, so tree results are also run-invariant.
+
+    Shared by the dense kernels here and functions/kernels_sparse.py.
     """
     from pyspark import TaskContext
 
@@ -128,9 +129,7 @@ def _arrow_partials(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = _features_matrix(pdf, features_col)
-            y = pdf[label_col].to_numpy(dtype=np.float64)
-            part = partial_fn(X, y)
+            part = batch_partial_fn(pdf)
             if acc is None:
                 acc = part
             else:
@@ -174,6 +173,24 @@ def _arrow_partials(
     rows = out.collect()
     rows.sort(key=lambda r: r["pid"])
     return rows
+
+
+def _arrow_partials(
+    df: DataFrame,
+    features_col: str,
+    label_col: str,
+    partial_fn,
+    out_fields: str,
+    tree_threshold: int | None = None,
+) -> list:
+    """Dense-features wrapper: ``partial_fn(X, y) -> dict`` per batch."""
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        X = _features_matrix(pdf, features_col)
+        y = pdf[label_col].to_numpy(dtype=np.float64)
+        return partial_fn(X, y)
+
+    return _arrow_partials_generic(df, batch_partial, out_fields, tree_threshold)
 
 
 # ---------------------------------------------------------------------------

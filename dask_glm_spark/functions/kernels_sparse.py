@@ -1,0 +1,108 @@
+"""Sparse kernel layer: loss/gradient over (indices, values) columns.
+
+Wide-sparse counterpart of ``functions.kernels`` (P1/P2/P5 for one-hot /
+hashed text features with p up to 10^6, where densifying each row would
+multiply bytes-on-wire by p/nnz). Same physical shape as the dense arrow
+path — one ``mapInPandas`` scan, one partial row per partition, driver
+merge in sorted-pid order — but the per-batch math is CSR-style numpy:
+
+    xb   = bincount(row_ids, weights = values * beta[indices])   O(nnz)
+    grad = bincount(indices, weights = r[row_ids] * values)      O(nnz)
+
+Bytes leaving each executor stay O(p) (the gradient partial); X is never
+densified on either side of the Arrow boundary.
+
+No SQL/unrolled path here on purpose: at the p where sparse matters,
+unrolled codegen is the wrong tool — and the DuckDB correctness oracle
+covers these kernels through the q05-q07 dense equivalences in tests
+(sparse vs dense parity asserted in tests/test_sparse.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from dask_glm_spark.functions.kernels import _arrow_partials_generic
+
+
+def _batch_csr(pdf: pd.DataFrame, idx_col: str, val_col: str):
+    """Flatten a batch of (indices, values) lists into CSR-ish arrays:
+    (flat_idx int64, flat_val float64, row_ids int64, n_rows)."""
+    idx_lists = pdf[idx_col].to_numpy()
+    val_lists = pdf[val_col].to_numpy()
+    lens = np.fromiter((len(v) for v in idx_lists), dtype=np.int64, count=len(idx_lists))
+    flat_idx = (
+        np.concatenate([np.asarray(v, dtype=np.int64) for v in idx_lists])
+        if len(idx_lists)
+        else np.zeros(0, dtype=np.int64)
+    )
+    flat_val = (
+        np.concatenate([np.asarray(v, dtype=np.float64) for v in val_lists])
+        if len(val_lists)
+        else np.zeros(0)
+    )
+    row_ids = np.repeat(np.arange(len(lens)), lens)
+    return flat_idx, flat_val, row_ids, len(lens)
+
+
+def loss_gradient_sparse(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+) -> tuple[float, np.ndarray]:
+    """Fused loss + gradient (O(nnz) per batch, O(p) per partition out)."""
+    beta = np.asarray(beta, dtype=np.float64)
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        y = pdf[label_col].to_numpy(dtype=np.float64)
+        xb = np.bincount(row_ids, weights=flat_val * beta[flat_idx], minlength=n)
+        r = family.residual_np(xb, y)
+        grad = np.bincount(flat_idx, weights=r[row_ids] * flat_val, minlength=p)
+        return {"loss": family.loglike_np(xb, y), "grad": grad}
+
+    rows = _arrow_partials_generic(
+        df, batch_partial, "loss double, grad array<double>"
+    )
+    loss = 0.0
+    grad = np.zeros(p)
+    for r_ in rows:
+        loss += r_["loss"]
+        grad += np.asarray(r_["grad"])
+    return float(loss), grad
+
+
+def multi_loss_sparse(
+    df: DataFrame,
+    family,
+    betas: list[np.ndarray],
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+) -> np.ndarray:
+    """k candidate betas in one scan (sparse line-search probe)."""
+    B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
+    k = B.shape[1]
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        y = pdf[label_col].to_numpy(dtype=np.float64)
+        # XB: (n, k) via one scatter-add per candidate column
+        XB = np.zeros((n, k))
+        contrib = flat_val[:, None] * B[flat_idx]  # (nnz, k)
+        np.add.at(XB, row_ids, contrib)
+        losses = np.array([family.loglike_np(XB[:, i], y) for i in range(k)])
+        return {"losses": losses}
+
+    rows = _arrow_partials_generic(df, batch_partial, "losses array<double>")
+    out = np.zeros(k)
+    for r_ in rows:
+        out += np.asarray(r_["losses"])
+    return out

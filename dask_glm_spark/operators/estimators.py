@@ -110,6 +110,16 @@ class _GLM(BaseEstimator):
         return df
 
     def fit(self, df: DataFrame, y=None, **extra):
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col):
+            # MLlib VectorUDT input (HashingTF/VectorAssembler output):
+            # convert JVM-side and disable standardization — reference
+            # parity for sparse inputs (dask_glm/estimators.py:82-83)
+            df = V.from_vector_column(df, self.features_col)
+            extra.setdefault("normalize", False)
+        if V.is_sparse_columns(df):
+            return self._fit_sparse(df, **extra)
         df_ = self._maybe_add_intercept(df)
         kw = self._routed_kwargs()
         kw.update(extra)
@@ -127,6 +137,37 @@ class _GLM(BaseEstimator):
             self.intercept_ = self._coef[-1]
         else:
             self.coef_ = self._coef
+        return self
+
+    def _fit_sparse(self, df: DataFrame, **extra):
+        """Wide-sparse (findices/fvalues) fit path — lbfgs only.
+
+        fit_intercept is unsupported for sparse input, matching the
+        reference's own xfailed sparse+intercept combination
+        (``dask_glm/tests/test_estimators.py:47-54``)."""
+        if self.fit_intercept:
+            raise NotImplementedError(
+                "fit_intercept with sparse features is unsupported "
+                "(reference xfail: tests/test_estimators.py:47-54)"
+            )
+        if self.solver != "lbfgs":
+            raise NotImplementedError(
+                f"sparse features support solver='lbfgs', got {self.solver!r}"
+            )
+        extra.pop("normalize", None)  # sparse path never standardizes
+        self._coef = np.asarray(
+            solvers.lbfgs_sparse(
+                df,
+                regularizer=self.regularizer,
+                lamduh=self.lamduh,
+                max_iter=self.max_iter,
+                tol=self.tol,
+                family=self.family,
+                label_col=self.label_col,
+                **extra,
+            )
+        )
+        self.coef_ = self._coef
         return self
 
     def _linear_expr(self):

@@ -331,6 +331,65 @@ def proximal_grad(
     return beta
 
 
+def lbfgs_sparse(
+    df: DataFrame,
+    regularizer=None,
+    lamduh: float = 1.0,
+    max_iter: int = 100,
+    tol: float = 1e-4,
+    family=Logistic,
+    p: int | None = None,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    **kwargs,
+):
+    """L-BFGS over wide-sparse ``(indices, values)`` features.
+
+    Same driver-optimizer / cluster-evaluator split as ``lbfgs``, but each
+    objective evaluation is one O(nnz) scan via
+    ``kernels_sparse.loss_gradient_sparse`` — rows are never densified.
+    No ``@normalize``: standardizing one-hot columns would densify them,
+    which is exactly why the reference auto-disables normalization for
+    sparse inputs (``dask_glm/estimators.py:82-83``).
+    """
+    from dask_glm_spark.functions import kernels_sparse
+    from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
+    from dask_glm_spark.sources.vectors import sparse_p
+
+    we_persisted = False
+    if not df.is_cached:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    try:
+        p = p or sparse_p(df, idx_col)
+        reg_f = reg_grad = None
+        if regularizer is not None:
+            reg = Regularizer.get(regularizer)
+            reg_f, reg_grad = reg.f, reg.gradient
+
+        def compute_loss_grad(beta):
+            loss, grad = kernels_sparse.loss_gradient_sparse(
+                df, family, beta, p, idx_col, val_col, label_col
+            )
+            if reg_f is not None:
+                loss = loss + lamduh * reg_f(beta)
+                grad = grad + lamduh * reg_grad(beta)
+            return loss, grad
+
+        beta, _, _ = fmin_l_bfgs_b(
+            compute_loss_grad,
+            np.zeros(p),
+            fprime=None,
+            pgtol=tol,
+            maxiter=max_iter,
+        )
+        return beta
+    finally:
+        if we_persisted:
+            df.unpersist()
+
+
 def _admm_local_update(X, y, beta, z, u, rho, family, solver=None):
     """Single-partition augmented-Lagrangian solve (``algorithms.py:339-348``,
     objective augmentation :263-283). Pure numpy — runs inside the Arrow

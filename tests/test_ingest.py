@@ -1,0 +1,76 @@
+"""Ingest/sink tests: CSV and JSON round-trips into the universal
+(features, label) relation, filter pushdown, and the parquet sink."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_glm_spark.sources import ingest
+
+
+@pytest.fixture(scope="module")
+def raw_rows():
+    rng = np.random.RandomState(3)
+    return [
+        (float(i), float(rng.uniform()), float(rng.uniform()), int(i % 2))
+        for i in range(100)
+    ]
+
+
+def test_read_csv(spark, tmp_path_factory, raw_rows):
+    d = str(tmp_path_factory.mktemp("csv_src"))
+    spark.createDataFrame(raw_rows, "a double, b double, c double, flag int").write.mode(
+        "overwrite"
+    ).csv(d, header=True)
+    out = ingest.read_csv(
+        spark, d, ["a", "b", "c"], label=(F.col("flag") > 0).cast("double")
+    )
+    assert out.columns == ["features", "label"]
+    assert out.count() == 100
+    r = out.first()
+    assert len(r["features"]) == 3
+    assert r["label"] in (0.0, 1.0)
+
+
+def test_read_csv_with_filter(spark, tmp_path_factory, raw_rows):
+    d = str(tmp_path_factory.mktemp("csv_flt"))
+    spark.createDataFrame(raw_rows, "a double, b double, c double, flag int").write.mode(
+        "overwrite"
+    ).csv(d, header=True)
+    out = ingest.read_csv(
+        spark, d, ["b", "c"], label="flag", where=F.col("a") < 50
+    )
+    assert out.count() == 50
+
+
+def test_read_json(spark, tmp_path_factory, raw_rows):
+    d = str(tmp_path_factory.mktemp("json_src"))
+    spark.createDataFrame(raw_rows, "a double, b double, c double, flag int").write.mode(
+        "overwrite"
+    ).json(d)
+    out = ingest.read_json(spark, d, ["a", "b"], label="flag")
+    assert out.count() == 100
+    assert dict(out.dtypes) == {"features": "array<double>", "label": "double"}
+
+
+def test_parquet_sink_partitioned(spark, tmp_path_factory, raw_rows):
+    d = str(tmp_path_factory.mktemp("pq_sink"))
+    df = spark.createDataFrame(raw_rows, "a double, b double, c double, flag int")
+    ingest.write_parquet(df, d, partition_by=["flag"])
+    back = spark.read.parquet(d)
+    assert back.count() == 100
+    assert back.where(F.col("flag") == 1).count() == 50
+
+
+def test_ingest_feeds_fit(spark, tmp_path_factory, raw_rows):
+    from dask_glm_spark.operators.estimators import LogisticRegression
+
+    d = str(tmp_path_factory.mktemp("csv_fit"))
+    spark.createDataFrame(raw_rows, "a double, b double, c double, flag int").write.mode(
+        "overwrite"
+    ).csv(d, header=True)
+    df = ingest.read_csv(spark, d, ["b", "c"], label="flag")
+    lr = LogisticRegression(solver="newton", max_iter=10).fit(df)
+    assert len(lr.coef_) == 2 and np.isfinite(lr.intercept_)

@@ -1,0 +1,110 @@
+"""Sparse feature support: MLlib VectorUDT ingest, (indices, values)
+wide-sparse kernels, and estimator routing — parity-checked against the
+dense kernels on identical data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_glm_spark.functions import kernels, kernels_sparse
+from dask_glm_spark.functions.families import Logistic
+from dask_glm_spark.operators.estimators import LogisticRegression
+from dask_glm_spark.sources import vectors as V
+
+P = 24
+N = 400
+BETA_SEED = 11
+
+
+@pytest.fixture(scope="module")
+def sparse_data():
+    rng = np.random.RandomState(BETA_SEED)
+    X = np.zeros((N, P))
+    for i in range(N):  # ~4 nonzeros per row (one-hot-ish)
+        nz = rng.choice(P, size=4, replace=False)
+        X[i, nz] = rng.standard_normal(4)
+    true_beta = rng.standard_normal(P) * 0.5
+    y = (1 / (1 + np.exp(-X @ true_beta)) > rng.uniform(size=N)).astype(np.float64)
+    return X, y
+
+
+@pytest.fixture(scope="module")
+def dense_df(spark, sparse_data):
+    X, y = sparse_data
+    rows = [([float(v) for v in X[i]], float(y[i])) for i in range(N)]
+    return spark.createDataFrame(rows, "features array<double>, label double").repartition(5)
+
+
+@pytest.fixture(scope="module")
+def sparse_df(dense_df):
+    return V.to_sparse_columns(dense_df)
+
+
+def test_to_sparse_columns_roundtrip(sparse_df, sparse_data):
+    X, _ = sparse_data
+    rows = sparse_df.limit(50).collect()
+    for r in rows:
+        assert len(r["findices"]) == len(r["fvalues"])
+        assert all(v != 0 for v in r["fvalues"])
+
+
+def test_sparse_p(sparse_df):
+    assert V.sparse_p(sparse_df) <= P  # highest populated index + 1
+
+
+def test_mllib_vector_ingest(spark):
+    ml = pytest.importorskip("pyspark.ml.linalg")
+    rows = [
+        (ml.Vectors.sparse(4, [0, 2], [1.0, 3.0]), 1.0),
+        (ml.Vectors.dense([0.0, 2.0, 0.0, 4.0]), 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["features", "label"])
+    assert V.is_vector_column(df)
+    dense = V.from_vector_column(df)
+    got = [r["features"] for r in dense.orderBy(F.desc("label")).collect()]
+    assert got[0] == [1.0, 0.0, 3.0, 0.0]
+    assert got[1] == [0.0, 2.0, 0.0, 4.0]
+    sp = V.to_sparse_columns(df)
+    r0 = sp.orderBy(F.desc("label")).first()
+    assert list(r0["findices"]) == [0, 2]
+    assert list(r0["fvalues"]) == [1.0, 3.0]
+
+
+def test_sparse_loss_gradient_matches_dense(dense_df, sparse_df, sparse_data):
+    X, y = sparse_data
+    beta = np.linspace(-0.5, 0.5, P)
+    dl, dg = kernels.loss_gradient(dense_df, Logistic, beta, path="arrow")
+    sl, sg = kernels_sparse.loss_gradient_sparse(sparse_df, Logistic, beta, p=P)
+    np.testing.assert_allclose(sl, dl, rtol=1e-12)
+    np.testing.assert_allclose(sg, dg, rtol=1e-12, atol=1e-12)
+    # and against driver numpy
+    np.testing.assert_allclose(sl, Logistic.pointwise_loss(beta, X, y), rtol=1e-9)
+
+
+def test_multi_loss_sparse_matches_dense(dense_df, sparse_df):
+    betas = [np.linspace(-0.5, 0.5, P), np.zeros(P)]
+    d = kernels.multi_loss(dense_df, Logistic, betas, path="arrow")
+    s = kernels_sparse.multi_loss_sparse(sparse_df, Logistic, betas, p=P)
+    np.testing.assert_allclose(s, d, rtol=1e-12)
+
+
+def test_lbfgs_sparse_matches_dense_fit(dense_df, sparse_df):
+    dense_lr = LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=False
+    ).fit(dense_df, normalize=False)
+    sparse_lr = LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=False
+    ).fit(sparse_df, p=P)
+    np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_intercept_raises(sparse_df):
+    with pytest.raises(NotImplementedError, match="fit_intercept"):
+        LogisticRegression(solver="lbfgs", fit_intercept=True).fit(sparse_df)
+
+
+def test_sparse_non_lbfgs_raises(sparse_df):
+    with pytest.raises(NotImplementedError, match="lbfgs"):
+        LogisticRegression(solver="newton", fit_intercept=False).fit(sparse_df)
