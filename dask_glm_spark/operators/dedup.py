@@ -89,40 +89,53 @@ def shingles_expr(text: Column | str, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
+def _let(value: Column, body) -> Column:
+    """Evaluate ``value`` once and bind it into ``body`` (single-element
+    ``transform`` trick). Higher-order-function expressions are interpreted
+    (no whole-stage codegen) and Catalyst's project collapse re-inlines a
+    subtree at every reference — without this binding, an expression like
+    the shingle-hash array would be recomputed once per permutation/band
+    (measured 10-60x slowdowns on the MinHash/SimHash paths)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def shingle_hashes_expr(text: Column | str, k: int = SHINGLE_K) -> Column:
     return F.transform(shingles_expr(text, k), polyhash_expr)
 
 
 def minhash_signature_expr(text: Column | str, k: int = SHINGLE_K) -> Column:
     """NUM_PERM-long signature: sig[i] = min over shingles of (a_i*h + b_i)
-    mod 1e9+7. One pass over the shingle hashes per permutation, all
-    codegen'd array ops."""
+    mod 1e9+7 — computed as ONE fold over the shingle hashes that updates
+    all NUM_PERM running minima per hash, so the (expensive) shingle
+    hashing happens exactly once per row."""
     hashes = shingle_hashes_expr(text, k)
+    # sentinel: every permuted value is < POLY_MOD, so POLY_MOD = +inf here
+    init = F.array_repeat(F.lit(POLY_MOD).cast("long"), NUM_PERM)
 
-    def perm(a: int, b: int):
-        # closure factory: PySpark infers lambda arity from the Python
-        # signature, so default-arg captures would mis-bind as 3-arg lambdas
-        return lambda h: (h * a + b) % POLY_MOD
+    def merge(acc: Column, h: Column) -> Column:
+        perms = F.array(*[(h * a + b) % POLY_MOD for a, b in zip(PERM_A, PERM_B)])
+        return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
 
-    mins = [
-        F.array_min(F.transform(hashes, perm(a, b)))
-        for a, b in zip(PERM_A, PERM_B)
-    ]
-    return F.array(*mins)
+    return F.aggregate(hashes, init, merge)
 
 
 def band_keys_expr(sig: Column) -> Column:
     """BANDS band keys: polyhash of the '-'-joined signature slice, salted
-    with the band index so different bands never collide."""
-    keys = []
-    for b in range(BANDS):
-        piece = F.concat_ws(
-            "-",
-            F.lit(str(b)),
-            *[sig[b * ROWS_PER_BAND + r].cast("string") for r in range(ROWS_PER_BAND)],
-        )
-        keys.append(polyhash_expr(piece))
-    return F.array(*keys)
+    with the band index so different bands never collide. The signature is
+    let-bound so it is computed once, not once per band."""
+
+    def body(s: Column) -> Column:
+        keys = []
+        for b in range(BANDS):
+            piece = F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[s[b * ROWS_PER_BAND + r].cast("string") for r in range(ROWS_PER_BAND)],
+            )
+            keys.append(polyhash_expr(piece))
+        return F.array(*keys)
+
+    return _let(sig, body)
 
 
 def minhash_signatures(
@@ -222,13 +235,18 @@ def simhash_expr(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(j))
-        out = out + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    def body(hs: Column) -> Column:
+        # hs is the let-bound, already-evaluated hash array: the 32 bit
+        # folds each walk the array values without re-hashing the tokens
+        out = F.lit(0).cast("long")
+        for j in range(bits):
+            vote = F.aggregate(hs, F.lit(0).cast("long"), bit_vote(j))
+            out = out + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return _let(hashes, body)
 
 
 def hamming_expr(a: Column, b: Column) -> Column:
