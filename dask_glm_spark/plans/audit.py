@@ -1,0 +1,74 @@
+"""Physical-plan audit helpers: make plan shape a *tested invariant*.
+
+The engine's scale story rests on plan properties — column-pruned scans,
+filter pushdown, partial+final aggregation with tiny exchanges, broadcast
+joins for small sides, no shuffle of the feature table. ``.explain`` output
+is the ground truth for all of them; these helpers parse it so tests (see
+tests/test_plans.py) can fail when a code change silently regresses a plan
+into an extra shuffle or a full-width scan — the 100 TB equivalent of a
+correctness bug.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (same text ``df.explain`` prints)."""
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"\bBroadcastExchange\b", plan)
+    )
+
+
+def has_broadcast(df: DataFrame) -> bool:
+    plan = explain_str(df, "simple")
+    return "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def scan_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists of each parquet scan's ReadSchema (pruning evidence)."""
+    plan = explain_str(df, "formatted")
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        fields = [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
+        out.append(fields)
+    return out
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters reaching the scan (PushedFilters entries, flattened)."""
+    plan = explain_str(df, "formatted")
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def codegen_spans(df: DataFrame) -> int:
+    """Number of whole-stage codegen spans (wider = fewer interpreter
+    boundaries in the hot path)."""
+    plan = explain_str(df, "formatted")
+    ids = set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    return len(ids)
+
+
+def assert_narrow(df: DataFrame) -> None:
+    """Raise if the plan contains any shuffle — for operators documented as
+    pure narrow maps over the scan."""
+    n = count_exchanges(df)
+    if n:
+        raise AssertionError(
+            f"expected a narrow plan, found {n} exchange(s):\n{explain_str(df, 'simple')}"
+        )

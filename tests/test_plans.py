@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: the scale-critical physical-plan
+properties asserted via plans/audit.py. A failure here means a code change
+added a shuffle / widened a scan / dropped a pushdown — invisible at test
+scale, catastrophic at 100 TB."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_glm_spark.functions import kernels
+from dask_glm_spark.functions.families import Logistic
+from dask_glm_spark.plans import audit
+from dask_glm_spark.sources.glm_source import load_glm_fast, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_glm_fast_is_narrow_and_pruned(spark):
+    df = load_glm_fast(spark, SF)
+    audit.assert_narrow(df)  # zero shuffles: pure projection over the scan
+    cols = audit.scan_columns(df)
+    assert len(cols) == 1
+    # only the 5 referenced source columns are read (lineitem has 16)
+    assert sorted(cols[0]) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_returnflag",
+        "l_tax",
+    ]
+    assert audit.codegen_spans(df) >= 1
+
+
+def test_loss_agg_single_tiny_exchange(spark):
+    df = load_glm_fast(spark, SF)
+    xb = kernels.matvec_expr([0.1, -0.2, 0.3, 0.05])
+    agg = df.agg(F.sum(Logistic.loglike_terms(xb, F.col("label"))).alias("s"))
+    # partial+final HashAggregate: exactly one exchange, carrying one
+    # scalar per partition
+    assert audit.count_exchanges(agg) == 1
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem").where(F.col("l_quantity") > 10).select(
+        "l_quantity"
+    )
+    pushed = audit.pushed_filters(li)
+    assert any("l_quantity" in p for p in pushed)
+
+
+def test_topk_broadcasts_queries(spark):
+    from dask_glm_spark.operators import similarity as S
+
+    emb = load_table(spark, SF, "embeddings")
+    topk = S.brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    assert audit.has_broadcast(topk)
+
+
+def test_lsh_candidates_bounded_shuffles(spark):
+    from dask_glm_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    cands = D.lsh_candidates(docs)
+    # band-key groupBy + pair distinct; anything more means a regression
+    assert audit.count_exchanges(cands) <= 3
+    plan = audit.explain_str(cands, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_text_ops_are_narrow(spark):
+    from dask_glm_spark.operators import text as T
+
+    docs = load_table(spark, SF, "documents")
+    out = docs.select(
+        T.langid_expr("text"),
+        T.quality_score_expr("text"),
+        T.fingerprint_expr("text"),
+    )
+    audit.assert_narrow(out)
