@@ -521,6 +521,30 @@ def _glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_glm(spark, sf_dir)
 
 
+def _glm_nosort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The glm relation WITHOUT the row_number id: a pure narrow map over
+    the pruned scan. Used by every aggregate-only query (sums are
+    id-independent) — the global sort exists solely for row-addressed
+    queries (q01/q10/q14/q15), and carrying it into aggregates would be
+    exactly the kind of needless total order that breaks at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.sources.glm_source import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.array(
+            F.col("l_quantity") * 1.0,
+            F.col("l_extendedprice") / 1e4,
+            F.col("l_discount") * 10.0,
+            F.col("l_tax") * 10.0,
+        ).alias("features"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        (F.col("l_quantity") * 1.0).alias("label_reg"),
+        F.round(F.col("l_quantity")).cast("double").alias("label_cnt"),
+    )
+
+
 def _scalar_df(spark: SparkSession, value: float, name: str, digits: int) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -549,7 +573,7 @@ def _q_loglike(family_name: str, label_col: str, out_name: str, digits: int):
         from dask_glm_spark.functions import kernels
         from dask_glm_spark.functions.families import FAMILIES
 
-        df = _glm(spark, sf_dir)
+        df = _glm_nosort(spark, sf_dir)
         val = kernels.loss(df, FAMILIES[family_name], BETA, label_col=label_col)
         return _scalar_df(spark, val, out_name, digits)
 
@@ -563,7 +587,7 @@ def _q_gradient(family_name: str, label_col: str):
         from dask_glm_spark.functions import kernels
         from dask_glm_spark.functions.families import FAMILIES
 
-        df = _glm(spark, sf_dir)
+        df = _glm_nosort(spark, sf_dir)
         g = kernels.gradient(df, FAMILIES[family_name], BETA, label_col=label_col)
         rows = [(j + 1, float(g[j])) for j in range(len(g))]
         return (
@@ -581,7 +605,7 @@ def _q_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.functions import kernels
     from dask_glm_spark.functions.families import Logistic
 
-    df = _glm(spark, sf_dir)
+    df = _glm_nosort(spark, sf_dir)
     _, hess = kernels.gradient_hessian(df, Logistic, BETA, label_col="label")
     p = hess.shape[0]
     rows = [(i + 1, j + 1, float(hess[i, j])) for i in range(p) for j in range(i, p)]
@@ -597,7 +621,7 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dask_glm_spark.functions import kernels
 
-    df = _glm(spark, sf_dir)
+    df = _glm_nosort(spark, sf_dir)
     mean, std = kernels.column_moments(df, p=4)
     rows = [(j + 1, float(mean[j]), float(std[j])) for j in range(4)]
     return (
@@ -636,7 +660,7 @@ def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.functions import kernels, metrics
     from dask_glm_spark.functions.families import sigmoid_expr
 
-    df = _glm(spark, sf_dir)
+    df = _glm_nosort(spark, sf_dir)
     scored = df.select(
         (sigmoid_expr(kernels.matvec_expr(BETA)) > 0.5).cast("double").alias("pred"),
         (F.col("label") > 0.5).cast("double").alias("truth"),
@@ -648,7 +672,7 @@ def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.functions import kernels, metrics
 
-    df = _glm(spark, sf_dir)
+    df = _glm_nosort(spark, sf_dir)
     scored = df.select(
         kernels.matvec_expr(BETA).alias("pred"), df["label_reg"].alias("truth")
     )
@@ -661,7 +685,7 @@ def _q_poisson_deviance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dask_glm_spark.functions import kernels, metrics
 
-    df = _glm(spark, sf_dir)
+    df = _glm_nosort(spark, sf_dir)
     scored = df.select(
         F.exp(kernels.matvec_expr(BETA)).alias("mu"), df["label_cnt"].alias("y")
     )
