@@ -1,0 +1,109 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+The brief's "custom stateful operators via applyInPandasWithState" surface.
+One logical definition, two run modes:
+
+- ``sessionize_batch``: lag/cumsum window SQL — the oracle-checkable batch
+  form (a per-user sort, fine for bounded backfills).
+- ``sessionize_stream``: ``applyInPandasWithState`` keeping one open
+  session per user in the state store; a session closes when an event
+  arrives more than ``gap`` after the previous one (including across
+  microbatches), and the closed session is emitted. State per key is four
+  scalars — bounded regardless of stream length; at 100 TB/day the state
+  store holds |active users| rows, not |events|.
+
+Stream-vs-batch equivalence (emitted == all batch sessions except each
+user's still-open last one) is asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_STATE_SCHEMA = "start long, last long, n long, sv double"
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """All sessions per user via lag + cumulative-sum session ids."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_s = F.unix_micros(F.col("ts"))
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (
+        (ts_s - F.lag(ts_s).over(w)).isNull()
+        | ((ts_s - F.lag(ts_s).over(w)) > gap_us)
+    ).cast("int")
+    sid = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).cast("double").alias("sum_value"),
+        )
+        .drop("sid")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization: emits each session when the NEXT event
+    (beyond the gap) proves it closed. The per-user open session rides the
+    state store across microbatches."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = n = 0
+            sv = 0.0
+        closed: list[tuple[int, int, int, int, float]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(
+                pdf["ts"].astype("int64") // 1000,  # ns -> us
+                pdf["value"].astype("float64"),
+            ):
+                ts = int(ts)
+                if n == 0:
+                    start, last, n, sv = ts, ts, 1, float(value)
+                elif ts - last > gap_us:
+                    closed.append((user_id, start, last, n, sv))
+                    start, last, n, sv = ts, ts, 1, float(value)
+                else:
+                    last = ts
+                    n += 1
+                    sv += float(value)
+        state.update((start, last, n, sv))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [round(c[4], 6) for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

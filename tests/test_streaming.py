@@ -80,3 +80,63 @@ def test_scored_event_stream(spark, events):
     np.testing.assert_allclose(
         [r["probability"] for r in got], [r["probability"] for r in batch]
     )
+
+
+def test_sessionize_batch_shapes(spark, events):
+    from dask_glm_spark.streaming import sessions as SES
+
+    out = SES.sessionize_batch(events, gap_minutes=30)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert events.count() == sum(r["n_events"] for r in rows)
+    # sessions of one user never overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            assert a["session_end"] < b["session_start"]
+
+
+def test_sessionize_stream_matches_batch(spark, events, tmp_path_factory):
+    """applyInPandasWithState sessionization across multiple microbatches
+    equals the batch lag/cumsum form, minus each user's still-open session."""
+    from dask_glm_spark.streaming import sessions as SES
+
+    d = str(tmp_path_factory.mktemp("ev_stream"))
+    # split by time into 3 files -> 3 microbatches in ts order
+    ev = events.orderBy("ts").withColumn(
+        "part", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    for i in (1, 2, 3):
+        ev.where(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/batch={i}")
+
+    schema = spark.read.parquet(f"{d}/batch=1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/batch=*")
+    )
+    out = SES.sessionize_stream(stream, gap_minutes=30)
+    SC.run_stream_to_memory(out, "sessions_stream_test", mode="append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.table("sessions_stream_test").collect()
+    }
+
+    batch = SES.sessionize_batch(events, gap_minutes=30).collect()
+    # drop each user's last (still-open) session
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_start"] > cur["session_start"]:
+            last_per_user[r["user_id"]] = r
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in batch
+        if last_per_user[r["user_id"]] is not r
+    }
+    assert got == expect
