@@ -174,6 +174,43 @@ class _GLM(BaseEstimator):
         # X·coef over the (maybe intercept-extended) features column
         return kernels.matvec_expr(self._coef, self.features_col)
 
+    def _with_xb(self, df: DataFrame, col_name: str = "_xb") -> DataFrame:
+        """df + an X·coef column, routing by input kind: dense array
+        (codegen mat-vec), VectorUDT (convert then dense), or wide-sparse
+        columns (vectorized O(nnz) Arrow scoring)."""
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if V.is_sparse_columns(df):
+            return self._sparse_xb(df, col_name)
+        df_ = self._maybe_add_intercept(df)
+        return df_.withColumn(col_name, self._linear_expr())
+
+    def _sparse_xb(self, df: DataFrame, col_name: str) -> DataFrame:
+        import pandas as pd
+
+        from dask_glm_spark.functions.kernels_sparse import _batch_csr
+
+        beta = self._coef
+
+        def op(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                flat_idx, flat_val, row_ids, n = _batch_csr(pdf, "findices", "fvalues")
+                xb = np.bincount(
+                    row_ids, weights=flat_val * beta[flat_idx], minlength=n
+                )
+                out = pdf.copy()
+                out[col_name] = xb
+                yield out
+
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        return df.mapInPandas(op, schema=f"{fields}, {col_name} double")
+
 
 class LogisticRegression(_GLM):
     """Logistic regression (reference ``estimators.py:101-153``)."""
@@ -181,13 +218,13 @@ class LogisticRegression(_GLM):
     family = families.Logistic
 
     def decision_function(self, df: DataFrame) -> DataFrame:
-        df_ = self._maybe_add_intercept(df)
-        return df_.withColumn("decision", self._linear_expr())
+        return self._with_xb(df, "decision")
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
-        df_ = self._maybe_add_intercept(df)
-        return df_.withColumn(
-            "probability", families.sigmoid_expr(self._linear_expr())
+        return (
+            self._with_xb(df, "_xb")
+            .withColumn("probability", families.sigmoid_expr(F.col("_xb")))
+            .drop("_xb")
         )
 
     def predict(self, df: DataFrame) -> DataFrame:
@@ -207,8 +244,7 @@ class LinearRegression(_GLM):
     family = families.Normal
 
     def predict(self, df: DataFrame) -> DataFrame:
-        df_ = self._maybe_add_intercept(df)
-        return df_.withColumn("prediction", self._linear_expr())
+        return self._with_xb(df, "prediction")
 
     def score(self, df: DataFrame) -> float:
         # reference quirk: score is MSE, not R² (estimators.py:203-204)
@@ -222,8 +258,11 @@ class PoissonRegression(_GLM):
     family = families.Poisson
 
     def predict(self, df: DataFrame) -> DataFrame:
-        df_ = self._maybe_add_intercept(df)
-        return df_.withColumn("prediction", F.exp(self._linear_expr()))
+        return (
+            self._with_xb(df, "_xb")
+            .withColumn("prediction", F.exp(F.col("_xb")))
+            .drop("_xb")
+        )
 
     def get_deviance(self, df: DataFrame) -> float:
         pred = self.predict(df)

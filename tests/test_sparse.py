@@ -108,3 +108,19 @@ def test_sparse_intercept_raises(sparse_df):
 def test_sparse_non_lbfgs_raises(sparse_df):
     with pytest.raises(NotImplementedError, match="lbfgs"):
         LogisticRegression(solver="newton", fit_intercept=False).fit(sparse_df)
+
+
+def test_sparse_predict_matches_dense(dense_df, sparse_df):
+    dense_lr = LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=False
+    ).fit(dense_df, normalize=False)
+    sparse_lr = LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=False
+    ).fit(sparse_df, p=P)
+    dp = [r["probability"] for r in dense_lr.predict_proba(dense_df).collect()]
+    sp = [r["probability"] for r in sparse_lr.predict_proba(sparse_df).collect()]
+    assert len(dp) == len(sp) == N
+    np.testing.assert_allclose(sorted(sp), sorted(dp), rtol=1e-4)
+    # score on the sparse frame end-to-end
+    acc = sparse_lr.score(sparse_df)
+    assert 0.5 <= acc <= 1.0
