@@ -188,8 +188,6 @@ class _GLM(BaseEstimator):
         return df_.withColumn(col_name, self._linear_expr())
 
     def _sparse_xb(self, df: DataFrame, col_name: str) -> DataFrame:
-        import pandas as pd
-
         from dask_glm_spark.functions.kernels_sparse import _batch_csr
 
         beta = self._coef

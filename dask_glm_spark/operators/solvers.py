@@ -30,7 +30,6 @@ from functools import wraps
 import numpy as np
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from dask_glm_spark.functions import kernels
 from dask_glm_spark.functions.families import Logistic

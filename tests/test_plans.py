@@ -5,8 +5,6 @@ scale, catastrophic at 100 TB."""
 
 from __future__ import annotations
 
-import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from dask_glm_spark.functions import kernels
