@@ -157,6 +157,14 @@ def _sql_runner(
 # hashing is the shared 31-base polynomial hash so both engines agree bit-
 # for-bit.
 # ---------------------------------------------------------------------------
+# Shared tokenizer definition across every DuckDB oracle (ADVICE r2 #5):
+# regex whitespace split of the trimmed text — the same definition as the
+# engine's tokens_expr (split(trim(lower(text)), '\s+')), so the gate can't
+# diverge on a tab/newline/double-space that is not a real bug.
+_DUCK_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+_DUCK_TOKENS_CASED = r"string_split_regex(trim(text), '\s+')"
+
+
 def _duck_polyhash(expr: str) -> str:
     """DuckDB SQL computing operators.text.polyhash_expr exactly."""
     # CAST to BIGINT: DuckDB infers INT32 for the lambda accumulator and
@@ -203,7 +211,7 @@ def _quality_oracle_sql() -> str:
     return f"""SELECT doc_id,
   CAST(round(
     0.4 * ({s_en} / 5.0)
-    + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+    + 0.3 * least(len({_DUCK_TOKENS_CASED}) / 100.0, 1.0)
     + 0.3 * (length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 / length(text)),
   6) AS DOUBLE) AS quality
 FROM documents ORDER BY doc_id"""
@@ -219,6 +227,7 @@ def _minhash_oracle_sql(threshold: float = 0.5) -> str:
     )
 
     k = SHINGLE_K
+    toks = _DUCK_TOKENS
     sig_exprs = ", ".join(
         f"list_min(list_transform(sh_hashes, h -> (h*{a} + {b}) % 1000000007)) AS s{i}"
         for i, (a, b) in enumerate(zip(PERM_A, PERM_B))
@@ -231,7 +240,7 @@ def _minhash_oracle_sql(threshold: float = 0.5) -> str:
         band_keys.append(_duck_polyhash(f"'{b}-'||{parts}"))
     gram = "||' '||".join(f"T[i+{d}]" for d in range(k))
     return f"""WITH toks AS (
-  SELECT doc_id, string_split(lower(trim(text)), ' ') AS T FROM documents
+  SELECT doc_id, {toks} AS T FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -268,16 +277,71 @@ def _simhash_oracle_sql() -> str:
         for j in range(SIMHASH_BITS)
     )
     return f"""WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(lower(trim(text)), ' ')) AS T FROM documents
+  SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS T FROM documents
 ),
 h AS (SELECT doc_id, list_transform(T, t -> {_duck_polyhash("t")}) AS hs FROM toks)
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h ORDER BY doc_id"""
 
 
+def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """Banded SimHash near-dup pairs: replicates the engine's pigeonhole
+    banding (max_hamming+1 bands) AND the hamming verify, so the candidate
+    set and the final pairs are both independently recomputed."""
+    from dask_glm_spark.operators.dedup import SIMHASH_BITS
+
+    n_bands = max_hamming + 1
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS T FROM documents
+),
+h AS (SELECT doc_id, list_transform(T, t -> {_duck_polyhash("t")}) AS hs FROM toks),
+sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h),
+bands AS (
+  SELECT doc_id, simhash, i.i AS band_idx, (simhash >> (i.i * {band_bits})) & {mask} AS band_val
+  FROM sh, generate_series(0, {n_bands - 1}) i(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming} ORDER BY id_a, id_b"""
+
+
+# gap-based sessionization oracle: same lag/cumsum definition as
+# streaming/sessions.sessionize_batch; timestamps exported as epoch micros
+# (BIGINT) so both engines compare integers, never tz-rendered timestamps.
+_SESSIONS_SQL = """WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS sid FROM o
+)
+SELECT user_id,
+  CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+  CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"""
+
+
 PIPELINE_SQL: dict[str, str] = {
-    "q16_token_stats": """SELECT doc_id,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-  CAST(round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) AS avg_token_len
+    "q16_token_stats": f"""SELECT doc_id,
+  CAST(len({_DUCK_TOKENS_CASED}) AS BIGINT) AS n_tokens,
+  CAST(round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len({_DUCK_TOKENS_CASED}), 4) AS DOUBLE) AS avg_token_len
 FROM documents ORDER BY doc_id""",
     "q17_langid": _langid_oracle_sql(),
     "q18_quality": _quality_oracle_sql(),
@@ -319,7 +383,7 @@ FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type"""
     "q26_hashing_tf": f"""SELECT doc_id,
   CAST({_duck_polyhash("tok")} % 64 AS BIGINT) AS bucket,
   CAST(count(*) AS BIGINT) AS tf
-FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents)
+FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
 GROUP BY 1, 2 ORDER BY 1, 2""",
     # byte histogram of the UTF-8 payload (corpus is printable ASCII, so
     # bytes == code points and the SQL side can use ascii()); this is the
@@ -329,6 +393,12 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
   CAST(count(*) AS BIGINT) AS cnt
 FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
 GROUP BY 1, 2 ORDER BY 1, 2""",
+    # whole-row survivor semantics (VERDICT r2 #2): min-doc_id row per group
+    "q28_exact_dedup_survivors": """SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
+) t WHERE rn = 1 ORDER BY doc_id""",
+    "q29_sessions": _SESSIONS_SQL,
+    "q30_simhash_pairs": _simhash_pairs_oracle_sql(3),
 }
 
 
@@ -486,6 +556,51 @@ def _pq_multimodal_bytehist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs, ["text"], order_col="doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _pq_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.sources.glm_source import load_table
+    from dask_glm_spark.streaming.sessions import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        sessionize_batch(events, gap_minutes=30)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+def _pq_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_dedup_pairs(docs, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_token_stats": _pq_token_stats,
     "q17_langid": _pq_langid,
@@ -499,6 +614,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q25_events_hourly": _pq_events_hourly,
     "q26_hashing_tf": _pq_hashing_tf,
     "q27_multimodal_bytehist": _pq_multimodal_bytehist,
+    "q28_exact_dedup_survivors": _pq_exact_dedup_survivors,
+    "q29_sessions": _pq_sessions,
+    "q30_simhash_pairs": _pq_simhash_pairs,
 }
 
 

@@ -14,7 +14,8 @@ the 100 TB design hinges on:
   BANDS (a small constant), then one shuffle on the band key. Skewed
   buckets (e.g. a boilerplate header shared by millions of docs) are
   handled by AQE skew-join plus the ``max_bucket`` guard that drops
-  degenerate buckets with a logged count.
+  degenerate buckets (observable via ``lsh_bucket_stats`` or
+  ``log_dropped=True``).
 - All hashes derive from the engine-portable 31-base polynomial hash
   (operators/text.py), so signatures are deterministic across runs,
   sessions, and engines — the DuckDB oracle can recompute them exactly.
@@ -22,10 +23,15 @@ the 100 TB design hinges on:
 
 from __future__ import annotations
 
+import logging
+
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dask_glm_spark.operators.text import POLY_MOD, polyhash_expr, tokens_expr
+
+_log = logging.getLogger(__name__)
 
 SHINGLE_K = 3
 NUM_PERM = 16
@@ -53,15 +59,34 @@ PERM_B = _minstd(4242, NUM_PERM)
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
-def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Keep one row per distinct `cols` value — hash-shuffle on the dedup
-    key (min of a stable id per group, not dropDuplicates, so the survivor
-    is deterministic across partitionings)."""
+def exact_dedup(
+    df: DataFrame, cols: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Keep one REAL row per distinct `cols` value.
+
+    The survivor is the whole row whose non-key tuple is lexicographically
+    smallest — ordered by ``order_col`` first when given (e.g. a stable doc
+    id), then the remaining columns as tie-break. Implemented as a single
+    ``min(struct(...))`` aggregate (one hash-shuffle on the dedup key, full
+    map-side partial aggregation, no window sort), so the pick is
+    deterministic across partitionings AND every output row existed in the
+    input — unlike per-column ``min`` which can stitch values from
+    different duplicates into a row that never existed.
+    """
     other = [c for c in df.columns if c not in cols]
     if not other:
         return df.distinct()
-    w = df.groupBy(*cols).agg(*[F.min(c).alias(c) for c in other])
-    return w.select(df.columns)
+    ordered = other
+    if order_col is not None:
+        if order_col not in other:
+            raise ValueError(f"order_col {order_col!r} must be a non-key column")
+        ordered = [order_col] + [c for c in other if c != order_col]
+    w = df.groupBy(*cols).agg(
+        F.min(F.struct(*[F.col(c) for c in ordered])).alias("_survivor")
+    )
+    return w.select(
+        *cols, *[F.col(f"_survivor.{c}").alias(c) for c in other]
+    ).select(df.columns)
 
 
 def duplicate_stats(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -103,12 +128,10 @@ def shingle_hashes_expr(text: Column | str, k: int = SHINGLE_K) -> Column:
     return F.transform(shingles_expr(text, k), polyhash_expr)
 
 
-def minhash_signature_expr(text: Column | str, k: int = SHINGLE_K) -> Column:
-    """NUM_PERM-long signature: sig[i] = min over shingles of (a_i*h + b_i)
-    mod 1e9+7 — computed as ONE fold over the shingle hashes that updates
-    all NUM_PERM running minima per hash, so the (expensive) shingle
-    hashing happens exactly once per row."""
-    hashes = shingle_hashes_expr(text, k)
+def minhash_signature_from_hashes(hashes: Column) -> Column:
+    """Signature from an already-computed shingle-hash array: ONE fold that
+    updates all NUM_PERM running minima per hash, so the (expensive)
+    shingle hashing happens exactly once per row."""
     # sentinel: every permuted value is < POLY_MOD, so POLY_MOD = +inf here
     init = F.array_repeat(F.lit(POLY_MOD).cast("long"), NUM_PERM)
 
@@ -117,6 +140,12 @@ def minhash_signature_expr(text: Column | str, k: int = SHINGLE_K) -> Column:
         return F.zip_with(acc, perms, lambda x, y: F.least(x, y))
 
     return F.aggregate(hashes, init, merge)
+
+
+def minhash_signature_expr(text: Column | str, k: int = SHINGLE_K) -> Column:
+    """NUM_PERM-long signature: sig[i] = min over shingles of (a_i*h + b_i)
+    mod 1e9+7."""
+    return minhash_signature_from_hashes(shingle_hashes_expr(text, k))
 
 
 def band_keys_expr(sig: Column) -> Column:
@@ -147,40 +176,90 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(
+def banded_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(id, band_key) rows: narrow signature map -> explode BANDS rows/doc."""
+    sig = df.select(
+        F.col(id_col), band_keys_expr(minhash_signature_expr(text_col, k)).alias("bands")
+    )
+    return sig.select(id_col, F.explode("bands").alias("band_key"))
+
+
+def lsh_bucket_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
     max_bucket: int = 10_000,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """One-row recall-loss report for the ``max_bucket`` guard:
+    (n_buckets, n_dropped_buckets, n_dropped_rows) where n_dropped_rows is
+    the number of (doc, band) memberships in oversized buckets. Run this
+    next to ``lsh_candidates`` to make silent bucket drops observable."""
+    if banded is None:
+        banded = banded_minhash(df, text_col, id_col, k)
+    sizes = banded.groupBy("band_key").agg(F.count("*").alias("m"))
+    over = F.col("m") > max_bucket
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).cast("long").alias("n_dropped_buckets"),
+        F.coalesce(F.sum(F.when(over, F.col("m"))), F.lit(0)).cast("long").alias("n_dropped_rows"),
+    )
+
+
+def lsh_candidates(
+    df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    max_bucket: int = 10_000,
+    banded: DataFrame | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 MinHash band.
 
-    Plan: narrow signature map -> explode BANDS rows/doc -> shuffle on band
-    key -> self-join within buckets. ``max_bucket`` drops degenerate
-    buckets (a bucket of m docs contributes m(m-1)/2 pairs; at 100 TB a
-    boilerplate bucket would otherwise quadratically explode — those docs
-    are better handled by exact dedup upstream)."""
-    sig = df.select(F.col(id_col), band_keys_expr(minhash_signature_expr(text_col, k)).alias("bands"))
-    banded = sig.select(id_col, F.explode("bands").alias("band_key"))
-    sized = banded.groupBy("band_key").agg(
-        F.collect_list(id_col).alias("ids"), F.count("*").alias("m")
-    )
-    ok = sized.where((F.col("m") > 1) & (F.col("m") <= max_bucket))
-    pairs = ok.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
-                    )
-                ),
-                lambda s: s["id_a"] < s["id_b"],
+    Plan: (id, band_key) explode -> bucket-size COUNT (tiny aggregation
+    state — ids are never collected) -> inner-join back to keep only
+    usable buckets (2 <= m <= max_bucket; oversized buckets are filtered
+    out BEFORE any pair materialization) -> band-key SELF-JOIN. Pairs come
+    from a shuffle join, so AQE skew-split can fan a hot bucket across
+    tasks — never a single collect_list row holding m ids and exploding
+    m(m-1)/2 structs in one task.
+
+    ``max_bucket`` drops degenerate buckets (a bucket of m docs contributes
+    m(m-1)/2 pairs; at 100 TB a boilerplate bucket would otherwise
+    quadratically explode — those docs are better handled by exact dedup
+    upstream). Pass ``log_dropped=True`` to eagerly count and WARN-log the
+    dropped buckets (one extra small job over the bucket-size aggregate),
+    or call ``lsh_bucket_stats`` for the same numbers as a DataFrame.
+    """
+    if banded is None:
+        if df is None:
+            raise ValueError("either df or banded is required")
+        banded = banded_minhash(df, text_col, id_col, k)
+    sizes = banded.groupBy("band_key").agg(F.count("*").alias("m"))
+    if log_dropped:
+        row = sizes.where(F.col("m") > max_bucket).agg(
+            F.count("*").alias("b"), F.coalesce(F.sum("m"), F.lit(0)).alias("d")
+        ).collect()[0]
+        if row["b"]:
+            _log.warning(
+                "lsh_candidates: dropped %d oversized buckets (> %d members) "
+                "covering %d doc-band rows — recall may suffer; run exact "
+                "dedup upstream or raise max_bucket",
+                row["b"], max_bucket, row["d"],
             )
-        ).alias("pair")
-    )
-    return pairs.select("pair.id_a", "pair.id_b").distinct()
+    ok_keys = sizes.where((F.col("m") > 1) & (F.col("m") <= max_bucket)).select("band_key")
+    keep = banded.join(ok_keys, "band_key")
+    l = keep.select("band_key", F.col(id_col).alias("id_a"))
+    r = keep.select("band_key", F.col(id_col).alias("id_b"))
+    pairs = l.join(r, "band_key").where(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
 
 
 def jaccard_expr(sh_a: Column, sh_b: Column) -> Column:
@@ -199,11 +278,24 @@ def minhash_dedup_pairs(
     """Verified near-duplicate pairs: LSH candidates whose exact shingle
     Jaccard >= threshold. Verification joins shingle sets back by id (two
     broadcast-or-shuffle hash joins on the id key), touching only
-    candidates — never n²."""
-    cands = lsh_candidates(df, text_col, id_col, k)
+    candidates — never n².
+
+    The expensive derivations are computed ONCE and reused: the
+    ``(id, shingles)`` projection is persisted and feeds both the signature
+    path and the two verification join sides; the ``(id, band_key)``
+    explode is persisted so the bucket-size count and both self-join sides
+    of candidate generation read it from cache instead of re-running the
+    NUM_PERM minhash fold. Both caches are O(n·small) — shingle arrays and
+    two longs per band row — and are left to Spark's LRU (the returned
+    DataFrame is lazy and still reads them)."""
     sh = df.select(
         F.col(id_col), F.array_distinct(shingles_expr(text_col, k)).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature_from_hashes(F.transform(F.col("sh"), polyhash_expr))
+    banded = sh.select(
+        F.col(id_col), F.explode(band_keys_expr(sig)).alias("band_key")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidates(id_col=id_col, banded=banded)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     j = cands.join(a, "id_a").join(b, "id_b")
@@ -286,19 +378,22 @@ def simhash_dedup_pairs(
     r = banded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "b"
     )
+    # hamming filter BEFORE the distinct: the verify predicate is a cheap
+    # row-local expression, so applying it to the raw (pair x shared-band)
+    # join output shrinks the distinct's shuffle to verified pairs only —
+    # on a near-dup-heavy corpus that is the difference between shuffling
+    # every candidate duplicate and shuffling the answer.
     cand = (
         l.join(r, ["b"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
-    )
-    return (
-        cand.select(
-            "id_a", "id_b", hamming_expr(F.col("sim_a"), F.col("sim_b")).alias("hamming")
+        .select(
+            "id_a",
+            "id_b",
+            hamming_expr(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
     )
+    return cand.distinct().orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

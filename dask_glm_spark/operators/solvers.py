@@ -447,30 +447,60 @@ def admm(
     quadratic-ish at many-partitions x wide-p.
 
     Block lineage: each round is ``blocks.map(...)``; persisted per round,
-    previous round unpersisted, ``localCheckpoint`` every 10 rounds bounds
+    previous round unpersisted (checkpointed rounds keep their blocks —
+    they ARE the checkpoint), ``localCheckpoint`` every 10 rounds bounds
     the chain (the reference's recalcRate rhythm, algorithms.py:117).
-    X converts Row->numpy ONCE at block build; rounds touch only numpy.
+    X converts Arrow->numpy ONCE at block build (vectorized buffer reshape,
+    no per-row Python); rounds touch only numpy.
     """
     regularizer = Regularizer.get(regularizer)
     p = kernels.infer_p(df, features_col)
 
-    fcol, lcol = features_col, label_col
     fam = family
     sc = df.sparkSession.sparkContext
 
-    def build_block(pid, rows):
-        feats, ys = [], []
-        for r in rows:
-            feats.append(r[fcol])
-            ys.append(r[lcol])
-        if not feats:
-            return iter(())
-        X = np.asarray(feats, dtype=np.float64)
-        y = np.asarray(ys, dtype=np.float64)
-        # state: (pid, X, y, beta_i, u_i, beta_hat_i or None)
-        return iter([(pid, X, y, np.ones(p), np.zeros(p), None)])
+    # Block build (VERDICT r2 #3): one Arrow pass converts each partition
+    # to a single (pid, X-bytes, y-bytes) row — column batches flatten to
+    # numpy via zero-copy buffer views, never a per-row Python loop over
+    # pickled Rows. The tiny one-row-per-partition DataFrame then crosses
+    # to the RDD layer, where np.frombuffer restores the blocks.
+    def build_block_arrow(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
 
-    blocks = df.rdd.mapPartitionsWithIndex(build_block, preservesPartitioning=True)
+        pid = TaskContext.get().partitionId()
+        Xs, ys = [], []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            feats = batch.column(0)
+            flat = feats.flatten()  # list<double> -> values array
+            Xs.append(flat.to_numpy(zero_copy_only=False).reshape(-1, p))
+            ys.append(batch.column(1).to_numpy(zero_copy_only=False))
+        if not Xs:
+            return
+        X = np.ascontiguousarray(np.concatenate(Xs))
+        y = np.ascontiguousarray(np.concatenate(ys))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid], type=pa.int64()),
+                pa.array([X.tobytes()], type=pa.large_binary()),
+                pa.array([y.tobytes()], type=pa.large_binary()),
+            ],
+            names=["pid", "xb", "yb"],
+        )
+
+    packed = df.select(
+        df[features_col].cast("array<double>"), df[label_col].cast("double")
+    ).mapInArrow(build_block_arrow, schema="pid long, xb binary, yb binary")
+
+    def unpack(row):
+        X = np.frombuffer(row.xb, dtype=np.float64).reshape(-1, p)
+        y = np.frombuffer(row.yb, dtype=np.float64)
+        # state: (pid, X, y, beta_i, u_i, beta_hat_i or None)
+        return (row.pid, X, y, np.ones(p), np.zeros(p), None)
+
+    blocks = packed.rdd.map(unpack, preservesPartitioning=True)
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     nchunks = blocks.count()  # empty partitions contribute no block
     if nchunks == 0:
@@ -493,18 +523,23 @@ def admm(
         return run
 
     prev = blocks
+    prev_ckpt = False
     for it in range(max_iter):
         z_bc = sc.broadcast(z)
         nxt = prev.map(make_round(z_bc, first=(it == 0)), preservesPartitioning=True)
-        if (it + 1) % 10 == 0:
+        nxt_ckpt = (it + 1) % 10 == 0
+        if nxt_ckpt:
             nxt.localCheckpoint()
         else:
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         # one action per round: ship back (pid, beta_i, beta_hat_i + u_i)
         stats = nxt.map(lambda b: (b[0], b[3], b[5] + b[4])).collect()
-        if prev is not blocks:
+        # ADVICE r2: never unpersist a localCheckpoint'd round — its blocks
+        # ARE the checkpoint (lineage is truncated; dropping them would make
+        # any later recompute fail with missing checkpoint blocks).
+        if prev is not blocks and not prev_ckpt:
             prev.unpersist(False)
-        prev = nxt
+        prev, prev_ckpt = nxt, nxt_ckpt
         z_bc.unpersist(False)
 
         stats.sort(key=lambda t: t[0])  # deterministic reduction order
@@ -529,7 +564,7 @@ def admm(
             break
 
     blocks.unpersist(False)
-    if prev is not blocks:
+    if prev is not blocks and not prev_ckpt:
         prev.unpersist(False)
     return z
 

@@ -44,6 +44,44 @@ def test_exact_dedup_and_stats(spark, corpus):
     assert 0 in kept and 2 not in kept
 
 
+def test_exact_dedup_survivors_are_real_rows(spark):
+    """VERDICT r2 #2: the survivor must be a whole input row, never a
+    per-column min that stitches values from different duplicates."""
+    rows = [
+        (2, "x", "same text"),
+        (1, "y", "same text"),  # min doc_id carries source 'y', not 'x'
+        (9, "z", "other text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in D.exact_dedup(df, ["text"], order_col="doc_id").collect()}
+    assert set(out) == {1, 9}
+    assert out[1]["source"] == "y"  # whole row of doc 1, not min(source)='x'
+
+    # default ordering (no order_col): lexicographically-smallest whole row
+    out2 = {r["doc_id"]: r["source"] for r in D.exact_dedup(df, ["text"]).collect()}
+    assert out2[1] == "y"
+
+
+def test_lsh_bucket_stats_and_dropped_logging(spark, corpus, caplog):
+    import logging
+
+    # tiny max_bucket makes every multi-doc bucket "degenerate"
+    stats = D.lsh_bucket_stats(corpus, max_bucket=1).first()
+    assert stats["n_buckets"] > 0
+    assert stats["n_dropped_buckets"] > 0  # docs 0 and 2 share all bands
+    assert stats["n_dropped_rows"] >= 2 * stats["n_dropped_buckets"]
+    # dropped buckets produce no pairs...
+    assert D.lsh_candidates(corpus, max_bucket=1).count() == 0
+    # ...and the drop is logged when asked
+    with caplog.at_level(logging.WARNING, logger="dask_glm_spark.operators.dedup"):
+        D.lsh_candidates(corpus, max_bucket=1, log_dropped=True).count()
+    assert any("oversized buckets" in r.message for r in caplog.records)
+
+    # sane corpus: nothing dropped at the default guard
+    ok = D.lsh_bucket_stats(corpus).first()
+    assert ok["n_dropped_buckets"] == 0 and ok["n_dropped_rows"] == 0
+
+
 def test_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     sh = df.select(D.shingles_expr("text").alias("s")).first()["s"]

@@ -61,10 +61,15 @@ def test_lsh_candidates_bounded_shuffles(spark):
 
     docs = load_table(spark, SF, "documents")
     cands = D.lsh_candidates(docs)
-    # band-key groupBy + pair distinct; anything more means a regression
-    assert audit.count_exchanges(cands) <= 3
+    # band-key groupBy + self-join + pair distinct; anything more means a
+    # regression
+    assert audit.count_exchanges(cands) <= 5
     plan = audit.explain_str(cands, "simple")
     assert "CartesianProduct" not in plan
+    # VERDICT r2 #1: pairs must come from an AQE-splittable band-key JOIN,
+    # never a collect_list bucket row exploded in a single task
+    assert "collect_list" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
 def test_text_ops_are_narrow(spark):
