@@ -399,6 +399,26 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
 ) t WHERE rn = 1 ORDER BY doc_id""",
     "q29_sessions": _SESSIONS_SQL,
     "q30_simhash_pairs": _simhash_pairs_oracle_sql(3),
+    # full dense TF-IDF grid (doc x bucket, zeros included) so the oracle
+    # re-derives N, df(b), and the ln scaling independently
+    "q31_tfidf": f"""WITH tf AS (
+  SELECT doc_id, {_duck_polyhash("tok")} % 64 AS bucket, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+dfreq AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS dfb FROM tf GROUP BY bucket),
+grid AS (
+  SELECT g.doc_id, b.i AS bucket FROM (SELECT DISTINCT doc_id FROM tf) g,
+  generate_series(0, 63) b(i)
+)
+SELECT grid.doc_id, CAST(grid.bucket AS BIGINT) AS bucket,
+  CAST(round(coalesce(tf.tf, 0.0) * ln((n.n_docs + 1.0) / (coalesce(dfreq.dfb, 0.0) + 1.0)), 6) AS DOUBLE) AS tfidf
+FROM grid
+CROSS JOIN n
+LEFT JOIN tf ON tf.doc_id = grid.doc_id AND tf.bucket = grid.bucket
+LEFT JOIN dfreq ON dfreq.bucket = grid.bucket
+ORDER BY 1, 2""",
 }
 
 
@@ -601,6 +621,25 @@ def _pq_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _pq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.tfidf_features(docs, num_features=64)
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("bucket", "v"))
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round("v", 6).cast("double").alias("tfidf"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_token_stats": _pq_token_stats,
     "q17_langid": _pq_langid,
@@ -617,6 +656,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_exact_dedup_survivors": _pq_exact_dedup_survivors,
     "q29_sessions": _pq_sessions,
     "q30_simhash_pairs": _pq_simhash_pairs,
+    "q31_tfidf": _pq_tfidf,
 }
 
 

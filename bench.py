@@ -83,9 +83,45 @@ def main() -> int:
     # -- declared queries (kernel + pipeline surfaces) ---------------------
     import __spark_entry__ as e
 
+    # Queries whose full result is large at bench SF (q30 emits millions of
+    # pairs on the near-dup-heavy synthetic corpus): materialize fully on
+    # executors via the noop sink instead of collecting to the driver — the
+    # timing measures the plan, not driver-side pickle.
+    noop_materialize = {"q30_simhash_pairs"}
     qs = e.queries()
+
+    def run_query(name: str) -> None:
+        df_q = qs[name](spark, sf_dir)
+        if name in noop_materialize:
+            df_q.write.format("noop").mode("overwrite").save()
+        else:
+            df_q.collect()
+
     for name in sorted(qs):
-        timed(name, lambda name=name: qs[name](spark, sf_dir).collect())
+        timed(name, lambda name=name: run_query(name))
+
+    # -- regression diff vs the latest recorded round (stderr only) --------
+    try:
+        import glob
+
+        prior_files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        prev = {}
+        for pf in reversed(prior_files):
+            with open(pf) as fh:
+                parsed = (json.load(fh) or {}).get("parsed") or {}
+            if parsed.get("queries"):
+                prev = parsed["queries"]
+                print(f"-- diff vs {os.path.basename(pf)} --", file=sys.stderr)
+                break
+        for name in sorted(timings):
+            now = timings[name]
+            was = prev.get(name)
+            if was and was > 0 and now > 0:
+                print(f"{name:28s} {was:8.2f}s -> {now:8.2f}s  ({now / was:5.2f}x)", file=sys.stderr)
+            elif now > 0:
+                print(f"{name:28s}     new  -> {now:8.2f}s", file=sys.stderr)
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
 
     headline = timings.get("fit_admm_l2", -1.0)
     print(

@@ -139,8 +139,17 @@ class _GLM(BaseEstimator):
             self.coef_ = self._coef
         return self
 
+    _SPARSE_SOLVERS = {
+        "lbfgs": "lbfgs_sparse",
+        "proximal_grad": "proximal_grad_sparse",
+        "gradient_descent": "gradient_descent_sparse",
+    }
+
     def _fit_sparse(self, df: DataFrame, **extra):
-        """Wide-sparse (findices/fvalues) fit path — lbfgs only.
+        """Wide-sparse (findices/fvalues) fit path — lbfgs, proximal_grad,
+        and gradient_descent (the solvers whose iteration state is O(p);
+        admm needs dense partition blocks and newton a p x p Gram, both
+        wrong for wide-sparse p).
 
         fit_intercept is unsupported for sparse input, matching the
         reference's own xfailed sparse+intercept combination
@@ -150,22 +159,19 @@ class _GLM(BaseEstimator):
                 "fit_intercept with sparse features is unsupported "
                 "(reference xfail: tests/test_estimators.py:47-54)"
             )
-        if self.solver != "lbfgs":
+        if self.solver not in self._SPARSE_SOLVERS:
             raise NotImplementedError(
-                f"sparse features support solver='lbfgs', got {self.solver!r}"
+                "sparse features support solver in "
+                f"{sorted(self._SPARSE_SOLVERS)} (lbfgs recommended), got {self.solver!r}"
             )
         extra.pop("normalize", None)  # sparse path never standardizes
+        kw = {"max_iter": self.max_iter, "tol": self.tol}
+        if self.solver in ("lbfgs", "proximal_grad"):
+            kw.update(regularizer=self.regularizer, lamduh=self.lamduh)
+        kw.update(extra)
+        solver_fn = getattr(solvers, self._SPARSE_SOLVERS[self.solver])
         self._coef = np.asarray(
-            solvers.lbfgs_sparse(
-                df,
-                regularizer=self.regularizer,
-                lamduh=self.lamduh,
-                max_iter=self.max_iter,
-                tol=self.tol,
-                family=self.family,
-                label_col=self.label_col,
-                **extra,
-            )
+            solver_fn(df, family=self.family, label_col=self.label_col, **kw)
         )
         self.coef_ = self._coef
         return self

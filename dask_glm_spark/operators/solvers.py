@@ -37,6 +37,7 @@ from dask_glm_spark.functions.regularizers import Regularizer
 
 PROBE_BATCH = 8  # line-search candidates evaluated per scan
 MAX_BACKTRACKS = 100  # reference: algorithms.py:71,478
+MIN_ADMM_BLOCK_ROWS = 100_000  # admm: amortize per-round task overhead
 
 
 def normalize(algo):
@@ -90,8 +91,7 @@ def normalize(algo):
 
 
 def _armijo_probe(
-    df,
-    family,
+    multi_loss,
     beta,
     step_dir,
     lf,
@@ -99,9 +99,6 @@ def _armijo_probe(
     steplen,
     armijo_mult,
     backtrack_mult,
-    features_col,
-    label_col,
-    path,
 ):
     """Backtracking Armijo line search (``algorithms.py:27-86``), with the
     sequential candidate schedule evaluated in batched single-scan probes.
@@ -109,7 +106,8 @@ def _armijo_probe(
     Candidates ``s_i = step_size * backtrack_mult**i`` are exactly the
     reference's sequence; evaluating PROBE_BATCH of them per scan keeps the
     accept decision identical (first ``i`` meeting the Armijo test wins)
-    while cutting jobs ~8x.
+    while cutting jobs ~8x. ``multi_loss(candidates) -> losses`` is the
+    one-scan probe kernel — dense or sparse, the control flow is identical.
     """
     func = lf
     for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
@@ -126,21 +124,96 @@ def _armijo_probe(
             cand = beta - s * step_dir
             if (base + idx) > 0 and np.array_equal(cand, beta):
                 if candidates:
-                    losses = kernels.multi_loss(
-                        df, family, candidates, features_col, label_col, path
-                    )
+                    losses = multi_loss(candidates)
                     for s2, fval in zip(kept_sizes, losses):
                         if lf - fval >= armijo_mult * s2 * steplen:
                             return s2, fval
                 return 0.0, func
             candidates.append(cand)
             kept_sizes.append(s)
-        losses = kernels.multi_loss(df, family, candidates, features_col, label_col, path)
+        losses = multi_loss(candidates)
         for s2, fval in zip(kept_sizes, losses):
             func = fval
             if lf - fval >= armijo_mult * s2 * steplen:
                 return s2, fval
     return kept_sizes[-1], func
+
+
+def _gd_loop(loss_grad, multi_loss, p, max_iter, tol):
+    """Gradient-descent control flow shared by the dense and sparse paths:
+    ``loss_grad(beta) -> (f, grad)`` is one fused scan; ``multi_loss`` is
+    the batched Armijo probe kernel."""
+    first_backtrack, next_backtrack = 0.1, 0.5
+    armijo_mult, step_growth = 0.1, 1.25
+    step_size = 1.0
+    backtrack_mult = first_backtrack
+    beta = np.zeros(p)
+
+    for _ in range(max_iter):
+        func, grad = loss_grad(beta)
+        steplen = float(np.sum(grad**2))
+        lf = func
+        step_size, func = _armijo_probe(
+            multi_loss, beta, grad, lf, step_size, steplen,
+            armijo_mult, backtrack_mult,
+        )
+        beta = beta - step_size * grad
+        if step_size == 0:
+            break
+        df_rel = (lf - func) / max(func, lf)
+        if df_rel < tol:
+            break
+        step_size *= step_growth
+        backtrack_mult = next_backtrack
+    return beta
+
+
+def _prox_loop(loss_grad, multi_loss, p, regularizer, lamduh, max_iter, tol):
+    """Proximal-gradient / ISTA control flow shared by the dense and sparse
+    paths (``algorithms.py:422-505``): per outer iteration one fused
+    loss+gradient scan, then batched probe scans where each candidate is
+    ``prox(beta - s*grad, s*lamduh)`` and acceptance is simple decrease
+    (``df > 0``, :489-491)."""
+    first_backtrack, next_backtrack = 0.1, 0.5
+    step_growth = 1.25
+    step_size = 1.0
+    backtrack_mult = first_backtrack
+    beta = np.zeros(p)
+    regularizer = Regularizer.get(regularizer)
+
+    for _ in range(max_iter):
+        func, grad = loss_grad(beta)
+        obeta = beta
+        lf = func
+        accepted = False
+        for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
+            sizes = [
+                step_size * backtrack_mult**i
+                for i in range(base, min(base + PROBE_BATCH, MAX_BACKTRACKS))
+            ]
+            cands = [
+                regularizer.proximal_operator(obeta - s * grad, s * lamduh)
+                for s in sizes
+            ]
+            losses = multi_loss(cands)
+            for s, cand, fval in zip(sizes, cands, losses):
+                beta, func = cand, fval
+                if lf - fval > 0:
+                    step_size = s
+                    accepted = True
+                    break
+            if accepted:
+                break
+        else:
+            step_size = sizes[-1]
+        if step_size == 0:
+            break
+        df_rel = (lf - func) / max(func, lf)
+        if df_rel < tol:
+            break
+        step_size *= step_growth
+        backtrack_mult = next_backtrack
+    return beta
 
 
 @normalize
@@ -161,31 +234,15 @@ def gradient_descent(
     the xb subexpression — O4) plus batched line-search probes.
     """
     p = kernels.infer_p(df, features_col)
-    first_backtrack, next_backtrack = 0.1, 0.5
-    armijo_mult, step_growth = 0.1, 1.25
-    step_size = 1.0
-    backtrack_mult = first_backtrack
-    beta = np.zeros(p)
-
-    for _ in range(max_iter):
-        func, grad = kernels.loss_gradient(
+    return _gd_loop(
+        lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path
-        )
-        steplen = float(np.sum(grad**2))
-        lf = func
-        step_size, func = _armijo_probe(
-            df, family, beta, grad, lf, step_size, steplen,
-            armijo_mult, backtrack_mult, features_col, label_col, path,
-        )
-        beta = beta - step_size * grad
-        if step_size == 0:
-            break
-        df_rel = (lf - func) / max(func, lf)
-        if df_rel < tol:
-            break
-        step_size *= step_growth
-        backtrack_mult = next_backtrack
-    return beta
+        ),
+        lambda cands: kernels.multi_loss(
+            df, family, cands, features_col, label_col, path
+        ),
+        p, max_iter, tol,
+    )
 
 
 @normalize
@@ -285,49 +342,15 @@ def proximal_grad(
     scans where each candidate is ``prox(beta - s*grad, s*lamduh)`` and
     acceptance is simple decrease (``df > 0``, :489-491)."""
     p = kernels.infer_p(df, features_col)
-    first_backtrack, next_backtrack = 0.1, 0.5
-    step_growth = 1.25
-    step_size = 1.0
-    backtrack_mult = first_backtrack
-    beta = np.zeros(p)
-    regularizer = Regularizer.get(regularizer)
-
-    for _ in range(max_iter):
-        func, grad = kernels.loss_gradient(
+    return _prox_loop(
+        lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path
-        )
-        obeta = beta
-        lf = func
-        accepted = False
-        df_rel = 0.0
-        for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
-            sizes = [
-                step_size * backtrack_mult**i
-                for i in range(base, min(base + PROBE_BATCH, MAX_BACKTRACKS))
-            ]
-            cands = [
-                regularizer.proximal_operator(obeta - s * grad, s * lamduh)
-                for s in sizes
-            ]
-            losses = kernels.multi_loss(df, family, cands, features_col, label_col, path)
-            for s, cand, fval in zip(sizes, cands, losses):
-                beta, func = cand, fval
-                if lf - fval > 0:
-                    step_size = s
-                    accepted = True
-                    break
-            if accepted:
-                break
-        else:
-            step_size = sizes[-1]
-        if step_size == 0:
-            break
-        df_rel = (lf - func) / max(func, lf)
-        if df_rel < tol:
-            break
-        step_size *= step_growth
-        backtrack_mult = next_backtrack
-    return beta
+        ),
+        lambda cands: kernels.multi_loss(
+            df, family, cands, features_col, label_col, path
+        ),
+        p, regularizer, lamduh, max_iter, tol,
+    )
 
 
 def lbfgs_sparse(
@@ -389,6 +412,88 @@ def lbfgs_sparse(
             df.unpersist()
 
 
+def _run_sparse(df, idx_col, p, body):
+    """Persist-if-needed wrapper shared by the sparse solvers: caches the
+    (indices, values, label) frame for the iteration scans, resolves p, and
+    runs ``body(df, p)``."""
+    from dask_glm_spark.sources.vectors import sparse_p
+
+    we_persisted = False
+    if not df.is_cached:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    try:
+        return body(df, p or sparse_p(df, idx_col))
+    finally:
+        if we_persisted:
+            df.unpersist()
+
+
+def gradient_descent_sparse(
+    df: DataFrame,
+    max_iter: int = 100,
+    tol: float = 1e-14,
+    family=Logistic,
+    p: int | None = None,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    **kwargs,
+):
+    """Batch GD over wide-sparse ``(indices, values)`` features: the exact
+    ``_gd_loop`` control flow of the dense solver, with O(nnz) scan kernels
+    and O(p) bytes leaving each executor. No ``@normalize`` — same rationale
+    as ``lbfgs_sparse`` (standardizing one-hot columns densifies them;
+    reference auto-disables it, ``dask_glm/estimators.py:82-83``)."""
+    from dask_glm_spark.functions import kernels_sparse
+
+    return _run_sparse(
+        df, idx_col, p,
+        lambda dfc, pp: _gd_loop(
+            lambda beta: kernels_sparse.loss_gradient_sparse(
+                dfc, family, beta, pp, idx_col, val_col, label_col
+            ),
+            lambda cands: kernels_sparse.multi_loss_sparse(
+                dfc, family, cands, pp, idx_col, val_col, label_col
+            ),
+            pp, max_iter, tol,
+        ),
+    )
+
+
+def proximal_grad_sparse(
+    df: DataFrame,
+    regularizer="l1",
+    lamduh: float = 0.1,
+    family=Logistic,
+    max_iter: int = 100,
+    tol: float = 1e-8,
+    p: int | None = None,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    **kwargs,
+):
+    """Proximal gradient over wide-sparse features — L1 on hashed text is
+    the canonical sparse GLM workload (reference runs every solver on
+    sparse inputs, ``dask_glm/tests/test_estimators.py:57-135``). Same
+    ``_prox_loop`` control flow as the dense solver with O(nnz) kernels."""
+    from dask_glm_spark.functions import kernels_sparse
+
+    return _run_sparse(
+        df, idx_col, p,
+        lambda dfc, pp: _prox_loop(
+            lambda beta: kernels_sparse.loss_gradient_sparse(
+                dfc, family, beta, pp, idx_col, val_col, label_col
+            ),
+            lambda cands: kernels_sparse.multi_loss_sparse(
+                dfc, family, cands, pp, idx_col, val_col, label_col
+            ),
+            pp, regularizer, lamduh, max_iter, tol,
+        ),
+    )
+
+
 def _admm_local_update(X, y, beta, z, u, rho, family, solver=None):
     """Single-partition augmented-Lagrangian solve (``algorithms.py:339-348``,
     objective augmentation :263-283). Pure numpy — runs inside the Arrow
@@ -425,10 +530,23 @@ def admm(
     family=Logistic,
     features_col: str = "features",
     label_col: str = "label",
+    nblocks: int | None = None,
     **kwargs,
 ):
     """Consensus ADMM (``algorithms.py:224-336``) with executor-resident
     per-partition state.
+
+    ``nblocks`` controls the consensus block count (the reference's dask
+    chunk count). Default: ``min(sc.defaultParallelism, rows // 100k)``
+    (at least 1) — a raw parquet scan can arrive as a handful of
+    file-splits (or ONE, on a single-file table), which would serialize
+    the entire fit into one task; conversely, blocks much under ~100k rows
+    make the per-round task/serialization overhead dominate the local
+    solves (measured: 32 tiny blocks are ~40% slower than 6 right-sized
+    ones at 600k rows). At cluster scale rows/100k >> cores, so the
+    default degenerates to one block per core — exactly what consensus
+    ADMM wants. Pass ``nblocks=0`` to keep the input partitioning
+    (pre-partitioned pipelines), or an explicit count.
 
     Scale design (VERDICT r1 #8 hardening): round 1 materializes each
     partition as a cached numpy block ``(pid, X, y, beta_i, u_i,
@@ -458,6 +576,15 @@ def admm(
 
     fam = family
     sc = df.sparkSession.sparkContext
+
+    if nblocks is None:
+        # df is persisted by @normalize, so this count is a cached scan
+        n_rows = df.count()
+        nblocks = max(1, min(sc.defaultParallelism, n_rows // MIN_ADMM_BLOCK_ROWS))
+    if nblocks and df.rdd.getNumPartitions() != nblocks:
+        # one-time round-robin rebalance (~bytes of X once); every round
+        # after this is compute-parallel across all nblocks cores
+        df = df.repartition(nblocks)
 
     # Block build (VERDICT r2 #3): one Arrow pass converts each partition
     # to a single (pid, X-bytes, y-bytes) row — column batches flatten to

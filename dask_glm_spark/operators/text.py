@@ -187,9 +187,20 @@ def tfidf_features(
     The doc-frequency table is exactly ``num_features`` rows — broadcast to
     every executor, so the idf join is shuffle-free regardless of corpus
     size. The only shuffle in the whole pipeline is the per-doc TF groupBy.
+
+    The raw corpus is scanned exactly ONCE: the TF aggregate is persisted,
+    and N is its row count (docs with >= 1 token — token-less docs carry no
+    TF mass, so excluding them from N is the self-consistent definition),
+    so neither the doc count nor the doc-frequency pass re-reads ``df``.
+    The cache also serves the returned lazy projection and is left to
+    Spark's LRU.
     """
-    n_docs = df.count()
-    tf = hashing_tf(df, text_col, id_col, num_features)
+    from pyspark import StorageLevel
+
+    tf = hashing_tf(df, text_col, id_col, num_features).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_docs = tf.count()
     dfreq = (
         tf.select(F.posexplode("features").alias("bucket", "tf"))
         .where(F.col("tf") > 0)

@@ -72,7 +72,14 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             start = last = n = 0
             sv = 0.0
         closed: list[tuple[int, int, int, int, float]] = []
-        for pdf in pdfs:
+        # ADVICE r2: a large group's microbatch can arrive as MULTIPLE
+        # chunks with no global ts order across them — sorting each chunk
+        # independently would let an out-of-order event split a session.
+        # Concatenate the batch's chunks for this key and sort ONCE; only
+        # this batch's rows are buffered (state stays 4 scalars per key).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values("ts")
             for ts, value in zip(
                 pdf["ts"].astype("int64") // 1000,  # ns -> us

@@ -1,0 +1,22 @@
+"""The runnable example doubles as an integration test (the reference's
+docs/examples notebooks play the same role for dask-glm)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+
+def test_end_to_end_example(tmp_path):
+    spec = importlib.util.spec_from_file_location(
+        "end_to_end",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "end_to_end.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    coef, acc = mod.main("/root/testdata/sf0.001", str(tmp_path))
+    assert len(coef) == 4
+    assert 0.5 <= acc <= 1.0
+    out = os.path.join(str(tmp_path), "predictions")
+    assert any("bucket=" in d for d in os.listdir(out))

@@ -100,6 +100,27 @@ def test_lbfgs_sparse_matches_dense_fit(dense_df, sparse_df):
     np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-5, atol=1e-6)
 
 
+def test_proximal_grad_sparse_matches_dense_fit(dense_df, sparse_df):
+    """VERDICT r2 #4: L1 prox-grad on sparse features — the canonical
+    hashed-text workload — must agree with the dense solver exactly (same
+    control flow, different kernels)."""
+    kw = dict(regularizer="l1", lamduh=0.01, max_iter=40, fit_intercept=False)
+    dense_lr = LogisticRegression(solver="proximal_grad", **kw).fit(
+        dense_df, normalize=False
+    )
+    sparse_lr = LogisticRegression(solver="proximal_grad", **kw).fit(sparse_df, p=P)
+    np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-8, atol=1e-10)
+
+
+def test_gradient_descent_sparse_matches_dense_fit(dense_df, sparse_df):
+    kw = dict(max_iter=25, fit_intercept=False)
+    dense_lr = LogisticRegression(solver="gradient_descent", **kw).fit(
+        dense_df, normalize=False
+    )
+    sparse_lr = LogisticRegression(solver="gradient_descent", **kw).fit(sparse_df, p=P)
+    np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-8, atol=1e-10)
+
+
 def test_sparse_intercept_raises(sparse_df):
     with pytest.raises(NotImplementedError, match="fit_intercept"):
         LogisticRegression(solver="lbfgs", fit_intercept=True).fit(sparse_df)
