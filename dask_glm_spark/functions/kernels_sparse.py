@@ -47,6 +47,50 @@ def _batch_csr(pdf: pd.DataFrame, idx_col: str, val_col: str):
     return flat_idx, flat_val, row_ids, len(lens)
 
 
+class CSRMatrix:
+    """Minimal scipy-free sparse row matrix for executor-local solves.
+
+    Duck-types the two numpy operations the family math uses
+    (``X.dot(v)`` and ``X.T.dot(r)`` — families.py ``pointwise_loss`` /
+    ``pointwise_gradient``), both as O(nnz) bincount scatter-adds, so the
+    ADMM local update runs unchanged on sparse blocks. Stored as
+    COO-with-row-ids (three flat arrays) — 24 bytes/nnz, never densified.
+    """
+
+    __slots__ = ("indices", "values", "row_ids", "shape")
+
+    def __init__(self, indices, values, row_ids, shape):
+        self.indices = indices
+        self.values = values
+        self.row_ids = row_ids
+        self.shape = shape
+
+    def dot(self, v):
+        v = np.ravel(v)
+        return np.bincount(
+            self.row_ids, weights=self.values * v[self.indices], minlength=self.shape[0]
+        )
+
+    @property
+    def T(self):
+        return _CSRTranspose(self)
+
+
+class _CSRTranspose:
+    __slots__ = ("m",)
+
+    def __init__(self, m: CSRMatrix):
+        self.m = m
+
+    def dot(self, r):
+        r = np.ravel(r)
+        return np.bincount(
+            self.m.indices,
+            weights=r[self.m.row_ids] * self.m.values,
+            minlength=self.m.shape[1],
+        )
+
+
 def loss_gradient_sparse(
     df: DataFrame,
     family,

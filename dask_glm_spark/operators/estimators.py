@@ -143,13 +143,13 @@ class _GLM(BaseEstimator):
         "lbfgs": "lbfgs_sparse",
         "proximal_grad": "proximal_grad_sparse",
         "gradient_descent": "gradient_descent_sparse",
+        "admm": "admm_sparse",
     }
 
     def _fit_sparse(self, df: DataFrame, **extra):
-        """Wide-sparse (findices/fvalues) fit path — lbfgs, proximal_grad,
-        and gradient_descent (the solvers whose iteration state is O(p);
-        admm needs dense partition blocks and newton a p x p Gram, both
-        wrong for wide-sparse p).
+        """Wide-sparse (findices/fvalues) fit path — every solver except
+        newton (whose p x p Gram is wrong for wide-sparse p). ADMM blocks
+        are scipy-free CSR (kernels_sparse.CSRMatrix), never densified.
 
         fit_intercept is unsupported for sparse input, matching the
         reference's own xfailed sparse+intercept combination
@@ -165,9 +165,16 @@ class _GLM(BaseEstimator):
                 f"{sorted(self._SPARSE_SOLVERS)} (lbfgs recommended), got {self.solver!r}"
             )
         extra.pop("normalize", None)  # sparse path never standardizes
-        kw = {"max_iter": self.max_iter, "tol": self.tol}
-        if self.solver in ("lbfgs", "proximal_grad"):
-            kw.update(regularizer=self.regularizer, lamduh=self.lamduh)
+        kw = {"max_iter": self.max_iter}
+        if self.solver == "admm":
+            kw.update(
+                regularizer=self.regularizer, lamduh=self.lamduh, rho=self.rho,
+                over_relax=self.over_relax, abstol=self.abstol, reltol=self.reltol,
+            )
+        else:
+            kw["tol"] = self.tol
+            if self.solver in ("lbfgs", "proximal_grad"):
+                kw.update(regularizer=self.regularizer, lamduh=self.lamduh)
         kw.update(extra)
         solver_fn = getattr(solvers, self._SPARSE_SOLVERS[self.solver])
         self._coef = np.asarray(

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Beyond-reference surface (SURVEY.md §7 step 10). Two-tier design:
+Beyond-reference surface (SURVEY.md §7 step 10). Three-tier design:
 
 - **Brute-force cosine top-k** — the correctness baseline. The query side
   is explicitly ``F.broadcast``: a handful of query vectors against the
@@ -12,6 +12,11 @@ Beyond-reference surface (SURVEY.md §7 step 10). Two-tier design:
   seeded, folded into the plan as literals); queries probe only their own
   bucket (optionally Hamming-1 neighbors), so candidate count per query is
   ~n / 2^planes instead of n. Recall is tested in tests/test_similarity.py.
+- **IVF-flat ANN** — the data-adaptive alternative: a coarse k-means
+  quantizer (trained on a bounded driver sample) partitions the corpus
+  into cells via one narrow argmax map; queries probe their ``nprobe``
+  nearest cells. Better than data-blind hyperplanes when the corpus is
+  clustered (real embedding corpora are).
 
 Cosine is computed with built-in ``zip_with``/``aggregate`` (JVM, codegen)
 — no Python UDFs. Vectors are cast float->double before the dot product so
@@ -153,6 +158,129 @@ def lsh_ann_topk(
     q = F.broadcast(qb)
     scored = (
         c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probe-nearest-cells
+# ---------------------------------------------------------------------------
+IVF_SEED = 4242
+IVF_SAMPLE_ROWS = 4096
+
+
+def _kmeans_np(X: np.ndarray, k: int, iters: int = 10, seed: int = IVF_SEED) -> np.ndarray:
+    """Tiny Lloyd's k-means on a driver-side sample (coarse quantizer
+    training — the classic IVF recipe: centroids come from a sample, the
+    full corpus is only ever *assigned*, never iterated over)."""
+    rng = np.random.RandomState(seed)
+    X = np.asarray(X, dtype=np.float64)
+    cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        # (n, k) squared distances via ||x||² - 2x·c + ||c||²
+        d = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * X @ cent.T
+            + (cent * cent).sum(1)[None, :]
+        )
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            members = X[assign == j]
+            if len(members):
+                cent[j] = members.mean(0)
+    return cent
+
+
+def _centroid_sims_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """Array of <v, c_j> - ||c_j||²/2 per centroid — argmax of this is the
+    nearest centroid in L2 (||v||² is constant per row, so it drops out).
+    Centroid coefficients fold into the plan as literals (P8)."""
+    vd = vec.cast("array<double>")
+    sims = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        sims.append(dot_expr(vd, lit) - F.lit(float(0.5 * np.dot(c, c))))
+    return F.array(*sims)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = IVF_SEED,
+) -> np.ndarray:
+    """Coarse quantizer from a bounded driver-side sample (at 100 TB the
+    sample is still IVF_SAMPLE_ROWS rows — training cost is corpus-size
+    independent; only the narrow assignment map touches every row)."""
+    sample = [
+        r[0]
+        for r in corpus.select(F.col(vec_col).cast("array<double>"))
+        .limit(IVF_SAMPLE_ROWS)
+        .collect()
+    ]
+    return _kmeans_np(np.asarray(sample), n_centroids, seed=seed)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index (IVF-flat).
+
+    Corpus rows are assigned to their nearest coarse centroid (ONE narrow
+    argmax map, centroids as codegen literals — no shuffle, no Python);
+    each query probes its ``nprobe`` nearest cells, so scored candidates
+    are ~(nprobe / n_centroids) of the corpus instead of all of it. The
+    cell join is a broadcast hash join on the cell id (query side is small
+    and exploded ``nprobe``x); the only wide op is the final per-query
+    top-k window over candidates.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, vec_col)
+
+    sims = _centroid_sims_expr(F.col(vec_col), centroids)
+    # nearest cell: 1-based position of the max similarity
+    cell = F.array_position(sims, F.array_max(sims)).cast("long")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        cell.alias("cell"),
+    )
+    # query side: nprobe best cells via sort of (sim, idx) structs
+    idx = F.sequence(F.lit(1), F.lit(len(centroids)))
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        )
+    )
+    probes = F.transform(
+        F.slice(ranked, 1, nprobe), lambda st: st["i"].cast("long")
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probes).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(qb), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

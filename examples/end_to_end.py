@@ -17,8 +17,11 @@ Asserted in CI: tests/test_example.py (must finish in well under 60 s).
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F

@@ -85,6 +85,44 @@ def test_lsh_ann_recall(spark, emb_df, vectors):
     assert np.mean(recalls) >= 0.5
 
 
+def test_ivf_ann_recall(spark, emb_df, vectors):
+    """IVF with nprobe=3 of 12 cells must recover most true neighbors on
+    clustered data (the quantizer cells track the planted centers)."""
+    k = 5
+    queries = emb_df.where(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb_df, queries, k=k).collect()
+    approx = S.ivf_ann_topk(emb_df, queries, k=k, n_centroids=12, nprobe=3).collect()
+    truth: dict[int, set] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    found: dict[int, set] = {}
+    for r in approx:
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[q] & found.get(q, set())) / k for q in truth]
+    assert np.mean(recalls) >= 0.6
+
+
+def test_ivf_assignment_is_narrow_and_broadcast(spark, emb_df):
+    """Plan shape: corpus-side cell assignment adds no shuffle; the probe
+    join broadcasts the query side."""
+    from dask_glm_spark.plans import audit
+
+    queries = emb_df.where(F.col("vec_id") < 3)
+    topk = S.ivf_ann_topk(emb_df, queries, k=3, n_centroids=8, nprobe=2)
+    assert audit.has_broadcast(topk)
+    # shuffles: candidate distinct + top-k window (+ AQE variants), never a
+    # corpus-wide repartition for the assignment itself
+    assert audit.count_exchanges(topk) <= 3
+
+
+def test_kmeans_np_converges_on_clusters(vectors):
+    cent = S._kmeans_np(vectors.astype(np.float64), 12, iters=10)
+    assert cent.shape == (12, DIM)
+    # every training point should sit near some centroid
+    d = ((vectors[:, None, :] - cent[None, :, :]) ** 2).sum(-1).min(1)
+    assert float(np.median(d)) < 0.5 * DIM
+
+
 def test_lsh_planted_neardup_same_bucket(spark, emb_df):
     """A near-identical vector pair lands in the same LSH bucket and is
     returned by the near-dup operator."""

@@ -121,6 +121,32 @@ def test_gradient_descent_sparse_matches_dense_fit(dense_df, sparse_df):
     np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-8, atol=1e-10)
 
 
+def test_admm_sparse_matches_dense_fit(dense_df, sparse_df):
+    """ADMM on CSR blocks: identical consensus rounds to the dense path
+    (same block partitioning via nblocks=0 on the co-partitioned frames),
+    so coefficients must agree to float-reduction tolerance."""
+    kw = dict(regularizer="l2", lamduh=0.1, max_iter=20, fit_intercept=False)
+    dense_lr = LogisticRegression(solver="admm", **kw).fit(
+        dense_df, normalize=False, nblocks=0
+    )
+    sparse_lr = LogisticRegression(solver="admm", **kw).fit(
+        sparse_df, p=P, nblocks=0
+    )
+    np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-5, atol=1e-7)
+
+
+def test_csr_matrix_duck_type(sparse_data):
+    from dask_glm_spark.functions.kernels_sparse import CSRMatrix
+
+    X, y = sparse_data
+    nz = np.nonzero(X)
+    m = CSRMatrix(nz[1], X[nz], nz[0], X.shape)
+    v = np.linspace(-1, 1, P)
+    np.testing.assert_allclose(m.dot(v), X @ v, rtol=1e-12)
+    r = np.linspace(0, 1, N)
+    np.testing.assert_allclose(m.T.dot(r), X.T @ r, rtol=1e-12)
+
+
 def test_sparse_intercept_raises(sparse_df):
     with pytest.raises(NotImplementedError, match="fit_intercept"):
         LogisticRegression(solver="lbfgs", fit_intercept=True).fit(sparse_df)
