@@ -283,6 +283,39 @@ h AS (SELECT doc_id, list_transform(T, t -> {_duck_polyhash("t")}) AS hs FROM to
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h ORDER BY doc_id"""
 
 
+def _ngram_jaccard_oracle_sql(threshold: float = 0.5) -> str:
+    """Blocked (per-source) exact shingle-Jaccard pairs — the same shingle
+    definition the MinHash oracle uses, joined within the block column.
+    Scoped to two source blocks: the operator is the *exact* quadratic-per-
+    block baseline (the scale path is MinHash, q21), so the declared query
+    demonstrates correctness on bounded blocks rather than timing an
+    intentionally-quadratic scan of every block."""
+    from dask_glm_spark.operators.dedup import SHINGLE_K
+
+    k = SHINGLE_K
+    gram = "||' '||".join(f"T[i+{d}]" for d in range(k))
+    inter = "len(list_intersect(a.shingles, b.shingles))"
+    return f"""WITH toks AS (
+  SELECT doc_id, source, {_DUCK_TOKENS} AS T FROM documents
+  WHERE source IN ('src6', 'src7')
+),
+sh AS (
+  SELECT doc_id, source,
+    CASE WHEN len(T) >= {k}
+      THEN list_distinct(list_transform(generate_series(1, len(T)-{k - 1}), i -> {gram}))
+      ELSE [array_to_string(T, ' ')] END AS shingles
+  FROM toks
+),
+p AS (
+  SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
+    round({inter} * 1.0 /
+      (len(a.shingles) + len(b.shingles) - {inter}), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT blk, id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard FROM p
+WHERE jaccard >= {threshold} ORDER BY blk, id_a, id_b"""
+
+
 def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
     """Banded SimHash near-dup pairs: replicates the engine's pigeonhole
     banding (max_hamming+1 bands) AND the hamming verify, so the candidate
@@ -419,6 +452,12 @@ CROSS JOIN n
 LEFT JOIN tf ON tf.doc_id = grid.doc_id AND tf.bucket = grid.bucket
 LEFT JOIN dfreq ON dfreq.bucket = grid.bucket
 ORDER BY 1, 2""",
+    "q32_ngram_jaccard": _ngram_jaccard_oracle_sql(0.5),
+    # BPE-ish pre-tokenization count (letter runs / digit runs / single
+    # punctuation) — same regex in both engines
+    "q33_regex_tokens": r"""SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex_tokens
+FROM documents ORDER BY doc_id""",
 }
 
 
@@ -640,6 +679,33 @@ def _pq_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.sources.glm_source import load_table
+
+    # src6/src7: blocks that contain verified >= 0.5 pairs at both gate SFs
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src6", "src7")
+    )
+    pairs = D.ngram_jaccard_pairs(docs, "source", threshold=0.5)
+    return pairs.select(
+        "blk", "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
+    ).orderBy("blk", "id_a", "id_b")
+
+
+def _pq_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.regex_token_count_expr("text").cast("long").alias("n_regex_tokens"),
+    ).orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_token_stats": _pq_token_stats,
     "q17_langid": _pq_langid,
@@ -657,6 +723,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_sessions": _pq_sessions,
     "q30_simhash_pairs": _pq_simhash_pairs,
     "q31_tfidf": _pq_tfidf,
+    "q32_ngram_jaccard": _pq_ngram_jaccard,
+    "q33_regex_tokens": _pq_regex_tokens,
 }
 
 

@@ -43,9 +43,13 @@ def main() -> int:
             traceback.print_exc(file=sys.stderr)
             timings[name] = -1.0
 
-    # -- warm the JVM + page cache with one cheap count, not timed ---------
+    # -- warm-up, not timed: one cheap count (JVM + page cache) plus one
+    # tiny Arrow job so the Python worker pool spawns BEFORE the first
+    # timed fit — otherwise whichever solver runs first absorbs the whole
+    # one-time pool-spawn cost and the per-solver numbers aren't comparable
     df = load_glm_fast(spark, sf_dir)
     df.count()
+    spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
 
     # -- solver fits (the baseline-comparable numbers) ---------------------
     # Baseline parity config: fit_intercept=False, admm + l2 (BASELINE.md).

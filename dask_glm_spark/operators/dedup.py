@@ -411,18 +411,28 @@ def ngram_jaccard_pairs(
     a natural partition key (source, domain, date bucket) this is the
     simple exact alternative to MinHash: the join shuffles on the block
     key, and pair count is bounded by the largest block squared — the
-    caller owns keeping blocks small."""
+    caller owns keeping blocks small.
+
+    A size-ratio prefilter prunes pairs before the expensive set
+    intersection: Jaccard >= t requires min(|A|,|B|) >= t * max(|A|,|B|)
+    (|A∩B| <= min, |A∪B| >= max), and the sizes are two cheap ints carried
+    through the join — the standard size-filtering trick from set-
+    similarity joins."""
     sh = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
         F.array_distinct(shingles_expr(text_col, k)).alias("sh"),
-    )
-    a = sh.select("blk", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select("blk", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    ).withColumn("n", F.size("sh"))
+    a = sh.select("blk", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    b = sh.select("blk", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
+    if threshold > 0.0:
+        pairs = pairs.where(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b").cast("double")
+        )
     return (
-        a.join(b, ["blk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
+        pairs.select(
             "blk",
             "id_a",
             "id_b",

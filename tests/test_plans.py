@@ -72,6 +72,24 @@ def test_lsh_candidates_bounded_shuffles(spark):
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
+def test_tfidf_reads_cached_tf_not_corpus(spark):
+    """VERDICT r2 #6: the returned TF-IDF projection reads the persisted
+    TF aggregate — at most one parquet scan anywhere in its plan (the one
+    under the in-memory relation), never a second corpus scan for N."""
+    from dask_glm_spark.operators import text as T
+
+    docs = load_table(spark, SF, "documents")
+    out = T.tfidf_features(docs, num_features=16)
+    plan = audit.explain_str(out, "simple")
+    # the executed plan (everything above the InMemoryRelation, whose body
+    # is the *stored* build recipe, not executed work) must read the cache,
+    # never re-scan the corpus parquet
+    assert "InMemoryRelation" in plan
+    executed = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in executed
+    assert "FileScan" not in executed
+
+
 def test_text_ops_are_narrow(spark):
     from dask_glm_spark.operators import text as T
 
