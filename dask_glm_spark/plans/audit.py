@@ -25,11 +25,14 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    """Number of shuffle exchanges (excludes broadcast exchanges).
+
+    ``\\bExchange\\b`` alone is correct: ``BroadcastExchange`` and
+    ``ReusedExchange`` have no word boundary before "Exchange", so neither
+    matches. (An earlier version also subtracted the broadcast count — a
+    double-subtraction that went negative on broadcast-only plans.)"""
     plan = explain_str(df, "simple")
-    return len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"\bBroadcastExchange\b", plan)
-    )
+    return len(re.findall(r"\bExchange\b", plan))
 
 
 def has_broadcast(df: DataFrame) -> bool:
