@@ -140,6 +140,17 @@ def fingerprint_expr(text: Column | str) -> Column:
     return polyhash_expr(F.lower(c))
 
 
+def fingerprint_fast_expr(text: Column | str) -> Column:
+    """Production fast path: xxhash64 of the lowercased text — JVM-native
+    and whole-stage-codegen'd (the polyhash above walks chars through an
+    interpreted higher-order fold; fine for oracle parity, ~10x slower per
+    byte). NOT oracle-portable — DuckDB has no xxhash64 — so declared
+    queries use ``fingerprint_expr``; pipelines that only need a stable
+    dedup/join key should use this one."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(F.lower(c))
+
+
 # ---------------------------------------------------------------------------
 # Hashed TF / TF-IDF featurization -> GLM `features array<double>`
 # ---------------------------------------------------------------------------

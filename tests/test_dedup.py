@@ -62,6 +62,33 @@ def test_exact_dedup_survivors_are_real_rows(spark):
     assert out2[1] == "y"
 
 
+def test_exact_dedup_random_corpora_survivors_exist_in_input(spark):
+    """Invariant sweep over random corpora: every survivor is an input row
+    verbatim, one per distinct key."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        rows = [
+            (
+                i,
+                f"s{rng.randrange(3)}",
+                f"text {rng.randrange(6)}",  # forced collisions
+            )
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = [(r["doc_id"], r["source"], r["text"]) for r in D.exact_dedup(df, ["text"], order_col="doc_id").collect()]
+        assert len(out) == len({t for _, _, t in rows})
+        assert set(out) <= set(rows)  # whole rows only
+        # deterministic: min doc_id per text group
+        expect = {}
+        for i, s, t in rows:
+            if t not in expect or i < expect[t][0]:
+                expect[t] = (i, s, t)
+        assert set(out) == set(expect.values())
+
+
 def test_lsh_bucket_stats_and_dropped_logging(spark, corpus, caplog):
     import logging
 

@@ -140,3 +140,43 @@ def test_sessionize_stream_matches_batch(spark, events, tmp_path_factory):
         if last_per_user[r["user_id"]] is not r
     }
     assert got == expect
+
+
+def test_dedup_stream_first_arrival_wins(spark, tmp_path_factory):
+    """Streaming dedup keeps exactly one row per key within the watermark
+    delay; rows with distinct keys all survive."""
+    import datetime as dt
+
+    from dask_glm_spark.streaming.dedup import dedup_stream
+
+    d = str(tmp_path_factory.mktemp("dedup_stream"))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "a"),
+        (1, t0 + dt.timedelta(minutes=1), "a-dup"),       # dup of key 1 within delay
+        (2, t0 + dt.timedelta(minutes=2), "b"),
+        (2, t0 + dt.timedelta(minutes=3), "b-dup"),       # dup of key 2 within delay
+        (3, t0 + dt.timedelta(minutes=4), "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, payload string")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = dedup_stream(stream, ["k"], ts_col="ts", delay="30 minutes")
+    SC.run_stream_to_memory(out, "dedup_stream_test", mode="append")
+    got = spark.table("dedup_stream_test").collect()
+    assert sorted(r["k"] for r in got) == [1, 2, 3]
+
+
+def test_dedup_stream_matches_batch_exact_dedup_keys(spark, events, tmp_path_factory):
+    """On the real events table (event_type as the key): the streaming
+    dedup's key set equals the batch distinct key set."""
+    from dask_glm_spark.streaming.dedup import dedup_stream
+
+    stream = SC.stream_events(spark, SF_DIR)
+    out = dedup_stream(stream, ["event_type"], ts_col="ts", delay="10 hours")
+    SC.run_stream_to_memory(out, "dedup_stream_events_test", mode="append")
+    got = {r["event_type"] for r in spark.table("dedup_stream_events_test").collect()}
+    expect = {r["event_type"] for r in events.select("event_type").distinct().collect()}
+    assert got == expect

@@ -65,6 +65,15 @@ def test_fingerprint_case_insensitive(spark):
     assert a == b
 
 
+def test_fingerprint_fast_deterministic_and_case_insensitive(spark):
+    a = _one(spark, "Hello World", T.fingerprint_fast_expr("text"))
+    b = _one(spark, "hello world", T.fingerprint_fast_expr("text"))
+    c = _one(spark, "different text", T.fingerprint_fast_expr("text"))
+    assert a == b != c
+    # stable across invocations (seeded xxhash64)
+    assert a == _one(spark, "Hello World", T.fingerprint_fast_expr("text"))
+
+
 @pytest.fixture(scope="module")
 def tiny_corpus(spark):
     rows = [
