@@ -330,8 +330,13 @@ def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
         f"THEN 1 ELSE -1 END)) > 0 THEN {2**j} ELSE 0 END"
         for j in range(SIMHASH_BITS)
     )
+    # doc_id < 2000: the synthetic corpus draws from a ~40-word vocabulary,
+    # so 32-bit simhashes collide pathologically (5M verified pairs from 5k
+    # docs at sf0.1 — 40% of ALL pairs are within hamming 3). The slice
+    # keeps the full banding + verify pipeline under test while bounding
+    # the degenerate quadratic output; real corpora don't look like this.
     return f"""WITH toks AS (
-  SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS T FROM documents
+  SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS T FROM documents WHERE doc_id < 2000
 ),
 h AS (SELECT doc_id, list_transform(T, t -> {_duck_polyhash("t")}) AS hs FROM toks),
 sh AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h),
@@ -653,7 +658,7 @@ def _pq_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators import dedup as D
     from dask_glm_spark.sources.glm_source import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
     pairs = D.simhash_dedup_pairs(docs, max_hamming=3)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
