@@ -353,6 +353,46 @@ SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming} ORDER BY id_a, id_b"""
 
 
+def _cc_ctes(threshold: float = 0.5) -> str:
+    """Shared recursive-CTE body computing connected components of the
+    MinHash near-dup pair graph (q21's pairs): symmetric closure via a
+    recursive reachability walk, component label = min reachable id —
+    independently recomputed, structurally unrelated to the engine's
+    alternating-star contraction (operators/graph.py)."""
+    pairs_sql = _minhash_oracle_sql(threshold)
+    return f"""p AS (SELECT id_a, id_b FROM ({pairs_sql}) mp),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+walk(id, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT w.id, e2.v FROM walk w JOIN e e2 ON e2.u = w.r
+),
+cc AS (SELECT id, MIN(r) AS comp FROM walk GROUP BY id)"""
+
+
+def _components_oracle_sql(threshold: float = 0.5) -> str:
+    return f"""WITH RECURSIVE
+{_cc_ctes(threshold)}
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS component
+FROM cc ORDER BY doc_id"""
+
+
+def _survivors_oracle_sql(threshold: float = 0.5) -> str:
+    return f"""WITH RECURSIVE
+{_cc_ctes(threshold)}
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id != comp)
+ORDER BY d.doc_id"""
+
+
+def _duck_sample_bucket(salt: str, key_expr: str = "doc_id") -> str:
+    """DuckDB SQL computing operators.sampling.sample_bucket_expr exactly:
+    double polyhash (outer round over the inner hash's decimal rendering —
+    see sampling.py for why one round is not enough), prefix salt."""
+    h1 = _duck_polyhash(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    return f"{_duck_polyhash(f'CAST(({h1}) AS VARCHAR)')} % 100"
+
+
 # gap-based sessionization oracle: same lag/cumsum definition as
 # streaming/sessions.sessionize_batch; timestamps exported as epoch micros
 # (BIGINT) so both engines compare integers, never tz-rendered timestamps.
@@ -463,6 +503,27 @@ ORDER BY 1, 2""",
     "q33_regex_tokens": r"""SELECT doc_id,
   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex_tokens
 FROM documents ORDER BY doc_id""",
+    # pairs -> clusters: connected components of the MinHash near-dup graph
+    # (near-duplication is not transitive; the closure is what "keep one per
+    # cluster" actually needs). Oracle = recursive reachability walk.
+    "q34_components": _components_oracle_sql(0.5),
+    "q35_neardup_survivors": _survivors_oracle_sql(0.5),
+    # deterministic top-k vocabulary with total ordering (tf desc, token asc)
+    "q36_vocab_topk": f"""SELECT tok AS token,
+  CAST(count(*) AS BIGINT) AS tf,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 100""",
+    # reproducible stratified mixture: per-lang keep rates keyed on the
+    # shared double-polyhash bucket of doc_id (engine: operators/sampling)
+    "q37_stratified_sample": f"""WITH k AS (
+  SELECT lang, text FROM documents
+  WHERE {_duck_sample_bucket("mix")} <
+    CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'fr' THEN 40 ELSE 20 END
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len({_DUCK_TOKENS_CASED})) AS BIGINT) AS sum_tokens
+FROM k GROUP BY lang ORDER BY lang""",
 }
 
 
@@ -711,6 +772,79 @@ def _pq_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pq_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.operators import graph as G
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    cc = G.connected_components(pairs)
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("doc_id")
+
+
+def _pq_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.operators import graph as G
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    return (
+        G.neardup_survivors(docs, pairs)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _pq_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens_expr("text")).alias("token")
+    ).where(F.length("token") > 0)
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(100)
+    )
+
+
+def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import sampling as S
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = S.stratified_sample(
+        docs, "lang", {"en": 60, "de": 40, "fr": 40}, default_pct=20,
+        key_col="doc_id", salt="mix",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(T.token_count_expr("text")).cast("long").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_token_stats": _pq_token_stats,
     "q17_langid": _pq_langid,
@@ -730,6 +864,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_tfidf": _pq_tfidf,
     "q32_ngram_jaccard": _pq_ngram_jaccard,
     "q33_regex_tokens": _pq_regex_tokens,
+    "q34_components": _pq_components,
+    "q35_neardup_survivors": _pq_neardup_survivors,
+    "q36_vocab_topk": _pq_vocab_topk,
+    "q37_stratified_sample": _pq_stratified_sample,
 }
 
 
