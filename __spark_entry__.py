@@ -189,35 +189,46 @@ def _duck_lang_scores() -> dict[str, str]:
     }
 
 
-def _langid_oracle_sql() -> str:
+def _duck_langid_case() -> str:
+    """Predicted-language CASE over the s_{lang} score aliases — the same
+    deterministic argmax tie-break as operators.text.langid_expr."""
     from dask_glm_spark.operators.text import LANG_ORDER
 
-    s = _duck_lang_scores()
     whens = []
     for i, lang in enumerate(LANG_ORDER[:-1]):
         conds = " AND ".join(
             f"s_{lang} >= s_{o}" for o in LANG_ORDER[i + 1 :]
         )
         whens.append(f"WHEN {conds} THEN '{lang}'")
-    case = "CASE " + " ".join(whens) + f" ELSE '{LANG_ORDER[-1]}' END"
+    return "CASE " + " ".join(whens) + f" ELSE '{LANG_ORDER[-1]}' END"
+
+
+def _langid_oracle_sql() -> str:
+    s = _duck_lang_scores()
+    case = _duck_langid_case()
     scores = ", ".join(f"{sql} AS s_{lang}" for lang, sql in s.items())
     return f"""WITH scored AS (SELECT {scores} FROM documents),
 pred AS (SELECT {case} AS lang_pred FROM scored)
 SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred"""
 
 
-def _quality_oracle_sql() -> str:
+def _duck_quality_expr() -> str:
+    """Rounded quality score over `text` — operators.text.quality_score_expr."""
     s_en = _duck_lang_scores()["en"]
-    return f"""SELECT doc_id,
-  CAST(round(
+    return f"""round(
     0.4 * ({s_en} / 5.0)
     + 0.3 * least(len({_DUCK_TOKENS_CASED}) / 100.0, 1.0)
     + 0.3 * (length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 / length(text)),
-  6) AS DOUBLE) AS quality
+  6)"""
+
+
+def _quality_oracle_sql() -> str:
+    return f"""SELECT doc_id,
+  CAST({_duck_quality_expr()} AS DOUBLE) AS quality
 FROM documents ORDER BY doc_id"""
 
 
-def _minhash_oracle_sql(threshold: float = 0.5) -> str:
+def _minhash_oracle_sql(threshold: float = 0.5, relation: str = "documents") -> str:
     from dask_glm_spark.operators.dedup import (
         BANDS,
         PERM_A,
@@ -240,7 +251,7 @@ def _minhash_oracle_sql(threshold: float = 0.5) -> str:
         band_keys.append(_duck_polyhash(f"'{b}-'||{parts}"))
     gram = "||' '||".join(f"T[i+{d}]" for d in range(k))
     return f"""WITH toks AS (
-  SELECT doc_id, {toks} AS T FROM documents
+  SELECT doc_id, {toks} AS T FROM {relation}
 ),
 sh AS (
   SELECT doc_id,
@@ -353,13 +364,13 @@ SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming} ORDER BY id_a, id_b"""
 
 
-def _cc_ctes(threshold: float = 0.5) -> str:
+def _cc_ctes(threshold: float = 0.5, relation: str = "documents") -> str:
     """Shared recursive-CTE body computing connected components of the
     MinHash near-dup pair graph (q21's pairs): symmetric closure via a
     recursive reachability walk, component label = min reachable id —
     independently recomputed, structurally unrelated to the engine's
     alternating-star contraction (operators/graph.py)."""
-    pairs_sql = _minhash_oracle_sql(threshold)
+    pairs_sql = _minhash_oracle_sql(threshold, relation)
     return f"""p AS (SELECT id_a, id_b FROM ({pairs_sql}) mp),
 e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
 walk(id, r) AS (
@@ -391,6 +402,62 @@ def _duck_sample_bucket(salt: str, key_expr: str = "doc_id") -> str:
     see sampling.py for why one round is not enough), prefix salt."""
     h1 = _duck_polyhash(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
     return f"{_duck_polyhash(f'CAST(({h1}) AS VARCHAR)')} % 100"
+
+
+def _curation_oracle_sql(q_threshold: float = 0.5, mh_threshold: float = 0.5) -> str:
+    """End-to-end curation pipeline, fully recomputed: language-ID filter +
+    quality filter -> MinHash near-dup pairs on the SURVIVING subset ->
+    connected components -> keep component roots -> per-source stats. Every
+    stage reuses the same shared oracle definitions as its standalone query
+    (q17/q18/q21/q34), composed over a `cur` CTE."""
+    scores = ", ".join(
+        f"{sql} AS s_{lang}" for lang, sql in _duck_lang_scores().items()
+    )
+    return f"""WITH RECURSIVE
+cur AS (
+  SELECT doc_id, text, source, quality FROM (
+    SELECT *, {_duck_langid_case()} AS lang_pred, {_duck_quality_expr()} AS quality
+    FROM (SELECT *, {scores} FROM documents) c0
+  ) c1 WHERE lang_pred = 'en' AND quality >= {q_threshold}
+),
+{_cc_ctes(mh_threshold, "cur")}
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len({_DUCK_TOKENS_CASED})) AS BIGINT) AS sum_tokens,
+  CAST(round(avg(quality), 6) AS DOUBLE) AS avg_quality
+FROM cur WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != comp)
+GROUP BY source ORDER BY source"""
+
+
+def _pack_oracle_sql(budget: int = 256, n_buckets: int = 8) -> str:
+    """Replays BOTH packing disciplines (operators/packing.py): chunk_id
+    via the same window arithmetic, seq_id by advancing the greedy fold one
+    row per bucket per recursion step — an independent sequential replay of
+    the engine's applyInPandas fold."""
+    bucket = f"({_duck_sample_bucket('pack')}) % {n_buckets}"
+    return f"""WITH RECURSIVE
+d0 AS (
+  SELECT doc_id, len({_DUCK_TOKENS_CASED}) AS n_tokens, {bucket} AS bucket
+  FROM documents
+),
+d AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn,
+    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+  FROM d0
+),
+f(bucket, rn, doc_id, off, seq_id, fill) AS (
+  SELECT bucket, rn, doc_id, off, 0, n_tokens FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.off,
+    CASE WHEN f.fill + d.n_tokens <= {budget} THEN f.seq_id ELSE f.seq_id + 1 END,
+    CASE WHEN f.fill + d.n_tokens <= {budget} THEN f.fill + d.n_tokens ELSE d.n_tokens END
+  FROM f JOIN d ON d.bucket = f.bucket AND d.rn = f.rn + 1
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+  CAST(floor(off * 1.0 / {budget}) AS BIGINT) AS chunk_id,
+  CAST(seq_id AS BIGINT) AS seq_id
+FROM f ORDER BY doc_id"""
 
 
 # gap-based sessionization oracle: same lag/cumsum definition as
@@ -524,6 +591,24 @@ GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 100""",
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(len({_DUCK_TOKENS_CASED})) AS BIGINT) AS sum_tokens
 FROM k GROUP BY lang ORDER BY lang""",
+    # token-budget sequence packing, both disciplines (chunked + greedy)
+    "q38_sequence_packing": _pack_oracle_sql(256, 8),
+    # composed curation pipeline: filter -> dedup(closure) -> stats
+    "q39_curation_pipeline": _curation_oracle_sql(0.5, 0.5),
+    # per-source token-count distribution. DISCRETE quantiles (actual order
+    # statistics): Spark percentile_disc == DuckDB quantile_disc exactly,
+    # while the interpolating variants (percentile/quantile_cont) disagree
+    # at ulp-level fraction handling (measured: p99 97.56 vs 97.5) — an
+    # engine-portability footgun, not a bug in either engine.
+    "q40_token_percentiles": f"""SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+  CAST(round(quantile_disc(n_tokens, 0.25), 4) AS DOUBLE) AS p25,
+  CAST(round(quantile_disc(n_tokens, 0.5), 4) AS DOUBLE) AS p50,
+  CAST(round(quantile_disc(n_tokens, 0.9), 4) AS DOUBLE) AS p90,
+  CAST(round(quantile_disc(n_tokens, 0.99), 4) AS DOUBLE) AS p99
+FROM (SELECT source, len({_DUCK_TOKENS_CASED}) * 1.0 AS n_tokens FROM documents) t
+GROUP BY source ORDER BY source""",
 }
 
 
@@ -845,6 +930,65 @@ def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import packing as P
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count_expr("text").cast("long").alias("n_tokens"),
+        P.pack_bucket_expr("doc_id", 8).cast("long").alias("bucket"),
+    )
+    packed = P.greedy_pack(
+        P.chunked_pack(docs, "n_tokens", budget=256), "n_tokens", budget=256
+    )
+    return packed.select(
+        "doc_id",
+        "bucket",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+    ).orderBy("doc_id")
+
+
+def _pq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.operators import graph as G
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        F.round(T.quality_score_expr("text"), 6).alias("quality"),
+        T.langid_expr("text").alias("lang_pred"),
+    ).where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    surv = G.neardup_survivors(cur, D.minhash_dedup_pairs(cur, threshold=0.5))
+    return (
+        surv.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(T.token_count_expr("text")).cast("long").alias("sum_tokens"),
+            F.round(F.avg("quality"), 6).cast("double").alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pq_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_percentiles(docs, by="source").orderBy("source")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_token_stats": _pq_token_stats,
     "q17_langid": _pq_langid,
@@ -868,6 +1012,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_neardup_survivors": _pq_neardup_survivors,
     "q36_vocab_topk": _pq_vocab_topk,
     "q37_stratified_sample": _pq_stratified_sample,
+    "q38_sequence_packing": _pq_sequence_packing,
+    "q39_curation_pipeline": _pq_curation,
+    "q40_token_percentiles": _pq_token_percentiles,
 }
 
 

@@ -151,6 +151,58 @@ def fingerprint_fast_expr(text: Column | str) -> Column:
     return F.xxhash64(F.lower(c))
 
 
+def token_percentiles(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    method: str = "disc",
+) -> DataFrame:
+    """Per-group token-count distribution: n_docs, max, and the requested
+    quantiles as p{q} columns.
+
+    - ``disc`` (default): ``percentile_disc`` — an ACTUAL order statistic
+      (smallest value with CDF >= q). Engine-portable bit-for-bit (DuckDB
+      quantile_disc agrees exactly; interpolating variants differ in ulp-
+      level fraction handling across engines), which is why the declared
+      query q40 pins this method.
+    - ``cont``: ``percentile()`` — ANSI percentile_cont linear
+      interpolation (numpy 'linear'). Both exact methods buffer each
+      group's values in aggregation state: right for bounded group counts
+      (per-source/per-shard dashboards), wrong for huge groups.
+    - ``approx``: ``approx_percentile`` — t-digest-style sketch, O(1)
+      state per group, mergeable map-side: the 100 TB path.
+    """
+    if method not in ("disc", "cont", "approx"):
+        raise ValueError(f"method must be disc|cont|approx, got {method!r}")
+    if method == "disc":
+        pcols = [
+            F.round(
+                F.expr(f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY n_tokens)"), 4
+            )
+            .cast("double")
+            .alias(f"p{int(q * 100)}")
+            for q in quantiles
+        ]
+    else:
+        qlist = ", ".join(repr(float(q)) for q in quantiles)
+        fn = "percentile" if method == "cont" else "approx_percentile"
+        agg = F.expr(f"{fn}(n_tokens, array({qlist}))")
+        pcols = [
+            F.round(agg[i], 4).cast("double").alias(f"p{int(q * 100)}")
+            for i, q in enumerate(quantiles)
+        ]
+    cols = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        *pcols,
+    ]
+    d = df.select(
+        F.col(by), token_count_expr(text_col).cast("double").alias("n_tokens")
+    )
+    return d.groupBy(by).agg(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Hashed TF / TF-IDF featurization -> GLM `features array<double>`
 # ---------------------------------------------------------------------------
