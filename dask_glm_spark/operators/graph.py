@@ -47,11 +47,45 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small collected edge set. Produces the
+    same min-label components as the distributed contraction."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by label order keeps every root the min of its tree
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    out = [(x, find(x)) for x in parent]
+    schema = (
+        edges.select(F.col("u").alias("id"), F.col("u").alias("component"))
+        .schema
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components of the undirected pair graph.
 
@@ -66,10 +100,22 @@ def connected_components(
     set-subtract shuffle. The star fixpoint is a forest of stars, so at
     convergence every edge is (member, root) and labels fall out without
     further work.
+
+    ``local_threshold``: verified near-dup pair graphs are typically
+    vanishing next to the corpus (LSH emits only real near-dups), and each
+    distributed round costs several fixed-latency stages. When the
+    deduplicated edge count fits comfortably on the driver (default 200k
+    edges ≈ a few MB), a driver-side union-find produces identical labels
+    in one collect — the same adaptive small-side escape hatch as a
+    broadcast join. Set ``local_threshold=0`` to force the distributed
+    contraction (huge graphs take it automatically).
     """
     edges = _canonical(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
+
+    if local_threshold and edges.count() <= local_threshold:
+        return _local_components(edges)
 
     prev_sig = None
     for it in range(max_iter):

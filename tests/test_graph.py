@@ -37,19 +37,22 @@ def _union_find(n_nodes: list[int], pairs: list[tuple[int, int]]) -> dict[int, i
     return {x: find(x) for x in n_nodes}
 
 
-def _cc_dict(pairs_df) -> dict[int, int]:
+def _cc_dict(pairs_df, **kw) -> dict[int, int]:
     return {
         r["id"]: r["component"]
-        for r in connected_components(pairs_df).collect()
+        for r in connected_components(pairs_df, **kw).collect()
     }
 
 
-def test_chain_collapses_to_min(spark):
+@pytest.mark.parametrize("local_threshold", [0, 200_000])
+def test_chain_collapses_to_min(spark, local_threshold):
     # 0-1-2-...-9: one component, label 0; exercises multi-hop closure
+    # in BOTH the distributed star contraction (threshold 0) and the
+    # driver union-find fast path (default threshold)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(9)], "id_a long, id_b long"
     )
-    got = _cc_dict(pairs)
+    got = _cc_dict(pairs, local_threshold=local_threshold)
     assert got == {i: 0 for i in range(10)}
 
 
@@ -65,20 +68,22 @@ def test_self_loops_ignored(spark):
     assert _cc_dict(pairs) == {5: 5, 6: 5}
 
 
-def test_empty_pairs(spark):
+@pytest.mark.parametrize("local_threshold", [0, 200_000])
+def test_empty_pairs(spark, local_threshold):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
-    assert connected_components(pairs).count() == 0
+    assert connected_components(pairs, local_threshold=local_threshold).count() == 0
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_random_graph_matches_union_find(spark, seed):
+@pytest.mark.parametrize("local_threshold", [0, 200_000])
+def test_random_graph_matches_union_find(spark, seed, local_threshold):
     rng = random.Random(seed)
     nodes = list(range(60))
     pairs = [
         (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
     ]
     pairs_df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = _cc_dict(pairs_df)
+    got = _cc_dict(pairs_df, local_threshold=local_threshold)
     touched = sorted({x for p in pairs for x in p if p[0] != p[1]})
     expect = _union_find(touched, [p for p in pairs if p[0] != p[1]])
     assert got == expect
