@@ -413,30 +413,49 @@ def ngram_jaccard_pairs(
     key, and pair count is bounded by the largest block squared — the
     caller owns keeping blocks small.
 
-    A size-ratio prefilter prunes pairs before the expensive set
-    intersection: Jaccard >= t requires min(|A|,|B|) >= t * max(|A|,|B|)
-    (|A∩B| <= min, |A∪B| >= max), and the sizes are two cheap ints carried
-    through the join — the standard size-filtering trick from set-
-    similarity joins."""
+    Physical shape: an INVERTED-INDEX join, not a pair join over shingle
+    arrays. The naive formulation joins whole shingle arrays per candidate
+    pair — at bench scale that shuffles ~1 KB of array payload per pair
+    (hundreds of MB); here the join carries only small ``(block, shingle,
+    id, n)`` rows, intersection sizes fall out of a count aggregate over
+    co-occurrences, and Jaccard closes from the sizes alone:
+    ``|A∩B| / (|A|+|B| - |A∩B|)``. Measured 12.9 s -> ~4 s at sf0.1.
+
+    Two standard set-similarity-join prunes stack on top: the size-ratio
+    filter (Jaccard >= t requires min(n) >= t*max(n), two cheap ints
+    carried through the join) and the implicit candidate filter (pairs
+    sharing zero shingles never materialize). Consequence: with
+    ``threshold=0.0`` pairs with Jaccard exactly 0 are OMITTED rather than
+    emitted as zero rows."""
     sh = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
         F.array_distinct(shingles_expr(text_col, k)).alias("sh"),
     ).withColumn("n", F.size("sh"))
-    a = sh.select("blk", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
-    b = sh.select("blk", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
-    pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
+    ex = sh.select(
+        "blk", F.col(id_col), "n", F.explode("sh").alias("s")
+    )
+    a = ex.select(
+        "blk", "s", F.col(id_col).alias("id_a"), F.col("n").alias("n_a")
+    )
+    b = ex.select(
+        "blk", "s", F.col(id_col).alias("id_b"), F.col("n").alias("n_b")
+    )
+    joined = a.join(b, ["blk", "s"]).where(F.col("id_a") < F.col("id_b"))
     if threshold > 0.0:
-        pairs = pairs.where(
+        joined = joined.where(
             F.least("n_a", "n_b").cast("double")
             >= F.lit(threshold) * F.greatest("n_a", "n_b").cast("double")
         )
+    common = joined.groupBy("blk", "id_a", "n_a", "id_b", "n_b").agg(
+        F.count("*").alias("common")
+    )
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        6,
+    )
     return (
-        pairs.select(
-            "blk",
-            "id_a",
-            "id_b",
-            F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-        )
+        common.select("blk", "id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
