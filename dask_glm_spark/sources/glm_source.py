@@ -51,6 +51,26 @@ NANO_TS_COLS = {
     "events": ["ts"],
 }
 
+# Naive (no-timezone) parquet timestamps read as TIMESTAMP_NTZ under Spark
+# 4's inferTimestampNTZ default. DuckDB treats the same bytes as a naive
+# timestamp whose epoch extraction assumes UTC, so the oracle-parity
+# normalization is naive-wall-clock == UTC instant. timestampdiff between
+# two NTZ values is pure wall-clock arithmetic — no session-timezone
+# dependence anywhere in the pipeline (verified under America/New_York).
+_NTZ_AS_UTC = (
+    "timestamp_micros(timestampdiff("
+    "MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c}))"
+)
+
+
+def normalize_ntz_as_utc(df: DataFrame) -> DataFrame:
+    """Rewrite every TIMESTAMP_NTZ column as the TIMESTAMP instant whose
+    UTC rendering equals the naive wall time (DuckDB's reading)."""
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.expr(_NTZ_AS_UTC.format(c=c)))
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Session-independence (VERDICT r1 #1): the driver supplies its own plain
@@ -65,7 +85,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
             )
-    return df
+    return normalize_ntz_as_utc(df)
 
 
 def load_glm(spark: SparkSession, sf_dir: str, with_features_array: bool = True) -> DataFrame:

@@ -48,14 +48,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    from dask_glm_spark.sources.glm_source import NANO_TS_COLS
+    from dask_glm_spark.sources.glm_source import NANO_TS_COLS, normalize_ntz_as_utc
 
     for c in NANO_TS_COLS.get("events", []):
         if dict(raw.dtypes).get(c) == "bigint":
             raw = raw.withColumn(
                 c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
             )
-    return raw
+    return normalize_ntz_as_utc(raw)
 
 
 def hourly_event_stats(events: DataFrame) -> DataFrame:
