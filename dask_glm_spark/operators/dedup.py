@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dask_glm_spark.operators.text import POLY_MOD, polyhash_expr, tokens_expr
+from dask_glm_spark.plans.layout import ensure_min_parallelism
 
 _log = logging.getLogger(__name__)
 
@@ -288,7 +289,10 @@ def minhash_dedup_pairs(
     NUM_PERM minhash fold. Both caches are O(n·small) — shingle arrays and
     two longs per band row — and are left to Spark's LRU (the returned
     DataFrame is lazy and still reads them)."""
-    sh = df.select(
+    # Spread first: the shingle/signature maps are the expensive interpreted
+    # work, and a single-row-group input would otherwise compute them all in
+    # one task (no-op at scale — see plans/layout.py).
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col), F.array_distinct(shingles_expr(text_col, k)).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature_from_hashes(F.transform(F.col("sh"), polyhash_expr))
@@ -358,7 +362,12 @@ def simhash_dedup_pairs(
     bucketed equi-join on (band_idx, band_value), never all-pairs."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    sh = df.select(F.col(id_col), simhash_expr(text_col, bits).alias("simhash"))
+    # Spread (no-op at scale) THEN hash: the 32 interpreted bit-fold
+    # expressions dominate; both join sides below reuse the persisted
+    # banded projection instead of re-hashing every doc.
+    sh = ensure_min_parallelism(df).select(
+        F.col(id_col), simhash_expr(text_col, bits).alias("simhash")
+    )
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[
@@ -371,7 +380,9 @@ def simhash_dedup_pairs(
             for i in range(n_bands)
         ]
     )
-    banded = sh.select(id_col, "simhash", F.explode(bands).alias("b"))
+    banded = sh.select(id_col, "simhash", F.explode(bands).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     l = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "b"
     )
@@ -427,14 +438,17 @@ def ngram_jaccard_pairs(
     sharing zero shingles never materialize). Consequence: with
     ``threshold=0.0`` pairs with Jaccard exactly 0 are OMITTED rather than
     emitted as zero rows."""
-    sh = df.select(
+    sh = ensure_min_parallelism(df).select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
         F.array_distinct(shingles_expr(text_col, k)).alias("sh"),
     ).withColumn("n", F.size("sh"))
+    # Persisted: BOTH sides of the inverted-index self-join read this
+    # projection — without the cache the interpreted shingle build runs
+    # twice over the corpus.
     ex = sh.select(
         "blk", F.col(id_col), "n", F.explode("sh").alias("s")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = ex.select(
         "blk", "s", F.col(id_col).alias("id_a"), F.col("n").alias("n_a")
     )

@@ -1,0 +1,237 @@
+"""Corpus-quality operators for training-data curation.
+
+Beyond-reference surface (the reference dask-glm stops at model fitting;
+a 100 TB pre-training pipeline also needs the standard published quality
+gates between raw text and the trainer). Public-knowledge heuristics:
+
+- ``repetition_stats``    Gopher-style repetition measures (Rae et al.
+                          2021 §A1.1: duplicate-line fraction, duplicate-
+                          line *character* fraction, top-bigram token
+                          fraction) — degenerate crawl text repeats
+                          itself; thresholding these is the first filter
+                          every published pipeline applies.
+- ``scrub_expr``          C4-style PII/URL masking (emails, URLs, long
+                          digit runs → typed placeholder tokens) as one
+                          codegen'd regexp chain.
+- ``decontaminate``       n-gram-overlap benchmark decontamination (the
+                          GPT-3 appendix-C / PaLM procedure): a document
+                          is contaminated iff it shares any word n-gram
+                          with the benchmark set. The benchmark n-gram
+                          table is tiny → broadcast semi-join; the corpus
+                          side is a narrow explode, never shuffled.
+- ``select_to_token_budget``  per-group greedy corpus selection: order by
+                          a priority column, keep rows while the group's
+                          running token total fits the budget — the
+                          mixture-construction step that turns "weights
+                          per source" into an actual row selection.
+
+Everything is built-in Spark SQL (no Python UDFs): repetition stats are
+explode→agg over (doc, line|bigram) keys co-partitioned on doc_id;
+scrubbing is a pure narrow map; decontamination's only wide op is the
+broadcast of the benchmark n-grams; budget selection is one window per
+group. All four are DuckDB-oracle-checkable (q41-q44) with the regex
+subset common to Java and RE2 dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators.text import token_count_expr, tokens_expr
+
+# Portable regex subset: no backrefs, no lookaround (Java regex and
+# DuckDB's RE2 agree on these); applied to the raw (not lowercased) text
+# with (?i) where case-insensitivity matters.
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+URL_RE = r"(?i)https?://[^\s]+"
+LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def scrub_expr(text: Column | str) -> Column:
+    """Mask emails, then URLs, then 7+-digit runs with placeholder tokens.
+
+    Order matters (an email inside a URL must not be half-masked); the
+    chain is three regexp_replace nodes inside one codegen span — a pure
+    narrow map at any scale.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    c = F.regexp_replace(c, LONG_DIGITS_RE, "<NUM>")
+    return c
+
+
+def _lines_expr(text: Column | str) -> Column:
+    """Non-empty trimmed lines. The synthetic corpus is single-line, so
+    tests also split on '. ' sentence boundaries via ``sep``-capable
+    callers; the operator itself is newline-based like the published
+    filters."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(c, r"\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = r"\n",
+) -> DataFrame:
+    """Per-document repetition measures (Gopher §A1.1 family):
+
+    - ``n_lines``            non-empty lines
+    - ``dup_line_frac``      1 - distinct/total lines
+    - ``dup_line_char_frac`` characters inside repeated lines / all line
+                             characters (a doc that repeats its longest
+                             paragraph scores high even with few lines)
+    - ``top_bigram_frac``    occurrences of the most frequent token
+                             bigram / total bigram slots
+
+    Plan: one explode per measure family, aggregated back on ``id_col``
+    (both shuffles hash on doc_id, co-partitioned), joined narrowly. No
+    per-doc state exceeds the doc's own token count.
+    """
+    c = F.col(text_col)
+    lines = df.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.transform(F.split(c, line_sep), lambda s: F.trim(s)),
+                lambda s: F.length(s) > 0,
+            )
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        (
+            F.lit(1.0)
+            - F.count("*").cast("double") / F.sum("cnt").cast("double")
+        ).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0))
+            .cast("double")
+            / F.sum(F.col("cnt") * F.length("line")).cast("double")
+        ).alias("dup_line_char_frac"),
+    )
+
+    toks = df.select(id_col, tokens_expr(text_col).alias("t"))
+    bigrams = toks.select(
+        id_col,
+        F.explode(
+            F.expr("transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))")
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("cnt"))
+    bg_stats = per_bg.groupBy(id_col).agg(
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_bigram_frac"
+        )
+    )
+    return line_stats.join(bg_stats, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.round("dup_line_frac", 6).cast("double").alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).cast("double").alias("dup_line_char_frac"),
+        F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6)
+        .cast("double")
+        .alias("top_bigram_frac"),
+    )
+
+
+def ngrams_expr(text: Column | str, n: int) -> Column:
+    """Word n-grams of the whitespace-lowercased tokens, joined by single
+    spaces — the published decontamination unit (token n-gram strings)."""
+    t = tokens_expr(text)
+    return F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda _, i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "flag",
+) -> DataFrame:
+    """Mark (or drop) corpus documents sharing any word ``n``-gram with
+    the benchmark set.
+
+    The benchmark n-gram table (distinct grams of the eval set — thousands
+    of rows, never corpus-scale) is **broadcast**; the corpus side explodes
+    its grams and LEFT SEMI joins, so the corpus is scanned once and never
+    shuffled. ``mode='flag'`` returns docs + a ``contaminated`` bool;
+    ``mode='drop'`` returns only clean docs.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be flag|drop, got {mode!r}")
+    bench_grams = (
+        benchmark.select(F.explode(ngrams_expr(text_col, n)).alias("g")).distinct()
+    )
+    doc_grams = docs.select(id_col, F.explode(ngrams_expr(text_col, n)).alias("g"))
+    hit_ids = (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return docs.join(hit_ids, id_col, "left_anti")
+    return docs.join(
+        hit_ids.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget_tokens: dict[str, int] | int,
+    by: str = "source",
+    priority: Column | str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-group selection under a token budget.
+
+    Rows are ordered inside each ``by`` group by ``priority`` (descending;
+    default: quality-free deterministic doc order by ``id_col``) and kept
+    while the group's running token count *before this row* is below the
+    group's budget — so the selection always makes progress (the first doc
+    of a group is kept even if it alone exceeds the budget, matching the
+    greedy-fill semantics of mixture samplers).
+
+    One window per group (parallel across groups) over (group, priority)
+    — the same shuffle a groupBy would need; everything else is narrow.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(priority, str):
+        priority = F.col(priority)
+    order = [priority.desc(), F.col(id_col).asc()] if priority is not None else [
+        F.col(id_col).asc()
+    ]
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    if isinstance(budget_tokens, int):
+        budget = F.lit(budget_tokens)
+    else:
+        budget = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in budget_tokens.items() for x in kv]
+            ),
+            F.col(by),
+        )
+    n_tok = token_count_expr(text_col)
+    prior = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return (
+        df.withColumn("_prior_tokens", prior)
+        .where(F.col("_prior_tokens") < budget)
+        .drop("_prior_tokens")
+    )

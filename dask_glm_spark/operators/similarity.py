@@ -320,6 +320,8 @@ def embedding_neardup_pairs(
     if method == "exact":
         if block_col is None:
             raise ValueError("exact method requires block_col to bound the join")
+        from dask_glm_spark.operators.joins import salted_join
+
         a = df.select(
             F.col(block_col).alias("blk"),
             F.col(id_col).alias("id_a"),
@@ -330,7 +332,10 @@ def embedding_neardup_pairs(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"),
         )
-        pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
+        # Salted: a corpus has FAR fewer blocks than cores, so a plain
+        # block-key join funnels the quadratic cosine work into |blocks|
+        # tasks; salting spreads each block across salt_buckets reducers.
+        pairs = salted_join(a, b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         dim = int(df.select(F.size(F.col(vec_col))).first()[0])
         planes = _hyperplanes(dim, n_planes)
@@ -348,6 +353,9 @@ def embedding_neardup_pairs(
         pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
     else:
         raise ValueError(f"unknown method {method!r}")
+    # No distinct: every id belongs to exactly one block/bucket, so each
+    # qualifying pair materializes exactly once — a distinct here would
+    # re-shuffle the entire result for nothing.
     return (
         pairs.select(
             "id_a",
@@ -355,6 +363,5 @@ def embedding_neardup_pairs(
             F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .distinct()
         .orderBy("id_a", "id_b")
     )

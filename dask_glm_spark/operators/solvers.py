@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from dask_glm_spark.functions import kernels
 from dask_glm_spark.functions.families import Logistic
 from dask_glm_spark.functions.regularizers import Regularizer
+from dask_glm_spark.plans.layout import ensure_min_parallelism
 
 PROBE_BATCH = 8  # line-search candidates evaluated per scan
 MAX_BACKTRACKS = 100  # reference: algorithms.py:71,478
@@ -62,6 +63,10 @@ def normalize(algo):
         persist = kwargs.pop("persist", True)
         we_persisted = False
         if persist and not df.is_cached:
+            # Single-row-group inputs arrive as ONE scan task; every
+            # iteration would then run on one core. Spread BEFORE caching
+            # (no-op whenever the scan already has >= core-count splits).
+            df = ensure_min_parallelism(df)
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             we_persisted = True
         try:
@@ -381,6 +386,7 @@ def lbfgs_sparse(
 
     we_persisted = False
     if not df.is_cached:
+        df = ensure_min_parallelism(df)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
     try:
@@ -420,6 +426,7 @@ def _run_sparse(df, idx_col, p, body):
 
     we_persisted = False
     if not df.is_cached:
+        df = ensure_min_parallelism(df)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
     try:

@@ -219,7 +219,9 @@ def hashing_tf(
     dense array build via map lookup (narrow). The bucket space is
     ``num_features`` so the per-doc state is O(k), never vocabulary-sized.
     """
-    tok = df.select(
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    tok = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode(tokens_expr(text_col)).alias("tok"),
     ).where(F.length("tok") > 0)
