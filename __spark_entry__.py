@@ -609,6 +609,75 @@ FROM k GROUP BY lang ORDER BY lang""",
   CAST(round(quantile_disc(n_tokens, 0.99), 4) AS DOUBLE) AS p99
 FROM (SELECT source, len({_DUCK_TOKENS_CASED}) * 1.0 AS n_tokens FROM documents) t
 GROUP BY source ORDER BY source""",
+    # Gopher-style repetition measures: line stats (trivial on the single-
+    # line synthetic corpus but part of the published rule set), top-bigram
+    # fraction, duplicate-5-gram fraction. DuckDB n-grams via list
+    # comprehension over INCLUSIVE slices: t[i:i+1] is a bigram.
+    "q41_repetition": f"""WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents) q
+  WHERE length(trim(l)) > 0
+),
+pl AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+ls AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+  round(1.0 - count(*) * 1.0 / sum(cnt), 6) AS dup_line_frac,
+  round(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) * 1.0
+        / sum(cnt * length(line)), 6) AS dup_line_char_frac
+  FROM pl GROUP BY doc_id),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+bg AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+       for i in generate_series(1, len(t)-1)]) AS g FROM toks),
+pbg AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 6) AS top_bigram_frac
+       FROM pbg GROUP BY doc_id),
+ng AS (SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
+       for i in generate_series(1, len(t)-4)]) AS g FROM toks),
+ns AS (SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6)
+       AS dup_ngram_frac FROM ng GROUP BY doc_id)
+SELECT ls.doc_id, n_lines,
+  CAST(dup_line_frac AS DOUBLE) AS dup_line_frac,
+  CAST(dup_line_char_frac AS DOUBLE) AS dup_line_char_frac,
+  CAST(coalesce(top_bigram_frac, 0.0) AS DOUBLE) AS top_bigram_frac,
+  CAST(coalesce(dup_ngram_frac, 0.0) AS DOUBLE) AS dup_ngram_frac
+FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id
+LEFT JOIN ns ON ls.doc_id = ns.doc_id
+ORDER BY ls.doc_id""",
+    # C4-style PII/URL scrubbing. The corpus contains no emails/URLs, so
+    # both engines append the SAME deterministic synthetic tail (built from
+    # doc_id) and the oracle checks the full three-regex mask chain on it.
+    # Regex subset common to Java and RE2 dialects: no backrefs/lookaround.
+    "q42_scrub": r"""SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com via https://ex.example/'
+             || CAST(doc_id AS VARCHAR) || ' ref '
+             || CAST(doc_id * doc_id + 1234567 AS VARCHAR),
+        '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      '(?i)https?://[^\s]+', '<URL>', 'g'),
+    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+FROM documents ORDER BY doc_id""",
+    # Benchmark decontamination: docs sharing any word 5-gram with the
+    # benchmark slice (doc_id % 31 = 0) are contaminated.
+    "q43_decontam": f"""WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+g AS (SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
+      for i in generate_series(1, len(t)-4)]) AS g FROM toks),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0)
+SELECT DISTINCT doc_id FROM g
+WHERE doc_id % 31 <> 0 AND g IN (SELECT g FROM bench)
+ORDER BY doc_id""",
+    # Greedy per-source token-budget selection: keep rows (doc_id order)
+    # while the source's running token total BEFORE the row is < budget.
+    "q44_token_budget": f"""WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tok FROM documents
+),
+w AS (SELECT doc_id, source,
+  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM t)
+SELECT doc_id, source FROM w WHERE prior < 3000 ORDER BY doc_id""",
 }
 
 
@@ -989,6 +1058,57 @@ def _pq_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_percentiles(docs, by="source").orderBy("source")
 
 
+def _pq_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators.quality import repetition_stats
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.quality import scrub_expr
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://ex.example/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref "),
+        (F.col("doc_id") * F.col("doc_id") + F.lit(1234567)).cast("string"),
+    )
+    return docs.select(
+        "doc_id", scrub_expr(synth).alias("scrubbed")
+    ).orderBy("doc_id")
+
+
+def _pq_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.quality import decontaminate
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    corpus = docs.where(F.col("doc_id") % 31 != 0)
+    out = decontaminate(corpus, bench, n=5)
+    return out.where(F.col("contaminated")).select("doc_id").orderBy("doc_id")
+
+
+def _pq_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.operators.quality import select_to_token_budget
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = select_to_token_budget(docs, 3000, by="source")
+    return sel.select("doc_id", "source").orderBy("doc_id")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_token_stats": _pq_token_stats,
     "q17_langid": _pq_langid,
@@ -1015,6 +1135,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_sequence_packing": _pq_sequence_packing,
     "q39_curation_pipeline": _pq_curation,
     "q40_token_percentiles": _pq_token_percentiles,
+    "q41_repetition": _pq_repetition,
+    "q42_scrub": _pq_scrub,
+    "q43_decontam": _pq_decontam,
+    "q44_token_budget": _pq_token_budget,
 }
 
 

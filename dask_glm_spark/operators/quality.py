@@ -79,6 +79,7 @@ def repetition_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_sep: str = r"\n",
+    dup_ngram_n: int = 5,
 ) -> DataFrame:
     """Per-document repetition measures (Gopher §A1.1 family):
 
@@ -89,11 +90,16 @@ def repetition_stats(
                              paragraph scores high even with few lines)
     - ``top_bigram_frac``    occurrences of the most frequent token
                              bigram / total bigram slots
+    - ``dup_ngram_frac``     duplicate ``dup_ngram_n``-gram occurrences /
+                             total n-gram slots (1 - distinct/total)
 
     Plan: one explode per measure family, aggregated back on ``id_col``
-    (both shuffles hash on doc_id, co-partitioned), joined narrowly. No
+    (all shuffles hash on doc_id, co-partitioned), joined narrowly. No
     per-doc state exceeds the doc's own token count.
     """
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     lines = df.select(
         id_col,
@@ -118,12 +124,8 @@ def repetition_stats(
         ).alias("dup_line_char_frac"),
     )
 
-    toks = df.select(id_col, tokens_expr(text_col).alias("t"))
-    bigrams = toks.select(
-        id_col,
-        F.explode(
-            F.expr("transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))")
-        ).alias("bg"),
+    bigrams = df.select(
+        id_col, F.explode(ngrams_expr(text_col, 2)).alias("bg")
     )
     per_bg = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("cnt"))
     bg_stats = per_bg.groupBy(id_col).agg(
@@ -131,14 +133,32 @@ def repetition_stats(
             "top_bigram_frac"
         )
     )
-    return line_stats.join(bg_stats, id_col, "left").select(
-        id_col,
-        "n_lines",
-        F.round("dup_line_frac", 6).cast("double").alias("dup_line_frac"),
-        F.round("dup_line_char_frac", 6).cast("double").alias("dup_line_char_frac"),
-        F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6)
-        .cast("double")
-        .alias("top_bigram_frac"),
+
+    ngrams = df.select(
+        id_col, F.explode(ngrams_expr(text_col, dup_ngram_n)).alias("g")
+    )
+    ng_stats = ngrams.groupBy(id_col).agg(
+        (
+            F.lit(1.0)
+            - F.count_distinct("g").cast("double") / F.count("*").cast("double")
+        ).alias("dup_ngram_frac")
+    )
+
+    return (
+        line_stats.join(bg_stats, id_col, "left")
+        .join(ng_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.round("dup_line_frac", 6).cast("double").alias("dup_line_frac"),
+            F.round("dup_line_char_frac", 6).cast("double").alias("dup_line_char_frac"),
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6)
+            .cast("double")
+            .alias("top_bigram_frac"),
+            F.round(F.coalesce("dup_ngram_frac", F.lit(0.0)), 6)
+            .cast("double")
+            .alias("dup_ngram_frac"),
+        )
     )
 
 

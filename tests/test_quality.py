@@ -1,0 +1,135 @@
+"""Quality-gate operators: repetition stats, scrubbing, decontamination,
+token-budget selection (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators import quality as Q
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_scrub_masks_email_url_digits(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a", "mail Bob.Smith+x@Corp.Example.COM now"),
+            (2, "a", "see https://ex.com/p?q=1#f and http://t.co/x"),
+            (3, "a", "id 12345678 ok 123456 kept"),
+            (4, "a", "clean text stays clean"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", Q.scrub_expr("text").alias("s")).collect()
+    }
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "see <URL> and <URL>"
+    # 7+ digits masked, 6 digits kept
+    assert out[3] == "id <NUM> ok 123456 kept"
+    assert out[4] == "clean text stays clean"
+
+
+def test_repetition_stats_known_values(spark):
+    # doc 1: 4 lines, "dup" twice -> dup_line_frac = 1 - 3/4
+    # doc 2: no repeats at all
+    df = _docs(
+        spark,
+        [
+            (1, "a", "dup\nuniq one\ndup\nother line"),
+            (2, "a", "all fresh tokens here"),
+            (3, "a", "x y x y x y x y"),  # top bigram "x y" 4/7 slots
+        ],
+    )
+    out = {r["doc_id"]: r for r in Q.repetition_stats(df).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == pytest.approx(0.25)
+    # "dup" chars: 2 lines x 3 chars = 6 of 3+8+3+10=24 line chars
+    assert out[1]["dup_line_char_frac"] == pytest.approx(6 / 24)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == pytest.approx(4 / 7)
+    # doc 3: 8 tokens -> 4 5-gram slots, "x y x y x" and "y x y x y"
+    # alternate -> 2 distinct over 4 slots
+    assert out[3]["dup_ngram_frac"] == pytest.approx(1 - 2 / 4)
+
+
+def test_ngrams_short_doc_empty(spark):
+    df = _docs(spark, [(1, "a", "only two")])
+    grams = df.select(Q.ngrams_expr("text", 5).alias("g")).collect()[0]["g"]
+    assert grams == []
+
+
+def test_decontaminate_flag_and_drop(spark):
+    bench = _docs(spark, [(100, "b", "the quick brown fox jumps over it")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "a", "prefix the quick brown fox jumps suffix"),  # shares 5-gram
+            (2, "a", "completely unrelated words in this document"),
+        ],
+    )
+    flagged = {
+        r["doc_id"]: r["contaminated"]
+        for r in Q.decontaminate(corpus, bench, n=5).collect()
+    }
+    assert flagged == {1: True, 2: False}
+    kept = [r["doc_id"] for r in Q.decontaminate(corpus, bench, n=5, mode="drop").collect()]
+    assert kept == [2]
+    with pytest.raises(ValueError):
+        Q.decontaminate(corpus, bench, mode="bogus")
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from dask_glm_spark.plans import audit
+
+    bench = _docs(spark, [(100, "b", "one two three four five six")])
+    corpus = _docs(spark, [(1, "a", "one two three four five six seven")])
+    out = Q.decontaminate(corpus, bench, n=5)
+    assert audit.has_broadcast(out)
+
+
+def test_token_budget_scalar_and_per_group(spark):
+    # a: 3+3+3 tokens; budget 5 -> rows kept while PRIOR sum < 5: docs 1, 2
+    df = _docs(
+        spark,
+        [
+            (1, "a", "t t t"),
+            (2, "a", "t t t"),
+            (3, "a", "t t t"),
+            (10, "b", "u u u u u u u u"),  # 8 tokens, first row always kept
+            (11, "b", "u u"),
+        ],
+    )
+    kept = sorted(
+        r["doc_id"] for r in Q.select_to_token_budget(df, 5, by="source").collect()
+    )
+    assert kept == [1, 2, 10]
+    per_group = sorted(
+        r["doc_id"]
+        for r in Q.select_to_token_budget(
+            df, {"a": 7, "b": 9}, by="source"
+        ).collect()
+    )
+    assert per_group == [1, 2, 3, 10, 11]
+
+
+def test_token_budget_priority_order(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a", "w w w w"),
+            (2, "a", "w w w w"),
+            (3, "a", "w w w w"),
+        ],
+    ).withColumn("prio", F.col("doc_id").cast("double"))
+    # priority desc: doc 3 first, then 2 (prior=4<8), then 1 excluded (prior=8)
+    kept = sorted(
+        r["doc_id"]
+        for r in Q.select_to_token_budget(df, 8, by="source", priority="prio").collect()
+    )
+    assert kept == [2, 3]
