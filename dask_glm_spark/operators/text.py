@@ -214,10 +214,17 @@ def hashing_tf(
 ) -> DataFrame:
     """Hashed term-frequency vectors: (id_col, features array<double>).
 
-    Plan shape at scale: explode (narrow) -> groupBy(id, bucket) count
-    (shuffle on id — co-partitioned with every later per-doc op) -> per-doc
-    dense array build via map lookup (narrow). The bucket space is
-    ``num_features`` so the per-doc state is O(k), never vocabulary-sized.
+    Plan shape at scale: explode (narrow) -> wordcount groupBy(id, tok)
+    with map-side combine -> the (interpreted, per-char) polyhash runs on
+    the DISTINCT-TOKEN table only — |vocab| evaluations instead of one per
+    token occurrence (a Zipf-distributed corpus repeats its head tokens
+    millions of times; hashing occurrences re-pays the hash per repeat) —
+    joined back on ``tok`` (AQE broadcasts the vocab side when it is
+    small; at web-corpus vocab sizes it degrades to a plain shuffle join,
+    still dwarfed by the occurrence explode either way) -> groupBy(id,
+    bucket) -> per-doc dense array build via map lookup (narrow). The
+    bucket space is ``num_features`` so the per-doc state is O(k), never
+    vocabulary-sized.
     """
     from dask_glm_spark.plans.layout import ensure_min_parallelism
 
@@ -225,20 +232,33 @@ def hashing_tf(
         F.col(id_col),
         F.explode(tokens_expr(text_col)).alias("tok"),
     ).where(F.length("tok") > 0)
-    bucketed = tok.select(
-        id_col, (polyhash_expr(F.col("tok")) % num_features).alias("bucket")
-    )
-    counts = bucketed.groupBy(id_col, "bucket").agg(
+    tok_counts = tok.groupBy(id_col, "tok").agg(
         F.count("*").cast("double").alias("tf")
     )
-    per_doc = counts.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "tf"))).alias("m")
+    vocab = (
+        tok_counts.select("tok")
+        .distinct()
+        .withColumn("bucket", polyhash_expr(F.col("tok")) % num_features)
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(num_features - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)),
+    counts = (
+        tok_counts.join(vocab, "tok")
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("tf").cast("double").alias("tf"))
     )
-    return per_doc.select(F.col(id_col), dense.alias("features"))
+    # Dense build as a manual pivot: num_features conditional sums inside
+    # ONE codegen'd HashAggregate (64 running doubles per doc), then an
+    # array constructor — no interpreted map_from_entries/element_at pass.
+    aggs = [
+        F.coalesce(F.sum(F.when(F.col("bucket") == i, F.col("tf"))), F.lit(0.0)).alias(
+            f"_b{i}"
+        )
+        for i in range(num_features)
+    ]
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_b{i}") for i in range(num_features)]).alias("features"),
+    )
 
 
 def tfidf_features(
