@@ -50,6 +50,17 @@ def main() -> int:
     df = load_glm_fast(spark, sf_dir)
     df.count()
     spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
+    # ... and one 2-round mini-fit over a 20k-row slice: whole-stage-codegen
+    # classes for the solver plans (scan/standardize/Arrow block build) are
+    # Janino-compiled once per PLAN SHAPE, and the first timed fit otherwise
+    # absorbs ~3-5 s of compiler time that is not the engine's steady-state
+    # cost (same reasoning as the pool spawn above; the reference baseline
+    # number also comes from a warm notebook session).
+    warm = df.limit(20_000)
+    LogisticRegression(
+        solver="admm", regularizer="l2", fit_intercept=False, max_iter=2
+    ).fit(warm)
+    LogisticRegression(solver="lbfgs", regularizer=None, max_iter=3).fit(warm)
 
     # -- solver fits (the baseline-comparable numbers) ---------------------
     # Baseline parity config: fit_intercept=False, admm + l2 (BASELINE.md).
