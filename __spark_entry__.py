@@ -681,13 +681,24 @@ SELECT doc_id, source FROM w WHERE prior < 3000 ORDER BY doc_id""",
 }
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table with the parallelism floor applied: these wrappers
+    run dense per-row regex/hash expressions over every row (no filters to
+    push down), and a single-row-group scan would serialize that onto one
+    core (plans/layout.py; no-op at scale)."""
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+    from dask_glm_spark.sources.glm_source import load_table
+
+    return ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+
+
 def _pq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from dask_glm_spark.operators import text as T
     from dask_glm_spark.sources.glm_source import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     n_tok = T.token_count_expr("text")
     stripped = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
     return docs.select(
@@ -705,7 +716,7 @@ def _pq_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators import text as T
     from dask_glm_spark.sources.glm_source import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return (
         docs.select(T.langid_expr("text").alias("lang_pred"))
         .groupBy("lang_pred")
@@ -720,7 +731,7 @@ def _pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators import text as T
     from dask_glm_spark.sources.glm_source import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.round(T.quality_score_expr("text"), 6).cast("double").alias("quality"),
@@ -731,7 +742,7 @@ def _pq_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators import text as T
     from dask_glm_spark.sources.glm_source import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select(
         "doc_id", T.fingerprint_expr("text").cast("long").alias("fp")
     ).orderBy("doc_id")
@@ -919,7 +930,7 @@ def _pq_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators import text as T
     from dask_glm_spark.sources.glm_source import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select(
         "doc_id",
         T.regex_token_count_expr("text").cast("long").alias("n_regex_tokens"),
@@ -1072,7 +1083,7 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators.quality import scrub_expr
     from dask_glm_spark.sources.glm_source import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     synth = F.concat(
         F.col("text"),
         F.lit(" contact user"),

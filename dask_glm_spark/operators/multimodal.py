@@ -111,6 +111,9 @@ def byte_histogram_features(
     per row (vectorized via frombuffer). Deterministic, codec-free, and
     recomputable in ANSI SQL — the q27 oracle does exactly that.
     """
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
