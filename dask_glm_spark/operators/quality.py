@@ -101,6 +101,11 @@ def repetition_stats(
 
     df = ensure_min_parallelism(df)
     c = F.col(text_col)
+    # Group on xxhash64 of the line/gram, not the string: the shuffles
+    # carry 8-byte keys instead of n-gram-sized payloads, and every output
+    # is a count/length statistic, never the text itself. (A 64-bit
+    # collision would need ~2^32 distinct grams IN ONE DOCUMENT to become
+    # likely — not a real document.)
     lines = df.select(
         id_col,
         F.explode(
@@ -109,8 +114,10 @@ def repetition_stats(
                 lambda s: F.length(s) > 0,
             )
         ).alias("line"),
+    ).select(
+        id_col, F.xxhash64("line").alias("lh"), F.length("line").alias("llen")
     )
-    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("cnt"))
+    per_line = lines.groupBy(id_col, "lh", "llen").agg(F.count("*").alias("cnt"))
     line_stats = per_line.groupBy(id_col).agg(
         F.sum("cnt").cast("long").alias("n_lines"),
         (
@@ -118,16 +125,16 @@ def repetition_stats(
             - F.count("*").cast("double") / F.sum("cnt").cast("double")
         ).alias("dup_line_frac"),
         (
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0))
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("llen")).otherwise(0))
             .cast("double")
-            / F.sum(F.col("cnt") * F.length("line")).cast("double")
+            / F.sum(F.col("cnt") * F.col("llen")).cast("double")
         ).alias("dup_line_char_frac"),
     )
 
     bigrams = df.select(
         id_col, F.explode(ngrams_expr(text_col, 2)).alias("bg")
-    )
-    per_bg = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("cnt"))
+    ).select(id_col, F.xxhash64("bg").alias("bh"))
+    per_bg = bigrams.groupBy(id_col, "bh").agg(F.count("*").alias("cnt"))
     bg_stats = per_bg.groupBy(id_col).agg(
         (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
             "top_bigram_frac"
@@ -136,11 +143,11 @@ def repetition_stats(
 
     ngrams = df.select(
         id_col, F.explode(ngrams_expr(text_col, dup_ngram_n)).alias("g")
-    )
+    ).select(id_col, F.xxhash64("g").alias("gh"))
     ng_stats = ngrams.groupBy(id_col).agg(
         (
             F.lit(1.0)
-            - F.count_distinct("g").cast("double") / F.count("*").cast("double")
+            - F.count_distinct("gh").cast("double") / F.count("*").cast("double")
         ).alias("dup_ngram_frac")
     )
 
