@@ -66,7 +66,11 @@ def normalize(algo):
             # Single-row-group inputs arrive as ONE scan task; every
             # iteration would then run on one core. Spread BEFORE caching
             # (no-op whenever the scan already has >= core-count splits).
-            df = ensure_min_parallelism(df)
+            # ADMM owns its block layout (nblocks; 0 = keep the caller's
+            # partitioning verbatim) — repartitioning here would both
+            # double-shuffle and silently break that contract.
+            if algo.__name__ != "admm":
+                df = ensure_min_parallelism(df)
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             we_persisted = True
         try:
