@@ -681,6 +681,28 @@ SELECT doc_id, source FROM w WHERE prior < 3000 ORDER BY doc_id""",
 }
 
 
+def _lsh_buckets_oracle_sql() -> str:
+    """Sign-pattern bucket histogram with the engine's seeded hyperplanes
+    embedded as literals — oracle-checks the ANN bucketing math (the
+    assignment step every LSH path rides on). repr() floats round-trip
+    exactly, so both engines fold the identical doubles."""
+    from dask_glm_spark.operators.similarity import DEFAULT_PLANES, _hyperplanes
+
+    planes = _hyperplanes(64, DEFAULT_PLANES)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in row)
+        + f"]) >= 0 THEN {2**i} ELSE 0 END)"
+        for i, row in enumerate(planes)
+    )
+    return f"""SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT {bits} AS bucket FROM embeddings
+) t GROUP BY bucket ORDER BY bucket"""
+
+
+PIPELINE_SQL["q45_lsh_buckets"] = _lsh_buckets_oracle_sql()
+
+
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents table with the parallelism floor applied: these wrappers
     run dense per-row regex/hash expressions over every row (no filters to
@@ -1111,6 +1133,26 @@ def _pq_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("contaminated")).select("doc_id").orderBy("doc_id")
 
 
+def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.similarity import (
+        DEFAULT_PLANES,
+        _hyperplanes,
+        bucket_expr,
+    )
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, DEFAULT_PLANES)
+    return (
+        emb.select(bucket_expr(F.col("embedding"), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("bucket")
+    )
+
+
 def _pq_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators.quality import select_to_token_budget
     from dask_glm_spark.sources.glm_source import load_table
@@ -1150,6 +1192,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_scrub": _pq_scrub,
     "q43_decontam": _pq_decontam,
     "q44_token_budget": _pq_token_budget,
+    "q45_lsh_buckets": _pq_lsh_buckets,
 }
 
 
