@@ -1153,6 +1153,20 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's over the embeddings table (k=8, 5 fixed rounds,
+    seeded sample init). Iterative fixpoint — not ANSI-SQL-expressible, so
+    this is a rows-only check (the assignment math underneath is
+    hash-checked by q45); determinism + numpy-Lloyd parity are pinned in
+    tests/test_clustering.py."""
+    from dask_glm_spark.operators import clustering as C
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = C.kmeans_fit(emb, k=8, max_iter=5)
+    return C.cluster_sizes(emb, cent)
+
+
 def _pq_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators.quality import select_to_token_budget
     from dask_glm_spark.sources.glm_source import load_table
@@ -1193,6 +1207,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_decontam": _pq_decontam,
     "q44_token_budget": _pq_token_budget,
     "q45_lsh_buckets": _pq_lsh_buckets,
+    "q46_kmeans_sizes": _pq_kmeans,
 }
 
 

@@ -1,0 +1,132 @@
+"""Distributed k-means over embedding columns.
+
+Beyond-reference surface: the clustering counterpart of the GLM solvers,
+built on the same driver-optimizer / cluster-evaluator split
+(SURVEY.md §3.2): the k x d centroid matrix lives on the driver (small),
+the data never moves, and each Lloyd iteration is
+
+  assign  — ONE narrow map: argmax over centroid similarities with the
+            centroids folded into the plan as literals (P8
+            broadcast-as-constant; same expression the IVF index uses)
+  update  — ONE aggregation: groupBy(cluster) with d per-element ``avg``
+            states built from array indexing — no posexplode (a d-times
+            row blowup), no Python; partial aggregation means the shuffle
+            carries k x d running sums per partition, O(k·d) bytes.
+
+So per-iteration cluster traffic is O(k·d) in and out, independent of
+corpus size — the same contract as the GLM gradient kernels. Centroid
+init is a seeded driver-side sample (``similarity.train_ivf_centroids``
+shape): deterministic and corpus-size-independent.
+
+Parity: ``tests/test_clustering.py`` pins the Spark iteration against
+driver-side numpy Lloyd's (``similarity._kmeans_np``) from the same init
+— same assignments, centroids to fp tolerance. The iteration itself is
+not ANSI-SQL-expressible (it is a fixpoint loop), so the declared query
+q46 reports cluster sizes under the driver's weaker rows-only check —
+the assignment math it rides on is hash-checked separately by q45.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators.similarity import (
+    IVF_SAMPLE_ROWS,
+    IVF_SEED,
+    _centroid_sims_expr,
+)
+from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+
+def assign_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """0-based nearest-centroid id (L2) as one narrow codegen'd argmax."""
+    sims = _centroid_sims_expr(vec, centroids)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def _init_centroids(
+    df: DataFrame, k: int, vec_col: str, seed: int
+) -> np.ndarray:
+    """Seeded sample-based init (bounded driver collect, corpus-size
+    independent — the limit is deterministic for a fixed input file
+    layout, which is what reproducibility here means)."""
+    sample = [
+        r[0]
+        for r in df.select(F.col(vec_col).cast("array<double>"))
+        .limit(IVF_SAMPLE_ROWS)
+        .collect()
+    ]
+    X = np.asarray(sample, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    return X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    seed: int = IVF_SEED,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Lloyd's k-means; returns the (k, d) centroid matrix.
+
+    Empty clusters keep their previous centroid (the standard
+    keep-stale-center convention — matches ``similarity._kmeans_np``).
+    Stops when max centroid shift (L2) <= ``tol`` or after ``max_iter``.
+    """
+    df = ensure_min_parallelism(df)
+    d = int(df.select(F.size(F.col(vec_col))).first()[0])
+    if centroids is None:
+        centroids = _init_centroids(df, k, vec_col, seed)
+    k = len(centroids)
+
+    vd = F.col(vec_col).cast("array<double>")
+    for _ in range(max_iter):
+        assigned = df.select(
+            assign_expr(vd, centroids).alias("_cl"), vd.alias("_v")
+        )
+        rows = (
+            assigned.groupBy("_cl")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(d)],
+            )
+            .collect()
+        )
+        new = centroids.copy()
+        for r in rows:
+            new[r["_cl"]] = [r[f"c{i}"] for i in range(d)]
+        shift = float(np.sqrt(((new - centroids) ** 2).sum(axis=1)).max())
+        centroids = new
+        if shift <= tol:
+            break
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Attach the nearest-centroid id — a pure narrow map (zero shuffle),
+    composable with any downstream filter/sample/dedup-by-cluster step."""
+    return df.withColumn(out_col, assign_expr(F.col(vec_col), centroids))
+
+
+def cluster_sizes(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n) histogram — the q46 reporting shape."""
+    return (
+        kmeans_assign(df, centroids, vec_col)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("cluster")
+    )
