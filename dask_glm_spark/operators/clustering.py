@@ -130,3 +130,40 @@ def cluster_sizes(
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("cluster")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 64,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: int = IVF_SEED,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs: k-means clusters as blocks,
+    exact GEMM cosine within each block.
+
+    The published recipe (Abbas et al. 2023): semantically near-identical
+    documents land in the same coarse cluster, so the quadratic
+    cosine search runs per cluster — O(sum m_c²) instead of O(n²) — and k
+    is the knob trading recall (cross-cluster dup pairs are missed) for
+    cost. Composes ``kmeans_fit`` + ``embedding_neardup_pairs('exact')``;
+    cluster ids are the block column, one GEMM per cluster.
+    """
+    from dask_glm_spark.operators.similarity import embedding_neardup_pairs
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, k=k, vec_col=vec_col, max_iter=max_iter, seed=seed
+        )
+    assigned = kmeans_assign(df, centroids, vec_col, out_col="_cluster")
+    return embedding_neardup_pairs(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="_cluster",
+        method="exact",
+    )

@@ -76,3 +76,14 @@ def test_assign_is_narrow(spark, blobs):
     cent[0, 0] = 1.0
     out = C.kmeans_assign(df, cent)
     audit.assert_narrow(out)
+
+
+def test_semantic_dedup_finds_planted_pair(spark, blobs):
+    X, df = blobs
+    # plant a near-duplicate of row 0 with a new id
+    import numpy as np
+
+    dup = (X[0] + 1e-4).tolist()
+    df2 = df.union(df.sparkSession.createDataFrame([(999, dup)], df.schema))
+    pairs = C.semantic_dedup_pairs(df2, k=4, threshold=0.999, max_iter=5).collect()
+    assert any({r["id_a"], r["id_b"]} == {0, 999} for r in pairs)
