@@ -180,3 +180,31 @@ def test_dedup_stream_matches_batch_exact_dedup_keys(spark, events, tmp_path_fac
     got = {r["event_type"] for r in spark.table("dedup_stream_events_test").collect()}
     expect = {r["event_type"] for r in events.select("event_type").distinct().collect()}
     assert got == expect
+
+
+def test_quality_exprs_streamable(spark, tmp_path_factory):
+    """The text quality/scrub layer is stateless Columns, so it composes
+    with readStream unchanged: stream output == batch output row-for-row."""
+    import pyspark.sql.functions as F
+
+    from dask_glm_spark.operators.quality import scrub_expr
+    from dask_glm_spark.operators.text import quality_score_expr
+
+    d = str(tmp_path_factory.mktemp("qdocs"))
+    rows = [
+        (1, "mail me a@b.io now"),
+        (2, "see https://x.io/y ok"),
+        (3, "the and of to is clean text here"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.write.mode("overwrite").parquet(d)
+    sel = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        scrub_expr("text").alias("scrubbed"),
+        F.round(quality_score_expr("text"), 6).alias("q"),
+    )
+    want = {tuple(r) for r in sel(batch).collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    SC.run_stream_to_memory(sel(stream), "quality_stream_test", mode="append")
+    got = {tuple(r) for r in spark.table("quality_stream_test").collect()}
+    assert got == want
