@@ -1,0 +1,98 @@
+"""End-to-end corpus curation: the full training-data arc on real tables.
+
+    documents ──> quality gates ──> dedup ──> decontaminate ──> budget
+        ──> TF-IDF features ──> GLM fit ──> score
+
+Every stage is an engine operator (no ad-hoc SQL), so this doubles as an
+integration test of the pipeline surface (tests/test_example.py runs it
+at sf0.001 in CI). Run:  python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark import LogisticRegression
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.operators import graph as G
+    from dask_glm_spark.operators import quality as Q
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.session import get_spark
+    from dask_glm_spark.sources.glm_source import load_table
+
+    spark = get_spark(app_name="curation_pipeline", shuffle_partitions=8)
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gates: language, composite quality, repetition
+    scored = docs.withColumn("lang", T.langid_expr("text")).withColumn(
+        "quality", T.quality_score_expr("text")
+    )
+    rep = Q.repetition_stats(docs).select("doc_id", "top_bigram_frac")
+    gated = (
+        scored.join(rep, "doc_id")
+        .where(
+            (F.col("lang") == "en")
+            & (F.col("quality") > 0.3)
+            & (F.col("top_bigram_frac") < 0.5)
+        )
+        .drop("top_bigram_frac")
+    )
+    n1 = gated.count()
+
+    # 2. near-dedup: MinHash pairs -> components -> keep one per cluster
+    pairs = D.minhash_dedup_pairs(gated, threshold=0.7)
+    survivors = G.neardup_survivors(gated, pairs)
+    n2 = survivors.count()
+
+    # 3. decontaminate against a benchmark slice
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    clean = Q.decontaminate(survivors, bench, n=5, mode="drop")
+    n3 = clean.count()
+
+    # 4. token-budget mixture per source, then scrub
+    selected = Q.select_to_token_budget(
+        clean, 50_000, by="source", priority="quality"
+    ).withColumn("text", Q.scrub_expr("text"))
+    n4 = selected.count()
+
+    # 5. featurize + fit: predict source-class from TF-IDF of the text
+    feats = T.tfidf_features(selected, num_features=32)
+    labeled = feats.join(
+        selected.select(
+            "doc_id",
+            (F.crc32(F.col("source")) % 2).cast("double").alias("label"),
+        ),
+        "doc_id",
+    )
+    # normalize=False: hashed-TF grids at tiny SF have several all-zero
+    # buckets, and standardizing constant columns is the reference's
+    # declared error path (it likewise disables normalization for sparse
+    # features — dask_glm/estimators.py:82-83)
+    lr = LogisticRegression(solver="lbfgs", regularizer="l2", lamduh=0.01).fit(
+        labeled, normalize=False
+    )
+    acc = lr.score(labeled)
+
+    out = {
+        "raw": n0,
+        "quality_gated": n1,
+        "deduped": n2,
+        "decontaminated": n3,
+        "in_budget": n4,
+        "fit_accuracy": round(float(acc), 4),
+    }
+    print(out)
+    assert n0 >= n1 >= n2 >= n3 >= n4 > 0
+    return out
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

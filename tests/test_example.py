@@ -20,3 +20,19 @@ def test_end_to_end_example(tmp_path):
     assert 0.5 <= acc <= 1.0
     out = os.path.join(str(tmp_path), "predictions")
     assert any("bucket=" in d for d in os.listdir(out))
+
+
+def test_curation_pipeline_example():
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "curation_pipeline.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.main("/root/testdata/sf0.001")
+    assert out["raw"] >= out["quality_gated"] >= out["deduped"]
+    assert out["deduped"] >= out["decontaminated"] >= out["in_budget"] > 0
+    assert 0.0 <= out["fit_accuracy"] <= 1.0
