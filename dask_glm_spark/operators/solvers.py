@@ -672,25 +672,39 @@ def _admm_consensus(
       the per-round persist/localCheckpoint dance disappears too.
     - **executor-resident** (wide-p sparse): k x 2p floats of state is
       too big to broadcast (p ~ 10^6 hashed-text features => GBs), so
-      state stays inside the block rows and the round maps blocks to
-      blocks — the original layout, paying the re-serialization tax to
-      keep per-round traffic O(p)-bounded.
+      state rides a separate tiny RDD zipped against the immutable data
+      RDD each round — X is still read from cache per round, but the
+      round's OUTPUT is O(p) per block, so nothing data-sized is ever
+      serialized back either.
     """
     if 2 * p * 8 * sc.defaultParallelism <= MAX_DRIVER_STATE_BYTES:
         return _admm_consensus_driver_state(
             blocks, p, regularizer, lamduh, rho, over_relax,
             max_iter, abstol, reltol, fam, sc,
         )
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    nchunks = blocks.count()  # empty partitions contribute no block
+    # Immutable data (pid, X, y) cached ONCE; the per-block state rides a
+    # SEPARATE tiny RDD zipped back each round (both are one-element-per-
+    # partition children of the same parent, so zip alignment is exact).
+    # X is read from cache each round (unavoidable in PySpark) but never
+    # serialized back — the round's output is O(p) per block, so the
+    # per-round persist/localCheckpoint machinery touches state only.
+    data = blocks.map(
+        lambda b: (b[0], b[1], b[2]), preservesPartitioning=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nchunks = data.count()  # empty partitions contribute no block
     if nchunks == 0:
         raise ValueError("empty input DataFrame")
+    state = data.map(
+        lambda b: (b[0], np.ones(p), np.zeros(p), None),
+        preservesPartitioning=True,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
 
     z = np.zeros(p)
 
     def make_round(z_bc, first):
-        def run(block):
-            pid, X, y, beta, u, beta_hat_prev = block
+        def run(pair):
+            (pid, X, y), (_, beta, u, beta_hat_prev) = pair
             zv = z_bc.value
             if not first:
                 # deferred dual update from the previous round, now that the
@@ -698,26 +712,28 @@ def _admm_consensus(
                 u = u + beta_hat_prev - zv
             new_beta = _admm_local_update(X, y, beta, zv, u, rho, fam)
             beta_hat = over_relax * new_beta + (1 - over_relax) * zv
-            return (pid, X, y, new_beta, u, beta_hat)
+            return (pid, new_beta, u, beta_hat)
 
         return run
 
-    prev = blocks
+    prev = state
     prev_ckpt = False
     for it in range(max_iter):
         z_bc = sc.broadcast(z)
-        nxt = prev.map(make_round(z_bc, first=(it == 0)), preservesPartitioning=True)
+        nxt = data.zip(prev).map(
+            make_round(z_bc, first=(it == 0)), preservesPartitioning=True
+        )
         nxt_ckpt = (it + 1) % 10 == 0
         if nxt_ckpt:
             nxt.localCheckpoint()
         else:
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         # one action per round: ship back (pid, beta_i, beta_hat_i + u_i)
-        stats = nxt.map(lambda b: (b[0], b[3], b[5] + b[4])).collect()
-        # ADVICE r2: never unpersist a localCheckpoint'd round — its blocks
-        # ARE the checkpoint (lineage is truncated; dropping them would make
-        # any later recompute fail with missing checkpoint blocks).
-        if prev is not blocks and not prev_ckpt:
+        stats = nxt.map(lambda s: (s[0], s[1], s[3] + s[2])).collect()
+        # ADVICE r2: never unpersist a localCheckpoint'd round — its state
+        # rows ARE the checkpoint (lineage is truncated; dropping them
+        # would make any later recompute fail with missing blocks).
+        if prev is not state and not prev_ckpt:
             prev.unpersist(False)
         prev, prev_ckpt = nxt, nxt_ckpt
         z_bc.unpersist(False)
@@ -743,8 +759,9 @@ def _admm_consensus(
         if primal_res < eps_pri and dual_res < eps_dual:
             break
 
-    blocks.unpersist(False)
-    if prev is not blocks and not prev_ckpt:
+    data.unpersist(False)
+    state.unpersist(False)
+    if prev is not state and not prev_ckpt:
         prev.unpersist(False)
     return z
 

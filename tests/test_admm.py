@@ -40,3 +40,20 @@ def test_admm_normal_family(spark):
     beta = admm(df, regularizer="l2", lamduh=0.1, max_iter=15, family=Normal)
     assert np.all(np.isfinite(beta))
     df.unpersist()
+
+
+def test_state_layouts_agree(spark, monkeypatch):
+    """Driver-resident vs executor-resident consensus rounds produce the
+    same iterates: same data blocks, same init, same update order — the
+    layouts differ only in WHERE beta_i/u_i live between rounds."""
+    from dask_glm_spark.operators import solvers as S
+
+    df, _, _ = make_classification(
+        spark, n_samples=2000, n_features=4, seed=7, npartitions=4
+    )
+    df = df.persist()
+    kw = dict(regularizer="l2", lamduh=0.05, max_iter=8, nblocks=0, normalize=False)
+    a = admm(df, **kw)
+    monkeypatch.setattr(S, "MAX_DRIVER_STATE_BYTES", 0)  # force executor path
+    b = admm(df, **kw)
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
