@@ -206,13 +206,14 @@ def token_percentiles(
 # ---------------------------------------------------------------------------
 # Hashed TF / TF-IDF featurization -> GLM `features array<double>`
 # ---------------------------------------------------------------------------
-def hashing_tf(
+def _bucket_counts(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_features: int = 64,
+    text_col: str,
+    id_col: str,
+    num_features: int,
 ) -> DataFrame:
-    """Hashed term-frequency vectors: (id_col, features array<double>).
+    """Sparse per-doc bucket counts (id, bucket, tf) — the shared first
+    stage of hashing_tf / tfidf_features.
 
     Plan shape at scale: explode (narrow) -> wordcount groupBy(id, tok)
     with map-side combine -> the (interpreted, per-char) polyhash runs on
@@ -222,9 +223,7 @@ def hashing_tf(
     joined back on ``tok`` (AQE broadcasts the vocab side when it is
     small; at web-corpus vocab sizes it degrades to a plain shuffle join,
     still dwarfed by the occurrence explode either way) -> groupBy(id,
-    bucket) -> per-doc dense array build via map lookup (narrow). The
-    bucket space is ``num_features`` so the per-doc state is O(k), never
-    vocabulary-sized.
+    bucket). Per-doc state is O(num_features), never vocabulary-sized.
     """
     from dask_glm_spark.plans.layout import ensure_min_parallelism
 
@@ -240,24 +239,48 @@ def hashing_tf(
         .distinct()
         .withColumn("bucket", polyhash_expr(F.col("tok")) % num_features)
     )
-    counts = (
+    return (
         tok_counts.join(vocab, "tok")
         .groupBy(id_col, "bucket")
         .agg(F.sum("tf").cast("double").alias("tf"))
     )
-    # Dense build as a manual pivot: num_features conditional sums inside
-    # ONE codegen'd HashAggregate (64 running doubles per doc), then an
-    # array constructor — no interpreted map_from_entries/element_at pass.
+
+
+def _dense_pivot(
+    counts: DataFrame,
+    id_col: str,
+    num_features: int,
+    scale: list[float] | None = None,
+) -> DataFrame:
+    """(id, features array<double>) from sparse counts, as a manual pivot:
+    num_features conditional sums inside ONE codegen'd HashAggregate, then
+    an array constructor — no interpreted map_from_entries/element_at
+    pass. ``scale`` (e.g. per-bucket idf) folds into the same aggregate as
+    literal factors, so scaling costs zero extra passes."""
     aggs = [
-        F.coalesce(F.sum(F.when(F.col("bucket") == i, F.col("tf"))), F.lit(0.0)).alias(
-            f"_b{i}"
-        )
+        (
+            F.coalesce(F.sum(F.when(F.col("bucket") == i, F.col("tf"))), F.lit(0.0))
+            * F.lit(1.0 if scale is None else float(scale[i]))
+        ).alias(f"_b{i}")
         for i in range(num_features)
     ]
     per_doc = counts.groupBy(id_col).agg(*aggs)
     return per_doc.select(
         F.col(id_col),
         F.array(*[F.col(f"_b{i}") for i in range(num_features)]).alias("features"),
+    )
+
+
+def hashing_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 64,
+) -> DataFrame:
+    """Hashed term-frequency vectors: (id_col, features array<double>).
+    See ``_bucket_counts`` for the plan shape."""
+    return _dense_pivot(
+        _bucket_counts(df, text_col, id_col, num_features), id_col, num_features
     )
 
 
@@ -269,41 +292,33 @@ def tfidf_features(
 ) -> DataFrame:
     """TF-IDF vectors: tf(d, b) * ln((N + 1) / (df(b) + 1)).
 
-    The doc-frequency table is exactly ``num_features`` rows — broadcast to
-    every executor, so the idf join is shuffle-free regardless of corpus
-    size. The only shuffle in the whole pipeline is the per-doc TF groupBy.
-
-    The raw corpus is scanned exactly ONCE: the TF aggregate is persisted,
-    and N is its row count (docs with >= 1 token — token-less docs carry no
-    TF mass, so excluding them from N is the self-consistent definition),
-    so neither the doc count nor the doc-frequency pass re-reads ``df``.
-    The cache also serves the returned lazy projection and is left to
-    Spark's LRU.
+    The raw corpus is scanned exactly ONCE: the SPARSE bucket-count
+    aggregate is persisted, and everything else derives from it with
+    O(num_features)-sized jobs — N = countDistinct(id) (docs with >= 1
+    token; token-less docs carry no TF mass, so excluding them from N is
+    the self-consistent definition), df(b) = one tiny groupBy on the same
+    cache. The idf factors then fold as literals INTO the dense pivot
+    (P8 broadcast-as-constant), so the scaled vectors cost no pass beyond
+    the one hashing_tf would already run — the previous shape built the
+    dense array first and posexploded it back apart to count df(b). The
+    cache is left to Spark's LRU (the returned projection still reads it).
     """
-    from pyspark import StorageLevel
-
-    tf = hashing_tf(df, text_col, id_col, num_features).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_docs = tf.count()
-    dfreq = (
-        tf.select(F.posexplode("features").alias("bucket", "tf"))
-        .where(F.col("tf") > 0)
-        .groupBy("bucket")
-        .agg(F.count("*").cast("double").alias("df"))
-    )
-    idf_map = {
-        int(r["bucket"]): float(r["df"]) for r in dfreq.collect()
-    }  # k rows, driver-side fold into literals (P8 broadcast-as-constant)
     import math
 
+    from pyspark import StorageLevel
+
+    counts = _bucket_counts(df, text_col, id_col, num_features).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_docs = counts.select(id_col).distinct().count()
+    idf_map = {
+        int(r["bucket"]): float(r["df"])
+        for r in counts.groupBy("bucket")
+        .agg(F.count("*").cast("double").alias("df"))
+        .collect()
+    }
     idf = [
         math.log((n_docs + 1.0) / (idf_map.get(b, 0.0) + 1.0))
         for b in range(num_features)
     ]
-    scaled = F.expr(
-        "transform(features, (x, i) -> x * element_at(array({}), i + 1))".format(
-            ",".join(f"{v!r}D" for v in idf)
-        )
-    )
-    return tf.select(F.col(id_col), scaled.alias("features"))
+    return _dense_pivot(counts, id_col, num_features, scale=idf)
