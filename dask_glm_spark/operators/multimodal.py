@@ -135,6 +135,60 @@ def byte_histogram_features(
     return df.mapInPandas(op, schema=f"{id_col} long, features array<double>")
 
 
+def waveform_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-row waveform features from raw little-endian int16 PCM payloads
+    (the WAV data-chunk layout): n_samples, mean, rms, zero_crossings.
+
+    No codec needed — raw PCM is just bytes — so unlike the stubbed
+    decode_image path this is real end-to-end computation: one
+    ``mapInPandas`` pass, ``np.frombuffer`` per row (zero-copy view),
+    vectorized reductions. A trailing odd byte is ignored (torn sample).
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns, mean, rms, zc = [], [], [], []
+            for buf in pdf[payload_col]:
+                x = np.frombuffer(
+                    buf[: len(buf) // 2 * 2], dtype="<i2"
+                ).astype(np.float64)
+                n = len(x)
+                ns.append(n)
+                if n == 0:
+                    mean.append(0.0)
+                    rms.append(0.0)
+                    zc.append(0)
+                    continue
+                mean.append(float(x.mean()))
+                rms.append(float(np.sqrt((x * x).mean())))
+                zc.append(int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_samples": np.asarray(ns, dtype=np.int64),
+                    "mean": np.asarray(mean, dtype=np.float64),
+                    "rms": np.asarray(rms, dtype=np.float64),
+                    "zero_crossings": np.asarray(zc, dtype=np.int64),
+                }
+            )
+
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(
+        op,
+        schema=(
+            f"{id_col} long, n_samples long, mean double, rms double, "
+            "zero_crossings long"
+        ),
+    )
+
+
 def frame_sample_indices(
     df: DataFrame, every_n: int = 10, meta_col: str = "meta"
 ) -> DataFrame:

@@ -71,3 +71,28 @@ def test_decode_is_clearly_stubbed(media):
         M.decode_image(media)
     with pytest.raises(NotImplementedError, match="STUB"):
         M.resize_images(media, 32, 32)
+
+
+def test_waveform_stats_known_signal(spark):
+    import numpy as np
+
+    from dask_glm_spark.operators.multimodal import waveform_stats
+
+    # 1 kHz square-ish wave: alternating +1000/-1000 per sample -> a zero
+    # crossing at EVERY sample boundary; plus a silent row and an odd-byte row
+    sq = np.tile(np.array([1000, -1000], dtype="<i2"), 50)
+    rows = [
+        (1, bytes(sq.tobytes())),
+        (2, bytes(np.zeros(10, dtype="<i2").tobytes())),
+        (3, bytes(sq.tobytes()) + b"\x7f"),  # torn trailing byte ignored
+        (4, b""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in waveform_stats(df).collect()}
+    assert out[1]["n_samples"] == 100
+    assert out[1]["zero_crossings"] == 99
+    assert out[1]["mean"] == 0.0
+    assert out[1]["rms"] == 1000.0
+    assert out[2]["rms"] == 0.0 and out[2]["zero_crossings"] == 0
+    assert out[3]["n_samples"] == 100
+    assert out[4]["n_samples"] == 0 and out[4]["rms"] == 0.0
