@@ -681,6 +681,26 @@ SELECT doc_id, source FROM w WHERE prior < 3000 ORDER BY doc_id""",
 }
 
 
+# Waveform stats over the deterministic text payloads: both engines read
+# consecutive byte PAIRS as little-endian int16 samples (low + 256*high;
+# the corpus is printable ASCII, so the high byte is < 128 and the
+# sign-wrap branch is never taken — which is also why zero_crossings is
+# structurally 0 here and checked as such). A trailing odd byte is a torn
+# sample, ignored by both sides.
+PIPELINE_SQL["q47_waveform"] = """WITH s AS (
+  SELECT doc_id,
+    [ascii(text[2*i-1]) + 256 * ascii(text[2*i])
+     for i in generate_series(1, length(text) // 2)] AS smp
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(smp) AS BIGINT) AS n_samples,
+  CAST(round(list_avg(smp), 4) AS DOUBLE) AS mean,
+  CAST(round(sqrt(list_avg(list_transform(smp, x -> x * x * 1.0))), 4) AS DOUBLE) AS rms,
+  CAST(0 AS BIGINT) AS zero_crossings
+FROM s ORDER BY doc_id"""
+
+
 def _lsh_buckets_oracle_sql() -> str:
     """Sign-pattern bucket histogram with the engine's seeded hyperplanes
     embedded as literals — oracle-checks the ANN bucketing math (the
@@ -1133,6 +1153,26 @@ def _pq_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("contaminated")).select("doc_id").orderBy("doc_id")
 
 
+def _pq_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.multimodal import (
+        attach_text_payloads,
+        waveform_stats,
+    )
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = attach_text_payloads(load_table(spark, sf_dir, "documents"))
+    out = waveform_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_samples",
+        F.round("mean", 4).cast("double").alias("mean"),
+        F.round("rms", 4).cast("double").alias("rms"),
+        "zero_crossings",
+    ).orderBy("doc_id")
+
+
 def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1208,6 +1248,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_token_budget": _pq_token_budget,
     "q45_lsh_buckets": _pq_lsh_buckets,
     "q46_kmeans_sizes": _pq_kmeans,
+    "q47_waveform": _pq_waveform,
 }
 
 
