@@ -184,6 +184,12 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Timing methodology version: bump whenever the measurement
+                # protocol changes (warm-up passes, retime policy, ...) so
+                # the round-over-round differ can avoid comparing across
+                # methodology boundaries. v2 = warm pass + min-of-2 retime
+                # (introduced r4); r1-r3 numbers are v1 (cold, single-shot).
+                "bench_methodology": "v2-warm-min2",
             }
         )
     )

@@ -78,32 +78,44 @@ def kmeans_fit(
     keep-stale-center convention — matches ``similarity._kmeans_np``).
     Stops when max centroid shift (L2) <= ``tol`` or after ``max_iter``.
     """
-    df = ensure_min_parallelism(df)
-    d = int(df.select(F.size(F.col(vec_col))).first()[0])
-    if centroids is None:
-        centroids = _init_centroids(df, k, vec_col, seed)
-    k = len(centroids)
+    from pyspark import StorageLevel
 
+    # Iterative-input discipline (same as the GLM solvers' @normalize,
+    # solvers.py:65-75): project to just the vector column and persist
+    # ONCE, so each Lloyd round scans the cache instead of re-reading the
+    # source and re-executing the ensure_min_parallelism shuffle.
     vd = F.col(vec_col).cast("array<double>")
-    for _ in range(max_iter):
-        assigned = df.select(
-            assign_expr(vd, centroids).alias("_cl"), vd.alias("_v")
-        )
-        rows = (
-            assigned.groupBy("_cl")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(d)],
+    data = ensure_min_parallelism(df.select(vd.alias("_v"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        d = int(data.select(F.size("_v")).first()[0])
+        if centroids is None:
+            centroids = _init_centroids(data, k, "_v", seed)
+        k = len(centroids)
+
+        for _ in range(max_iter):
+            assigned = data.select(
+                assign_expr(F.col("_v"), centroids).alias("_cl"),
+                F.col("_v"),
             )
-            .collect()
-        )
-        new = centroids.copy()
-        for r in rows:
-            new[r["_cl"]] = [r[f"c{i}"] for i in range(d)]
-        shift = float(np.sqrt(((new - centroids) ** 2).sum(axis=1)).max())
-        centroids = new
-        if shift <= tol:
-            break
+            rows = (
+                assigned.groupBy("_cl")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(d)],
+                )
+                .collect()
+            )
+            new = centroids.copy()
+            for r in rows:
+                new[r["_cl"]] = [r[f"c{i}"] for i in range(d)]
+            shift = float(np.sqrt(((new - centroids) ** 2).sum(axis=1)).max())
+            centroids = new
+            if shift <= tol:
+                break
+    finally:
+        data.unpersist()
     return centroids
 
 

@@ -221,6 +221,7 @@ def select_to_token_budget(
     priority: Column | str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    default_budget: int = 0,
 ) -> DataFrame:
     """Greedy per-group selection under a token budget.
 
@@ -230,6 +231,11 @@ def select_to_token_budget(
     group's budget — so the selection always makes progress (the first doc
     of a group is kept even if it alone exceeds the budget, matching the
     greedy-fill semantics of mixture samplers).
+
+    Groups absent from a dict ``budget_tokens`` get ``default_budget``
+    (default 0 = the whole group is dropped, explicitly — never the NULL
+    comparison that would drop it silently). Pass a large
+    ``default_budget`` to keep unlisted groups whole.
 
     One window per group (parallel across groups) over (group, priority)
     — the same shuffle a groupBy would need; everything else is narrow.
@@ -249,11 +255,14 @@ def select_to_token_budget(
     if isinstance(budget_tokens, int):
         budget = F.lit(budget_tokens)
     else:
-        budget = F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in budget_tokens.items() for x in kv]
+        budget = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in budget_tokens.items() for x in kv]
+                ),
+                F.col(by),
             ),
-            F.col(by),
+            F.lit(int(default_budget)),
         )
     n_tok = token_count_expr(text_col)
     prior = F.coalesce(F.sum(n_tok).over(w), F.lit(0))

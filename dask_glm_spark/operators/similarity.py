@@ -341,8 +341,13 @@ def embedding_neardup_pairs(
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             S = Xn @ Xn.T
             ia, ib = np.triu_indices(len(ids), k=1)
-            cos = np.round(S[ia, ib], 6)
-            keep = cos >= thr
+            # Full precision out of the UDF; rounding happens Spark-side
+            # with F.round (half-away-from-zero, matching DuckDB) — numpy
+            # np.round is half-to-even and can drift on exact .5e-6
+            # boundaries. The UDF-side filter keeps a 1e-6 margin so the
+            # authoritative post-round filter below never loses a row.
+            cos = S[ia, ib]
+            keep = cos >= thr - 1e-6
             return pd.DataFrame(
                 {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[keep]}
             )
@@ -351,6 +356,8 @@ def embedding_neardup_pairs(
             df.select(F.col(block_col).alias("blk"), id_col, vec_col)
             .groupBy("blk")
             .applyInPandas(block_pairs, schema="id_a long, id_b long, cosine double")
+            .withColumn("cosine", F.round(F.col("cosine"), 6))
+            .where(F.col("cosine") >= threshold)
             .orderBy("id_a", "id_b")
         )
     elif method == "lsh":

@@ -677,7 +677,12 @@ def _admm_consensus(
       round's OUTPUT is O(p) per block, so nothing data-sized is ever
       serialized back either.
     """
-    if 2 * p * 8 * sc.defaultParallelism <= MAX_DRIVER_STATE_BYTES:
+    # Block count upper bound without a job: each input partition yields at
+    # most one block (admm may request nblocks > defaultParallelism, and
+    # nblocks=0 keeps the caller's partitioning — defaultParallelism would
+    # under-count both).
+    nparts = max(1, blocks.getNumPartitions())
+    if 2 * p * 8 * nparts <= MAX_DRIVER_STATE_BYTES:
         return _admm_consensus_driver_state(
             blocks, p, regularizer, lamduh, rho, over_relax,
             max_iter, abstol, reltol, fam, sc,
