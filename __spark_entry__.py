@@ -115,6 +115,14 @@ SELECT CAST(round(2*sum(y*ln(1 + y/mu) - (y - mu)), 3) AS DOUBLE) AS deviance FR
     # P9 intercept append (utils.py:139-162)
     "q14_add_intercept": f"""WITH {GLM}
 SELECT id, f1, f2, f3, f4, CAST(1.0 AS DOUBLE) AS icpt FROM glm ORDER BY id LIMIT 100""",
+    # O2 unrolled solver iterations (VERDICT r4 #1): the GD update line
+    # (algorithms.py:154 `beta - stepSize*grad`) and the ISTA candidate
+    # (algorithms.py:479-481 `prox(beta - s*grad, s*lamduh)`) with the line
+    # search pinned to a fixed step, so the *iteration math* — not just the
+    # kernels it calls — is under the DuckDB hash gate. q48 additionally
+    # re-evaluates the loss AT the updated beta (second nested aggregate).
+    # (q48_gd_step / q49_prox_step assigned below — they need the pinned
+    # GD_STEP_S / PROX_LAMDUH literals defined after this dict.)
     # O1 standardization rewrite (utils.py:31) — scale/center by moments
     "q15_standardize": f"""WITH {GLM},
 stats AS (SELECT avg(f1) m1, avg(f2) m2, avg(f3) m3, avg(f4) m4,
@@ -126,6 +134,38 @@ SELECT id,
   CAST(round((f4-m4)/s4, 6) AS DOUBLE) AS z4
 FROM glm, stats ORDER BY id LIMIT 100""",
 }
+
+# Pinned solver-iteration constants (shared literal text between the engine
+# call and the oracle SQL — both sides compute s*lamduh as the same IEEE
+# product, so the soft-threshold boundary cannot drift).
+GD_STEP_S = 1e-7     # fixed step: beta1 moves O(0.01-0.1) at sf0.01 gradients
+PROX_LAMDUH = 6e5    # s*lamduh = 0.06: clamps 2 coords of beta1, shrinks 2
+
+_B1_CTES = f"""t AS (SELECT f1, f2, f3, f4, ({SIG} - label) AS r FROM glm),
+agg AS (SELECT {", ".join(f"sum(f{j}*r) AS g{j}" for j in range(1, 5))} FROM t),
+b AS (SELECT 0.1 - {GD_STEP_S!r}*g1 AS b1, -0.2 - {GD_STEP_S!r}*g2 AS b2,
+             0.3 - {GD_STEP_S!r}*g3 AS b3, 0.05 - {GD_STEP_S!r}*g4 AS b4 FROM agg),
+js AS (SELECT 1 AS j UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4)"""
+_B1_CASE = "CASE j WHEN 1 THEN b1 WHEN 2 THEN b2 WHEN 3 THEN b3 ELSE b4 END"
+
+KERNEL_SQL["q48_gd_step"] = f"""WITH {GLM},
+{_B1_CTES},
+l AS (SELECT sum(xb + ln(1+exp(-xb)) - label*xb) AS loss1
+      FROM (SELECT (b1*f1 + b2*f2 + b3*f3 + b4*f4) AS xb, label FROM glm, b) s)
+SELECT j,
+  CAST(round({_B1_CASE}, 6) AS DOUBLE) AS beta1,
+  CAST(round(loss1, 3) AS DOUBLE) AS loss1
+FROM b, l, js ORDER BY j"""
+
+# L1 soft-threshold exactly as regularizers.L1.proximal_operator:
+# max(0, v - t) - max(0, -v - t), t = s*lamduh as the same float product.
+KERNEL_SQL["q49_prox_step"] = f"""WITH {GLM},
+{_B1_CTES},
+bt AS (SELECT j, {_B1_CASE} AS v FROM b, js)
+SELECT j,
+  CAST(round(greatest(0, v - {GD_STEP_S!r}*{PROX_LAMDUH!r})
+           - greatest(0, -v - {GD_STEP_S!r}*{PROX_LAMDUH!r}), 6) AS DOUBLE) AS beta1_prox
+FROM bt ORDER BY j"""
 
 
 def _register_tables(
@@ -1486,6 +1526,47 @@ def _q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unrolled fixed-step GD iteration via the REAL solver-step code
+    (solvers.gd_step -> kernels.loss_gradient + kernels.loss): update at
+    BETA with pinned step, then loss re-evaluated at the updated beta1."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import solvers
+
+    df = _glm_nosort(spark, sf_dir)
+    beta1, loss1 = solvers.gd_step(df, BETA, GD_STEP_S)
+    rows = [(j + 1, float(beta1[j]), float(loss1)) for j in range(len(beta1))]
+    return (
+        spark.createDataFrame(rows, "j int, beta1 double, loss1 double")
+        .select(
+            "j",
+            F.round("beta1", 6).cast("double").alias("beta1"),
+            F.round("loss1", 3).cast("double").alias("loss1"),
+        )
+        .orderBy("j")
+    )
+
+
+def _q_prox_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unrolled ISTA candidate via solvers.prox_step — the real
+    L1.proximal_operator applied to beta - s*grad at pinned (s, lamduh)."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators import solvers
+
+    df = _glm_nosort(spark, sf_dir)
+    b = solvers.prox_step(df, BETA, GD_STEP_S, PROX_LAMDUH, regularizer="l1")
+    rows = [(j + 1, float(b[j])) for j in range(len(b))]
+    return (
+        spark.createDataFrame(rows, "j int, beta1_prox double")
+        .select(
+            "j", F.round("beta1_prox", 6).cast("double").alias("beta1_prox")
+        )
+        .orderBy("j")
+    )
+
+
 ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_matvec": _q_matvec,
     "q02_logistic_loglike": _q_loglike("logistic", "label", "loglike", 3),
@@ -1502,6 +1583,8 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_poisson_deviance": _q_poisson_deviance,
     "q14_add_intercept": _q_add_intercept,
     "q15_standardize": _q_standardize,
+    "q48_gd_step": _q_gd_step,
+    "q49_prox_step": _q_prox_step,
 }
 
 

@@ -225,6 +225,71 @@ def _prox_loop(loss_grad, multi_loss, p, regularizer, lamduh, max_iter, tol):
     return beta
 
 
+def gd_step(
+    df: DataFrame,
+    beta,
+    stepsize: float,
+    family=Logistic,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+) -> tuple[np.ndarray, float]:
+    """ONE unrolled fixed-step gradient-descent iteration.
+
+    Exactly the update line of the GD loop (``beta - stepSize * grad``,
+    reference ``algorithms.py:154``; our ``_gd_loop`` at the
+    ``beta = beta - step_size * grad`` line) with the line search pinned to
+    a fixed ``stepsize`` so the iteration becomes a deterministic, SQL-
+    expressible two-pass dataflow: one fused loss+gradient scan at ``beta``
+    and one loss scan at the updated ``beta1``. Returns ``(beta1, loss at
+    beta1)``. This is the oracle surface for the solver update math (q48):
+    the same ``kernels.loss_gradient`` the real loop calls, hash-checked
+    against DuckDB running the algebra symbolically.
+    """
+    beta = np.asarray(beta, dtype=np.float64)
+    p = len(beta)
+    _, grad = kernels.loss_gradient(
+        df, family, beta, p, features_col, label_col, path
+    )
+    beta1 = beta - float(stepsize) * grad
+    loss1 = kernels.loss(
+        df, family, beta1,
+        features_col=features_col, label_col=label_col, path=path,
+    )
+    return beta1, float(loss1)
+
+
+def prox_step(
+    df: DataFrame,
+    beta,
+    stepsize: float,
+    lamduh: float,
+    regularizer="l1",
+    family=Logistic,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+) -> np.ndarray:
+    """ONE unrolled proximal-gradient iteration at a fixed step size.
+
+    The candidate construction of the ISTA loop (reference
+    ``algorithms.py:479-481``: ``prox(beta - s*grad, s*lamduh)``; our
+    ``_prox_loop`` candidate line) with the backtracking pinned so the
+    update is deterministic. Uses the REAL ``Regularizer.proximal_operator``
+    — for q49 the DuckDB oracle re-derives the L1 soft-threshold
+    symbolically, putting the prox math under the hash gate.
+    """
+    beta = np.asarray(beta, dtype=np.float64)
+    p = len(beta)
+    _, grad = kernels.loss_gradient(
+        df, family, beta, p, features_col, label_col, path
+    )
+    reg = Regularizer.get(regularizer)
+    return reg.proximal_operator(
+        beta - float(stepsize) * grad, float(stepsize) * float(lamduh)
+    )
+
+
 @normalize
 def gradient_descent(
     df: DataFrame,

@@ -107,3 +107,38 @@ def test_tree_merge_gradient_hessian(data, monkeypatch):
     g1, h1 = kernels.gradient_hessian(df.repartition(9), Logistic, BETA, path="arrow")
     np.testing.assert_allclose(g1, g0, rtol=1e-12)
     np.testing.assert_allclose(h1, h0, rtol=1e-12)
+
+
+@pytest.mark.parametrize("path", ["sql", "arrow"])
+def test_gd_step_matches_numpy(data, path):
+    """One unrolled fixed-step GD iteration (q48 surface): update line of
+    _gd_loop with the line search pinned — beta1 = beta - s*grad, loss
+    re-evaluated at beta1 (reference algorithms.py:154)."""
+    from dask_glm_spark.operators.solvers import gd_step
+
+    df, X, y = data
+    s = 1e-3
+    beta1, loss1 = gd_step(df, BETA, s, family=Logistic, path=path)
+    xb = X @ BETA
+    g = X.T @ Logistic.residual_np(xb, y)
+    exp_beta1 = BETA - s * g
+    np.testing.assert_allclose(beta1, exp_beta1, rtol=1e-9)
+    np.testing.assert_allclose(
+        loss1, Logistic.loglike_np(X @ exp_beta1, y), rtol=1e-9
+    )
+
+
+@pytest.mark.parametrize("path", ["sql", "arrow"])
+def test_prox_step_matches_numpy(data, path):
+    """One unrolled ISTA candidate (q49 surface): the real
+    L1.proximal_operator applied to beta - s*grad (algorithms.py:479-481)."""
+    from dask_glm_spark.functions.regularizers import L1
+    from dask_glm_spark.operators.solvers import prox_step
+
+    df, X, y = data
+    s, lam = 1e-3, 500.0
+    beta1 = prox_step(df, BETA, s, lam, regularizer="l1", path=path)
+    g = X.T @ Logistic.residual_np(X @ BETA, y)
+    exp = L1().proximal_operator(BETA - s * g, s * lam)
+    np.testing.assert_allclose(beta1, exp, rtol=1e-9, atol=1e-12)
+    assert (beta1 == 0).any()  # the threshold branch is actually exercised
