@@ -895,15 +895,9 @@ def _pq_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(T.tokens_expr("text")).alias("tok")
-    ).where(F.length("tok") > 0)
     return (
-        tok.select(
-            "doc_id", (T.polyhash_expr(F.col("tok")) % 64).cast("long").alias("bucket")
-        )
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").cast("long").alias("tf"))
+        T.hashing_tf_sparse(docs, num_features=64)
+        .select("doc_id", "bucket", F.col("tf").cast("long").alias("tf"))
         .orderBy("doc_id", "bucket")
     )
 

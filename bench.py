@@ -102,7 +102,7 @@ def main() -> int:
     # pairs on the near-dup-heavy synthetic corpus): materialize fully on
     # executors via the noop sink instead of collecting to the driver — the
     # timing measures the plan, not driver-side pickle.
-    noop_materialize = {"q30_simhash_pairs"}
+    noop_materialize = {"q30_simhash_pairs", "q31_tfidf"}
     qs = e.queries()
 
     def run_query(name: str) -> None:
@@ -189,7 +189,9 @@ def main() -> int:
                 # the round-over-round differ can avoid comparing across
                 # methodology boundaries. v2 = warm pass + min-of-2 retime
                 # (introduced r4); r1-r3 numbers are v1 (cold, single-shot).
-                "bench_methodology": "v2-warm-min2",
+                # v3 (r5): q31_tfidf moved to the noop sink — its timing now
+                # measures the plan, not the 320k-row driver pickle.
+                "bench_methodology": "v3-warm-min2-noop31",
             }
         )
     )

@@ -205,7 +205,122 @@ def token_percentiles(
 
 # ---------------------------------------------------------------------------
 # Hashed TF / TF-IDF featurization -> GLM `features array<double>`
+#
+# Two physical paths with identical results (pytest-pinned):
+#   path="arrow" (default): ONE narrow mapInPandas tokenizes, hashes (with a
+#     per-batch memo — Zipf head tokens hash once per batch, not per
+#     occurrence) and aggregates each doc's bucket counts in a single pass.
+#     hashing_tf is then ZERO-shuffle end-to-end; tfidf adds only the tiny
+#     O(num_features) doc-frequency aggregate. Replaces the sql path's
+#     explode -> groupBy(id,tok) -> vocab join -> groupBy(id,bucket) chain
+#     (4 shuffles of occurrence-/vocab-sized data) at 100 TB.
+#   path="sql": the pure-codegen shape kept as the cross-engine parity
+#     surface (no Python anywhere; mirrors the DuckDB oracle text).
 # ---------------------------------------------------------------------------
+# Exactly Java regex \s (NON-unicode): Spark's split(text, '\\s+') without
+# UNICODE_CHARACTER_CLASS. Python's re \s is unicode-aware and would also
+# split on e.g.   — pin the ASCII class so arrow == sql bit-for-bit.
+_JAVA_WS = None  # compiled lazily (keep module import cheap)
+
+
+def _polyhash_py(s: str) -> int:
+    """Driver/worker-side twin of ``polyhash_expr`` (same value)."""
+    h = 0
+    for c in s:
+        h = (h * POLY_BASE + ord(c)) % POLY_MOD
+    return h
+
+
+def _tokenize_py(text: str | None) -> list[str]:
+    """Worker-side twin of ``tokens_expr`` + the length>0 filter."""
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        import re
+
+        _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    if not text:
+        return []
+    return [t for t in _JAVA_WS.split(text.lower()) if t]
+
+
+def _sparse_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_features: int,
+) -> DataFrame:
+    """(id, buckets array<int>, tfs array<double>) — one row per doc, the
+    doc's complete hashed-TF in sparse form, built in ONE narrow
+    mapInPandas pass (a doc lives in exactly one Arrow batch, so its
+    aggregation completes in-batch; no shuffle). Token-less docs emit
+    empty arrays (callers filter to match the sql path's semantics)."""
+    import pandas as pd
+
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    nf = int(num_features)
+
+    def build(batches):
+        from collections import Counter
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, bks, tfs = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                cnt: Counter = Counter()
+                for t in _tokenize_py(text):
+                    b = memo.get(t)
+                    if b is None:
+                        b = _polyhash_py(t) % nf
+                        memo[t] = b
+                    cnt[b] += 1
+                items = sorted(cnt.items())
+                ids.append(doc_id)
+                bks.append([k for k, _ in items])
+                tfs.append([float(v) for _, v in items])
+            yield pd.DataFrame({id_col: ids, "buckets": bks, "tfs": tfs})
+
+    return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
+        build, f"{id_col} {id_type}, buckets array<int>, tfs array<double>"
+    )
+
+
+def _dense_from_sparse_rows(
+    sparse: DataFrame,
+    id_col: str,
+    num_features: int,
+    scale: list[float] | None = None,
+) -> DataFrame:
+    """(id, features array<double>) from the one-row-per-doc sparse form:
+    a narrow vectorized numpy scatter (zero shuffle), with ``scale`` (e.g.
+    idf) folded into the same pass."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = sparse.schema[id_col].dataType.simpleString()
+    nf = int(num_features)
+    scale_arr = None if scale is None else np.asarray(scale, dtype=np.float64)
+
+    def scatter(batches):
+        for pdf in batches:
+            feats = []
+            for bks, tfs in zip(pdf["buckets"], pdf["tfs"]):
+                v = np.zeros(nf, dtype=np.float64)
+                if len(bks):
+                    v[np.asarray(bks, dtype=np.int64)] = np.asarray(
+                        tfs, dtype=np.float64
+                    )
+                if scale_arr is not None:
+                    v *= scale_arr
+                feats.append(v.tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return sparse.mapInPandas(
+        scatter, f"{id_col} {id_type}, features array<double>"
+    )
+
+
 def _bucket_counts(
     df: DataFrame,
     text_col: str,
@@ -246,6 +361,13 @@ def _bucket_counts(
     )
 
 
+# Above this many buckets the manual pivot's O(num_features) codegen
+# aggregate columns hit Janino method-size limits / quadratic planning
+# (ADVICE r4): switch to a grouped pandas scatter, which is O(nnz) per doc
+# regardless of dimensionality.
+DENSE_PIVOT_MAX = 256
+
+
 def _dense_pivot(
     counts: DataFrame,
     id_col: str,
@@ -256,7 +378,32 @@ def _dense_pivot(
     num_features conditional sums inside ONE codegen'd HashAggregate, then
     an array constructor — no interpreted map_from_entries/element_at
     pass. ``scale`` (e.g. per-bucket idf) folds into the same aggregate as
-    literal factors, so scaling costs zero extra passes."""
+    literal factors, so scaling costs zero extra passes.
+
+    Above ``DENSE_PIVOT_MAX`` buckets the codegen shape is infeasible
+    (hundreds of thousands of aggregate expressions at hashed-TF dims like
+    2^18); the same groupBy shuffle then feeds an applyInPandas numpy
+    scatter instead — one shuffle either way, parity-pinned in tests."""
+    if num_features > DENSE_PIVOT_MAX:
+        import numpy as np
+        import pandas as pd
+
+        id_type = counts.schema[id_col].dataType.simpleString()
+        nf = int(num_features)
+        scale_arr = None if scale is None else np.asarray(scale, dtype=np.float64)
+
+        def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            v = np.zeros(nf, dtype=np.float64)
+            v[pdf["bucket"].to_numpy(dtype=np.int64)] = pdf["tf"].to_numpy(
+                dtype=np.float64
+            )
+            if scale_arr is not None:
+                v *= scale_arr
+            return pd.DataFrame({id_col: [key[0]], "features": [v.tolist()]})
+
+        return counts.groupBy(id_col).applyInPandas(
+            build, f"{id_col} {id_type}, features array<double>"
+        )
     aggs = [
         (
             F.coalesce(F.sum(F.when(F.col("bucket") == i, F.col("tf"))), F.lit(0.0))
@@ -271,14 +418,49 @@ def _dense_pivot(
     )
 
 
+def hashing_tf_sparse(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 64,
+    path: str = "arrow",
+) -> DataFrame:
+    """Sparse hashed-TF: (id, bucket long, tf double), nonzero entries only
+    — the q26 surface. arrow: one narrow pass + an in-row array unzip;
+    sql: the codegen explode/join shape."""
+    if path == "arrow":
+        s = _sparse_rows(df, text_col, id_col, num_features)
+        z = s.select(
+            F.col(id_col), F.explode(F.arrays_zip("buckets", "tfs")).alias("z")
+        )
+        return z.select(
+            id_col,
+            F.col("z.buckets").cast("long").alias("bucket"),
+            F.col("z.tfs").cast("double").alias("tf"),
+        )
+    return _bucket_counts(df, text_col, id_col, num_features).select(
+        id_col, F.col("bucket").cast("long").alias("bucket"), "tf"
+    )
+
+
 def hashing_tf(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_features: int = 64,
+    path: str = "arrow",
 ) -> DataFrame:
     """Hashed term-frequency vectors: (id_col, features array<double>).
-    See ``_bucket_counts`` for the plan shape."""
+
+    arrow (default): ONE narrow mapInPandas pass — tokenize, memo-hash,
+    scatter to dense — ZERO shuffles end-to-end. sql: the pure-codegen
+    ``_bucket_counts`` + pivot shape (see those docstrings). Docs with no
+    tokens emit no row (both paths)."""
+    if path == "arrow":
+        sparse = _sparse_rows(df, text_col, id_col, num_features).where(
+            F.size("buckets") > 0
+        )
+        return _dense_from_sparse_rows(sparse, id_col, num_features)
     return _dense_pivot(
         _bucket_counts(df, text_col, id_col, num_features), id_col, num_features
     )
@@ -289,23 +471,53 @@ def tfidf_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_features: int = 64,
+    path: str = "arrow",
 ) -> DataFrame:
     """TF-IDF vectors: tf(d, b) * ln((N + 1) / (df(b) + 1)).
 
-    The raw corpus is scanned exactly ONCE: the SPARSE bucket-count
-    aggregate is persisted, and everything else derives from it with
-    O(num_features)-sized jobs — N = countDistinct(id) (docs with >= 1
-    token; token-less docs carry no TF mass, so excluding them from N is
-    the self-consistent definition), df(b) = one tiny groupBy on the same
-    cache. The idf factors then fold as literals INTO the dense pivot
-    (P8 broadcast-as-constant), so the scaled vectors cost no pass beyond
-    the one hashing_tf would already run — the previous shape built the
-    dense array first and posexploded it back apart to count df(b). The
-    cache is left to Spark's LRU (the returned projection still reads it).
+    The raw corpus is scanned exactly ONCE on either path: the sparse
+    per-doc aggregate is persisted, and everything else derives from it
+    with O(num_features)-sized jobs — N = docs with >= 1 token (token-less
+    docs carry no TF mass, so excluding them is the self-consistent
+    definition), df(b) = one tiny aggregate on the same cache. The idf
+    factors fold as literals INTO the dense build (P8
+    broadcast-as-constant), so the scaled vectors cost no extra pass.
+
+    arrow (default): sparse rows come from the single narrow mapInPandas
+    pass; the only shuffle in the whole operator is the O(nnz)->O(k)
+    doc-frequency aggregate. sql: the codegen ``_bucket_counts`` shape.
+    The cache is left to Spark's LRU (the returned projection reads it).
     """
     import math
 
     from pyspark import StorageLevel
+
+    if path == "arrow":
+        sparse = (
+            _sparse_rows(df, text_col, id_col, num_features)
+            .where(F.size("buckets") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # N and df(b) in ONE job: each doc contributes a -1 sentinel plus
+        # its distinct buckets, so the same tiny groupBy yields the doc
+        # count (sentinel row) and every doc-frequency.
+        idf_map = {
+            int(r["bucket"]): float(r["df"])
+            for r in sparse.select(
+                F.explode(
+                    F.concat(F.array(F.lit(-1)), F.col("buckets"))
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("double").alias("df"))
+            .collect()
+        }
+        n_docs = int(idf_map.pop(-1))
+        idf = [
+            math.log((n_docs + 1.0) / (idf_map.get(b, 0.0) + 1.0))
+            for b in range(num_features)
+        ]
+        return _dense_from_sparse_rows(sparse, id_col, num_features, scale=idf)
 
     counts = _bucket_counts(df, text_col, id_col, num_features).persist(
         StorageLevel.MEMORY_AND_DISK

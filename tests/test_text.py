@@ -128,3 +128,46 @@ def test_text_pipeline_feeds_glm(spark, tiny_corpus):
         labeled, normalize=False
     )
     assert len(lr.coef_) == 8
+
+
+def _tf_dict(rows, key="doc_id", val="features"):
+    return {r[key]: list(r[val]) for r in rows}
+
+
+@pytest.mark.parametrize("nf", [32, 512])
+def test_hashing_tf_arrow_sql_parity(spark, tiny_corpus, nf):
+    """The one-pass Arrow path and the pure-codegen SQL path are the same
+    operator (nf=512 also exercises the applyInPandas pivot fallback that
+    replaces the codegen pivot above DENSE_PIVOT_MAX)."""
+    a = _tf_dict(T.hashing_tf(tiny_corpus, num_features=nf, path="arrow").collect())
+    s = _tf_dict(T.hashing_tf(tiny_corpus, num_features=nf, path="sql").collect())
+    assert a.keys() == s.keys()
+    for k in a:
+        assert a[k] == pytest.approx(s[k], abs=1e-12)
+
+
+def test_hashing_tf_arrow_sql_parity_real_corpus(spark):
+    """Same parity over the real synthetic documents table (multilingual
+    text: pins the Python tokenizer/hash twins against Spark's regex/ascii
+    semantics on non-toy input)."""
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        (r["doc_id"], r["bucket"]): r["tf"]
+        for r in T.hashing_tf_sparse(docs, num_features=64, path="arrow").collect()
+    }
+    s = {
+        (r["doc_id"], r["bucket"]): r["tf"]
+        for r in T.hashing_tf_sparse(docs, num_features=64, path="sql").collect()
+    }
+    assert a == s
+
+
+@pytest.mark.parametrize("nf", [32, 4096])
+def test_tfidf_arrow_sql_parity(spark, tiny_corpus, nf):
+    a = _tf_dict(T.tfidf_features(tiny_corpus, num_features=nf, path="arrow").collect())
+    s = _tf_dict(T.tfidf_features(tiny_corpus, num_features=nf, path="sql").collect())
+    assert a.keys() == s.keys()
+    for k in a:
+        assert a[k] == pytest.approx(s[k], abs=1e-12)
