@@ -741,6 +741,32 @@ SELECT doc_id,
 FROM s ORDER BY doc_id"""
 
 
+# Raster resize over the deterministic text payloads (q47's codec-free
+# trick for images): payload bytes form a row-major gray8 raster 16 px
+# wide, h = len//16 rows (torn partial row ignored; docs shorter than one
+# row are dropped). Target pixel (i,j) of the 4x4 resize = mean of source
+# pixels with floor(r*4/h)==i, floor(c*4/16)==j; buckets with no source
+# pixel (h < 4 upscales) are 0 — both sides build the full 16-cell grid.
+PIPELINE_SQL["q50_image_resize"] = """WITH px AS (
+  SELECT doc_id, length(text) // 16 AS h,
+    unnest([ascii(text[i]) for i in generate_series(1, (length(text) // 16) * 16)]) AS v,
+    unnest(generate_series(0, (length(text) // 16) * 16 - 1)) AS idx
+  FROM documents WHERE length(text) >= 16
+),
+m AS (
+  SELECT doc_id,
+    (((idx // 16) * 4) // h) * 4 + ((idx % 16) * 4) // 16 AS pos,
+    avg(v) AS mv
+  FROM px GROUP BY 1, 2
+),
+d AS (SELECT DISTINCT doc_id FROM px),
+grid AS (SELECT d.doc_id, g.i AS pos FROM d, generate_series(0, 15) g(i))
+SELECT grid.doc_id, CAST(grid.pos AS BIGINT) AS pos,
+  CAST(round(coalesce(m.mv, 0.0), 6) AS DOUBLE) AS value
+FROM grid LEFT JOIN m ON m.doc_id = grid.doc_id AND m.pos = grid.pos
+ORDER BY 1, 2"""
+
+
 def _lsh_buckets_oracle_sql() -> str:
     """Sign-pattern bucket histogram with the engine's seeded hyperplanes
     embedded as literals — oracle-checks the ANN bucketing math (the
@@ -1207,6 +1233,28 @@ def _pq_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pq_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.multimodal import (
+        attach_text_payloads,
+        resize_images,
+    )
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = attach_text_payloads(load_table(spark, sf_dir, "documents"))
+    feats = resize_images(docs, width=16, out_width=4, out_height=4)
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("pos", "value"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round("value", 6).cast("double").alias("value"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1283,6 +1331,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_lsh_buckets": _pq_lsh_buckets,
     "q46_kmeans_sizes": _pq_kmeans,
     "q47_waveform": _pq_waveform,
+    "q50_image_resize": _pq_image_resize,
 }
 
 

@@ -2,12 +2,17 @@
 Pandas-UDF decode / feature-extraction / resize / frame-sampling plumbing.
 
 Beyond-reference surface (SURVEY.md §7 step 10). The container image has no
-image/audio codecs, so the *codec* step is stubbed exactly as the build
-brief requires: ``decode_image``/``resize_images`` raise a clearly-marked
-``NotImplementedError`` unless PIL is importable. Everything around the
-codec — schema convention, Arrow batch flow through ``mapInPandas``, batch
-shapes, partition sizing for large payloads, deterministic byte-level
-features — is real and tested.
+image/audio codec libraries, so the layer splits the work at the *layout*
+boundary instead of stubbing wholesale: fixed-layout payloads (raw int16
+PCM audio -> ``waveform_stats``; raw row-major gray8 rasters ->
+``decode_image``/``resize_images``) are decoded **for real** with
+``np.frombuffer`` — bytes with a known layout need no codec. Only
+*compressed* formats (PNG/JPEG) hit the clearly-marked
+``NotImplementedError`` guard, the one genuine codec boundary left.
+Everything else — schema convention, Arrow batch flow through
+``mapInPandas``, batch shapes, partition sizing for large payloads,
+deterministic byte/pixel features — is real, tested, and oracle-checked
+(q27 byte-hist, q47 waveform, q50 raster resize).
 
 Schema convention for a multimodal table::
 
@@ -68,32 +73,139 @@ def repartition_for_payloads(
 
 
 # ---------------------------------------------------------------------------
-# Stubbed codec boundary
+# Codec-free raster decode / resize (the q47-waveform trick applied to
+# images: a fixed-layout payload needs no codec — raw gray8 rasters are
+# just bytes, the way raw int16 PCM is just bytes). Compressed formats
+# (PNG/JPEG) still hit the guard below, the one true codec boundary.
 # ---------------------------------------------------------------------------
-def _require_codec(kind: str) -> None:
+RAW_GRAY8 = "image/x-raw-gray8"
+
+
+def _require_codec(kind: str, media_type: str) -> None:
     try:
         import PIL  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            f"STUB: {kind} decoding requires an image codec (PIL/pillow), "
-            "which is not installed in this environment. The Spark-side "
-            "plumbing (schema, mapInPandas batching, partitioning) is real; "
-            "swap this guard for the codec call on a cluster image that "
-            "ships one."
+            f"{kind} decoding for compressed media_type={media_type!r} "
+            "requires an image codec (PIL/pillow), which is not installed "
+            "in this environment. Raw rasters (media_type="
+            f"{RAW_GRAY8!r}, or any fixed row-major gray8 layout) decode "
+            "codec-free via decode_image/resize_images."
         ) from exc
 
 
-def decode_image(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Decode image payloads to pixel arrays. STUBBED: raises unless a
-    codec library is present (see module docstring)."""
-    _require_codec("image")
-    raise NotImplementedError("codec present but decode path not wired yet")
+def decode_image(
+    df: DataFrame,
+    width: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media_type: str = RAW_GRAY8,
+) -> DataFrame:
+    """Decode fixed-layout row-major gray8 rasters to pixel arrays.
+
+    (id, height, width, pixels array<double>): payload bytes are the
+    raster, ``width`` pixels per row; height = len(payload) // width with
+    a torn trailing partial row ignored (same convention as
+    ``waveform_stats``' torn sample). Rows whose payload holds less than
+    one full raster row (height 0) are dropped. One ``mapInPandas`` pass,
+    ``np.frombuffer`` zero-copy, no codec. Compressed media types raise
+    the codec guard — that boundary is real, raw layouts are not behind
+    it."""
+    if media_type != RAW_GRAY8 and not media_type.startswith("image/x-raw"):
+        _require_codec("image", media_type)
+    w = int(width)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, hs, px = [], [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                h = len(buf) // w
+                if h == 0:
+                    continue
+                v = np.frombuffer(buf[: h * w], dtype=np.uint8).astype(np.float64)
+                ids.append(doc_id)
+                hs.append(h)
+                px.append(v.tolist())
+            if not ids:
+                # all rows dropped: an empty frame would carry float64
+                # (not list) column dtypes and break the Arrow cast
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.asarray(ids, dtype=np.int64),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "width": np.full(len(ids), w, dtype=np.int32),
+                    "pixels": px,
+                }
+            )
+
+    return df.mapInPandas(
+        op, schema=f"{id_col} long, height int, width int, pixels array<double>"
+    )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:  # pragma: no cover - stub
-    """Resize image payloads. STUBBED like ``decode_image``."""
-    _require_codec("image")
-    raise NotImplementedError("codec present but resize path not wired yet")
+def resize_images(
+    df: DataFrame,
+    width: int,
+    out_width: int,
+    out_height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    media_type: str = RAW_GRAY8,
+) -> DataFrame:
+    """Block-mean resize of raw gray8 rasters -> (id, features) vectors.
+
+    Target pixel (i, j) = mean of source pixels (r, c) with
+    floor(r*out_height/h) == i and floor(c*out_width/width) == j — the
+    deterministic area-bucket mean, re-derivable in ANSI SQL (the q50
+    oracle recomputes it as a GROUP BY on the floor-mapped indices).
+    Implemented per row as two tiny aggregation GEMMs (R @ img @ C), so a
+    batch of images is pure BLAS — no codec, no per-pixel Python. Buckets
+    with no source pixel (upscaling) are 0. Output ``features`` is the
+    row-major flattened (out_height, out_width) grid, sized for the GLM
+    kernel layer like every other featurizer here."""
+    if media_type != RAW_GRAY8 and not media_type.startswith("image/x-raw"):
+        _require_codec("image", media_type)
+    w, ow, oh = int(width), int(out_width), int(out_height)
+    ci = (np.arange(w) * ow) // w
+    C = np.zeros((w, ow))
+    C[np.arange(w), ci] = 1.0
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, feats = [], []
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                h = len(buf) // w
+                if h == 0:
+                    continue
+                img = (
+                    np.frombuffer(buf[: h * w], dtype=np.uint8)
+                    .astype(np.float64)
+                    .reshape(h, w)
+                )
+                ri = (np.arange(h) * oh) // h
+                R = np.zeros((oh, h))
+                R[ri, np.arange(h)] = 1.0
+                sums = R @ img @ C
+                counts = np.outer(
+                    np.bincount(ri, minlength=oh), np.bincount(ci, minlength=ow)
+                ).astype(np.float64)
+                out = np.divide(
+                    sums, counts, out=np.zeros_like(sums), where=counts > 0
+                )
+                ids.append(doc_id)
+                feats.append(out.ravel().tolist())
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {id_col: np.asarray(ids, dtype=np.int64), "features": feats}
+            )
+
+    return df.mapInPandas(op, schema=f"{id_col} long, features array<double>")
 
 
 # ---------------------------------------------------------------------------

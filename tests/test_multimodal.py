@@ -58,19 +58,57 @@ def test_frame_sample_indices(spark):
     assert out[1] == []
 
 
-def test_decode_is_clearly_stubbed(media):
-    """Without a codec library the decode step must raise the documented
-    NotImplementedError (never silently fake pixels)."""
+def test_compressed_decode_is_clearly_guarded(media):
+    """Without a codec library, *compressed* media types must raise the
+    documented NotImplementedError (never silently fake pixels). Raw
+    layouts decode codec-free and are tested below."""
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("codec installed; stub guard not reachable")
+        pytest.skip("codec installed; guard not reachable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="STUB"):
-        M.decode_image(media)
-    with pytest.raises(NotImplementedError, match="STUB"):
-        M.resize_images(media, 32, 32)
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.decode_image(media, width=16, media_type="image/png")
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.resize_images(media, 16, 4, 4, media_type="image/jpeg")
+
+
+def test_decode_image_raw_gray8(media):
+    """Raw gray8 rasters decode for real: bytes -> pixel doubles, torn
+    trailing partial row ignored, sub-row payloads dropped."""
+    out = {r["doc_id"]: r for r in M.decode_image(media, width=4).collect()}
+    # doc 1 is "abc" (3 bytes < one 4-px row) -> dropped
+    assert set(out) == {0, 2}
+    r0 = out[0]  # "hello world" = 11 bytes -> 2 full rows, 3 torn bytes
+    assert (r0["height"], r0["width"]) == (2, 4)
+    assert r0["pixels"] == [float(b) for b in b"hello wo"]
+    assert out[2]["height"] == 500 // 4
+
+
+def test_resize_images_block_mean_matches_numpy(spark):
+    """4x4 block-mean of a crafted 8x8 ramp raster == the numpy area
+    bucket mean, including the flattened row-major layout."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rows = [(7, bytearray(img.tobytes()))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = M.resize_images(df, width=8, out_width=4, out_height=4).collect()
+    assert len(out) == 1
+    expect = img.astype(np.float64).reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(out[0]["features"], expect.ravel())
+
+
+def test_resize_images_upscale_empty_buckets_zero(spark):
+    """h < out_height: target rows with no source pixels are 0 (the
+    documented grid convention, matching the q50 oracle's coalesce)."""
+    rows = [(1, bytearray(bytes(range(16))))]  # 1 row of 16 px
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = M.resize_images(df, width=16, out_width=4, out_height=4).collect()
+    feats = out[0]["features"]
+    assert len(feats) == 16
+    # source row 0 maps to target row 0; rows 1-3 empty -> zeros
+    assert feats[4:] == [0.0] * 12
+    assert feats[:4] == [1.5, 5.5, 9.5, 13.5]
 
 
 def test_waveform_stats_known_signal(spark):
