@@ -77,6 +77,97 @@ def main(sf_dir: str = "/root/testdata/sf0.1", workdir: str | None = None):
     for k in ("kernel", "admm", "lbfgs"):
         r = out[f"{k}_10x"] / out[f"{k}_1x"]
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
+    out.update(pipeline_probe(spark, sf_dir, workdir))
+    return out
+
+
+def pipeline_probe(spark, sf_dir: str, workdir: str):
+    """10x probe for the pipeline operators (VERDICT r4 #6): tfidf,
+    repetition_stats, minhash_dedup_pairs, connected_components.
+
+    The 10x corpus is 10 copies of the documents table with offset doc_ids
+    and a distinct per-copy marker prepended to the text. Copies of the
+    same doc are genuine near-duplicates, so the minhash probe's PAIR
+    OUTPUT grows faster than 10x by construction (that's the data, not
+    the engine); its wall ratio is reported alongside the pair counts —
+    what the probe checks there is that the bucket-cap machinery keeps
+    the candidate stage bounded under pathological duplication. The
+    components probe scales a disjoint chain graph (10 copies = 10x
+    nodes/edges, same structure), so its ratio is a clean engine signal.
+    """
+    import time
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.dedup import minhash_dedup_pairs
+    from dask_glm_spark.operators.graph import connected_components
+    from dask_glm_spark.operators.quality import repetition_stats
+    from dask_glm_spark.operators.text import tfidf_features
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = [
+        docs1.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(F.lit(f"c{i} "), F.col("text")).alias("text"),
+        )
+        for i in range(10)
+    ]
+    docs10_path = f"{workdir}/docs_10x.parquet"
+    reduce(lambda a, b: a.unionAll(b), copies).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(docs10_path)
+    docs10 = spark.read.parquet(docs10_path)
+    print(f"docs: 1x={docs1.count()} 10x={docs10.count()}")
+
+    def timed_noop(df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm pass on a tiny slice: whole-stage-codegen classes compile once
+    # per plan SHAPE — without this the 1x run absorbs all the Janino
+    # time and the 10x/1x ratio reads as compiler cost, not data scaling.
+    warm = docs1.limit(50).cache()
+    warm.count()
+    timed_noop(tfidf_features(warm, num_features=64))
+    timed_noop(repetition_stats(warm))
+    minhash_dedup_pairs(warm, threshold=0.8).count()
+    wids = warm.select(F.col("doc_id").alias("id_a"))
+    connected_components(
+        wids.withColumn("id_b", F.col("id_a") + 1).where((F.col("id_a") % 10) != 9)
+    ).count()
+    warm.unpersist()
+    spark.catalog.clearCache()
+
+    out = {}
+    for tag, d in (("1x", docs1), ("10x", docs10)):
+        out[f"tfidf_{tag}"] = round(timed_noop(tfidf_features(d, num_features=64)), 3)
+        spark.catalog.clearCache()
+        out[f"repetition_{tag}"] = round(timed_noop(repetition_stats(d)), 3)
+        t0 = time.perf_counter()
+        npairs = minhash_dedup_pairs(d, threshold=0.8).count()
+        out[f"minhash_{tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"minhash_pairs_{tag}"] = npairs
+        spark.catalog.clearCache()
+        # disjoint chain graph per copy: same structure, 1x vs 10x size
+        ids = d.select(F.col("doc_id").alias("id_a"))
+        edges = ids.withColumn("id_b", F.col("id_a") + 1).where(
+            (F.col("id_a") % 100) != 99
+        )
+        t0 = time.perf_counter()
+        ncomp = connected_components(edges).select("component").distinct().count()
+        out[f"components_{tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"components_n_{tag}"] = ncomp
+    for k in ("tfidf", "repetition", "minhash", "components"):
+        r = out[f"{k}_10x"] / max(out[f"{k}_1x"], 1e-9)
+        print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
+    print(
+        f"minhash pairs: 1x={out['minhash_pairs_1x']} 10x={out['minhash_pairs_10x']}"
+        f" | components: 1x={out['components_n_1x']} 10x={out['components_n_10x']}"
+    )
     return out
 
 
