@@ -86,3 +86,42 @@ def test_elastic_net_prox_reference_bug_parity():
     # corrected mode actually shrinks
     fixed = ElasticNet(strict_reference=False).proximal_operator(beta, 1.0)
     assert np.all(np.abs(fixed) < np.abs(beta))
+
+
+def test_elasticnet_corrected_prox_optimality_conditions():
+    """External-oracle substitute for the corrected (strict_reference=False)
+    ElasticNet prox (sklearn is not in this environment): the closed form
+    must satisfy the EXACT subgradient optimality conditions of
+    argmin_z 0.5*||z - x||^2 + t*(w*||z||_1 + (1-w)*||z||^2/2):
+
+      z_i != 0:  z_i - x_i + t*w*sign(z_i) + t*(1-w)*z_i == 0
+      z_i == 0:  |x_i| <= t*w
+
+    plus a perturbation check that no nearby point does better."""
+    import numpy as np
+
+    from dask_glm_spark.functions.regularizers import ElasticNet
+
+    rng = np.random.RandomState(7)
+    for w in (0.0, 0.25, 0.5, 0.9, 1.0):
+        en = ElasticNet(weight=w, strict_reference=False)
+        for t in (0.01, 0.5, 2.0):
+            x = rng.standard_normal(64) * 2
+            z = en.proximal_operator(x.copy(), t)
+            nz = z != 0
+            # stationarity on the non-zero coordinates
+            resid = z[nz] - x[nz] + t * w * np.sign(z[nz]) + t * (1 - w) * z[nz]
+            np.testing.assert_allclose(resid, 0.0, atol=1e-12)
+            # zero coordinates only where the soft-threshold admits them
+            assert (np.abs(x[~nz]) <= t * w + 1e-12).all()
+
+            def obj(v):
+                return 0.5 * np.sum((v - x) ** 2) + t * (
+                    w * np.sum(np.abs(v)) + (1 - w) * 0.5 * np.sum(v**2)
+                )
+
+            base = obj(z)
+            for _ in range(20):
+                d = rng.standard_normal(64)
+                eps = 10.0 ** rng.uniform(-6, -1)
+                assert obj(z + eps * d) >= base - 1e-12
