@@ -113,6 +113,43 @@ def to_sparse_columns(
     ).drop(col)
 
 
+def from_coo(
+    df: DataFrame,
+    row_col: str = "row",
+    col_col: str = "col",
+    value_col: str = "value",
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+) -> DataFrame:
+    """COO triplets (row, col, value) -> the engine's wide-sparse rows
+    (row id + sorted ``findices``/``fvalues``), closing the reference's
+    ``sparse.COO`` ingest format (``dask_glm/utils.py:132-146``,
+    ``estimators.py:82-83``) Spark-natively: the distributed analogue of a
+    COO array IS a triplet table.
+
+    Duplicate (row, col) entries sum (standard COO semantics). Two
+    aggregates on the same row-hash partitioning: the (row, col) combine,
+    then the per-row sorted gather — ``array_sort`` on (col, value)
+    structs orders by col first, so indices come out sorted the way the
+    sparse kernels require. Explicit zeros are kept (COO keeps what you
+    stored; the kernels' scatter-adds are value-driven, so zeros are
+    harmless). Rows absent from the triplets don't appear — same as a COO
+    matrix with an all-zero row only existing by shape, which a caller
+    models by joining labels on the row id.
+    """
+    summed = (
+        df.groupBy(row_col, col_col)
+        .agg(F.sum(F.col(value_col)).cast("double").alias("_v"))
+    )
+    z = F.array_sort(
+        F.collect_list(F.struct(F.col(col_col).cast("int").alias("i"), F.col("_v").alias("x")))
+    )
+    return summed.groupBy(row_col).agg(
+        F.transform(z, lambda s: s["i"]).alias(idx_col),
+        F.transform(z, lambda s: s["x"]).alias(val_col),
+    )
+
+
 def sparse_p(df: DataFrame, idx_col: str = "findices") -> int:
     """Feature dimension of a sparse-columns frame: max index + 1 (one
     column-pruned scan; callers should pass p explicitly when known)."""

@@ -171,3 +171,52 @@ def test_sparse_predict_matches_dense(dense_df, sparse_df):
     # score on the sparse frame end-to-end
     acc = sparse_lr.score(sparse_df)
     assert 0.5 <= acc <= 1.0
+
+
+def test_from_coo_matches_to_sparse_columns(spark, sparse_data):
+    """COO triplet ingest == the array-derived sparse columns (indices
+    sorted, duplicate (row, col) entries summed)."""
+    X, _ = sparse_data
+    trips = [
+        (i, j, float(X[i, j]))
+        for i in range(N)
+        for j in range(P)
+        if X[i, j] != 0
+    ]
+    # split one entry into two triplets to exercise duplicate summing
+    i0, j0, v0 = trips[0]
+    trips[0] = (i0, j0, v0 / 2)
+    trips.append((i0, j0, v0 / 2))
+    coo = spark.createDataFrame(trips, "row long, col int, value double").repartition(7)
+    got = {
+        r["row"]: (list(r["findices"]), list(r["fvalues"]))
+        for r in V.from_coo(coo).collect()
+    }
+    for i in range(N):
+        nz = np.nonzero(X[i])[0]
+        if len(nz) == 0:
+            assert i not in got
+            continue
+        idx, vals = got[i]
+        assert idx == [int(j) for j in nz]
+        np.testing.assert_allclose(vals, X[i, nz], rtol=1e-12)
+
+
+def test_from_coo_feeds_sparse_fit(spark, sparse_data, dense_df):
+    """End-to-end: COO ingest -> lbfgs_sparse == the dense fit (the
+    reference's sparse.COO -> solver path, re-expressed)."""
+    from dask_glm_spark.operators.solvers import lbfgs, lbfgs_sparse
+
+    X, y = sparse_data
+    trips = [
+        (i, j, float(X[i, j]), float(y[i]))
+        for i in range(N)
+        for j in range(P)
+        if X[i, j] != 0
+    ]
+    coo = spark.createDataFrame(trips, "row long, col int, value double, label double")
+    labels = coo.select("row", "label").distinct()
+    sp = V.from_coo(coo).join(labels, "row")
+    beta_sp = lbfgs_sparse(sp, p=P, max_iter=50)
+    beta_dn = lbfgs(dense_df, max_iter=50, normalize=False)
+    np.testing.assert_allclose(beta_sp, beta_dn, atol=1e-5)
