@@ -3,15 +3,17 @@
 Beyond-reference surface: the clustering counterpart of the GLM solvers,
 built on the same driver-optimizer / cluster-evaluator split
 (SURVEY.md §3.2): the k x d centroid matrix lives on the driver (small),
-the data never moves, and each Lloyd iteration is
-
-  assign  — ONE narrow map: argmax over centroid similarities with the
-            centroids folded into the plan as literals (P8
-            broadcast-as-constant; same expression the IVF index uses)
-  update  — ONE aggregation: groupBy(cluster) with d per-element ``avg``
-            states built from array indexing — no posexplode (a d-times
-            row blowup), no Python; partial aggregation means the shuffle
-            carries k x d running sums per partition, O(k·d) bytes.
+the data never moves, and each Lloyd iteration is ONE plan-stable
+``mapInPandas`` pass over the persisted vectors: per Arrow batch a GEMM
+argmax assigns (identical math to ``similarity._kmeans_np``), a
+scatter-add builds the (cluster, count, sum-vector) partials, and the
+driver reduces n_partitions x k partial rows — the GLM kernels'
+partial-aggregation shape. Centroids ride the function closure, NOT plan
+literals: the literal-folded groupBy it replaces generated a fresh plan
+(fresh Janino compile) every round, which dominated the O(k·d) data work
+at bench scale. The one-shot ``assign_expr`` literal map remains the
+right shape for the non-iterative consumers (``kmeans_assign``,
+``cluster_sizes``, the IVF index) where the plan compiles once.
 
 So per-iteration cluster traffic is O(k·d) in and out, independent of
 corpus size — the same contract as the GLM gradient kernels. Centroid
@@ -78,6 +80,7 @@ def kmeans_fit(
     keep-stale-center convention — matches ``similarity._kmeans_np``).
     Stops when max centroid shift (L2) <= ``tol`` or after ``max_iter``.
     """
+    import pandas as pd
     from pyspark import StorageLevel
 
     # Iterative-input discipline (same as the GLM solvers' @normalize,
@@ -89,27 +92,53 @@ def kmeans_fit(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        d = int(data.select(F.size("_v")).first()[0])
         if centroids is None:
             centroids = _init_centroids(data, k, "_v", seed)
         k = len(centroids)
 
+        # Each round is ONE plan-stable mapInPandas pass emitting per-batch
+        # partial (cluster, count, sum-vector) rows — the GLM kernels'
+        # partial-aggregation shape (kernels._arrow_partials). Centroids
+        # travel in the function closure, so the Spark PLAN is byte-
+        # identical across rounds: the literal-folded groupBy(d avg
+        # columns) it replaces re-Janino-compiled a fresh plan per round
+        # (fresh centroid literals), and at bench scale that compile
+        # dominated the actual O(k*d) data work ~5:1. Per-batch math is
+        # pure BLAS: one GEMM argmax + one scatter-add. Cluster traffic
+        # stays O(n_partitions * k * d) per round, corpus-size independent.
         for _ in range(max_iter):
-            assigned = data.select(
-                assign_expr(F.col("_v"), centroids).alias("_cl"),
-                F.col("_v"),
-            )
-            rows = (
-                assigned.groupBy("_cl")
-                .agg(
-                    F.count("*").alias("n"),
-                    *[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(d)],
-                )
-                .collect()
-            )
-            new = centroids.copy()
+            cent = np.ascontiguousarray(centroids, dtype=np.float64)
+            half = 0.5 * (cent * cent).sum(axis=1)
+
+            def partials(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                    a = (X @ cent.T - half).argmax(axis=1)
+                    cnt = np.bincount(a, minlength=k)
+                    S = np.zeros((k, X.shape[1]))
+                    np.add.at(S, a, X)
+                    nz = np.nonzero(cnt)[0]
+                    yield pd.DataFrame(
+                        {
+                            "cluster": nz.astype(np.int32),
+                            "n": cnt[nz].astype(np.int64),
+                            "s": [S[j].tolist() for j in nz],
+                        }
+                    )
+
+            rows = data.mapInPandas(
+                partials, "cluster int, n long, s array<double>"
+            ).collect()
+            tot_n = np.zeros(k)
+            tot_s = np.zeros_like(cent)
             for r in rows:
-                new[r["_cl"]] = [r[f"c{i}"] for i in range(d)]
+                tot_n[r["cluster"]] += r["n"]
+                tot_s[r["cluster"]] += np.asarray(r["s"])
+            new = centroids.copy()
+            nz = tot_n > 0
+            new[nz] = tot_s[nz] / tot_n[nz, None]
             shift = float(np.sqrt(((new - centroids) ** 2).sum(axis=1)).max())
             centroids = new
             if shift <= tol:
