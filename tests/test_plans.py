@@ -100,3 +100,73 @@ def test_text_ops_are_narrow(spark):
         T.fingerprint_expr("text"),
     )
     audit.assert_narrow(out)
+
+
+def test_hashing_tf_arrow_is_zero_shuffle(spark):
+    """r5: the arrow hashed-TF path is ONE narrow mapInPandas pass —
+    tokenize/hash/aggregate complete in-batch, so the dense vectors come
+    out with zero exchanges anywhere in the plan."""
+    from dask_glm_spark.operators import text as T
+
+    docs = load_table(spark, SF, "documents")
+    out = T.hashing_tf(docs, num_features=64)
+    plan = audit.explain_str(out, "simple")
+    # the only admissible exchange is the parallelism-floor round-robin
+    # (single-row-group test input); NO hash exchange anywhere — the old
+    # shape had 4 (wordcount, vocab distinct, join, bucket groupBy)
+    assert audit.count_exchanges(out) <= 1
+    assert "hashpartitioning" not in plan.lower()
+    assert "MapInPandas" in plan
+
+
+def test_brute_topk_prunes_before_rank_exchange(spark):
+    """r5: the scored pair set is truncated per Arrow batch (<= k rows per
+    query per batch) BEFORE the single rank-window exchange — the full
+    n_corpus x n_queries set never shuffles."""
+    from dask_glm_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    # one broadcast (query side) + exactly one shuffle (the rank window)
+    assert audit.count_exchanges(out) == 1
+    assert audit.has_broadcast(out)
+    plan = audit.explain_str(out, "simple")
+    # the pandas truncation sits below the window's exchange
+    assert "MapInPandas" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")  # top-down text
+
+
+def test_kmeans_round_plan_is_stable_across_iterations(spark):
+    """r5: Lloyd rounds must not re-plan with fresh centroid literals —
+    the per-round job is a mapInPandas over the persisted projection with
+    centroids in the closure, so the plan TEXT is identical across rounds
+    (modulo the cached-relation header)."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    emb = load_table(spark, SF, "embeddings")
+    data = ensure_min_parallelism(
+        emb.select(emb.embedding.cast("array<double>").alias("_v"))
+    )
+
+    def round_df(cent):
+        half = 0.5 * (cent * cent).sum(axis=1)
+
+        def partials(batches):
+            for pdf in batches:
+                X = np.stack(pdf["_v"].to_numpy())
+                a = (X @ cent.T - half).argmax(axis=1)
+                yield pd.DataFrame({"cluster": a[:1].astype("int32")})
+
+        return data.mapInPandas(partials, "cluster int")
+
+    import re
+
+    rng = np.random.RandomState(0)
+    p1 = audit.explain_str(round_df(rng.standard_normal((4, 64))), "simple")
+    p2 = audit.explain_str(round_df(rng.standard_normal((4, 64))), "simple")
+    # session-global expr/plan counters are not part of the plan shape
+    norm = lambda p: re.sub(r"#\d+|plan_id=\d+", "#", p)
+    assert norm(p1) == norm(p2)  # no literal leakage into the plan
