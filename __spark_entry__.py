@@ -741,6 +741,20 @@ SELECT doc_id,
 FROM s ORDER BY doc_id"""
 
 
+# As-of join: for every click event, the user's most recent error event
+# at-or-before it (backward, left semantics; unmatched -> -1 sentinels so
+# the hash compare never sees NULL-vs-NaN drift). The engine runs the
+# union + carry-forward window (operators/joins.py:asof_join); DuckDB
+# re-derives with its native ASOF LEFT JOIN.
+PIPELINE_SQL["q51_asof_join"] = """SELECT l.event_id,
+  CAST(coalesce(r.event_id, -1) AS BIGINT) AS asof_event_id,
+  CAST(round(coalesce(r.value, -1.0), 2) AS DOUBLE) AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id"""
+
+
 # Raster resize over the deterministic text payloads (q47's codec-free
 # trick for images): payload bytes form a row-major gray8 raster 16 px
 # wide, h = len//16 rows (torn partial row ignored; docs shorter than one
@@ -1233,6 +1247,32 @@ def _pq_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pq_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.joins import asof_join
+    from dask_glm_spark.streaming.scoring import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, errors, time_col="ts", by="user_id",
+        value_cols=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("event_id_asof"), F.lit(-1)).cast("long").alias("asof_event_id"),
+        F.round(F.coalesce(F.col("value_asof"), F.lit(-1.0)), 2)
+        .cast("double")
+        .alias("asof_value"),
+    ).orderBy("event_id")
+
+
 def _pq_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1332,6 +1372,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_kmeans_sizes": _pq_kmeans,
     "q47_waveform": _pq_waveform,
     "q50_image_resize": _pq_image_resize,
+    "q51_asof_join": _pq_asof_join,
 }
 
 

@@ -74,3 +74,76 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("int"))
     out = b.join(s, on + ["_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "ts",
+    by: str | list[str] = "user_id",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the nearest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its ``time_col``, within the
+    same ``by`` key. Left-join semantics: unmatched left rows keep NULLs.
+
+    Physical shape — the **union + carry-forward window**, the scalable
+    as-of: both sides union into one frame (right's payload renamed with
+    ``suffix``; missing columns NULL-filled), ONE hash shuffle on the
+    ``by`` key sorts each key by (time, side), and ``last(..,
+    ignorenulls)`` / ``first(.., ignorenulls)`` carries the right payload
+    to every left row. Cost is one shuffle of |left|+|right| rows — no
+    range-explosion cross join, no per-row probe; skewed keys fall under
+    the same AQE machinery as any window. Ties at equal timestamps
+    resolve to INCLUDE the right row (right sorts before left for
+    backward, after for forward — matching DuckDB ``ASOF JOIN`` on
+    ``l.ts >= r.ts`` and pandas ``merge_asof``).
+
+    At 100 TB: both sides usually arrive time-bucket-partitioned; the one
+    window shuffle is on (by) only, so the plan is a single exchange
+    regardless of how many right payload columns ride along.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*by_cols, time_col)]
+    clash = set(c + suffix for c in value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"suffixed right columns collide with left: {sorted(clash)}")
+
+    from pyspark.sql import Window
+
+    back = direction == "backward"
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        *by_cols, time_col, *[F.col(c).alias(c + suffix) for c in value_cols]
+    ).withColumn("_side", F.lit(0 if back else 2))
+    u = l.unionByName(r, allowMissingColumns=True)
+    if back:
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [
+            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+            for c in value_cols
+        ]
+    else:
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carried = [
+            F.first(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+            for c in value_cols
+        ]
+    return (
+        u.select(*left.columns, "_side", *carried)
+        .where(F.col("_side") == 1)
+        .drop("_side")
+    )

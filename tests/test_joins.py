@@ -85,3 +85,66 @@ def test_salted_join_rejects_right(spark):
     a = spark.createDataFrame([(1, "x")], "k long, v string")
     with pytest.raises(ValueError):
         J.salted_join(a, a, ["k"], how="right")
+
+
+def _asof_fixture(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    lrows = [
+        (int(i), int(rng.randint(0, 5)), float(rng.uniform(0, 100)))
+        for i in range(200)
+    ]
+    rrows = [
+        (int(1000 + i), int(rng.randint(0, 5)), float(rng.uniform(0, 100)),
+         float(rng.standard_normal()))
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, user_id long, t double")
+    right = spark.createDataFrame(rrows, "rid long, user_id long, t double, v double")
+    return left, right, lrows, rrows
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_pandas_merge_asof(spark, direction):
+    """The union + carry-forward as-of == pandas merge_asof (per-key,
+    at-or-before / at-or-after, left semantics)."""
+    import pandas as pd
+
+    from dask_glm_spark.operators.joins import asof_join
+
+    left, right, lrows, rrows = _asof_fixture(spark)
+    out = asof_join(
+        left, right, time_col="t", by="user_id",
+        value_cols=["rid", "v"], direction=direction,
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+
+    lp = pd.DataFrame(lrows, columns=["lid", "user_id", "t"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["rid", "user_id", "t", "v"]).sort_values("t")
+    exp = pd.merge_asof(
+        lp, rp, on="t", by="user_id", direction=direction,
+        allow_exact_matches=True, suffixes=("", "_r"),
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(out) == len(exp) == 200
+    for i in range(200):
+        g, w = out.iloc[i], exp.iloc[i]
+        assert g["lid"] == w["lid"]
+        if pd.isna(w["rid"]):
+            assert pd.isna(g["rid_asof"])
+        else:
+            assert g["rid_asof"] == w["rid"]
+            assert g["v_asof"] == pytest.approx(w["v"])
+
+
+def test_asof_join_single_exchange(spark):
+    """Scale pin: the as-of is ONE hash exchange on the by key (the window
+    shuffle) — never a range/cross join."""
+    from dask_glm_spark.operators.joins import asof_join
+    from dask_glm_spark.plans import audit
+
+    left, right, _, _ = _asof_fixture(spark)
+    out = asof_join(left, right, time_col="t", by="user_id", value_cols=["v"])
+    plan = audit.explain_str(out, "simple")
+    assert audit.count_exchanges(out) <= 2  # two sides union pre-shuffle
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan  # no join operator at all: union + window
