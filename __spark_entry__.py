@@ -741,6 +741,35 @@ SELECT doc_id,
 FROM s ORDER BY doc_id"""
 
 
+# Range (interval containment) join: per session of q29's definition, the
+# number of error events inside its [start, end] span. The engine runs
+# the chunked range join (operators/joins.py:range_join — equi-join on
+# time chunks + residual BETWEEN, no theta join); DuckDB re-derives the
+# sessions and joins with a plain BETWEEN predicate.
+PIPELINE_SQL["q52_range_join"] = """WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS sid FROM o
+),
+sess AS (
+  SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+  FROM s GROUP BY user_id, sid
+),
+err AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error')
+SELECT sess.user_id, CAST(sess.start_us AS BIGINT) AS start_us,
+  CAST(count(*) AS BIGINT) AS n_errors
+FROM sess JOIN err ON err.user_id = sess.user_id
+  AND err.t BETWEEN sess.start_us AND sess.end_us
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # As-of join: for every click event, the user's most recent error event
 # at-or-before it (backward, left semantics; unmatched -> -1 sentinels so
 # the hash compare never sees NULL-vs-NaN drift). The engine runs the
@@ -1247,6 +1276,31 @@ def _pq_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pq_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.joins import range_join
+    from dask_glm_spark.streaming.scoring import load_events
+    from dask_glm_spark.streaming.sessions import sessionize_batch
+
+    ev = load_events(spark, sf_dir)
+    sess = sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    j = range_join(errors, sess, point_ts="ts", by="user_id")
+    return (
+        j.groupBy("user_id", "session_start")
+        .agg(F.count("*").cast("long").alias("n_errors"))
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            "n_errors",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
 def _pq_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1373,6 +1427,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_waveform": _pq_waveform,
     "q50_image_resize": _pq_image_resize,
     "q51_asof_join": _pq_asof_join,
+    "q52_range_join": _pq_range_join,
 }
 
 

@@ -147,3 +147,53 @@ def asof_join(
         .where(F.col("_side") == 1)
         .drop("_side")
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    by: str | list[str] = "user_id",
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Interval containment join: point rows matched to every interval row
+    (same ``by`` key) whose [start, end] (inclusive) contains the point.
+
+    Physical shape — the **chunked range join**: time is cut into fixed
+    ``chunk_seconds`` buckets; each point lands in exactly ONE chunk, each
+    interval replicates into every chunk it spans, and the match becomes a
+    plain equi-join on (by, chunk) + a residual BETWEEN filter. Each
+    (point, interval) candidate is tested exactly once (the point's single
+    chunk), so no post-join dedup. This replaces the naive
+    theta-join (BroadcastNestedLoop or cross) whose candidate set is
+    |points| x |intervals| per key; here it is bounded by interval span /
+    chunk width. Pick ``chunk_seconds`` near the typical interval length:
+    replication factor ~= span/chunk + 1 while chunk co-partitioning keeps
+    candidates local.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    overlap = (set(points.columns) & set(intervals.columns)) - set(by_cols)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    chunk_us = int(chunk_seconds) * 1_000_000
+    p = points.withColumn(
+        "_chunk", F.floor(F.unix_micros(F.col(point_ts)) / chunk_us)
+    )
+    i = intervals.withColumn(
+        "_chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / chunk_us),
+                F.floor(F.unix_micros(F.col(end_col)) / chunk_us),
+            )
+        ),
+    )
+    return (
+        p.join(i, by_cols + ["_chunk"])
+        .where(
+            F.col(point_ts).between(F.col(start_col), F.col(end_col))
+        )
+        .drop("_chunk")
+    )

@@ -148,3 +148,46 @@ def test_asof_join_single_exchange(spark):
     assert audit.count_exchanges(out) <= 2  # two sides union pre-shuffle
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan  # no join operator at all: union + window
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Chunked range join == the naive per-key containment scan, including
+    inclusive boundaries and intervals spanning many chunks."""
+    import datetime as dt
+
+    import numpy as np
+
+    from dask_glm_spark.operators.joins import range_join
+
+    rng = np.random.RandomState(23)
+    base = dt.datetime(2024, 1, 1)
+    pts = [
+        (int(i), int(rng.randint(0, 4)), base + dt.timedelta(seconds=int(rng.randint(0, 500_000))))
+        for i in range(300)
+    ]
+    ivs = []
+    for i in range(60):
+        s = int(rng.randint(0, 480_000))
+        ivs.append(
+            (int(100 + i), int(rng.randint(0, 4)),
+             base + dt.timedelta(seconds=s),
+             base + dt.timedelta(seconds=s + int(rng.randint(0, 30_000))))
+        )
+    # exact-boundary case: a point equal to an interval's start and end
+    pts.append((9000, 0, ivs[0][2]))
+    pts.append((9001, ivs[0][1], ivs[0][3]))
+    points = spark.createDataFrame(pts, "pid long, user_id long, ts timestamp")
+    intervals = spark.createDataFrame(
+        ivs, "iid long, user_id long, session_start timestamp, session_end timestamp"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, chunk_seconds=3600).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, pu, pt in pts
+        for iid, iu, s, e in ivs
+        if pu == iu and s <= pt <= e
+    }
+    assert got == want and len(want) > 100
