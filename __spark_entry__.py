@@ -741,6 +741,19 @@ SELECT doc_id,
 FROM s ORDER BY doc_id"""
 
 
+# Sketch accuracy contract: the engine emits the EXACT distinct-token
+# count plus booleans asserting its HLL and theta sketch estimates land
+# within 5%; the oracle emits the exact count and TRUE — so the hash
+# matches iff the sketches actually meet their documented bound on the
+# real corpus (estimates themselves can't cross-engine hash-match).
+PIPELINE_SQL["q53_vocab_sketch"] = f"""SELECT
+  CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
+  true AS hll_ok,
+  true AS theta_ok
+FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+WHERE tok <> ''"""
+
+
 # Range (interval containment) join: per session of q29's definition, the
 # number of error events inside its [start, end] span. The engine runs
 # the chunked range join (operators/joins.py:range_join — equi-join on
@@ -1276,6 +1289,13 @@ def _pq_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _pq_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_glm_spark.functions.sketches import vocab_sketch_stats
+    from dask_glm_spark.sources.glm_source import load_table
+
+    return vocab_sketch_stats(load_table(spark, sf_dir, "documents"))
+
+
 def _pq_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1428,6 +1448,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_image_resize": _pq_image_resize,
     "q51_asof_join": _pq_asof_join,
     "q52_range_join": _pq_range_join,
+    "q53_vocab_sketch": _pq_vocab_sketch,
 }
 
 

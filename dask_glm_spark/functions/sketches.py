@@ -1,0 +1,77 @@
+"""Sketch-based corpus statistics: mergeable approximate aggregates.
+
+Beyond-reference surface (the brief's "novel sketch" slot), built on the
+Apache DataSketches functions that ship with Spark 4 (``hll_sketch_agg``,
+``theta_sketch_agg`` — JVM-side, codegen'd, mergeable partial aggregates).
+
+Why sketches at 100 TB: an exact ``countDistinct(token)`` must shuffle
+every distinct token (web-corpus vocabularies are billions of strings); an
+HLL/theta sketch is a FIXED-SIZE state per partition that merges
+associatively, so the exchange carries kilobytes per partition no matter
+the corpus size, and per-group sketches can be unioned across datasets /
+days (``hll_union_agg``) without touching raw data again.
+
+Correctness: estimates cannot hash-match a different engine's estimator,
+so the q53 gate pins the CONTRACT instead — the declared query emits the
+exact cardinality plus booleans asserting each estimate lands within the
+documented tolerance; the DuckDB oracle emits the exact count and TRUE.
+The hash matches iff the engine's sketches actually meet their accuracy
+bound on the real corpus. Default lgk=14 gives ~0.8% HLL relative
+standard error — 5% tolerance is ~6 sigma.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators.text import tokens_expr
+
+HLL_LGK = 14  # 2^14 registers: ~0.8% rel. std. error, 16 KiB state
+
+
+def _token_table(df: DataFrame, text_col: str) -> DataFrame:
+    return df.select(F.explode(tokens_expr(text_col)).alias("tok")).where(
+        F.length("tok") > 0
+    )
+
+
+def vocab_sketch_stats(
+    df: DataFrame, text_col: str = "text", rel_tol: float = 0.05
+) -> DataFrame:
+    """One row: (n_exact, hll_ok, theta_ok) over the distinct-token set.
+
+    Exact and both sketches compute in ONE aggregate job (shared scan +
+    explode); the booleans assert |est/exact - 1| <= rel_tol. At scale,
+    drop the exact column and keep the sketches — this form exists so the
+    accuracy contract sits under the q53 oracle gate.
+    """
+    tok = _token_table(df, text_col)
+    row = tok.agg(
+        F.countDistinct("tok").alias("exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok", F.lit(HLL_LGK))).alias("hll"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("tok")).alias("theta"),
+    )
+    ok = lambda est: (
+        F.abs(F.col(est) / F.col("exact") - 1.0) <= F.lit(float(rel_tol))
+    )
+    return row.select(
+        F.col("exact").cast("long").alias("n_exact"),
+        ok("hll").alias("hll_ok"),
+        ok("theta").alias("theta_ok"),
+    )
+
+
+def vocab_cardinality_by(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(by, est_distinct_tokens) per group via HLL — the scale form: state
+    per group is one 2^lgk-register sketch, mergeable across datasets."""
+    tok = df.select(F.col(by), F.explode(tokens_expr(text_col)).alias("tok")).where(
+        F.length("tok") > 0
+    )
+    return tok.groupBy(by).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok", F.lit(HLL_LGK)))
+        .cast("long")
+        .alias("est_distinct_tokens")
+    )
