@@ -191,3 +191,27 @@ def test_range_join_matches_bruteforce(spark):
         if pu == iu and s <= pt <= e
     }
     assert got == want and len(want) > 100
+
+
+def test_range_join_is_equi_join_not_theta(spark):
+    """Scale pin: the chunked range join plans as a hash/merge EQUI-join on
+    (key, chunk) — never BroadcastNestedLoop/Cartesian (the naive theta
+    shape whose candidate set is |points| x |intervals| per key)."""
+    from dask_glm_spark.operators.joins import range_join
+    from dask_glm_spark.plans import audit
+    from dask_glm_spark.streaming.scoring import load_events
+    from dask_glm_spark.streaming.sessions import sessionize_batch
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    sess = sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    pts = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    out = range_join(pts, sess)
+    plan = audit.explain_str(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
