@@ -118,30 +118,36 @@ def asof_join(
 
     back = direction == "backward"
     l = left.withColumn("_side", F.lit(1))
+    # The WHOLE right payload rides as ONE struct (non-null on right rows
+    # even when its fields are null), so the carry always returns the
+    # matched row intact — per-column last(ignorenulls) would stitch
+    # values from DIFFERENT right rows whenever a payload field is null.
     r = right.select(
-        *by_cols, time_col, *[F.col(c).alias(c + suffix) for c in value_cols]
+        *by_cols,
+        time_col,
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_payload"),
     ).withColumn("_side", F.lit(0 if back else 2))
     u = l.unionByName(r, allowMissingColumns=True)
+    # _payload as the final order key: among right rows TIED on (by, ts)
+    # the pick is the struct-max (backward) / struct-min (forward) —
+    # deterministic instead of shuffle-order-dependent.
+    order = [F.col(time_col).asc(), F.col("_side").asc(),
+             F.col("_payload").asc_nulls_first()]
     if back:
         w = (
             Window.partitionBy(*by_cols)
-            .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = [
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
-            for c in value_cols
-        ]
+        carry = F.last(F.col("_payload"), ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*by_cols)
-            .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+            .orderBy(*order)
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        carried = [
-            F.first(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
-            for c in value_cols
-        ]
+        carry = F.first(F.col("_payload"), ignorenulls=True).over(w)
+    carried = [carry[c].alias(c + suffix) for c in value_cols]
     return (
         u.select(*left.columns, "_side", *carried)
         .where(F.col("_side") == 1)

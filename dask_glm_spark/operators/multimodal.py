@@ -81,17 +81,26 @@ def repartition_for_payloads(
 RAW_GRAY8 = "image/x-raw-gray8"
 
 
-def _require_codec(kind: str, media_type: str) -> None:
+def _check_raw_layout(media_type: str) -> None:
+    """Raw fixed-layout rasters pass; compressed formats ALWAYS raise —
+    whether or not a codec library happens to be importable, bytes of a
+    PNG/JPEG must never be silently frombuffer'd as pixels. The message
+    distinguishes the two repair paths (install+wire a codec vs use a raw
+    layout)."""
+    if media_type.startswith("image/x-raw"):
+        return
     try:
         import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            f"{kind} decoding for compressed media_type={media_type!r} "
-            "requires an image codec (PIL/pillow), which is not installed "
-            "in this environment. Raw rasters (media_type="
-            f"{RAW_GRAY8!r}, or any fixed row-major gray8 layout) decode "
-            "codec-free via decode_image/resize_images."
-        ) from exc
+
+        detail = "a codec (PIL) is importable but no decode path is wired"
+    except ImportError:  # pragma: no cover - container has no PIL
+        detail = "no image codec (PIL/pillow) is installed"
+    raise NotImplementedError(
+        f"decoding compressed media_type={media_type!r} is not supported: "
+        f"{detail}. Raw rasters (media_type={RAW_GRAY8!r}, or any "
+        "image/x-raw-* fixed row-major gray8 layout) decode codec-free "
+        "via decode_image/resize_images."
+    )
 
 
 def decode_image(
@@ -111,8 +120,7 @@ def decode_image(
     ``np.frombuffer`` zero-copy, no codec. Compressed media types raise
     the codec guard — that boundary is real, raw layouts are not behind
     it."""
-    if media_type != RAW_GRAY8 and not media_type.startswith("image/x-raw"):
-        _require_codec("image", media_type)
+    _check_raw_layout(media_type)
     w = int(width)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,8 +174,7 @@ def resize_images(
     with no source pixel (upscaling) are 0. Output ``features`` is the
     row-major flattened (out_height, out_width) grid, sized for the GLM
     kernel layer like every other featurizer here."""
-    if media_type != RAW_GRAY8 and not media_type.startswith("image/x-raw"):
-        _require_codec("image", media_type)
+    _check_raw_layout(media_type)
     w, ow, oh = int(width), int(out_width), int(out_height)
     ci = (np.arange(w) * ow) // w
     C = np.zeros((w, ow))

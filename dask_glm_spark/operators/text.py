@@ -208,7 +208,7 @@ def token_percentiles(
 #
 # Two physical paths with identical results (pytest-pinned):
 #   path="arrow" (default): ONE narrow mapInPandas tokenizes, hashes (with a
-#     per-batch memo — Zipf head tokens hash once per batch, not per
+#     capped task-lifetime memo — Zipf head tokens hash once, not per
 #     occurrence) and aggregates each doc's bucket counts in a single pass.
 #     hashing_tf is then ZERO-shuffle end-to-end; tfidf adds only the tiny
 #     O(num_features) doc-frequency aggregate. Replaces the sql path's
@@ -264,6 +264,11 @@ def _sparse_rows(
     def build(batches):
         from collections import Counter
 
+        # Task-lifetime memo, CAPPED: the Zipf head (which is what repays
+        # caching) fits in the first ~1M distinct tokens; without the cap
+        # a long-lived task would accumulate its partition's entire
+        # vocabulary — unbounded memory at web-corpus vocab sizes.
+        MEMO_MAX = 1 << 20
         memo: dict[str, int] = {}
         for pdf in batches:
             ids, bks, tfs = [], [], []
@@ -273,7 +278,8 @@ def _sparse_rows(
                     b = memo.get(t)
                     if b is None:
                         b = _polyhash_py(t) % nf
-                        memo[t] = b
+                        if len(memo) < MEMO_MAX:
+                            memo[t] = b
                     cnt[b] += 1
                 items = sorted(cnt.items())
                 ids.append(doc_id)
@@ -512,7 +518,8 @@ def tfidf_features(
             .agg(F.count("*").cast("double").alias("df"))
             .collect()
         }
-        n_docs = int(idf_map.pop(-1))
+        # default 0: an all-empty corpus yields no sentinel rows at all
+        n_docs = int(idf_map.pop(-1, 0))
         idf = [
             math.log((n_docs + 1.0) / (idf_map.get(b, 0.0) + 1.0))
             for b in range(num_features)

@@ -215,3 +215,21 @@ def test_range_join_is_equi_join_not_theta(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_asof_join_null_payload_returns_matched_row_intact(spark):
+    """Review r5: a NULL field in the matched right row must come through
+    as NULL — never back-filled from an older row (the whole payload rides
+    one struct, so the carry can't stitch two rows together)."""
+    from dask_glm_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 0, 20.0)], "lid long, user_id long, t double")
+    right = spark.createDataFrame(
+        [(3, 0, 5.0, 2.0), (7, 0, 10.0, None)],
+        "rid long, user_id long, t double, v double",
+    )
+    r = asof_join(
+        left, right, time_col="t", by="user_id", value_cols=["rid", "v"]
+    ).first()
+    assert r["rid_asof"] == 7
+    assert r["v_asof"] is None

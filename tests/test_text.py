@@ -171,3 +171,11 @@ def test_tfidf_arrow_sql_parity(spark, tiny_corpus, nf):
     assert a.keys() == s.keys()
     for k in a:
         assert a[k] == pytest.approx(s[k], abs=1e-12)
+
+
+def test_tfidf_empty_corpus_both_paths(spark):
+    """Review r5: an all-empty corpus returns an empty frame on BOTH
+    physical paths (the arrow path's sentinel aggregate yields no rows)."""
+    df = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
+    assert T.tfidf_features(df, num_features=8, path="arrow").count() == 0
+    assert T.tfidf_features(df, num_features=8, path="sql").count() == 0
