@@ -104,6 +104,10 @@ def asof_join(
     At 100 TB: both sides usually arrive time-bucket-partitioned; the one
     window shuffle is on (by) only, so the plan is a single exchange
     regardless of how many right payload columns ride along.
+
+    ``value_cols`` must be orderable types (atomics, arrays, structs — not
+    maps): the payload struct participates in the deterministic
+    equal-timestamp tie-break ordering.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
