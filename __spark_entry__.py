@@ -436,12 +436,16 @@ WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id != comp)
 ORDER BY d.doc_id"""
 
 
-def _duck_sample_bucket(salt: str, key_expr: str = "doc_id") -> str:
-    """DuckDB SQL computing operators.sampling.sample_bucket_expr exactly:
+def _duck_sample_bucket(
+    salt: str, key_expr: str = "doc_id", n_buckets: int = 100
+) -> str:
+    """DuckDB SQL computing operators.sampling.hash_bucket_expr exactly:
     double polyhash (outer round over the inner hash's decimal rendering —
-    see sampling.py for why one round is not enough), prefix salt."""
+    see sampling.py for why one round is not enough), prefix salt, direct
+    % n_buckets (non-null keys; the engine's null-sentinel branch is
+    unreachable on the testdata)."""
     h1 = _duck_polyhash(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
-    return f"{_duck_polyhash(f'CAST(({h1}) AS VARCHAR)')} % 100"
+    return f"{_duck_polyhash(f'CAST(({h1}) AS VARCHAR)')} % {n_buckets}"
 
 
 def _curation_oracle_sql(q_threshold: float = 0.5, mh_threshold: float = 0.5) -> str:
@@ -473,7 +477,7 @@ def _pack_oracle_sql(budget: int = 256, n_buckets: int = 8) -> str:
     via the same window arithmetic, seq_id by advancing the greedy fold one
     row per bucket per recursion step — an independent sequential replay of
     the engine's applyInPandas fold."""
-    bucket = f"({_duck_sample_bucket('pack')}) % {n_buckets}"
+    bucket = _duck_sample_bucket("pack", n_buckets=n_buckets)
     return f"""WITH RECURSIVE
 d0 AS (
   SELECT doc_id, len({_DUCK_TOKENS_CASED}) AS n_tokens, {bucket} AS bucket

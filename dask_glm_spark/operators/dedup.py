@@ -293,7 +293,8 @@ def minhash_dedup_pairs(
     # work, and a single-row-group input would otherwise compute them all in
     # one task (no-op at scale — see plans/layout.py).
     sh = ensure_min_parallelism(df).select(
-        F.col(id_col), F.array_distinct(shingles_expr(text_col, k)).alias("sh")
+        # shingles_expr already returns array_distinct output — no second pass
+        F.col(id_col), shingles_expr(text_col, k).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature_from_hashes(F.transform(F.col("sh"), polyhash_expr))
     banded = sh.select(
@@ -317,7 +318,15 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-SIMHASH_BITS = 32
+# 28, not 32: token hashes are polyhash values < 1e9+7 < 2^30, so bits 30
+# and 31 of every token hash are structurally zero and a "32-bit" simhash
+# carried two constant-zero bits — the top pigeonhole band had only 6
+# informative bits, quadratically inflating its candidate buckets (review
+# r5). 28 divides evenly into the default 4 bands (7 informative bits
+# each); hamming distances are now over informative bits only. The DuckDB
+# oracles (q22/q30) derive from this constant, so both engines moved
+# together.
+SIMHASH_BITS = 28
 
 
 def simhash_expr(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
@@ -441,7 +450,7 @@ def ngram_jaccard_pairs(
     sh = ensure_min_parallelism(df).select(
         F.col(block_col).alias("blk"),
         F.col(id_col),
-        F.array_distinct(shingles_expr(text_col, k)).alias("sh"),
+        shingles_expr(text_col, k).alias("sh"),  # already distinct
     ).withColumn("n", F.size("sh"))
     # Persisted: BOTH sides of the inverted-index self-join read this
     # projection — without the cache the interpreted shingle build runs

@@ -31,12 +31,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dask_glm_spark.operators.sampling import sample_bucket_expr
+from dask_glm_spark.operators.sampling import hash_bucket_expr
 
 
 def pack_bucket_expr(key: Column | str, n_buckets: int, salt: str = "pack") -> Column:
-    """Deterministic pack bucket in [0, n_buckets)."""
-    return sample_bucket_expr(key, salt) % n_buckets
+    """Deterministic pack bucket in [0, n_buckets) — a direct modular
+    reduction of the full-range hash. (Review r5: the previous
+    ``sample_bucket % n_buckets`` composed two mods, capping buckets at
+    100 — parallelism-limiting at the contract's ~rows/group sizing — and
+    biasing whenever 100 % n_buckets != 0.)"""
+    return hash_bucket_expr(key, n_buckets, salt)
 
 
 def chunked_pack(
@@ -78,6 +82,12 @@ def greedy_pack(
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
+        if pdf[tokens_col].isna().any():
+            bad = pdf.loc[pdf[tokens_col].isna(), id_col].iloc[0]
+            raise ValueError(
+                f"greedy_pack: NULL in {tokens_col!r} (first at "
+                f"{id_col}={bad!r}) — token counts must be non-null"
+            )
         toks = pdf[tokens_col].to_numpy()
         seq_ids = [0] * len(toks)
         seq, fill = 0, 0

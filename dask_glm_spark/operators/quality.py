@@ -62,18 +62,6 @@ def scrub_expr(text: Column | str) -> Column:
     return c
 
 
-def _lines_expr(text: Column | str) -> Column:
-    """Non-empty trimmed lines. The synthetic corpus is single-line, so
-    tests also split on '. ' sentence boundaries via ``sep``-capable
-    callers; the operator itself is newline-based like the published
-    filters."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.filter(
-        F.transform(F.split(c, r"\n"), lambda s: F.trim(s)),
-        lambda s: F.length(s) > 0,
-    )
-
-
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -92,6 +80,14 @@ def repetition_stats(
                              bigram / total bigram slots
     - ``dup_ngram_frac``     duplicate ``dup_ngram_n``-gram occurrences /
                              total n-gram slots (1 - distinct/total)
+
+    ``line_sep`` is a Java REGEX (it feeds ``F.split``): pass ``r'\\. '``
+    — not ``'. '`` — for sentence splitting.
+
+    Every input doc appears in the output: a doc with zero non-empty
+    lines reports n_lines=0 and 0.0 for every fraction (review r5 — the
+    most degenerate docs previously vanished from the report, exactly the
+    ones a curation threshold needs to see).
 
     Plan: one explode per measure family, aggregated back on ``id_col``
     (all shuffles hash on doc_id, co-partitioned), joined narrowly. No
@@ -151,14 +147,22 @@ def repetition_stats(
         ).alias("dup_ngram_frac")
     )
 
+    # Anchor on the input ids so zero-line docs still report (as zeros)
+    # instead of silently vanishing with the empty explode.
     return (
-        line_stats.join(bg_stats, id_col, "left")
+        df.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(bg_stats, id_col, "left")
         .join(ng_stats, id_col, "left")
         .select(
             id_col,
-            "n_lines",
-            F.round("dup_line_frac", 6).cast("double").alias("dup_line_frac"),
-            F.round("dup_line_char_frac", 6).cast("double").alias("dup_line_char_frac"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.round(F.coalesce("dup_line_frac", F.lit(0.0)), 6)
+            .cast("double")
+            .alias("dup_line_frac"),
+            F.round(F.coalesce("dup_line_char_frac", F.lit(0.0)), 6)
+            .cast("double")
+            .alias("dup_line_char_frac"),
             F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6)
             .cast("double")
             .alias("top_bigram_frac"),
@@ -171,11 +175,21 @@ def repetition_stats(
 
 def ngrams_expr(text: Column | str, n: int) -> Column:
     """Word n-grams of the whitespace-lowercased tokens, joined by single
-    spaces — the published decontamination unit (token n-gram strings)."""
-    t = tokens_expr(text)
-    return F.transform(
-        F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
-        lambda _, i: F.array_join(F.slice(t, i + 1, n), " "),
+    spaces — the published decontamination unit (token n-gram strings).
+
+    The token array is bound ONCE via ``_let``: higher-order functions are
+    interpreted and Catalyst re-inlines an unbound subtree at every lambda
+    reference, so without the binding the full tokenize re-ran once per
+    n-gram position — O(tokens^2) per doc (review r5; same measured 10-60x
+    class as the MinHash paths ``_let`` was built for)."""
+    from dask_glm_spark.operators.dedup import _let
+
+    return _let(
+        tokens_expr(text),
+        lambda t: F.transform(
+            F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
+            lambda _, i: F.array_join(F.slice(t, i + 1, n), " "),
+        ),
     )
 
 

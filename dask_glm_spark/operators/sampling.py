@@ -28,10 +28,12 @@ from pyspark.sql import functions as F
 from dask_glm_spark.operators.text import polyhash_expr
 
 
-def sample_bucket_expr(key: Column | str, salt: str = "s0") -> Column:
-    """Deterministic bucket in [0, 100) from a stable key column. The salt
-    namespaces the hash so distinct uses (sampling vs splitting vs a second
-    sample) are pairwise independent.
+def hash_bucket_expr(
+    key: Column | str, n_buckets: int, salt: str = "s0"
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a stable key column.
+    The salt namespaces the hash so distinct uses (sampling vs splitting
+    vs packing) are pairwise independent.
 
     Two hash rounds, salt as PREFIX — both load-bearing. A single
     31-base polyhash is affine in the trailing characters, so sequential
@@ -41,10 +43,21 @@ def sample_bucket_expr(key: Column | str, salt: str = "s0") -> Column:
     DECIMAL RENDERING is a cheap nonlinearity both engines express
     identically; measured: independent 50% samples overlap 26% (~25%
     ideal), bucket uniformity within 13% of binomial stdev at 100k keys.
-    Property-tested in tests/test_sampling.py."""
+    Property-tested in tests/test_sampling.py.
+
+    NULL keys hash via a fixed sentinel instead of null-propagating —
+    without it a null key made every filter predicate NULL and the row
+    silently vanished from BOTH sides of train_test_split (review r5).
+    The DuckDB oracles assume non-null keys (true of the testdata)."""
     key = F.col(key) if isinstance(key, str) else key
-    h1 = polyhash_expr(F.concat(F.lit(salt + ":"), key.cast("string")))
-    return polyhash_expr(h1.cast("string")) % 100
+    ks = F.coalesce(key.cast("string"), F.lit("<NULL>"))
+    h1 = polyhash_expr(F.concat(F.lit(salt + ":"), ks))
+    return polyhash_expr(h1.cast("string")) % n_buckets
+
+
+def sample_bucket_expr(key: Column | str, salt: str = "s0") -> Column:
+    """Deterministic percentage bucket in [0, 100) — see hash_bucket_expr."""
+    return hash_bucket_expr(key, 100, salt)
 
 
 def hash_sample(
@@ -72,6 +85,8 @@ def stratified_sample(
     for k, v in rates_pct.items():
         if not 0 <= v <= 100:
             raise ValueError(f"rate for {k!r} must be in [0, 100], got {v}")
+    if not 0 <= default_pct <= 100:
+        raise ValueError(f"default_pct must be in [0, 100], got {default_pct}")
     rate_map = F.create_map(
         *[F.lit(x) for kv in rates_pct.items() for x in kv]
     )

@@ -104,3 +104,32 @@ def test_pack_bucket_range(spark):
         F.countDistinct(pack_bucket_expr("doc_id", 8)).alias("n"),
     ).collect()[0]
     assert row["lo"] >= 0 and row["hi"] <= 7 and row["n"] == 8
+
+
+def test_pack_bucket_uses_full_range(spark):
+    """Review r5: pack buckets must cover [0, n_buckets) even above 100
+    (the old sample%n composition capped them at 100)."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.packing import pack_bucket_expr
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    got = {
+        r[0]
+        for r in df.select(pack_bucket_expr("doc_id", 512).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert max(got) >= 100 and len(got) > 450  # well beyond the old cap
+
+
+def test_greedy_pack_null_tokens_clear_error(spark):
+    import pytest as _pytest
+
+    from dask_glm_spark.operators.packing import greedy_pack
+
+    df = spark.createDataFrame(
+        [(1, 10, 0), (2, None, 0)], "doc_id long, n_tokens long, bucket int"
+    )
+    with _pytest.raises(Exception, match="NULL in 'n_tokens'"):
+        greedy_pack(df, "n_tokens").collect()

@@ -133,3 +133,26 @@ def test_token_budget_priority_order(spark):
         for r in Q.select_to_token_budget(df, 8, by="source", priority="prio").collect()
     )
     assert kept == [2, 3]
+
+
+def test_repetition_stats_includes_zero_line_docs(spark):
+    """Review r5: docs with no non-empty lines report zeros instead of
+    vanishing from the report."""
+    from dask_glm_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, ""), (2, " \n  \n")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1]["n_lines"] == 0 and out[1]["dup_line_frac"] == 0.0
+    assert out[2]["n_lines"] == 0 and out[2]["dup_ngram_frac"] == 0.0
+
+
+def test_ngrams_expr_binds_tokens_once():
+    """Review r5: the token array is let-bound — exactly ONE tokenize
+    subtree in the expression, not one per n-gram position."""
+    from dask_glm_spark.operators.quality import ngrams_expr
+
+    expr = repr(ngrams_expr("text", 5))
+    assert expr.lower().count("split") == 1

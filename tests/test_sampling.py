@@ -89,3 +89,24 @@ def test_bucket_expr_range(ids):
         F.max(sample_bucket_expr("doc_id")).alias("hi"),
     ).collect()[0]
     assert 0 <= row["lo"] and row["hi"] <= 99
+
+
+def test_null_keys_are_not_silently_dropped(spark):
+    """Review r5: a NULL key hashes via a sentinel instead of
+    null-propagating — the split stays exhaustive and rate=100 keeps all."""
+    from dask_glm_spark.operators.sampling import hash_sample, train_test_split
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    train, test = train_test_split(df, "doc_id", test_pct=10)
+    assert train.count() + test.count() == 3
+    assert hash_sample(df, "doc_id", 100).count() == 3
+
+
+def test_stratified_default_pct_validated(spark):
+    import pytest as _pytest
+
+    from dask_glm_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="default_pct"):
+        stratified_sample(df, "lang", {"en": 60}, default_pct=150)
