@@ -153,7 +153,9 @@ def _arrow_partials_generic(
         n_groups = (nparts + fanin - 1) // fanin
 
         def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            rows = [r for pdf in batches for r in pdf.sort_values("pid").to_dict("records")]
+            # the single rows.sort below fixes the deterministic merge
+            # order; per-chunk / in-partition pre-sorts were dead work
+            rows = [r for pdf in batches for r in pdf.to_dict("records")]
             if not rows:
                 return
             rows.sort(key=lambda r: r["pid"])
@@ -164,11 +166,9 @@ def _arrow_partials_generic(
                 row[c] = [v.tolist() if isinstance(v, np.ndarray) else float(v)]
             yield pd.DataFrame(row)
 
-        out = (
-            out.repartition(n_groups, (F.col("pid") / fanin).cast("int"))
-            .sortWithinPartitions("pid")
-            .mapInPandas(combine, schema=f"pid int, {out_fields}")
-        )
+        out = out.repartition(
+            n_groups, (F.col("pid") / fanin).cast("int")
+        ).mapInPandas(combine, schema=f"pid int, {out_fields}")
 
     rows = out.collect()
     rows.sort(key=lambda r: r["pid"])

@@ -138,11 +138,16 @@ def multi_loss_sparse(
     def batch_partial(pdf: pd.DataFrame) -> dict:
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
         y = pdf[label_col].to_numpy(dtype=np.float64)
-        # XB: (n, k) via one scatter-add per candidate column
-        XB = np.zeros((n, k))
-        contrib = flat_val[:, None] * B[flat_idx]  # (nnz, k)
-        np.add.at(XB, row_ids, contrib)
-        losses = np.array([family.loglike_np(XB[:, i], y) for i in range(k)])
+        # One bincount per candidate — the same O(nnz) scatter the fused
+        # loss_gradient uses. (np.add.at on the (n, k) target was the slow
+        # buffered-ufunc path AND materialized an (nnz, k) temporary, in
+        # the line-search hot loop of both sparse solvers — review r5.)
+        losses = np.empty(k)
+        for i in range(k):
+            xb = np.bincount(
+                row_ids, weights=flat_val * B[flat_idx, i], minlength=n
+            )
+            losses[i] = family.loglike_np(xb, y)
         return {"losses": losses}
 
     rows = _arrow_partials_generic(df, batch_partial, "losses array<double>")

@@ -20,10 +20,21 @@ from pyspark.sql import DataFrame, SparkSession
 def _to_df(
     spark: SparkSession, X: np.ndarray, y: np.ndarray, npartitions: int
 ) -> DataFrame:
-    pdf_rows = [
-        (int(i), [float(v) for v in X[i]], float(y[i])) for i in range(len(y))
-    ]
-    df = spark.createDataFrame(pdf_rows, schema="id long, features array<double>, label double")
+    import pandas as pd
+
+    # Arrow path via a pandas frame: X.tolist() is ONE vectorized
+    # conversion (per-element Python boxing of n*p floats took multiple GB
+    # of driver heap and minutes at the module's advertised N — review r5).
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(len(y), dtype=np.int64),
+            "features": X.astype(np.float64).tolist(),
+            "label": y.astype(np.float64),
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, schema="id long, features array<double>, label double"
+    )
     return df.repartitionByRange(npartitions, "id")
 
 

@@ -80,6 +80,15 @@ def read_parquet(
 ) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # nanosAsLong surfaces TIMESTAMP(NANOS) columns as raw int64 nanos;
+    # repair them (footer-detected) BEFORE feature assembly — otherwise a
+    # 1.7e18-scale long silently cast to double destroys the fit.
+    from dask_glm_spark.sources.glm_source import (
+        nano_ts_columns_of,
+        repair_nano_timestamps,
+    )
+
+    df = repair_nano_timestamps(df, nano_ts_columns_of(path))
     if where is not None:
         df = df.where(where)  # pushed into the scan (PushedFilters)
     return assemble_features(df, feature_cols, label)

@@ -48,14 +48,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    from dask_glm_spark.sources.glm_source import NANO_TS_COLS, normalize_ntz_as_utc
+    from dask_glm_spark.sources.glm_source import NANO_TS_COLS, repair_nano_timestamps
 
-    for c in NANO_TS_COLS.get("events", []):
-        if dict(raw.dtypes).get(c) == "bigint":
-            raw = raw.withColumn(
-                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
-            )
-    return normalize_ntz_as_utc(raw)
+    return repair_nano_timestamps(raw, NANO_TS_COLS.get("events", []))
 
 
 def hourly_event_stats(events: DataFrame) -> DataFrame:
@@ -108,12 +103,29 @@ def windowed_event_stats(
 
 def score_events_expr(beta: Iterable[float], feature_cols: list[str]) -> F.Column:
     """P1 mat-vec over named scalar columns + logistic link, as one narrow
-    Column — usable identically on batch and streaming frames."""
+    Column — usable identically on batch and streaming frames.
+
+    ``len(beta) == len(feature_cols) + 1`` treats the LAST coefficient as
+    the intercept (the estimators' ``_coef`` layout, estimators.py), so a
+    fitted ``model._coef`` drops in directly. Any other length mismatch
+    raises — the previous zip silently truncated, scoring with a
+    partially-applied model (review r5)."""
     from dask_glm_spark.functions.families import sigmoid_expr
 
-    xb = None
+    beta = [float(b) for b in beta]
+    if len(beta) == len(feature_cols) + 1:
+        xb: F.Column | None = F.lit(beta[-1])
+        beta = beta[:-1]
+    elif len(beta) == len(feature_cols):
+        xb = None
+    else:
+        raise ValueError(
+            f"beta has {len(beta)} coefficients for {len(feature_cols)} "
+            "feature columns (expected equal, or one extra trailing "
+            "intercept)"
+        )
     for c, b in zip(feature_cols, beta):
-        term = F.col(c) * float(b)
+        term = F.col(c) * b
         xb = term if xb is None else xb + term
     return sigmoid_expr(xb)
 

@@ -59,7 +59,14 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming sessionization: emits each session when the NEXT event
     (beyond the gap) proves it closed. The per-user open session rides the
-    state store across microbatches."""
+    state store across microbatches.
+
+    Disorder contract: events arriving out of order WITHIN the gap (in
+    the same or a later microbatch) merge into the open session with
+    min/max boundary updates — same membership the batch sort produces.
+    An event arriving more than ``gap`` behind the open session's end
+    after its true session was already emitted cannot be retro-merged
+    (inherent to unbuffered streaming); it starts a fresh session."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(
@@ -86,15 +93,25 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 pdf["value"].astype("float64"),
             ):
                 ts = int(ts)
+                # NaN-safe (null value -> pandas NaN): contribute 0 to the
+                # sum, matching the batch form's null-skipping F.sum while
+                # still counting the event (count(*) semantics).
+                v = float(value) if value == value else 0.0
                 if n == 0:
-                    start, last, n, sv = ts, ts, 1, float(value)
+                    start, last, n, sv = ts, ts, 1, v
                 elif ts - last > gap_us:
                     closed.append((user_id, start, last, n, sv))
-                    start, last, n, sv = ts, ts, 1, float(value)
+                    start, last, n, sv = ts, ts, 1, v
                 else:
-                    last = ts
+                    # min/max, not assignment: a cross-microbatch late
+                    # event inside the gap must extend the session, never
+                    # move its end backwards (which both corrupted
+                    # session_end and falsely closed the session at the
+                    # next on-time event).
+                    start = min(start, ts)
+                    last = max(last, ts)
                     n += 1
-                    sv += float(value)
+                    sv += v
         state.update((start, last, n, sv))
         if closed:
             yield pd.DataFrame(

@@ -208,3 +208,66 @@ def test_quality_exprs_streamable(spark, tmp_path_factory):
     SC.run_stream_to_memory(sel(stream), "quality_stream_test", mode="append")
     got = {tuple(r) for r in spark.table("quality_stream_test").collect()}
     assert got == want
+
+
+def test_sessionize_stream_late_event_within_gap(spark, tmp_path_factory):
+    """Review r5: a cross-microbatch late event INSIDE the gap must merge
+    without moving the session end backwards (previously `last = ts`
+    regressed session_end and falsely closed the session at the next
+    on-time event)."""
+    import datetime as dt
+
+    from dask_glm_spark.streaming import sessions as SES
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    d = str(tmp_path_factory.mktemp("late_stream"))
+    batches = [
+        [(7, mk(0), 1.0), (7, mk(10), 1.0)],   # on-time
+        [(7, mk(-5), 1.0)],                    # late, within gap of 12:10
+        [(7, mk(30), 1.0)],                    # on-time: 20min after 12:10
+        [(7, mk(90), 1.0)],                    # closes the first session
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/b={i}")
+    schema = spark.read.parquet(f"{d}/b=0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b=*")
+    )
+    out = SES.sessionize_stream(stream, gap_minutes=30)
+    SC.run_stream_to_memory(out, "late_sessions_test", mode="append")
+    rows = spark.table("late_sessions_test").collect()
+    # ONE closed session: 11:55 .. 12:30, 4 events (the late 11:55 merged;
+    # 13:30 remains open). Pre-fix this emitted a bogus session ending 11:55.
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 4
+    assert r["session_start"] == mk(-5)
+    assert r["session_end"] == mk(30)
+    assert r["sum_value"] == 4.0
+
+
+def test_score_events_expr_intercept_and_validation(spark, events):
+    """Review r5: trailing intercept is applied (not silently zip-dropped)
+    and other length mismatches raise."""
+    import math
+
+    import pytest as _pytest
+
+    r = events.limit(1).select(
+        F.col("value"),
+        SC.score_events_expr([0.5], ["value"]).alias("p0"),
+        SC.score_events_expr([0.5, 2.0], ["value"]).alias("p1"),
+    ).first()
+    sig = lambda z: 1.0 / (1.0 + math.exp(-z))
+    assert abs(r["p0"] - sig(0.5 * r["value"])) < 1e-12
+    assert abs(r["p1"] - sig(0.5 * r["value"] + 2.0)) < 1e-12
+    with _pytest.raises(ValueError, match="coefficients"):
+        SC.score_events_expr([1.0, 2.0, 3.0], ["value"])
