@@ -22,7 +22,14 @@ def accuracy_score_expr(y_true: Column, y_pred: Column) -> Column:
 
 
 def poisson_deviance_expr(y_true: Column, y_pred: Column) -> Column:
-    return F.lit(2.0) * F.sum(y_true * F.log1p(y_true / y_pred) - (y_true - y_pred))
+    # y_pred == 0 explicit: Spark's non-ANSI x/0 yields NULL, which F.sum
+    # would silently SKIP — hiding degenerate predictions behind a finite
+    # deviance. numpy semantics instead: y/0 -> inf (y>0) or nan (y==0),
+    # both of which poison the sum loudly; mirror them (review r5).
+    ratio = F.when(y_pred != 0, y_true / y_pred).otherwise(
+        F.when(y_true > 0, F.lit(float("inf"))).otherwise(F.lit(float("nan")))
+    )
+    return F.lit(2.0) * F.sum(y_true * F.log1p(ratio) - (y_true - y_pred))
 
 
 def _agg_scalar(df: DataFrame, expr: Column) -> float:

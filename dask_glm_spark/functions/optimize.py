@@ -84,8 +84,16 @@ def _zoom(phi, f0, dg0, lo, hi, f_lo, f_hi, d, c1, c2, nev, max_evals):
             break
     if g_best is not None:
         return lo, f_lo, g_best, nev
-    f_a, g_a = phi(lo if lo > 0 else hi)
-    return (lo if lo > 0 else hi), f_a, g_a, nev + 1
+    if lo > 0:
+        # lo satisfied sufficient decrease when it entered the bracket —
+        # safe to accept even without the curvature condition
+        f_a, g_a = phi(lo)
+        return lo, f_a, g_a, nev + 1
+    # lo == 0 and no midpoint ever passed the Armijo test: hi is KNOWN to
+    # violate sufficient decrease, so returning it would let the caller
+    # accept an ascent step (review r5). Signal failure instead — the
+    # L-BFGS loop restarts along -g / terminates.
+    return None, f0, None, nev
 
 
 def fmin_l_bfgs_b(

@@ -51,16 +51,12 @@ def assign_expr(vec: Column, centroids: np.ndarray) -> Column:
 def _init_centroids(
     df: DataFrame, k: int, vec_col: str, seed: int
 ) -> np.ndarray:
-    """Seeded sample-based init (bounded driver collect, corpus-size
-    independent — the limit is deterministic for a fixed input file
-    layout, which is what reproducibility here means)."""
-    sample = [
-        r[0]
-        for r in df.select(F.col(vec_col).cast("array<double>"))
-        .limit(IVF_SAMPLE_ROWS)
-        .collect()
-    ]
-    X = np.asarray(sample, dtype=np.float64)
+    """Seeded sample-based init (bounded driver collect via the SAME
+    ``similarity.sample_vectors`` policy the IVF quantizer uses — one
+    definition of the sampling bound/determinism caveat)."""
+    from dask_glm_spark.operators.similarity import sample_vectors
+
+    X = sample_vectors(df, vec_col, IVF_SAMPLE_ROWS)
     rng = np.random.RandomState(seed)
     return X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
 
@@ -117,8 +113,13 @@ def kmeans_fit(
                     X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
                     a = (X @ cent.T - half).argmax(axis=1)
                     cnt = np.bincount(a, minlength=k)
-                    S = np.zeros((k, X.shape[1]))
-                    np.add.at(S, a, X)
+                    # one-hot GEMM, not np.add.at: the buffered-ufunc
+                    # scatter is the slow path (same reason it was removed
+                    # from the sparse line-search probes); k x m indicator
+                    # times (m, d) is real BLAS.
+                    onehot = np.zeros((k, len(a)))
+                    onehot[a, np.arange(len(a))] = 1.0
+                    S = onehot @ X
                     nz = np.nonzero(cnt)[0]
                     yield pd.DataFrame(
                         {

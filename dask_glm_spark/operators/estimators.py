@@ -203,15 +203,27 @@ class _GLM(BaseEstimator):
     def _sparse_xb(self, df: DataFrame, col_name: str) -> DataFrame:
         from dask_glm_spark.functions.kernels_sparse import _batch_csr
 
+        # A dense fit with fit_intercept=True stores the intercept as the
+        # LAST coefficient; sparse indices only address the weights, so
+        # split it out and add it explicitly — indexing the full _coef
+        # silently dropped the intercept from every sparse-scored row
+        # (review r5).
         beta = self._coef
+        icpt = 0.0
+        if self.fit_intercept:
+            icpt = float(beta[-1])
+            beta = beta[:-1]
 
         def op(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 flat_idx, flat_val, row_ids, n = _batch_csr(pdf, "findices", "fvalues")
-                xb = np.bincount(
-                    row_ids, weights=flat_val * beta[flat_idx], minlength=n
+                xb = (
+                    np.bincount(
+                        row_ids, weights=flat_val * beta[flat_idx], minlength=n
+                    )
+                    + icpt
                 )
                 out = pdf.copy()
                 out[col_name] = xb

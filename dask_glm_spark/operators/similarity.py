@@ -118,6 +118,35 @@ def brute_force_topk(
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row — with a CLEAN error on
+    an empty corpus (first() -> None) or a null first vector (size -> -1),
+    instead of a TypeError / negative-dimension crash downstream."""
+    row = df.select(F.size(F.col(vec_col))).first()
+    if row is None or row[0] is None or row[0] < 0:
+        raise ValueError(
+            f"cannot infer embedding dim from {vec_col!r}: empty input "
+            "or null first vector"
+        )
+    return int(row[0])
+
+
+def sample_vectors(
+    df: DataFrame, vec_col: str, limit: int | None = None
+) -> np.ndarray:
+    """Bounded driver-side vector sample (corpus-size-independent cost;
+    deterministic for a fixed input file layout). The ONE definition of
+    the sampling policy — both the IVF quantizer and k-means init use it."""
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>"))
+        .limit(limit or IVF_SAMPLE_ROWS)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot sample vectors from an empty DataFrame")
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = LSH_SEED) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 
@@ -155,7 +184,7 @@ def lsh_ann_topk(
     exploded and broadcast.
     """
     if dim is None:
-        dim = int(corpus.select(F.size(F.col(vec_col))).first()[0])
+        dim = _infer_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -189,7 +218,9 @@ def lsh_ann_topk(
             "neighbor_id",
             cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
         )
-        .distinct()
+        # no distinct: each corpus row has ONE bucket/cell and each query's
+        # probe set is distinct values, so a (query, neighbor) pair joins at
+        # most once — a distinct here re-shuffled every scored candidate
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -249,13 +280,7 @@ def train_ivf_centroids(
     """Coarse quantizer from a bounded driver-side sample (at 100 TB the
     sample is still IVF_SAMPLE_ROWS rows — training cost is corpus-size
     independent; only the narrow assignment map touches every row)."""
-    sample = [
-        r[0]
-        for r in corpus.select(F.col(vec_col).cast("array<double>"))
-        .limit(IVF_SAMPLE_ROWS)
-        .collect()
-    ]
-    return _kmeans_np(np.asarray(sample), n_centroids, seed=seed)
+    return _kmeans_np(sample_vectors(corpus, vec_col), n_centroids, seed=seed)
 
 
 def ivf_ann_topk(
@@ -291,13 +316,18 @@ def ivf_ann_topk(
     )
     # query side: nprobe best cells via sort of (sim, idx) structs
     idx = F.sequence(F.lit(1), F.lit(len(centroids)))
+    # struct key (s, -i): reverse(array_sort) then orders by sim DESC and
+    # index ASC — the same lowest-index tie-break as the corpus side's
+    # array_position assignment (duplicate centroids otherwise sent all
+    # corpus rows to the first duplicate while queries probed the last,
+    # an empty cell — review r5)
     ranked = F.reverse(
         F.array_sort(
-            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")))
         )
     )
     probes = F.transform(
-        F.slice(ranked, 1, nprobe), lambda st: st["i"].cast("long")
+        F.slice(ranked, 1, nprobe), lambda st: (-st["ni"]).cast("long")
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
@@ -312,7 +342,9 @@ def ivf_ann_topk(
             "neighbor_id",
             cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
         )
-        .distinct()
+        # no distinct: each corpus row has ONE bucket/cell and each query's
+        # probe set is distinct values, so a (query, neighbor) pair joins at
+        # most once — a distinct here re-shuffled every scored candidate
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -354,11 +386,18 @@ def embedding_neardup_pairs(
         import pandas as pd
 
         thr = float(threshold)
+        id_type = df.schema[id_col].dataType.simpleString()
 
         def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                # dtype-preserving empty frame (ids keep the source dtype,
+                # so non-long id columns survive the Arrow cast)
+                return pd.DataFrame(
+                    {
+                        "id_a": pdf[id_col][:0],
+                        "id_b": pdf[id_col][:0],
+                        "cosine": pd.Series([], dtype="float64"),
+                    }
                 )
             pdf = pdf.sort_values(id_col)
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -380,13 +419,16 @@ def embedding_neardup_pairs(
         return (
             df.select(F.col(block_col).alias("blk"), id_col, vec_col)
             .groupBy("blk")
-            .applyInPandas(block_pairs, schema="id_a long, id_b long, cosine double")
+            .applyInPandas(
+                block_pairs,
+                schema=f"id_a {id_type}, id_b {id_type}, cosine double",
+            )
             .withColumn("cosine", F.round(F.col("cosine"), 6))
             .where(F.col("cosine") >= threshold)
             .orderBy("id_a", "id_b")
         )
     elif method == "lsh":
-        dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+        dim = _infer_dim(df, vec_col)
         planes = _hyperplanes(dim, n_planes)
         h = df.select(
             F.col(id_col),

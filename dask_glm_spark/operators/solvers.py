@@ -451,23 +451,16 @@ def lbfgs_sparse(
     """
     from dask_glm_spark.functions import kernels_sparse
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
-    from dask_glm_spark.sources.vectors import sparse_p
 
-    we_persisted = False
-    if not df.is_cached:
-        df = ensure_min_parallelism(df)
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        we_persisted = True
-    try:
-        p = p or sparse_p(df, idx_col)
-        reg_f = reg_grad = None
-        if regularizer is not None:
-            reg = Regularizer.get(regularizer)
-            reg_f, reg_grad = reg.f, reg.gradient
+    reg_f = reg_grad = None
+    if regularizer is not None:
+        reg = Regularizer.get(regularizer)
+        reg_f, reg_grad = reg.f, reg.gradient
 
+    def body(dfc, pp):
         def compute_loss_grad(beta):
             loss, grad = kernels_sparse.loss_gradient_sparse(
-                df, family, beta, p, idx_col, val_col, label_col
+                dfc, family, beta, pp, idx_col, val_col, label_col
             )
             if reg_f is not None:
                 loss = loss + lamduh * reg_f(beta)
@@ -476,15 +469,14 @@ def lbfgs_sparse(
 
         beta, _, _ = fmin_l_bfgs_b(
             compute_loss_grad,
-            np.zeros(p),
+            np.zeros(pp),
             fprime=None,
             pgtol=tol,
             maxiter=max_iter,
         )
         return beta
-    finally:
-        if we_persisted:
-            df.unpersist()
+
+    return _run_sparse(df, idx_col, p, body)
 
 
 def _run_sparse(df, idx_col, p, body):

@@ -77,3 +77,26 @@ def test_sklearn_style_clone_params(cls_data):
     assert est2.get_params() == params
     est2.set_params(lamduh=2.0)
     assert est2.lamduh == 2.0
+
+
+def test_dense_fit_intercept_scores_sparse_input(spark):
+    """Review r5: a dense fit with fit_intercept=True must apply the
+    intercept when scoring wide-sparse (findices/fvalues) input."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.sources import vectors as V
+
+    rng = np.random.RandomState(9)
+    X = rng.standard_normal((300, 4))
+    beta = np.array([0.8, -0.5, 0.3, 0.1])
+    y = (1 / (1 + np.exp(-(X @ beta + 1.5))) > rng.uniform(size=300)).astype(float)
+    rows = [([float(v) for v in X[i]], float(y[i])) for i in range(300)]
+    dense = spark.createDataFrame(rows, "features array<double>, label double")
+    lr = LogisticRegression(solver="lbfgs", regularizer=None, fit_intercept=True).fit(
+        dense, normalize=False
+    )
+    sp = V.to_sparse_columns(dense)
+    p_dense = [r["probability"] for r in lr.predict_proba(dense).orderBy(F.col("probability")).collect()]
+    p_sparse = [r["probability"] for r in lr.predict_proba(sp).orderBy(F.col("probability")).collect()]
+    np.testing.assert_allclose(p_sparse, p_dense, rtol=1e-12)

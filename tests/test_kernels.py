@@ -142,3 +142,20 @@ def test_prox_step_matches_numpy(data, path):
     exp = L1().proximal_operator(BETA - s * g, s * lam)
     np.testing.assert_allclose(beta1, exp, rtol=1e-9, atol=1e-12)
     assert (beta1 == 0).any()  # the threshold branch is actually exercised
+
+
+def test_poisson_deviance_zero_pred_not_silently_dropped(spark):
+    """Review r5: y_pred=0 must poison the deviance (inf/nan) like the
+    numpy form — Spark's NULL division would silently skip the row."""
+    import math
+
+    from dask_glm_spark.functions import metrics
+
+    df = spark.createDataFrame(
+        [(3.0, 2.0), (3.0, 0.0)], "y double, mu double"
+    )
+    v = metrics.poisson_deviance(df, "y", "mu")
+    assert math.isinf(v)
+    df2 = spark.createDataFrame([(0.0, 0.0), (1.0, 1.0)], "y double, mu double")
+    v2 = metrics.poisson_deviance(df2, "y", "mu")
+    assert math.isnan(v2)

@@ -144,3 +144,49 @@ def test_neardup_exact_blocked(spark, emb_df):
 def test_exact_requires_block(emb_df):
     with pytest.raises(ValueError):
         S.embedding_neardup_pairs(emb_df, method="exact")
+
+
+def test_ivf_duplicate_centroid_tiebreak(spark):
+    """Review r5: with duplicate centroids, queries must probe the SAME
+    (lowest-index) cell the corpus assigns to — not the empty duplicate."""
+    import numpy as np
+
+    from dask_glm_spark.operators.similarity import ivf_ann_topk
+
+    rng = np.random.RandomState(5)
+    X = rng.standard_normal((40, 8))
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = np.vstack([X[0], X[0], X[20]])  # centroids 1 and 2 identical
+    out = ivf_ann_topk(df, df.limit(5), k=3, centroids=cent, nprobe=1)
+    per_query = {}
+    for r in out.collect():
+        per_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # every query near the duplicated centroid still gets neighbors
+    assert len(per_query) == 5
+    assert all(len(v) > 0 for v in per_query.values())
+
+
+def test_infer_dim_clean_errors(spark):
+    import pytest as _pytest
+
+    from dask_glm_spark.operators.similarity import lsh_ann_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty input"):
+        lsh_ann_topk(empty, empty, k=2)
+
+
+def test_exact_neardup_string_ids(spark):
+    """Review r5: the exact path's schema follows the id column type."""
+    import numpy as np
+
+    from dask_glm_spark.operators.similarity import embedding_neardup_pairs
+
+    v = [1.0, 0.0, 0.0]
+    rows = [("a", v, 0), ("b", v, 0), ("c", [0.0, 1.0, 0.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>, blk int")
+    out = embedding_neardup_pairs(
+        df, threshold=0.99, block_col="blk", method="exact"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [("a", "b")]
