@@ -218,10 +218,13 @@ def _duck_polyhash(expr: str) -> str:
 def _duck_lang_scores() -> dict[str, str]:
     from dask_glm_spark.operators.text import MARKER_WORDS
 
+    # identical delimiter normalization as text.WORD_DELIMS_RE: markers
+    # adjacent to punctuation/newlines count in BOTH engines
+    norm = r"regexp_replace(lower(text), '[\t\n\r.,;:!?]', ' ', 'g')"
     return {
         lang: "("
         + " + ".join(
-            f"CASE WHEN contains(' '||lower(text)||' ', ' {w} ') THEN 1 ELSE 0 END"
+            f"CASE WHEN contains(' '||{norm}||' ', ' {w} ') THEN 1 ELSE 0 END"
             for w in words
         )
         + ")"
@@ -258,7 +261,9 @@ def _duck_quality_expr() -> str:
     return f"""round(
     0.4 * ({s_en} / 5.0)
     + 0.3 * least(len({_DUCK_TOKENS_CASED}) / 100.0, 1.0)
-    + 0.3 * (length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 / length(text)),
+    + 0.3 * (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END),
   6)"""
 
 

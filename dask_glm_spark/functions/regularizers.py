@@ -61,10 +61,18 @@ class Regularizer:
 
     @classmethod
     def get(cls, obj):
-        """Resolve a Regularizer instance from an instance or name string."""
+        """Resolve a Regularizer instance from an instance or name string.
+
+        ``'elastic_net'`` resolves to the strict-reference (bug-compatible
+        NO-OP prox) instance for parity; ``'elastic_net_corrected'`` is
+        the working prox — without this name the corrected operator was
+        unreachable through the string API every solver entry point uses
+        (review r5)."""
         if isinstance(obj, cls):
             return obj
         if isinstance(obj, str):
+            if obj == "elastic_net_corrected":
+                return ElasticNet(strict_reference=False)
             registry = {sub.name: sub for sub in cls.__subclasses__()}
             return registry[obj]()
         raise TypeError("Not a valid regularizer object.")

@@ -55,6 +55,12 @@ def tokens_expr(text: Column | str) -> Column:
 
 
 def token_count_expr(text: Column | str) -> Column:
+    """Whitespace token count. Quirk kept deliberately: split on empty /
+    leading-whitespace text yields one empty token (so '' counts 1, not
+    0) — the DuckDB oracles share the identical semantics (len of the
+    same regex split), and changing one side alone would break the
+    cross-engine hash gate. Consumers that need empty-token filtering
+    (the TF paths) apply length(tok) > 0 downstream."""
     return F.size(tokens_expr(text))
 
 
@@ -72,10 +78,19 @@ def regex_token_count_expr(text: Column | str) -> Column:
     )
 
 
+# Delimiters normalized to spaces before marker-word probing: without
+# this, a marker followed by punctuation or a newline was invisible to the
+# space-padded instr and lang/quality scores deflated on normal punctuated
+# prose (review r5). The DuckDB oracle applies the IDENTICAL normalization
+# (__spark_entry__._duck_lang_scores), so both engines moved together.
+WORD_DELIMS_RE = r"[\t\n\r.,;:!?]"
+
+
 def _contains_word(text: Column, word: str) -> Column:
-    """Word-boundary membership via space padding (corpus is space-tokenized;
-    identical semantics in the DuckDB oracle's ``contains``)."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    """Word-boundary membership via space padding over the
+    delimiter-normalized text."""
+    normalized = F.regexp_replace(F.lower(text), WORD_DELIMS_RE, " ")
+    padded = F.concat(F.lit(" "), normalized, F.lit(" "))
     return F.instr(padded, f" {word} ") > 0
 
 
@@ -117,7 +132,12 @@ def quality_score_expr(text: Column | str) -> Column:
     n_tok = token_count_expr(c).cast("double")
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z ]", ""))
-    alpha_ratio = alpha.cast("double") / F.length(c).cast("double")
+    # zero-length guard: under Spark's ANSI default an empty doc would
+    # throw DIVIDE_BY_ZERO and abort the whole filter pass — an empty doc
+    # scores 0 on the alpha component instead (oracle mirrors this CASE).
+    alpha_ratio = F.when(
+        F.length(c) > 0, alpha.cast("double") / F.length(c).cast("double")
+    ).otherwise(F.lit(0.0))
     return F.lit(0.4) * stop + F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio
 
 
@@ -424,6 +444,22 @@ def _dense_pivot(
     )
 
 
+def _check_tf_path(path: str) -> None:
+    if path not in ("arrow", "sql"):
+        raise ValueError(f"path must be arrow|sql, got {path!r}")
+
+
+def _idf_literals(n_docs: int, idf_map: dict[int, float], num_features: int) -> list[float]:
+    """Smoothed idf factors ln((N+1)/(df+1)) — ONE definition for both
+    physical paths (the pytest-pinned arrow/sql parity depends on it)."""
+    import math
+
+    return [
+        math.log((n_docs + 1.0) / (idf_map.get(b, 0.0) + 1.0))
+        for b in range(num_features)
+    ]
+
+
 def hashing_tf_sparse(
     df: DataFrame,
     text_col: str = "text",
@@ -434,6 +470,7 @@ def hashing_tf_sparse(
     """Sparse hashed-TF: (id, bucket long, tf double), nonzero entries only
     — the q26 surface. arrow: one narrow pass + an in-row array unzip;
     sql: the codegen explode/join shape."""
+    _check_tf_path(path)
     if path == "arrow":
         s = _sparse_rows(df, text_col, id_col, num_features)
         z = s.select(
@@ -462,6 +499,7 @@ def hashing_tf(
     scatter to dense — ZERO shuffles end-to-end. sql: the pure-codegen
     ``_bucket_counts`` + pivot shape (see those docstrings). Docs with no
     tokens emit no row (both paths)."""
+    _check_tf_path(path)
     if path == "arrow":
         sparse = _sparse_rows(df, text_col, id_col, num_features).where(
             F.size("buckets") > 0
@@ -494,10 +532,9 @@ def tfidf_features(
     doc-frequency aggregate. sql: the codegen ``_bucket_counts`` shape.
     The cache is left to Spark's LRU (the returned projection reads it).
     """
-    import math
-
     from pyspark import StorageLevel
 
+    _check_tf_path(path)
     if path == "arrow":
         sparse = (
             _sparse_rows(df, text_col, id_col, num_features)
@@ -520,10 +557,7 @@ def tfidf_features(
         }
         # default 0: an all-empty corpus yields no sentinel rows at all
         n_docs = int(idf_map.pop(-1, 0))
-        idf = [
-            math.log((n_docs + 1.0) / (idf_map.get(b, 0.0) + 1.0))
-            for b in range(num_features)
-        ]
+        idf = _idf_literals(n_docs, idf_map, num_features)
         return _dense_from_sparse_rows(sparse, id_col, num_features, scale=idf)
 
     counts = _bucket_counts(df, text_col, id_col, num_features).persist(
@@ -536,8 +570,5 @@ def tfidf_features(
         .agg(F.count("*").cast("double").alias("df"))
         .collect()
     }
-    idf = [
-        math.log((n_docs + 1.0) / (idf_map.get(b, 0.0) + 1.0))
-        for b in range(num_features)
-    ]
+    idf = _idf_literals(n_docs, idf_map, num_features)
     return _dense_pivot(counts, id_col, num_features, scale=idf)

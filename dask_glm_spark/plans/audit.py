@@ -40,22 +40,61 @@ def has_broadcast(df: DataFrame) -> bool:
     return "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def _balanced_span(text: str, start: int, open_ch: str, close_ch: str) -> str:
+    """Contents of the bracket pair opening at ``start`` (which must point
+    at ``open_ch``), honoring nesting — a lazy regex stopped at the FIRST
+    closer and silently truncated nested types/filters (review r5)."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == open_ch:
+            depth += 1
+        elif text[i] == close_ch:
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    return text[start + 1 :]
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at nesting depth 0 (brackets of any kind)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
+
+
 def scan_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists of each parquet scan's ReadSchema (pruning evidence)."""
+    """Column lists of each parquet scan's ReadSchema (pruning evidence).
+    Bracket-balanced: columns AFTER a nested type (array/map/struct field)
+    are included — the old regex stopped at the first '>' and a widened
+    scan could hide behind an array column."""
     plan = explain_str(df, "formatted")
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        fields = [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
-        out.append(fields)
+    for m in re.finditer(r"ReadSchema: struct", plan):
+        body = _balanced_span(plan, m.end(), "<", ">")
+        out.append([f.split(":")[0].strip() for f in _split_top_level(body)])
     return out
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Filters reaching the scan (PushedFilters entries, flattened)."""
+    """Filters reaching the scan (PushedFilters entries, flattened).
+    Bracket-balanced: In(...) value lists and compound predicates stay
+    whole instead of being shredded at inner brackets/commas."""
     plan = explain_str(df, "formatted")
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    for m in re.finditer(r"PushedFilters: ", plan):
+        body = _balanced_span(plan, m.end(), "[", "]")
+        out.extend(_split_top_level(body))
     return out
 
 

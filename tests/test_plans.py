@@ -170,3 +170,31 @@ def test_kmeans_round_plan_is_stable_across_iterations(spark):
     # session-global expr/plan counters are not part of the plan shape
     norm = lambda p: re.sub(r"#\d+|plan_id=\d+", "#", p)
     assert norm(p1) == norm(p2)  # no literal leakage into the plan
+
+
+def test_scan_columns_survives_nested_types(spark):
+    """Review r5: columns AFTER an array-typed field must not vanish from
+    the pruning audit (the old regex stopped at the first '>')."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="nested_scan_")
+    spark.range(5).select(
+        F.col("id"),
+        F.array(F.col("id").cast("double")).alias("features"),
+        (F.col("id") * 2.0).alias("y"),
+    ).write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d).select("id", "features", "y")
+    cols = audit.scan_columns(df)
+    assert cols and sorted(cols[0]) == ["features", "id", "y"]
+
+
+def test_pushed_filters_keeps_in_lists_whole(spark):
+    """Review r5: In(...) filters parse as one entry; filters after the
+    inner ']' are not lost."""
+    li = load_table(spark, SF, "lineitem")
+    df = li.where(
+        F.col("l_returnflag").isin("A", "N", "R") & F.col("l_shipdate").isNotNull()
+    ).select("l_quantity")
+    pf = audit.pushed_filters(df)
+    assert any(p.startswith("In(l_returnflag") and p.endswith("])") for p in pf)
+    assert any("l_shipdate" in p for p in pf)

@@ -179,3 +179,42 @@ def test_tfidf_empty_corpus_both_paths(spark):
     df = spark.createDataFrame([(0, ""), (1, "   ")], "doc_id long, text string")
     assert T.tfidf_features(df, num_features=8, path="arrow").count() == 0
     assert T.tfidf_features(df, num_features=8, path="sql").count() == 0
+
+
+def test_marker_words_found_across_punctuation(spark):
+    """Review r5: markers adjacent to punctuation/newlines count."""
+    r = spark.createDataFrame(
+        [("the cat.\nthe dog, and more of it is fine",)], "text string"
+    ).select(T.langid_expr("text").alias("lang"), *[
+        v.alias(k) for k, v in T.lang_scores("text").items()
+    ]).first()
+    assert r["lang"] == "en"
+    # markers present: 'the' (before '.'/','-bounded words), 'and', 'of',
+    # 'is' — 'to' absent; pre-fix the punctuation-adjacent 'the' was missed
+    assert r["en"] == 4
+
+
+def test_quality_score_empty_text_no_ansi_crash(spark):
+    """Review r5: an empty doc must score (alpha component 0), not abort
+    the job with DIVIDE_BY_ZERO under Spark 4's ANSI default."""
+    r = spark.createDataFrame([("",), ("the and of to is ok",)], "text string").select(
+        T.quality_score_expr("text").alias("q")
+    ).collect()
+    assert all(row["q"] is not None and 0.0 <= row["q"] <= 1.0 for row in r)
+
+
+def test_elastic_net_corrected_reachable_by_name():
+    from dask_glm_spark.functions.regularizers import Regularizer
+
+    import numpy as np
+
+    reg = Regularizer.get("elastic_net_corrected")
+    out = reg.proximal_operator(np.array([1.0, -1.0, 0.01]), 1.0)
+    assert not np.allclose(out, [1.0, -1.0, 0.01])  # actually shrinks
+
+
+def test_tf_path_validated(spark, tiny_corpus):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="arrow\\|sql"):
+        T.hashing_tf(tiny_corpus, path="Arrow")
