@@ -1209,6 +1209,11 @@ def _pq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT persisted, by measurement: caching the filtered slice (text
+    # payloads included) costs more than the consumers' recompute — the
+    # dedup operator already persists its shingle/band projections, which
+    # is where the expensive reuse actually lives (A/B at sf0.1:
+    # 5.1-6.6 s uncached vs 6.6-9.1 s cached).
     cur = docs.select(
         "doc_id",
         "text",
