@@ -107,3 +107,31 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    feature_cols: list[str],
+    label: str | Column,
+    where: Column | None = None,
+) -> DataFrame:
+    """ORC reader -> (features, label); same pushdown/pruning properties
+    as parquet (ORC scans report PushedFilters too)."""
+    df = spark.read.orc(path)
+    if where is not None:
+        df = df.where(where)
+    return assemble_features(df, feature_cols, label)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned ORC sink — same layout contract as ``write_parquet``."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

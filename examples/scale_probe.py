@@ -161,7 +161,43 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
         ncomp = connected_components(edges).select("component").distinct().count()
         out[f"components_{tag}"] = round(time.perf_counter() - t0, 3)
         out[f"components_n_{tag}"] = ncomp
-    for k in ("tfidf", "repetition", "minhash", "components"):
+    # time-series joins at 10x events: 10 day-shifted copies of the events
+    # table (disjoint in time per copy via a +i-day offset, same structure)
+    from dask_glm_spark.operators.joins import asof_join, range_join
+    from dask_glm_spark.streaming.scoring import load_events
+    from dask_glm_spark.streaming.sessions import sessionize_batch
+
+    ev1 = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    ev_copies = [
+        ev1.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            "user_id",
+            (F.col("ts") + F.expr(f"INTERVAL {i * 40} DAYS")).alias("ts"),
+            "event_type",
+            "value",
+        )
+        for i in range(10)
+    ]
+    ev10_path = f"{workdir}/events_10x.parquet"
+    reduce(lambda a, b: a.unionAll(b), ev_copies).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(ev10_path)
+    ev10 = spark.read.parquet(ev10_path)
+    for tag, ev in (("1x", ev1), ("10x", ev10)):
+        clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        errors = ev.where(F.col("event_type") == "error").select("user_id", "ts", F.col("event_id").alias("eid"))
+        t0 = time.perf_counter()
+        asof_join(clicks, errors, time_col="ts", by="user_id", value_cols=["eid"]).write.format("noop").mode("overwrite").save()
+        out[f"asof_{tag}"] = round(time.perf_counter() - t0, 3)
+        sess = sessionize_batch(ev, gap_minutes=30).select("user_id", "session_start", "session_end")
+        pts = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+        t0 = time.perf_counter()
+        range_join(pts, sess).write.format("noop").mode("overwrite").save()
+        out[f"range_{tag}"] = round(time.perf_counter() - t0, 3)
+
+    for k in ("tfidf", "repetition", "minhash", "components", "asof", "range"):
         r = out[f"{k}_10x"] / max(out[f"{k}_1x"], 1e-9)
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
     print(

@@ -74,3 +74,26 @@ def test_ingest_feeds_fit(spark, tmp_path_factory, raw_rows):
     df = ingest.read_csv(spark, d, ["b", "c"], label="flag")
     lr = LogisticRegression(solver="newton", max_iter=10).fit(df)
     assert len(lr.coef_) == 2 and np.isfinite(lr.intercept_)
+
+
+def test_orc_roundtrip_and_fit(spark, tmp_path_factory):
+    """ORC sink -> reader -> solver end-to-end (format parity with the
+    parquet path)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.estimators import LogisticRegression
+    from dask_glm_spark.sources.ingest import read_orc, write_orc
+
+    d = str(tmp_path_factory.mktemp("orc_ingest")) + "/t.orc"
+    rng = np.random.RandomState(3)
+    rows = [
+        (float(a), float(b), float(int(a + b > 0)))
+        for a, b in rng.standard_normal((400, 2))
+    ]
+    src = spark.createDataFrame(rows, "a double, b double, flag double")
+    write_orc(src, d)
+    df = read_orc(spark, d, ["a", "b"], "flag", where=F.col("a") > -10)
+    assert df.count() == 400
+    lr = LogisticRegression(solver="lbfgs", regularizer=None, max_iter=20).fit(df)
+    assert lr.score(df) > 0.8
