@@ -257,9 +257,12 @@ SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY lang_pred ORD
 
 def _duck_quality_expr() -> str:
     """Rounded quality score over `text` — operators.text.quality_score_expr."""
+    from dask_glm_spark.operators.text import MARKER_WORDS
+
     s_en = _duck_lang_scores()["en"]
+    n_en = float(len(MARKER_WORDS["en"]))  # engine divides by this, not a pinned 5
     return f"""round(
-    0.4 * ({s_en} / 5.0)
+    0.4 * ({s_en} / {n_en})
     + 0.3 * least(len({_DUCK_TOKENS_CASED}) / 100.0, 1.0)
     + 0.3 * (CASE WHEN length(text) > 0
              THEN length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 / length(text)
@@ -578,6 +581,7 @@ FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type"""
   CAST({_duck_polyhash("tok")} % 64 AS BIGINT) AS bucket,
   CAST(count(*) AS BIGINT) AS tf
 FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+WHERE tok <> '' -- engine filters empty tokens (length > 0)
 GROUP BY 1, 2 ORDER BY 1, 2""",
     # byte histogram of the UTF-8 payload (corpus is printable ASCII, so
     # bytes == code points and the SQL side can use ascii()); this is the
@@ -598,6 +602,7 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     "q31_tfidf": f"""WITH tf AS (
   SELECT doc_id, {_duck_polyhash("tok")} % 64 AS bucket, CAST(count(*) AS DOUBLE) AS tf
   FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+  WHERE tok <> '' -- engine filters empty tokens
   GROUP BY 1, 2
 ),
 n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
@@ -629,6 +634,7 @@ FROM documents ORDER BY doc_id""",
   CAST(count(*) AS BIGINT) AS tf,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
 FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+WHERE tok <> '' -- engine filters empty tokens
 GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 100""",
     # reproducible stratified mixture: per-lang keep rates keyed on the
     # shared double-polyhash bucket of doc_id (engine: operators/sampling)
@@ -683,14 +689,16 @@ ng AS (SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
        for i in generate_series(1, len(t)-4)]) AS g FROM toks),
 ns AS (SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6)
        AS dup_ngram_frac FROM ng GROUP BY doc_id)
-SELECT ls.doc_id, n_lines,
-  CAST(dup_line_frac AS DOUBLE) AS dup_line_frac,
-  CAST(dup_line_char_frac AS DOUBLE) AS dup_line_char_frac,
+SELECT d.doc_id, CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(dup_line_frac, 0.0) AS DOUBLE) AS dup_line_frac,
+  CAST(coalesce(dup_line_char_frac, 0.0) AS DOUBLE) AS dup_line_char_frac,
   CAST(coalesce(top_bigram_frac, 0.0) AS DOUBLE) AS top_bigram_frac,
   CAST(coalesce(dup_ngram_frac, 0.0) AS DOUBLE) AS dup_ngram_frac
-FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id
-LEFT JOIN ns ON ls.doc_id = ns.doc_id
-ORDER BY ls.doc_id""",
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN ls ON d.doc_id = ls.doc_id
+LEFT JOIN bs ON d.doc_id = bs.doc_id
+LEFT JOIN ns ON d.doc_id = ns.doc_id
+ORDER BY d.doc_id""",
     # C4-style PII/URL scrubbing. The corpus contains no emails/URLs, so
     # both engines append the SAME deterministic synthetic tail (built from
     # doc_id) and the oracle checks the full three-regex mask chain on it.
@@ -744,8 +752,9 @@ PIPELINE_SQL["q47_waveform"] = """WITH s AS (
 )
 SELECT doc_id,
   CAST(len(smp) AS BIGINT) AS n_samples,
-  CAST(round(list_avg(smp), 4) AS DOUBLE) AS mean,
-  CAST(round(sqrt(list_avg(list_transform(smp, x -> x * x * 1.0))), 4) AS DOUBLE) AS rms,
+  -- coalesce: zero-sample payloads report 0.0 like the engine, not NULL
+  CAST(round(coalesce(list_avg(smp), 0.0), 4) AS DOUBLE) AS mean,
+  CAST(round(coalesce(sqrt(list_avg(list_transform(smp, x -> x * x * 1.0))), 0.0), 4) AS DOUBLE) AS rms,
   CAST(0 AS BIGINT) AS zero_crossings
 FROM s ORDER BY doc_id"""
 
@@ -801,7 +810,13 @@ PIPELINE_SQL["q51_asof_join"] = """SELECT l.event_id,
   CAST(coalesce(r.event_id, -1) AS BIGINT) AS asof_event_id,
   CAST(round(coalesce(r.value, -1.0), 2) AS DOUBLE) AS asof_value
 FROM (SELECT * FROM events WHERE event_type = 'click') l
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+ASOF LEFT JOIN (
+  -- one row per (user, ts): DuckDB ASOF has no documented tie-break, so
+  -- the right side is pre-deduped deterministically on BOTH engines
+  SELECT user_id, ts, max(event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+) r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id"""
 
@@ -869,7 +884,6 @@ def _pq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from dask_glm_spark.operators import text as T
-    from dask_glm_spark.sources.glm_source import load_table
 
     docs = _docs_spread(spark, sf_dir)
     n_tok = T.token_count_expr("text")
@@ -887,7 +901,6 @@ def _pq_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from dask_glm_spark.operators import text as T
-    from dask_glm_spark.sources.glm_source import load_table
 
     docs = _docs_spread(spark, sf_dir)
     return (
@@ -902,7 +915,6 @@ def _pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from dask_glm_spark.operators import text as T
-    from dask_glm_spark.sources.glm_source import load_table
 
     docs = _docs_spread(spark, sf_dir)
     return docs.select(
@@ -913,7 +925,6 @@ def _pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators import text as T
-    from dask_glm_spark.sources.glm_source import load_table
 
     docs = _docs_spread(spark, sf_dir)
     return docs.select(
@@ -1095,7 +1106,6 @@ def _pq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators import text as T
-    from dask_glm_spark.sources.glm_source import load_table
 
     docs = _docs_spread(spark, sf_dir)
     return docs.select(
@@ -1253,7 +1263,6 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from dask_glm_spark.operators.quality import scrub_expr
-    from dask_glm_spark.sources.glm_source import load_table
 
     docs = _docs_spread(spark, sf_dir)
     synth = F.concat(
@@ -1345,8 +1354,15 @@ def _pq_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    errors = ev.where(F.col("event_type") == "error").select(
-        "user_id", "ts", "event_id", "value"
+    # dedupe ties at (user, ts) deterministically (max event_id wins) —
+    # mirrored in the oracle, since ASOF tie behavior is unspecified
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("value", "event_id").alias("value"),
+        )
     )
     out = asof_join(
         clicks, errors, time_col="ts", by="user_id",

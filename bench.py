@@ -24,7 +24,10 @@ import traceback
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    except ValueError:
+        sf = -1.0  # unknown layout; never break the one-JSON-line contract
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dask_glm_spark.session import get_spark

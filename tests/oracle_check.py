@@ -61,12 +61,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     n_fail = 0
     for name in sorted(qs):
-        sdf = qs[name](spark, sf_dir).toPandas()
-        if name not in oracles:
-            print(f"{name:28s} rows={len(sdf):6d}  (no oracle — rows-only check)")
-            continue
-        ddf = con.sql(oracles[name]).df()
-        problems = compare(name, sdf, ddf)
+        # per-query isolation: one regressed/crashing query must not
+        # abort the gate and hide the state of everything after it
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                print(f"{name:28s} rows={len(sdf):6d}  (no oracle — rows-only check)")
+                continue
+            ddf = con.sql(oracles[name]).df()
+            problems = compare(name, sdf, ddf)
+        except Exception as exc:  # noqa: BLE001 - gate harness
+            problems = [f"EXCEPTION {type(exc).__name__}: {exc}"[:300]]
+            sdf = []
         status = "OK " if not problems else "FAIL"
         n_fail += bool(problems)
         print(f"{name:28s} {status} rows={len(sdf):6d} {problems if problems else ''}")
