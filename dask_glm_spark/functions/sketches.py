@@ -52,9 +52,14 @@ def vocab_sketch_stats(
         F.hll_sketch_estimate(F.hll_sketch_agg("tok", F.lit(HLL_LGK))).alias("hll"),
         F.theta_sketch_estimate(F.theta_sketch_agg("tok")).alias("theta"),
     )
-    ok = lambda est: (
-        F.abs(F.col(est) / F.col("exact") - 1.0) <= F.lit(float(rel_tol))
-    )
+    # Zero-guarded ratio (ADVICE r5): on a corpus with no non-empty tokens
+    # exact=0 and the est/exact division throws under ANSI mode — the same
+    # bug class quality_score_expr fixed. Empty-corpus contract: a sketch
+    # is accurate iff it also estimates 0.
+    ok = lambda est: F.when(
+        F.col("exact") > 0,
+        F.abs(F.col(est) / F.col("exact") - 1.0) <= F.lit(float(rel_tol)),
+    ).otherwise(F.col(est) == F.lit(0.0))
     return row.select(
         F.col("exact").cast("long").alias("n_exact"),
         ok("hll").alias("hll_ok"),

@@ -191,7 +191,13 @@ def range_join(
     p = points.withColumn(
         "_chunk", F.floor(F.unix_micros(F.col(point_ts)) / chunk_us)
     )
-    i = intervals.withColumn(
+    # Malformed intervals (end < start) can match nothing under the
+    # residual BETWEEN, but F.sequence(floor(start), floor(end)) would
+    # build a DESCENDING sequence (implicit step -1) and silently
+    # replicate the bad row across every spanned chunk (ADVICE r5).
+    # Dropping them up front is semantics-preserving and bounds candidate
+    # volume.
+    i = intervals.where(F.col(end_col) >= F.col(start_col)).withColumn(
         "_chunk",
         F.explode(
             F.sequence(

@@ -122,35 +122,39 @@ def decode_image(
     it."""
     _check_raw_layout(media_type)
     w = int(width)
+    # Id type rides through generically (ADVICE r5): schema derived from
+    # the input column, pandas keeps the source dtype — string/long/etc.
+    # ids all work, same treatment as the similarity UDFs.
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, hs, px = [], [], []
-            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+            keep, hs, px = [], [], []
+            for i, buf in enumerate(pdf[payload_col]):
                 h = len(buf) // w
                 if h == 0:
                     continue
                 v = np.frombuffer(buf[: h * w], dtype=np.uint8).astype(np.float64)
-                ids.append(doc_id)
+                keep.append(i)
                 hs.append(h)
                 px.append(v.tolist())
-            if not ids:
+            if not keep:
                 # all rows dropped: an empty frame would carry float64
                 # (not list) column dtypes and break the Arrow cast
                 continue
             yield pd.DataFrame(
                 {
-                    id_col: np.asarray(ids, dtype=np.int64),
+                    id_col: pdf[id_col].iloc[keep].reset_index(drop=True),
                     "height": np.asarray(hs, dtype=np.int32),
-                    "width": np.full(len(ids), w, dtype=np.int32),
+                    "width": np.full(len(keep), w, dtype=np.int32),
                     "pixels": px,
                 }
             )
 
     return df.mapInPandas(
-        op, schema=f"{id_col} long, height int, width int, pixels array<double>"
+        op, schema=f"{id_col} {id_type}, height int, width int, pixels array<double>"
     )
 
 
@@ -176,6 +180,7 @@ def resize_images(
     kernel layer like every other featurizer here."""
     _check_raw_layout(media_type)
     w, ow, oh = int(width), int(out_width), int(out_height)
+    id_type = df.schema[id_col].dataType.simpleString()
     ci = (np.arange(w) * ow) // w
     C = np.zeros((w, ow))
     C[np.arange(w), ci] = 1.0
@@ -184,8 +189,8 @@ def resize_images(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, feats = [], []
-            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+            keep, feats = [], []
+            for i, buf in enumerate(pdf[payload_col]):
                 h = len(buf) // w
                 if h == 0:
                     continue
@@ -204,15 +209,18 @@ def resize_images(
                 out = np.divide(
                     sums, counts, out=np.zeros_like(sums), where=counts > 0
                 )
-                ids.append(doc_id)
+                keep.append(i)
                 feats.append(out.ravel().tolist())
-            if not ids:
+            if not keep:
                 continue
             yield pd.DataFrame(
-                {id_col: np.asarray(ids, dtype=np.int64), "features": feats}
+                {
+                    id_col: pdf[id_col].iloc[keep].reset_index(drop=True),
+                    "features": feats,
+                }
             )
 
-    return df.mapInPandas(op, schema=f"{id_col} long, features array<double>")
+    return df.mapInPandas(op, schema=f"{id_col} {id_type}, features array<double>")
 
 
 # ---------------------------------------------------------------------------

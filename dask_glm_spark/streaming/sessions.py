@@ -61,12 +61,15 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     (beyond the gap) proves it closed. The per-user open session rides the
     state store across microbatches.
 
-    Disorder contract: events arriving out of order WITHIN the gap (in
-    the same or a later microbatch) merge into the open session with
-    min/max boundary updates — same membership the batch sort produces.
-    An event arriving more than ``gap`` behind the open session's end
-    after its true session was already emitted cannot be retro-merged
-    (inherent to unbuffered streaming); it starts a fresh session."""
+    Disorder contract: events arriving out of order WITHIN the gap of the
+    open session's span (in the same or a later microbatch) merge into the
+    open session with min/max boundary updates — same membership the batch
+    sort produces. An event arriving more than ``gap`` BEFORE the open
+    session's start forms its own earlier session (merged with any other
+    such far-early events in the same batch) and is emitted immediately:
+    batch semantics would put a session boundary between it and the open
+    session. It cannot be retro-merged into sessions already emitted in
+    past microbatches (inherent to unbuffered streaming)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(
@@ -87,31 +90,37 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(
-                pdf["ts"].astype("int64") // 1000,  # ns -> us
-                pdf["value"].astype("float64"),
-            ):
-                ts = int(ts)
-                # NaN-safe (null value -> pandas NaN): contribute 0 to the
-                # sum, matching the batch form's null-skipping F.sum while
-                # still counting the event (count(*) semantics).
-                v = float(value) if value == value else 0.0
-                if n == 0:
-                    start, last, n, sv = ts, ts, 1, v
-                elif ts - last > gap_us:
-                    closed.append((user_id, start, last, n, sv))
-                    start, last, n, sv = ts, ts, 1, v
+            # Interval gap-merge (ADVICE r5): the open-state session and
+            # this batch's events become [start,last] intervals, sorted by
+            # start, merged while the gap closes — exactly the batch
+            # lag/cumsum semantics restricted to the rows this operator
+            # can still see. This makes the far-early contract real: an
+            # event more than gap BEFORE the open session's span forms a
+            # separate (earlier) session and is closed by the open session
+            # itself, instead of min/max-stretching session_start
+            # arbitrarily far back. Only this batch's rows are buffered;
+            # state stays 4 scalars per key.
+            items: list[tuple[int, int, int, float]] = []
+            if n > 0:
+                items.append((start, last, n, sv))
+            ts_us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+            # NaN-safe (null value -> pandas NaN): contribute 0 to the
+            # sum, matching the batch form's null-skipping F.sum while
+            # still counting the event (count(*) semantics).
+            vals = pdf["value"].astype("float64").fillna(0.0).to_numpy()
+            items.extend(
+                (int(t), int(t), 1, float(v)) for t, v in zip(ts_us, vals)
+            )
+            items.sort(key=lambda it: (it[0], it[1]))
+            merged: list[tuple[int, int, int, float]] = [items[0]]
+            for it in items[1:]:
+                m = merged[-1]
+                if it[0] - m[1] <= gap_us:
+                    merged[-1] = (m[0], max(m[1], it[1]), m[2] + it[2], m[3] + it[3])
                 else:
-                    # min/max, not assignment: a cross-microbatch late
-                    # event inside the gap must extend the session, never
-                    # move its end backwards (which both corrupted
-                    # session_end and falsely closed the session at the
-                    # next on-time event).
-                    start = min(start, ts)
-                    last = max(last, ts)
-                    n += 1
-                    sv += v
+                    merged.append(it)
+            closed.extend((user_id, *m) for m in merged[:-1])
+            start, last, n, sv = merged[-1]
         state.update((start, last, n, sv))
         if closed:
             yield pd.DataFrame(

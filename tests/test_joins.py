@@ -233,3 +233,30 @@ def test_asof_join_null_payload_returns_matched_row_intact(spark):
     ).first()
     assert r["rid_asof"] == 7
     assert r["v_asof"] is None
+
+
+def test_range_join_drops_malformed_intervals_before_explode(spark):
+    """ADVICE r5: an interval with end < start matches nothing — but
+    F.sequence(floor(start), floor(end)) built a DESCENDING sequence that
+    silently replicated the bad row across every spanned chunk. The guard
+    filters it before the explode; results are unchanged and a grossly
+    inverted interval (spanning thousands of chunks backwards) stays
+    cheap."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=1), "p1")],
+        "user_id long, ts timestamp, pt_tag string",
+    )
+    iv = spark.createDataFrame(
+        [
+            # well-formed: contains the point
+            (1, base, base + dt.timedelta(hours=2), "good"),
+            # malformed: end 5000 hours BEFORE start
+            (1, base + dt.timedelta(hours=5000), base, "bad"),
+        ],
+        "user_id long, session_start timestamp, session_end timestamp, tag string",
+    )
+    out = J.range_join(pts, iv).collect()
+    assert [r["tag"] for r in out] == ["good"]

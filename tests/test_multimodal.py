@@ -134,3 +134,18 @@ def test_waveform_stats_known_signal(spark):
     assert out[2]["rms"] == 0.0 and out[2]["zero_crossings"] == 0
     assert out[3]["n_samples"] == 100
     assert out[4]["n_samples"] == 0 and out[4]["rms"] == 0.0
+
+
+def test_decode_and_resize_string_ids(spark):
+    """ADVICE r5: id columns ride through generically (schema derived from
+    the input, no int64 coercion) — string doc ids work end-to-end."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rows = [("doc-a", bytearray(img.tobytes())), ("doc-b", bytearray(b"xy"))]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    dec = {r["doc_id"]: r for r in M.decode_image(df, width=8).collect()}
+    assert set(dec) == {"doc-a"}  # doc-b: payload < one raster row
+    assert dec["doc-a"]["height"] == 8
+    res = M.resize_images(df, width=8, out_width=4, out_height=4).collect()
+    assert [r["doc_id"] for r in res] == ["doc-a"]
+    expect = img.astype(np.float64).reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(res[0]["features"], expect.ravel())

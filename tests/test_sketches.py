@@ -52,3 +52,17 @@ def test_vocab_cardinality_by_matches_exact_small(spark):
         .collect()
     }
     assert est == exact
+
+
+def test_vocab_sketch_stats_empty_corpus_zero_guard(spark):
+    """ADVICE r5: exact=0 must not hit a DIVIDE_BY_ZERO under ANSI mode;
+    the empty-corpus contract is hll_ok/theta_ok TRUE iff the estimates
+    are also 0."""
+    from dask_glm_spark.functions.sketches import vocab_sketch_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    r = vocab_sketch_stats(docs).first()
+    assert r["n_exact"] == 0
+    assert r["hll_ok"] and r["theta_ok"]

@@ -271,3 +271,49 @@ def test_score_events_expr_intercept_and_validation(spark, events):
     assert abs(r["p1"] - sig(0.5 * r["value"] + 2.0)) < 1e-12
     with _pytest.raises(ValueError, match="coefficients"):
         SC.score_events_expr([1.0, 2.0, 3.0], ["value"])
+
+
+def test_sessionize_stream_far_early_event_forms_own_session(
+    spark, tmp_path_factory
+):
+    """ADVICE r5: an event arriving more than `gap` BEFORE the open
+    session's span is NOT min/max-merged (which stretched session_start
+    arbitrarily far back) — batch semantics put a boundary there, so it
+    forms its own earlier session and is emitted immediately."""
+    import datetime as dt
+
+    from dask_glm_spark.streaming import sessions as SES
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    d = str(tmp_path_factory.mktemp("far_early_stream"))
+    batches = [
+        [(9, mk(0), 1.0), (9, mk(10), 1.0)],   # open session 12:00..12:10
+        [(9, mk(-120), 1.0)],                  # 2h before: beyond the gap
+        [(9, mk(90), 1.0)],                    # closes the 12:00 session
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/b={i}")
+    schema = spark.read.parquet(f"{d}/b=0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b=*")
+    )
+    out = SES.sessionize_stream(stream, gap_minutes=30)
+    SC.run_stream_to_memory(out, "far_early_sessions_test", mode="append")
+    rows = sorted(
+        spark.table("far_early_sessions_test").collect(),
+        key=lambda r: r["session_start"],
+    )
+    # Two closed sessions: the far-early singleton and the 12:00..12:10
+    # pair; 13:30 remains open. Pre-fix: ONE session 10:00..12:10 (n=3).
+    assert [(r["session_start"], r["session_end"], r["n_events"]) for r in rows] == [
+        (mk(-120), mk(-120), 1),
+        (mk(0), mk(10), 2),
+    ]
