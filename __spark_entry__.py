@@ -121,7 +121,7 @@ SELECT id, f1, f2, f3, f4, CAST(1.0 AS DOUBLE) AS icpt FROM glm ORDER BY id LIMI
     # search pinned to a fixed step, so the *iteration math* — not just the
     # kernels it calls — is under the DuckDB hash gate. q48 additionally
     # re-evaluates the loss AT the updated beta (second nested aggregate).
-    # (q48_gd_step / q49_prox_step assigned below — they need the pinned
+    # (q48_solver_steps assigned below — it needs the pinned
     # GD_STEP_S / PROX_LAMDUH literals defined after this dict.)
     # O1 standardization rewrite (utils.py:31) — scale/center by moments
     "q15_standardize": f"""WITH {GLM},
@@ -148,24 +148,24 @@ b AS (SELECT 0.1 - {GD_STEP_S!r}*g1 AS b1, -0.2 - {GD_STEP_S!r}*g2 AS b2,
 js AS (SELECT 1 AS j UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4)"""
 _B1_CASE = "CASE j WHEN 1 THEN b1 WHEN 2 THEN b2 WHEN 3 THEN b3 ELSE b4 END"
 
-KERNEL_SQL["q48_gd_step"] = f"""WITH {GLM},
+# One merged solver-step query (round 6): the GD update + its loss AND the
+# ISTA/prox candidate share the same gradient CTE, so one 4-row result
+# carries beta1 / loss1 / beta1_prox. (Formerly q48 + q49 — merged to keep
+# the declared-query count at 50: the driver gate records at most 50 rows,
+# and r5's three newest queries fell off the end. The prox column is the
+# L1 soft-threshold exactly as regularizers.L1.proximal_operator:
+# max(0, v - t) - max(0, -v - t), t = s*lamduh as the same float product.)
+KERNEL_SQL["q48_solver_steps"] = f"""WITH {GLM},
 {_B1_CTES},
 l AS (SELECT sum(xb + ln(1+exp(-xb)) - label*xb) AS loss1
-      FROM (SELECT (b1*f1 + b2*f2 + b3*f3 + b4*f4) AS xb, label FROM glm, b) s)
-SELECT j,
-  CAST(round({_B1_CASE}, 6) AS DOUBLE) AS beta1,
-  CAST(round(loss1, 3) AS DOUBLE) AS loss1
-FROM b, l, js ORDER BY j"""
-
-# L1 soft-threshold exactly as regularizers.L1.proximal_operator:
-# max(0, v - t) - max(0, -v - t), t = s*lamduh as the same float product.
-KERNEL_SQL["q49_prox_step"] = f"""WITH {GLM},
-{_B1_CTES},
+      FROM (SELECT (b1*f1 + b2*f2 + b3*f3 + b4*f4) AS xb, label FROM glm, b) s),
 bt AS (SELECT j, {_B1_CASE} AS v FROM b, js)
 SELECT j,
+  CAST(round(v, 6) AS DOUBLE) AS beta1,
+  CAST(round(loss1, 3) AS DOUBLE) AS loss1,
   CAST(round(greatest(0, v - {GD_STEP_S!r}*{PROX_LAMDUH!r})
            - greatest(0, -v - {GD_STEP_S!r}*{PROX_LAMDUH!r}), 6) AS DOUBLE) AS beta1_prox
-FROM bt ORDER BY j"""
+FROM bt, l ORDER BY j"""
 
 
 def _register_tables(
@@ -536,12 +536,19 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, start_us"""
 
 
 PIPELINE_SQL: dict[str, str] = {
+    # Merged per-doc text stats (round 6): whitespace token count/length,
+    # the BPE-ish regex pre-tokenization count (letter runs / digit runs /
+    # single punctuation — formerly q33), and the quality score (formerly
+    # q18) are all narrow per-doc maps over the same scan, so one query
+    # hash-gates all four columns. Merged to keep the declared-query count
+    # at 50 — the driver records at most 50 correctness rows.
     "q16_token_stats": f"""SELECT doc_id,
   CAST(len({_DUCK_TOKENS_CASED}) AS BIGINT) AS n_tokens,
-  CAST(round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len({_DUCK_TOKENS_CASED}), 4) AS DOUBLE) AS avg_token_len
+  CAST(round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len({_DUCK_TOKENS_CASED}), 4) AS DOUBLE) AS avg_token_len,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
+  CAST({_duck_quality_expr()} AS DOUBLE) AS quality
 FROM documents ORDER BY doc_id""",
     "q17_langid": _langid_oracle_sql(),
-    "q18_quality": _quality_oracle_sql(),
     "q19_fingerprint": f"""SELECT doc_id,
   CAST({_duck_polyhash("lower(text)")} AS BIGINT) AS fp
 FROM documents ORDER BY doc_id""",
@@ -619,11 +626,6 @@ LEFT JOIN tf ON tf.doc_id = grid.doc_id AND tf.bucket = grid.bucket
 LEFT JOIN dfreq ON dfreq.bucket = grid.bucket
 ORDER BY 1, 2""",
     "q32_ngram_jaccard": _ngram_jaccard_oracle_sql(0.5),
-    # BPE-ish pre-tokenization count (letter runs / digit runs / single
-    # punctuation) — same regex in both engines
-    "q33_regex_tokens": r"""SELECT doc_id,
-  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex_tokens
-FROM documents ORDER BY doc_id""",
     # pairs -> clusters: connected components of the MinHash near-dup graph
     # (near-duplication is not transitive; the closure is what "keep one per
     # cluster" actually needs). Oracle = recursive reachability walk.
@@ -868,6 +870,19 @@ def _lsh_buckets_oracle_sql() -> str:
 
 PIPELINE_SQL["q45_lsh_buckets"] = _lsh_buckets_oracle_sql()
 
+# q46 accuracy contract (VERDICT r5 #2, the q53 pattern): the Lloyd
+# fixpoint cannot run in DuckDB, so the oracle re-derives what CAN be
+# checked exactly — the histogram must account for every embedding row —
+# and the engine side computes the numpy-Lloyd parity boolean from the
+# same deterministic init (clustering.lloyd_np, pinned bit-close in
+# tests/test_clustering.py). hash_match now fails if the distributed
+# rounds drift from the reference math or drop/duplicate rows.
+PIPELINE_SQL["q46_kmeans_sizes"] = """SELECT CAST(8 AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_total,
+  TRUE AS sizes_sum_ok,
+  TRUE AS matches_numpy_lloyd
+FROM embeddings"""
+
 
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents table with the parallelism floor applied: these wrappers
@@ -881,6 +896,9 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text stats: whitespace tokens, regex (BPE-ish) tokens
+    (formerly q33) and quality score (formerly q18) in ONE narrow map over
+    one scan — merged round 6 to keep the declared-query count at 50."""
     from pyspark.sql import functions as F
 
     from dask_glm_spark.operators import text as T
@@ -894,6 +912,8 @@ def _pq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stripped.cast("double") / n_tok.cast("double"), 4)
         .cast("double")
         .alias("avg_token_len"),
+        T.regex_token_count_expr("text").cast("long").alias("n_regex_tokens"),
+        F.round(T.quality_score_expr("text"), 6).cast("double").alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -909,18 +929,6 @@ def _pq_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("lang_pred")
     )
-
-
-def _pq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from dask_glm_spark.operators import text as T
-
-    docs = _docs_spread(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.round(T.quality_score_expr("text"), 6).cast("double").alias("quality"),
-    ).orderBy("doc_id")
 
 
 def _pq_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,16 +1110,6 @@ def _pq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "blk", "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
     ).orderBy("blk", "id_a", "id_b")
-
-
-def _pq_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dask_glm_spark.operators import text as T
-
-    docs = _docs_spread(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        T.regex_token_count_expr("text").cast("long").alias("n_regex_tokens"),
-    ).orderBy("doc_id")
 
 
 def _pq_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1421,16 +1419,35 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's over the embeddings table (k=8, 5 fixed rounds,
-    seeded sample init). Iterative fixpoint — not ANSI-SQL-expressible, so
-    this is a rows-only check (the assignment math underneath is
-    hash-checked by q45); determinism + numpy-Lloyd parity are pinned in
-    tests/test_clustering.py."""
+    seeded layout-independent sample init) under an ACCURACY CONTRACT
+    (VERDICT r5 #2, the q53 pattern): the fixpoint loop itself is not
+    ANSI-SQL-expressible, so the query emits values/booleans the DuckDB
+    oracle re-derives — n_total must equal the corpus COUNT(*),
+    sizes_sum_ok asserts the per-cluster histogram accounts for every row,
+    and matches_numpy_lloyd compares the distributed rounds against
+    driver-side ``clustering.lloyd_np`` from the SAME init (gate-only
+    collect of the sf0.01 corpus — 500 rows; the scale path never
+    collects). hash_match is now meaningful instead of 'no_oracle'."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
     from dask_glm_spark.operators import clustering as C
     from dask_glm_spark.sources.glm_source import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = C.kmeans_fit(emb, k=8, max_iter=5)
-    return C.cluster_sizes(emb, cent)
+    vd = emb.select(F.col("embedding").cast("array<double>").alias("_v"))
+    init = C._init_centroids(vd, 8, "_v", C.IVF_SEED)
+    cent = C.kmeans_fit(emb, k=8, max_iter=5, tol=0.0, centroids=init.copy())
+    sizes = C.cluster_sizes(emb, cent).collect()
+    n_total = int(sum(r["n"] for r in sizes))
+    X = np.asarray([r[0] for r in vd.collect()], dtype=np.float64)
+    want = C.lloyd_np(X, init, iters=5, tol=0.0)
+    match = bool(np.allclose(cent, want, rtol=1e-8, atol=1e-10))
+    sizes_ok = n_total == int(emb.count())
+    return spark.createDataFrame(
+        [(len(cent), n_total, sizes_ok, match)],
+        "k bigint, n_total bigint, sizes_sum_ok boolean, matches_numpy_lloyd boolean",
+    )
 
 
 def _pq_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,7 +1462,6 @@ def _pq_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_token_stats": _pq_token_stats,
     "q17_langid": _pq_langid,
-    "q18_quality": _pq_quality,
     "q19_fingerprint": _pq_fingerprint,
     "q20_exact_dedup": _pq_exact_dedup,
     "q21_minhash_dedup": _pq_minhash_dedup,
@@ -1460,7 +1476,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_simhash_pairs": _pq_simhash_pairs,
     "q31_tfidf": _pq_tfidf,
     "q32_ngram_jaccard": _pq_ngram_jaccard,
-    "q33_regex_tokens": _pq_regex_tokens,
     "q34_components": _pq_components,
     "q35_neardup_survivors": _pq_neardup_survivors,
     "q36_vocab_topk": _pq_vocab_topk,
@@ -1716,42 +1731,34 @@ def _q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_gd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One unrolled fixed-step GD iteration via the REAL solver-step code
-    (solvers.gd_step -> kernels.loss_gradient + kernels.loss): update at
-    BETA with pinned step, then loss re-evaluated at the updated beta1."""
+def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unrolled fixed-step GD iteration AND the ISTA/prox candidate via
+    the REAL solver-step code (solvers.gd_step -> kernels.loss_gradient +
+    kernels.loss; solvers.prox_step -> L1.proximal_operator): update at
+    BETA with pinned step, loss re-evaluated at beta1, and the L1
+    soft-threshold of the same candidate. Merged former q48+q49 — one
+    4-row result keeps the declared-query count inside the driver gate's
+    50-row record."""
     from pyspark.sql import functions as F
 
     from dask_glm_spark.operators import solvers
 
     df = _glm_nosort(spark, sf_dir)
     beta1, loss1 = solvers.gd_step(df, BETA, GD_STEP_S)
-    rows = [(j + 1, float(beta1[j]), float(loss1)) for j in range(len(beta1))]
+    bp = solvers.prox_step(df, BETA, GD_STEP_S, PROX_LAMDUH, regularizer="l1")
+    rows = [
+        (j + 1, float(beta1[j]), float(loss1), float(bp[j]))
+        for j in range(len(beta1))
+    ]
     return (
-        spark.createDataFrame(rows, "j int, beta1 double, loss1 double")
+        spark.createDataFrame(
+            rows, "j int, beta1 double, loss1 double, beta1_prox double"
+        )
         .select(
             "j",
             F.round("beta1", 6).cast("double").alias("beta1"),
             F.round("loss1", 3).cast("double").alias("loss1"),
-        )
-        .orderBy("j")
-    )
-
-
-def _q_prox_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One unrolled ISTA candidate via solvers.prox_step — the real
-    L1.proximal_operator applied to beta - s*grad at pinned (s, lamduh)."""
-    from pyspark.sql import functions as F
-
-    from dask_glm_spark.operators import solvers
-
-    df = _glm_nosort(spark, sf_dir)
-    b = solvers.prox_step(df, BETA, GD_STEP_S, PROX_LAMDUH, regularizer="l1")
-    rows = [(j + 1, float(b[j])) for j in range(len(b))]
-    return (
-        spark.createDataFrame(rows, "j int, beta1_prox double")
-        .select(
-            "j", F.round("beta1_prox", 6).cast("double").alias("beta1_prox")
+            F.round("beta1_prox", 6).cast("double").alias("beta1_prox"),
         )
         .orderBy("j")
     )
@@ -1773,8 +1780,7 @@ ENGINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_poisson_deviance": _q_poisson_deviance,
     "q14_add_intercept": _q_add_intercept,
     "q15_standardize": _q_standardize,
-    "q48_gd_step": _q_gd_step,
-    "q49_prox_step": _q_prox_step,
+    "q48_solver_steps": _q_solver_steps,
 }
 
 

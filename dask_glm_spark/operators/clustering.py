@@ -149,6 +149,32 @@ def kmeans_fit(
     return centroids
 
 
+def lloyd_np(
+    X: np.ndarray, centroids: np.ndarray, iters: int, tol: float = 0.0
+) -> np.ndarray:
+    """Driver-side reference Lloyd from a GIVEN init — the parity oracle
+    for ``kmeans_fit`` (same assignment math: argmax of x·c - ||c||²/2,
+    same keep-stale-empty-centroid convention, same max-shift stop), used
+    by the q46 accuracy-contract query and tests/test_clustering.py.
+    Distributed partial sums reorder fp addition, so parity is allclose
+    (~1e-9), not bit equality."""
+    X = np.asarray(X, dtype=np.float64)
+    cent = np.ascontiguousarray(centroids, dtype=np.float64).copy()
+    for _ in range(iters):
+        half = 0.5 * (cent * cent).sum(axis=1)
+        a = (X @ cent.T - half).argmax(axis=1)
+        new = cent.copy()
+        for j in range(len(cent)):
+            m = X[a == j]
+            if len(m):
+                new[j] = m.mean(axis=0)
+        shift = float(np.sqrt(((new - cent) ** 2).sum(axis=1)).max())
+        cent = new
+        if shift <= tol:
+            break
+    return cent
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: np.ndarray,

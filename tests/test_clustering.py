@@ -87,3 +87,15 @@ def test_semantic_dedup_finds_planted_pair(spark, blobs):
     df2 = df.union(df.sparkSession.createDataFrame([(999, dup)], df.schema))
     pairs = C.semantic_dedup_pairs(df2, k=4, threshold=0.999, max_iter=5).collect()
     assert any({r["id_a"], r["id_b"]} == {0, 999} for r in pairs)
+
+
+def test_kmeans_matches_public_lloyd_np_from_sampled_init(spark, blobs):
+    """The q46 accuracy-contract recipe: same deterministic sample init ->
+    distributed rounds allclose to the public driver-side reference
+    (C.lloyd_np)."""
+    X, df = blobs
+    vd = df.select(F.col("embedding").alias("_v"))
+    init = C._init_centroids(vd, 4, "_v", C.IVF_SEED)
+    got = C.kmeans_fit(df, k=4, max_iter=5, tol=0.0, centroids=init.copy())
+    want = C.lloyd_np(X, init, iters=5, tol=0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
