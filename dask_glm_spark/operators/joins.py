@@ -84,6 +84,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
     direction: str = "backward",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the nearest right row at-or-before
     (``backward``) / at-or-after (``forward``) its ``time_col``, within the
@@ -104,6 +105,20 @@ def asof_join(
     At 100 TB: both sides usually arrive time-bucket-partitioned; the one
     window shuffle is on (by) only, so the plan is a single exchange
     regardless of how many right payload columns ride along.
+
+    **Skewed keys** (VERDICT r5): the default window partitions by ``by``
+    alone, so one hot key (a bot user, a null-ish default id) puts
+    |left|+|right| rows of that key into ONE task's sort — and windows get
+    no AQE skew split, unlike joins. Pass ``bucket_seconds`` to switch to
+    the two-pass bucketed carry: the big window partitions by
+    (by, time-bucket) — a hot key spreads across its buckets — and a
+    second TINY window per key over per-bucket boundary aggregates (one
+    row per (key, bucket), bounded by time-range/bucket, never by row
+    count) carries the latest/earliest right payload across bucket
+    borders. Result is identical to the default path (pytest-pinned on a
+    one-key-is-30%-of-rows skew); cost is the same one big shuffle, now
+    on (by, bucket), plus a boundary-table shuffle that is orders of
+    magnitude smaller than the data.
 
     ``value_cols`` must be orderable types (atomics, arrays, structs — not
     maps): the payload struct participates in the deterministic
@@ -137,25 +152,88 @@ def asof_join(
     # deterministic instead of shuffle-order-dependent.
     order = [F.col(time_col).asc(), F.col("_side").asc(),
              F.col("_payload").asc_nulls_first()]
+
+    if bucket_seconds is None:
+        if back:
+            w = (
+                Window.partitionBy(*by_cols)
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            carry = F.last(F.col("_payload"), ignorenulls=True).over(w)
+        else:
+            w = (
+                Window.partitionBy(*by_cols)
+                .orderBy(*order)
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            carry = F.first(F.col("_payload"), ignorenulls=True).over(w)
+        carried = [carry[c].alias(c + suffix) for c in value_cols]
+        return (
+            u.select(*left.columns, "_side", *carried)
+            .where(F.col("_side") == 1)
+            .drop("_side")
+        )
+
+    # ---- two-pass bucketed carry (skew-safe) ----
+    # Time col may be a timestamp (bucket on microseconds) or a numeric
+    # number-of-seconds (same contract the default path's pure ordering
+    # already accepts).
+    bucket_us = int(bucket_seconds) * 1_000_000
+    tdt = dict(u.dtypes)[time_col]
+    t_us = (
+        F.unix_micros(F.col(time_col))
+        if tdt.startswith("timestamp")
+        else (F.col(time_col).cast("double") * 1_000_000).cast("long")
+    )
+    u = u.withColumn("_bkt", F.floor(t_us / F.lit(bucket_us)))
+    # Pass 1: the big window, partitioned by (by, bucket) — same ordering
+    # and tie-break as the default path, restricted to the row's bucket.
     if back:
-        w = (
-            Window.partitionBy(*by_cols)
+        w_in = (
+            Window.partitionBy(*by_cols, "_bkt")
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carry = F.last(F.col("_payload"), ignorenulls=True).over(w)
+        carry_in = F.last(F.col("_payload"), ignorenulls=True).over(w_in)
     else:
-        w = (
-            Window.partitionBy(*by_cols)
+        w_in = (
+            Window.partitionBy(*by_cols, "_bkt")
             .orderBy(*order)
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        carry = F.first(F.col("_payload"), ignorenulls=True).over(w)
+        carry_in = F.first(F.col("_payload"), ignorenulls=True).over(w_in)
+    # Per-(key, bucket) boundary from RIGHT rows only: the latest
+    # (backward) / earliest (forward) right row as an orderable
+    # (t, payload) struct — struct comparison is lexicographic, so
+    # max/min replicates the window's (ts, payload) tie-break exactly.
+    is_right = F.col("_side") == (0 if back else 2)
+    bound = F.when(
+        is_right,
+        F.struct(F.col(time_col).alias("t"), F.col("_payload").alias("p")),
+    )
+    stage1 = u.withColumn("_carry_in", carry_in).withColumn("_bound", bound)
+    # groupBy on the window's own partition keys: no new exchange. One
+    # output row per (key, bucket) PRESENT IN THE UNION (left-only
+    # buckets keep a NULL bound), so every left bucket can look up its
+    # predecessor below.
+    bounds = stage1.groupBy(*by_cols, "_bkt").agg(
+        (F.max("_bound") if back else F.min("_bound")).alias("_b")
+    )
+    # Pass 2: the tiny per-key window over bucket aggregates — rows per
+    # key = buckets touched (time-bounded), never the key's row count.
+    w_b = Window.partitionBy(*by_cols).orderBy(F.col("_bkt").asc())
+    if back:
+        prev = F.max("_b").over(w_b.rowsBetween(Window.unboundedPreceding, -1))
+    else:
+        prev = F.min("_b").over(w_b.rowsBetween(1, Window.unboundedFollowing))
+    bounds = bounds.select(*by_cols, "_bkt", prev.alias("_prev"))
+    carry = F.coalesce(F.col("_carry_in"), F.col("_prev")["p"])
     carried = [carry[c].alias(c + suffix) for c in value_cols]
     return (
-        u.select(*left.columns, "_side", *carried)
-        .where(F.col("_side") == 1)
-        .drop("_side")
+        stage1.where(F.col("_side") == 1)
+        .join(bounds, by_cols + ["_bkt"], "left")
+        .select(*left.columns, *carried)
     )
 
 
