@@ -76,8 +76,12 @@ def normalize(algo):
         try:
             if not do_norm:
                 return algo(df, *args, **kwargs)
-            p = kernels.infer_p(df, features_col)
-            mean, std = kernels.column_moments(df, p, features_col)
+            # ONE fused preamble job: n/p/mean/std from a single Arrow scan
+            # (round 6); p and n thread into the solver via kwargs so no
+            # solver re-probes them with extra jobs.
+            n_rows, mean, std = kernels.column_moments_full(df, features_col)
+            kwargs.setdefault("p", len(mean))
+            kwargs.setdefault("n_rows", n_rows)
             intercept_idx = np.where(std == 0)[0]
             if len(intercept_idx) > 1:
                 raise ValueError("Multiple constant columns detected!")
@@ -146,6 +150,14 @@ def _armijo_probe(
             if lf - fval >= armijo_mult * s2 * steplen:
                 return s2, fval
     return kept_sizes[-1], func
+
+
+
+def _resolve_p(df, features_col, kwargs):
+    """p threaded from @normalize's fused moments pass when present
+    (kwargs['p']); direct solver calls (normalize=False) probe it."""
+    p = kwargs.pop("p", None)
+    return int(p) if p else kernels.infer_p(df, features_col)
 
 
 def _gd_loop(loss_grad, multi_loss, p, max_iter, tol):
@@ -307,7 +319,7 @@ def gradient_descent(
     grad / Xgradient / line-search jobs collapse: loss and gradient share
     the xb subexpression — O4) plus batched line-search probes.
     """
-    p = kernels.infer_p(df, features_col)
+    p = _resolve_p(df, features_col, kwargs)
     return _gd_loop(
         lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path
@@ -333,7 +345,7 @@ def newton(
     """Full Newton (``algorithms.py:170-221``): one fused grad+Hessian scan
     per iteration; the p×p solve stays driver-side numpy (lstsq), exactly
     like the reference."""
-    p = kernels.infer_p(df, features_col)
+    p = _resolve_p(df, features_col, kwargs)
     beta = np.zeros(p)
     iter_count = 0
     converged = False
@@ -371,7 +383,7 @@ def lbfgs(
     treeAggregate), which doubles as an independent oracle in tests."""
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
-    p = kernels.infer_p(df, features_col)
+    p = _resolve_p(df, features_col, kwargs)
     reg_f = reg_grad = None
     if regularizer is not None:
         reg = Regularizer.get(regularizer)
@@ -415,7 +427,7 @@ def proximal_grad(
     Per outer iteration: one fused loss+gradient scan, then batched probe
     scans where each candidate is ``prox(beta - s*grad, s*lamduh)`` and
     acceptance is simple decrease (``df > 0``, :489-491)."""
-    p = kernels.infer_p(df, features_col)
+    p = _resolve_p(df, features_col, kwargs)
     return _prox_loop(
         lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path
@@ -640,14 +652,15 @@ def admm(
     no per-row Python); rounds touch only numpy.
     """
     regularizer = Regularizer.get(regularizer)
-    p = kernels.infer_p(df, features_col)
+    p = _resolve_p(df, features_col, kwargs)
 
     fam = family
     sc = df.sparkSession.sparkContext
 
     if nblocks is None:
-        # df is persisted by @normalize, so this count is a cached scan
-        n_rows = df.count()
+        # row count threaded from @normalize's fused moments pass when
+        # present; a direct admm() call pays one cached-scan count
+        n_rows = kwargs.pop("n_rows", None) or df.count()
         nblocks = max(1, min(sc.defaultParallelism, n_rows // MIN_ADMM_BLOCK_ROWS))
     if nblocks and df.rdd.getNumPartitions() != nblocks:
         # one-time round-robin rebalance (~bytes of X once); every round
