@@ -316,7 +316,7 @@ def _dense_from_sparse_rows(
     sparse: DataFrame,
     id_col: str,
     num_features: int,
-    scale: list[float] | None = None,
+    scale: list[float] | tuple | None = None,
 ) -> DataFrame:
     """(id, features array<double>) from the one-row-per-doc sparse form:
     a narrow vectorized numpy scatter (zero shuffle), with ``scale`` (e.g.
@@ -326,17 +326,29 @@ def _dense_from_sparse_rows(
 
     id_type = sparse.schema[id_col].dataType.simpleString()
     nf = int(num_features)
-    scale_arr = None if scale is None else np.asarray(scale, dtype=np.float64)
+    # scale: dense list (low dims — folds into the closure) or the sparse
+    # (sorted buckets, idf) pair from _sparse_idf, shipped ONCE per
+    # executor as a real broadcast instead of riding every task closure.
+    scale_bc = None
+    scale_arr = None
+    if isinstance(scale, tuple):
+        scale_bc = sparse.sparkSession.sparkContext.broadcast(scale)
+    elif scale is not None:
+        scale_arr = np.asarray(scale, dtype=np.float64)
 
     def scatter(batches):
+        kv = scale_bc.value if scale_bc is not None else None
         for pdf in batches:
             feats = []
             for bks, tfs in zip(pdf["buckets"], pdf["tfs"]):
                 v = np.zeros(nf, dtype=np.float64)
                 if len(bks):
-                    v[np.asarray(bks, dtype=np.int64)] = np.asarray(
-                        tfs, dtype=np.float64
-                    )
+                    b_arr = np.asarray(bks, dtype=np.int64)
+                    t_arr = np.asarray(tfs, dtype=np.float64)
+                    if kv is not None:
+                        ks, vs = kv
+                        t_arr = t_arr * vs[np.searchsorted(ks, b_arr)]
+                    v[b_arr] = t_arr
                 if scale_arr is not None:
                     v *= scale_arr
                 feats.append(v.tolist())
@@ -398,7 +410,7 @@ def _dense_pivot(
     counts: DataFrame,
     id_col: str,
     num_features: int,
-    scale: list[float] | None = None,
+    scale: list[float] | tuple | None = None,
 ) -> DataFrame:
     """(id, features array<double>) from sparse counts, as a manual pivot:
     num_features conditional sums inside ONE codegen'd HashAggregate, then
@@ -416,13 +428,21 @@ def _dense_pivot(
 
         id_type = counts.schema[id_col].dataType.simpleString()
         nf = int(num_features)
-        scale_arr = None if scale is None else np.asarray(scale, dtype=np.float64)
+        scale_bc = None
+        scale_arr = None
+        if isinstance(scale, tuple):  # sparse (buckets, idf) broadcast form
+            scale_bc = counts.sparkSession.sparkContext.broadcast(scale)
+        elif scale is not None:
+            scale_arr = np.asarray(scale, dtype=np.float64)
 
         def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
             v = np.zeros(nf, dtype=np.float64)
-            v[pdf["bucket"].to_numpy(dtype=np.int64)] = pdf["tf"].to_numpy(
-                dtype=np.float64
-            )
+            b_arr = pdf["bucket"].to_numpy(dtype=np.int64)
+            t_arr = pdf["tf"].to_numpy(dtype=np.float64)
+            if scale_bc is not None:
+                ks, vs = scale_bc.value
+                t_arr = t_arr * vs[np.searchsorted(ks, b_arr)]
+            v[b_arr] = t_arr
             if scale_arr is not None:
                 v *= scale_arr
             return pd.DataFrame({id_col: [key[0]], "features": [v.tolist()]})
@@ -458,6 +478,33 @@ def _idf_literals(n_docs: int, idf_map: dict[int, float], num_features: int) -> 
         math.log((n_docs + 1.0) / (idf_map.get(b, 0.0) + 1.0))
         for b in range(num_features)
     ]
+
+
+# Above this many hashed dims the dense idf list stops being a harmless
+# literal (2^20 buckets = an 8 MB Python list on the driver AND in every
+# task closure — ADVICE r5) and ships instead as a sparse broadcast.
+IDF_DENSE_MAX = 1 << 16
+
+
+def _sparse_idf(n_docs: int, idf_map: dict[int, float]):
+    """Sorted (buckets, idf) arrays over the NONZERO-df buckets only — the
+    broadcast form of ``_idf_literals`` for high-dim hashed spaces. Exact:
+    a bucket appearing in any doc's vector has df >= 1 (that doc's own
+    occurrence), so df=0 buckets are never looked up; their idf would only
+    ever multiply a structural zero. Same ln((N+1)/(df+1)) smoothing as
+    the dense form (parity pytest-pinned at 4096 dims)."""
+    import math
+
+    import numpy as np
+
+    ks = np.sort(
+        np.fromiter(idf_map.keys(), dtype=np.int64, count=len(idf_map))
+    )
+    vals = np.array(
+        [math.log((n_docs + 1.0) / (idf_map[int(b)] + 1.0)) for b in ks],
+        dtype=np.float64,
+    )
+    return ks, vals
 
 
 def hashing_tf_sparse(
@@ -557,7 +604,11 @@ def tfidf_features(
         }
         # default 0: an all-empty corpus yields no sentinel rows at all
         n_docs = int(idf_map.pop(-1, 0))
-        idf = _idf_literals(n_docs, idf_map, num_features)
+        idf = (
+            _sparse_idf(n_docs, idf_map)
+            if num_features > IDF_DENSE_MAX
+            else _idf_literals(n_docs, idf_map, num_features)
+        )
         return _dense_from_sparse_rows(sparse, id_col, num_features, scale=idf)
 
     counts = _bucket_counts(df, text_col, id_col, num_features).persist(
@@ -570,5 +621,9 @@ def tfidf_features(
         .agg(F.count("*").cast("double").alias("df"))
         .collect()
     }
-    idf = _idf_literals(n_docs, idf_map, num_features)
+    idf = (
+        _sparse_idf(n_docs, idf_map)
+        if num_features > IDF_DENSE_MAX
+        else _idf_literals(n_docs, idf_map, num_features)
+    )
     return _dense_pivot(counts, id_col, num_features, scale=idf)

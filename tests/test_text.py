@@ -218,3 +218,35 @@ def test_tf_path_validated(spark, tiny_corpus):
 
     with _pytest.raises(ValueError, match="arrow\\|sql"):
         T.hashing_tf(tiny_corpus, path="Arrow")
+
+
+def test_tfidf_sparse_idf_broadcast_parity(spark, tiny_corpus, monkeypatch):
+    """ADVICE r5: above IDF_DENSE_MAX hashed dims the idf ships as a
+    sparse (buckets, idf) broadcast instead of a dense per-task list.
+    Forcing the sparse form at 4096 dims must reproduce the dense path's
+    vectors exactly, on both physical paths."""
+    dense_a = _tf_dict(
+        T.tfidf_features(tiny_corpus, num_features=4096, path="arrow").collect()
+    )
+    monkeypatch.setattr(T, "IDF_DENSE_MAX", 8)  # force sparse broadcast
+    sparse_a = _tf_dict(
+        T.tfidf_features(tiny_corpus, num_features=4096, path="arrow").collect()
+    )
+    sparse_s = _tf_dict(
+        T.tfidf_features(tiny_corpus, num_features=4096, path="sql").collect()
+    )
+    assert dense_a == sparse_a
+    assert dense_a.keys() == sparse_s.keys()
+    for k in dense_a:
+        assert dense_a[k] == pytest.approx(sparse_s[k], abs=1e-12)
+
+
+def test_tfidf_high_dim_smoke(spark):
+    """2^18 hashed dims stay runnable (sparse idf path; no 2 MB dense
+    literal in the closure): arrow path over the real documents table."""
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    out = T.tfidf_features(docs, num_features=1 << 18, path="arrow")
+    row = out.select(F.size("features").alias("n")).first()
+    assert row["n"] == 1 << 18
