@@ -1217,11 +1217,14 @@ def _pq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    # NOT persisted, by measurement: caching the filtered slice (text
-    # payloads included) costs more than the consumers' recompute — the
-    # dedup operator already persists its shingle/band projections, which
-    # is where the expensive reuse actually lives (A/B at sf0.1:
-    # 5.1-6.6 s uncached vs 6.6-9.1 s cached).
+    # The full text slice stays UNCACHED (A/B r5: caching text payloads
+    # costs more than recompute; the dedup operator persists its own
+    # shingle/band projections). What IS cached (A/B r6: 6.5-6.9 s vs
+    # 6.6-7.4 s uncached at sf0.1, identical results) is a TEXT-FREE
+    # per-doc projection — the post-dedup aggregate consumes it directly,
+    # so quality/langid/token_count are evaluated once instead of being
+    # re-derived from raw text on the survivor branch. Cache is left to
+    # Spark's LRU (the tfidf persist convention).
     cur = docs.select(
         "doc_id",
         "text",
@@ -1229,12 +1232,18 @@ def _pq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.quality_score_expr("text"), 6).alias("quality"),
         T.langid_expr("text").alias("lang_pred"),
     ).where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
-    surv = G.neardup_survivors(cur, D.minhash_dedup_pairs(cur, threshold=0.5))
+    meta = cur.select(
+        "doc_id",
+        "source",
+        "quality",
+        T.token_count_expr("text").cast("long").alias("n_tok"),
+    ).persist()
+    surv = G.neardup_survivors(meta, D.minhash_dedup_pairs(cur, threshold=0.5))
     return (
         surv.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sum(T.token_count_expr("text")).cast("long").alias("sum_tokens"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
             F.round(F.avg("quality"), 6).cast("double").alias("avg_quality"),
         )
         .orderBy("source")
