@@ -1,14 +1,15 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, with
 Pandas-UDF decode / feature-extraction / resize / frame-sampling plumbing.
 
-Beyond-reference surface (SURVEY.md §7 step 10). The container image has no
-image/audio codec libraries, so the layer splits the work at the *layout*
-boundary instead of stubbing wholesale: fixed-layout payloads (raw int16
-PCM audio -> ``waveform_stats``; raw row-major gray8 rasters ->
-``decode_image``/``resize_images``) are decoded **for real** with
-``np.frombuffer`` — bytes with a known layout need no codec. Only
-*compressed* formats (PNG/JPEG) hit the clearly-marked
-``NotImplementedError`` guard, the one genuine codec boundary left.
+Beyond-reference surface (SURVEY.md §7 step 10). The layer splits the work
+at the *layout* boundary instead of stubbing wholesale: fixed-layout
+payloads (raw int16 PCM audio -> ``waveform_stats``; raw row-major gray8
+rasters -> ``decode_image``/``resize_images``) are decoded **for real**
+with ``np.frombuffer`` — bytes with a known layout need no codec.
+*Compressed* formats (PNG/JPEG) decode through PIL when it is importable
+(round 6: the codec path is wired — same schema, same mapInPandas batch
+flow); without PIL they hit the clearly-marked ``NotImplementedError``
+guard, the one genuine codec boundary left.
 Everything else — schema convention, Arrow batch flow through
 ``mapInPandas``, batch shapes, partition sizing for large payloads,
 deterministic byte/pixel features — is real, tested, and oracle-checked
@@ -81,25 +82,33 @@ def repartition_for_payloads(
 RAW_GRAY8 = "image/x-raw-gray8"
 
 
-def _check_raw_layout(media_type: str) -> None:
-    """Raw fixed-layout rasters pass; compressed formats ALWAYS raise —
-    whether or not a codec library happens to be importable, bytes of a
-    PNG/JPEG must never be silently frombuffer'd as pixels. The message
-    distinguishes the two repair paths (install+wire a codec vs use a raw
-    layout)."""
-    if media_type.startswith("image/x-raw"):
-        return
-    try:
-        import PIL  # noqa: F401
+COMPRESSED_TYPES = ("image/png", "image/jpeg")
 
-        detail = "a codec (PIL) is importable but no decode path is wired"
-    except ImportError:  # pragma: no cover - container has no PIL
-        detail = "no image codec (PIL/pillow) is installed"
+
+def _resolve_codec(media_type: str):
+    """None for raw fixed-layout rasters (codec-free frombuffer path);
+    the PIL Image module for supported compressed types WHEN PIL is
+    importable (VERDICT r5 #7: the decode path is wired, gated only on
+    the library's presence). Compressed types without PIL — or media
+    types nothing here understands — raise the clearly-marked guard:
+    bytes of a PNG/JPEG must never be silently frombuffer'd as pixels."""
+    if media_type.startswith("image/x-raw"):
+        return None
+    if media_type in COMPRESSED_TYPES:
+        try:
+            from PIL import Image
+
+            return Image
+        except ImportError:  # pragma: no cover - container has no PIL
+            detail = "no image codec (PIL/pillow) is installed"
+    else:
+        detail = f"media_type {media_type!r} has no decode path"
     raise NotImplementedError(
-        f"decoding compressed media_type={media_type!r} is not supported: "
+        f"decoding media_type={media_type!r} is not supported: "
         f"{detail}. Raw rasters (media_type={RAW_GRAY8!r}, or any "
         "image/x-raw-* fixed row-major gray8 layout) decode codec-free "
-        "via decode_image/resize_images."
+        f"via decode_image/resize_images; {COMPRESSED_TYPES} decode via "
+        "PIL when it is installed."
     )
 
 
@@ -112,33 +121,54 @@ def decode_image(
 ) -> DataFrame:
     """Decode fixed-layout row-major gray8 rasters to pixel arrays.
 
-    (id, height, width, pixels array<double>): payload bytes are the
-    raster, ``width`` pixels per row; height = len(payload) // width with
-    a torn trailing partial row ignored (same convention as
-    ``waveform_stats``' torn sample). Rows whose payload holds less than
-    one full raster row (height 0) are dropped. One ``mapInPandas`` pass,
-    ``np.frombuffer`` zero-copy, no codec. Compressed media types raise
-    the codec guard — that boundary is real, raw layouts are not behind
-    it."""
-    _check_raw_layout(media_type)
+    (id, height, width, pixels array<double>): raw layouts decode with
+    ``np.frombuffer`` (``width`` pixels per row; height = len(payload) //
+    width with a torn trailing partial row ignored, same convention as
+    ``waveform_stats``' torn sample; payloads under one full row are
+    dropped). PNG/JPEG payloads decode through PIL when it is importable
+    (grayscale-converted, true header dimensions — ``width`` is ignored;
+    undecodable payloads are dropped like torn rasters); without PIL they
+    raise the codec guard. One ``mapInPandas`` pass either way — same
+    schema, same batch shape."""
+    codec = _resolve_codec(media_type)
     w = int(width)
+    if codec is None and w <= 0:
+        raise ValueError(f"raw layouts need a positive width, got {width}")
     # Id type rides through generically (ADVICE r5): schema derived from
     # the input column, pandas keeps the source dtype — string/long/etc.
     # ids all work, same treatment as the similarity UDFs.
     id_type = df.schema[id_col].dataType.simpleString()
 
+    def decode_buf(buf):
+        """-> (h, w, float64 pixel vector) or None for a dropped row."""
+        if codec is None:
+            h = len(buf) // w
+            if h == 0:
+                return None
+            v = np.frombuffer(buf[: h * w], dtype=np.uint8).astype(np.float64)
+            return h, w, v
+        import io
+
+        try:
+            img = codec.open(io.BytesIO(bytes(buf))).convert("L")
+        except Exception:
+            return None
+        arr = np.asarray(img, dtype=np.float64)
+        return arr.shape[0], arr.shape[1], arr.ravel()
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            keep, hs, px = [], [], []
+            keep, hs, ws, px = [], [], [], []
             for i, buf in enumerate(pdf[payload_col]):
-                h = len(buf) // w
-                if h == 0:
+                dec = decode_buf(buf)
+                if dec is None:
                     continue
-                v = np.frombuffer(buf[: h * w], dtype=np.uint8).astype(np.float64)
+                h, ww, v = dec
                 keep.append(i)
                 hs.append(h)
+                ws.append(ww)
                 px.append(v.tolist())
             if not keep:
                 # all rows dropped: an empty frame would carry float64
@@ -148,7 +178,7 @@ def decode_image(
                 {
                     id_col: pdf[id_col].iloc[keep].reset_index(drop=True),
                     "height": np.asarray(hs, dtype=np.int32),
-                    "width": np.full(len(keep), w, dtype=np.int32),
+                    "width": np.asarray(ws, dtype=np.int32),
                     "pixels": px,
                 }
             )
@@ -178,12 +208,51 @@ def resize_images(
     with no source pixel (upscaling) are 0. Output ``features`` is the
     row-major flattened (out_height, out_width) grid, sized for the GLM
     kernel layer like every other featurizer here."""
-    _check_raw_layout(media_type)
+    codec = _resolve_codec(media_type)
     w, ow, oh = int(width), int(out_width), int(out_height)
+    if codec is None and w <= 0:
+        raise ValueError(f"raw layouts need a positive width, got {width}")
     id_type = df.schema[id_col].dataType.simpleString()
-    ci = (np.arange(w) * ow) // w
-    C = np.zeros((w, ow))
-    C[np.arange(w), ci] = 1.0
+    # Raw path: source width is fixed, so the column map C builds once.
+    ci0 = (np.arange(w) * ow) // w
+    C0 = np.zeros((w, ow))
+    C0[np.arange(w), ci0] = 1.0
+
+    def block_mean(img: np.ndarray) -> np.ndarray:
+        h, ww = img.shape
+        ri = (np.arange(h) * oh) // h
+        R = np.zeros((oh, h))
+        R[ri, np.arange(h)] = 1.0
+        if ww == w:
+            ci, C = ci0, C0
+        else:  # codec path: per-image width from the decoded header
+            ci = (np.arange(ww) * ow) // ww
+            C = np.zeros((ww, ow))
+            C[np.arange(ww), ci] = 1.0
+        sums = R @ img @ C
+        counts = np.outer(
+            np.bincount(ri, minlength=oh), np.bincount(ci, minlength=ow)
+        ).astype(np.float64)
+        return np.divide(sums, counts, out=np.zeros_like(sums), where=counts > 0)
+
+    def load_img(buf):
+        if codec is None:
+            h = len(buf) // w
+            if h == 0:
+                return None
+            return (
+                np.frombuffer(buf[: h * w], dtype=np.uint8)
+                .astype(np.float64)
+                .reshape(h, w)
+            )
+        import io
+
+        try:
+            return np.asarray(
+                codec.open(io.BytesIO(bytes(buf))).convert("L"), dtype=np.float64
+            )
+        except Exception:
+            return None
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,26 +260,11 @@ def resize_images(
                 continue
             keep, feats = [], []
             for i, buf in enumerate(pdf[payload_col]):
-                h = len(buf) // w
-                if h == 0:
+                img = load_img(buf)
+                if img is None or img.size == 0:
                     continue
-                img = (
-                    np.frombuffer(buf[: h * w], dtype=np.uint8)
-                    .astype(np.float64)
-                    .reshape(h, w)
-                )
-                ri = (np.arange(h) * oh) // h
-                R = np.zeros((oh, h))
-                R[ri, np.arange(h)] = 1.0
-                sums = R @ img @ C
-                counts = np.outer(
-                    np.bincount(ri, minlength=oh), np.bincount(ci, minlength=ow)
-                ).astype(np.float64)
-                out = np.divide(
-                    sums, counts, out=np.zeros_like(sums), where=counts > 0
-                )
                 keep.append(i)
-                feats.append(out.ravel().tolist())
+                feats.append(block_mean(img).ravel().tolist())
             if not keep:
                 continue
             yield pd.DataFrame(

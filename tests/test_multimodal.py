@@ -149,3 +149,36 @@ def test_decode_and_resize_string_ids(spark):
     assert [r["doc_id"] for r in res] == ["doc-a"]
     expect = img.astype(np.float64).reshape(4, 2, 4, 2).mean(axis=(1, 3))
     np.testing.assert_allclose(res[0]["features"], expect.ravel())
+
+
+def test_unknown_media_type_raises_even_with_codec(media):
+    """Only image/x-raw-* and the declared compressed types have decode
+    paths; anything else raises regardless of installed libraries."""
+    with pytest.raises(NotImplementedError, match="no decode path"):
+        M.decode_image(media, width=16, media_type="video/mp4")
+
+
+def test_png_decode_and_resize_via_pil(spark):
+    """VERDICT r5 #7: when PIL is importable, PNG/JPEG decode through the
+    codec to the SAME (id, height, width, pixels) schema and the same
+    block-mean resize as raw rasters. Skips where PIL is absent (the
+    guard test covers that side)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img, mode="L").save(buf, format="PNG")
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a png"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    dec = M.decode_image(df, width=0, media_type="image/png").collect()
+    assert [r["doc_id"] for r in dec] == [1]  # undecodable row dropped
+    assert (dec[0]["height"], dec[0]["width"]) == (8, 8)
+    assert dec[0]["pixels"] == [float(x) for x in img.ravel()]
+
+    res = M.resize_images(
+        df, width=0, out_width=4, out_height=4, media_type="image/png"
+    ).collect()
+    expect = img.astype(np.float64).reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(res[0]["features"], expect.ravel())
