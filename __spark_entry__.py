@@ -1452,7 +1452,7 @@ def _pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     X = np.asarray([r[0] for r in vd.collect()], dtype=np.float64)
     want = C.lloyd_np(X, init, iters=5, tol=0.0)
     match = bool(np.allclose(cent, want, rtol=1e-8, atol=1e-10))
-    sizes_ok = n_total == int(emb.count())
+    sizes_ok = n_total == len(X)  # corpus count from the same gate collect
     return spark.createDataFrame(
         [(len(cent), n_total, sizes_ok, match)],
         "k bigint, n_total bigint, sizes_sum_ok boolean, matches_numpy_lloyd boolean",

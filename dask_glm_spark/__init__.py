@@ -31,5 +31,6 @@ __version__ = "0.1.0"
 from dask_glm_spark.operators.estimators import (  # noqa: F401
     LinearRegression,
     LogisticRegression,
+    MulticlassLogisticRegression,
     PoissonRegression,
 )

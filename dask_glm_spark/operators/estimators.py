@@ -290,3 +290,106 @@ class PoissonRegression(_GLM):
     def get_deviance(self, df: DataFrame) -> float:
         pred = self.predict(df)
         return metrics.poisson_deviance(pred, self.label_col, "prediction")
+
+
+class MulticlassLogisticRegression(_GLM):
+    """One-vs-rest multiclass logistic regression — beyond-reference.
+
+    The reference's own ``predict`` is binary-only with a "multiclass
+    broken" TODO (``dask_glm/estimators.py:146``); this estimator closes
+    that gap Spark-first:
+
+    - ``fit``: one distinct scan discovers the (sorted) label set, the
+      input is persisted ONCE, and one binary ``LogisticRegression`` fits
+      per class over a lazily relabeled view of the same cache (the
+      sub-fits are told ``persist=False`` so k classes never means k
+      copies of the data). Any solver/regularizer combination the binary
+      estimator supports works unchanged.
+    - ``predict`` / ``predict_proba``: ONE narrow codegen projection —
+      all k sigmoid(X·β_c) scores fold into a single array expression
+      (coefficients as plan literals, P8), argmax picks the class,
+      probabilities are the standard OvR normalization (scores / Σscores,
+      strictly positive so never 0/0). No joins, no shuffles, one scan
+      regardless of k.
+
+    State: ``classes_`` (sorted labels), ``coefs_`` (k, p),
+    ``intercepts_`` (k,). Dense array features only — wide-sparse OvR
+    should fit per-class binary models explicitly.
+    """
+
+    family = families.Logistic
+
+    def fit(self, df: DataFrame, y=None, **extra):
+        from pyspark import StorageLevel
+
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col) or V.is_sparse_columns(df):
+            raise NotImplementedError(
+                "MulticlassLogisticRegression supports dense array features; "
+                "fit per-class binary models explicitly for sparse input"
+            )
+        classes = [
+            r[0]
+            for r in df.select(self.label_col)
+            .distinct()
+            .orderBy(self.label_col)
+            .collect()
+        ]
+        if len(classes) < 2:
+            raise ValueError(f"need >= 2 classes, got {classes!r}")
+        we_persisted = False
+        if not df.is_cached:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            we_persisted = True
+        try:
+            coefs = []
+            for c in classes:
+                sub = df.withColumn(
+                    self.label_col,
+                    (F.col(self.label_col) == F.lit(c)).cast("double"),
+                )
+                m = LogisticRegression(**self.get_params()).fit(
+                    sub, persist=False, **extra
+                )
+                coefs.append(np.asarray(m._coef))
+        finally:
+            if we_persisted:
+                df.unpersist()
+        self.classes_ = classes
+        self._coefs = coefs  # per-class, intercept still appended
+        if self.fit_intercept:
+            self.coefs_ = np.stack([b[:-1] for b in coefs])
+            self.intercepts_ = np.array([b[-1] for b in coefs])
+        else:
+            self.coefs_ = np.stack(coefs)
+            self.intercepts_ = np.zeros(len(coefs))
+        return self
+
+    def _scores_expr(self):
+        return F.array(
+            *[
+                families.sigmoid_expr(kernels.matvec_expr(b, self.features_col))
+                for b in self._coefs
+            ]
+        )
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        df_ = self._maybe_add_intercept(df)
+        scores = self._scores_expr()
+        total = F.aggregate(scores, F.lit(0.0), lambda a, x: a + x)
+        return df_.withColumn(
+            "probabilities", F.transform(scores, lambda x: x / total)
+        )
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        df_ = self._maybe_add_intercept(df)
+        scores = self._scores_expr()
+        cls = F.array(*[F.lit(c) for c in self.classes_])
+        # first max wins: deterministic tie-break by class order
+        idx = F.array_position(scores, F.array_max(scores)).cast("int")
+        return df_.withColumn("prediction", F.element_at(cls, idx))
+
+    def score(self, df: DataFrame) -> float:
+        pred = self.predict(df)
+        return metrics.accuracy_score(pred, self.label_col, "prediction")
