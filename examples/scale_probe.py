@@ -191,13 +191,21 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
         t0 = time.perf_counter()
         asof_join(clicks, errors, time_col="ts", by="user_id", value_cols=["eid"]).write.format("noop").mode("overwrite").save()
         out[f"asof_{tag}"] = round(time.perf_counter() - t0, 3)
+        # skew-safe two-pass form (round 6): same result, big window on
+        # (user, day-bucket) — the shape that holds when one key is hot
+        t0 = time.perf_counter()
+        asof_join(
+            clicks, errors, time_col="ts", by="user_id",
+            value_cols=["eid"], bucket_seconds=86400,
+        ).write.format("noop").mode("overwrite").save()
+        out[f"asof_bkt_{tag}"] = round(time.perf_counter() - t0, 3)
         sess = sessionize_batch(ev, gap_minutes=30).select("user_id", "session_start", "session_end")
         pts = ev.where(F.col("event_type") == "error").select("user_id", "ts")
         t0 = time.perf_counter()
         range_join(pts, sess).write.format("noop").mode("overwrite").save()
         out[f"range_{tag}"] = round(time.perf_counter() - t0, 3)
 
-    for k in ("tfidf", "repetition", "minhash", "components", "asof", "range"):
+    for k in ("tfidf", "repetition", "minhash", "components", "asof", "asof_bkt", "range"):
         r = out[f"{k}_10x"] / max(out[f"{k}_1x"], 1e-9)
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
     print(
