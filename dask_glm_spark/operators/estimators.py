@@ -393,3 +393,89 @@ class MulticlassLogisticRegression(_GLM):
     def score(self, df: DataFrame) -> float:
         pred = self.predict(df)
         return metrics.accuracy_score(pred, self.label_col, "prediction")
+
+
+# ---------------------------------------------------------------------------
+# Model persistence — beyond-reference (the reference has none; real
+# pipelines need to fit once and score elsewhere). Plain JSON: the model
+# IS its constructor params + driver-resident coefficients, so a file a
+# human can read round-trips the estimator exactly — no pickle, no class
+# versioning hazards across Spark upgrades.
+# ---------------------------------------------------------------------------
+_ESTIMATOR_REGISTRY: dict[str, type] = {}
+
+
+def _register(cls):
+    _ESTIMATOR_REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def _to_jsonable(v):
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    return v
+
+
+def model_to_dict(model) -> dict:
+    """JSON-safe dict capturing params + fitted state (None if unfit)."""
+    state = {
+        "estimator": type(model).__name__,
+        "params": {k: _to_jsonable(v) for k, v in model.get_params().items()},
+        "coef": _to_jsonable(model._coef),
+    }
+    if hasattr(model, "classes_"):
+        state["classes"] = list(model.classes_)
+        state["coefs"] = [_to_jsonable(b) for b in model._coefs]
+    return state
+
+
+def model_from_dict(state: dict):
+    cls = _ESTIMATOR_REGISTRY.get(state.get("estimator", ""))
+    if cls is None:
+        raise ValueError(
+            f"unknown estimator {state.get('estimator')!r}; "
+            f"expected one of {sorted(_ESTIMATOR_REGISTRY)}"
+        )
+    m = cls(**state["params"])
+    if state.get("coef") is not None:
+        m._coef = np.asarray(state["coef"], dtype=np.float64)
+        if m.fit_intercept:
+            m.coef_ = m._coef[:-1]
+            m.intercept_ = m._coef[-1]
+        else:
+            m.coef_ = m._coef
+    if "classes" in state:
+        m.classes_ = state["classes"]
+        m._coefs = [np.asarray(b, dtype=np.float64) for b in state["coefs"]]
+        if m.fit_intercept:
+            m.coefs_ = np.stack([b[:-1] for b in m._coefs])
+            m.intercepts_ = np.array([b[-1] for b in m._coefs])
+        else:
+            m.coefs_ = np.stack(m._coefs)
+            m.intercepts_ = np.zeros(len(m._coefs))
+    return m
+
+
+def save_model(model, path: str) -> None:
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(model_to_dict(model), fh)
+
+
+def load_model(path: str):
+    import json
+
+    with open(path) as fh:
+        return model_from_dict(json.load(fh))
+
+
+for _cls in (
+    LogisticRegression,
+    LinearRegression,
+    PoissonRegression,
+    MulticlassLogisticRegression,
+):
+    _register(_cls)

@@ -39,6 +39,12 @@ def main(sf_dir: str = "/root/testdata/sf0.1", workdir: str | None = None):
     workdir = workdir or tempfile.mkdtemp(prefix="dask_glm_spark_sf1_")
     spark = get_spark(app_name="scale_probe")
 
+    # Pipeline probes run FIRST: the 10x solver fits leave the JVM old
+    # gen full of dead 48-MB numpy block pickles, and the resulting GC
+    # thrash polluted the pipeline numbers when they ran second (round 6:
+    # repetition_stats read 37x in-session vs its true 3.2x fresh).
+    pipe = pipeline_probe(spark, sf_dir, workdir)
+
     base = load_glm_fast(spark, sf_dir)
     n1 = base.count()
 
@@ -77,7 +83,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", workdir: str | None = None):
     for k in ("kernel", "admm", "lbfgs"):
         r = out[f"{k}_10x"] / out[f"{k}_1x"]
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
-    out.update(pipeline_probe(spark, sf_dir, workdir))
+    out.update(pipe)
     return out
 
 

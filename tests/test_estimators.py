@@ -157,3 +157,55 @@ class TestMulticlassLogistic:
         df = self._blobs(spark, labels=(7,)).where("label = 7")
         with pytest.raises(ValueError, match="classes"):
             MulticlassLogisticRegression(solver="lbfgs").fit(df)
+
+
+class TestModelPersistence:
+    def test_binary_roundtrip_predict_parity(self, spark, tmp_path):
+        from dask_glm_spark.operators.estimators import (
+            LogisticRegression,
+            load_model,
+            save_model,
+        )
+
+        df = TestMulticlassLogistic._blobs(spark, labels=(0, 1))
+        m = LogisticRegression(solver="lbfgs", regularizer=None).fit(df)
+        p = str(tmp_path / "m.json")
+        save_model(m, p)
+        m2 = load_model(p)
+        assert type(m2) is LogisticRegression
+        np.testing.assert_array_equal(m2._coef, m._coef)
+        a = m.predict(df).select("probability").collect()
+        b = m2.predict(df).select("probability").collect()
+        assert a == b
+
+    def test_multiclass_roundtrip(self, spark, tmp_path):
+        from dask_glm_spark.operators.estimators import (
+            MulticlassLogisticRegression,
+            load_model,
+            save_model,
+        )
+
+        df = TestMulticlassLogistic._blobs(spark)
+        m = MulticlassLogisticRegression(solver="lbfgs", regularizer=None).fit(df)
+        p = str(tmp_path / "mc.json")
+        save_model(m, p)
+        m2 = load_model(p)
+        assert m2.classes_ == m.classes_
+        np.testing.assert_array_equal(m2.coefs_, m.coefs_)
+        assert m2.score(df) == m.score(df)
+
+    def test_unfit_and_unknown(self, tmp_path):
+        from dask_glm_spark.operators.estimators import (
+            LinearRegression,
+            load_model,
+            model_from_dict,
+            save_model,
+        )
+
+        m = LinearRegression(solver="newton", max_iter=7)
+        p = str(tmp_path / "unfit.json")
+        save_model(m, p)
+        m2 = load_model(p)
+        assert m2.max_iter == 7 and m2._coef is None
+        with pytest.raises(ValueError, match="unknown estimator"):
+            model_from_dict({"estimator": "Nope", "params": {}})
