@@ -69,8 +69,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001", workdir: str | None = None):
         partition_by=["bucket"],
     )
 
+    # 6. persist the model and score elsewhere from the JSON artifact
+    # (fit-once / score-anywhere — no pickle, human-readable)
+    from dask_glm_spark.operators.estimators import load_model, save_model
+
+    model_path = f"{workdir}/model.json"
+    save_model(lr, model_path)
+    acc2 = load_model(model_path).score(df)
+    assert acc2 == acc
+
     print(f"coef={lr.coef_} intercept={lr.intercept_} accuracy={acc:.4f}")
-    print(f"predictions written to {out_dir}")
+    print(f"predictions written to {out_dir}; model saved to {model_path}")
     return lr.coef_, float(acc)
 
 
