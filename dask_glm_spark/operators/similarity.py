@@ -151,6 +151,9 @@ def sample_vectors(
     vd = F.col(vec_col).cast("array<double>")
     rows = (
         df.select(vd.alias("_v"))
+        # null vectors would hash to null and sort FIRST under asc —
+        # poisoning the whole sample instead of being skipped
+        .where(F.col("_v").isNotNull())
         .withColumn("_h", F.xxhash64(F.lit("vec-sample:s0"), F.col("_v")))
         .orderBy(F.col("_h").asc(), F.col("_v").asc())
         .limit(limit or IVF_SAMPLE_ROWS)

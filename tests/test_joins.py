@@ -317,3 +317,51 @@ def test_asof_join_bucketed_hot_key_and_plan(spark):
     assert "hashpartitioning(user_id" in plan and "_bkt" in plan.split(
         "hashpartitioning(user_id", 1
     )[1].split(")")[0]
+
+
+def test_asof_join_bucketed_property(spark):
+    """Property check: bucketed == plain over randomized key/time layouts,
+    including duplicate timestamps, keys missing from one side, and bucket
+    widths that land rows on exact bucket borders."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_glm_spark.operators.joins import asof_join
+
+    @given(
+        seed=st.integers(0, 10_000),
+        bucket=st.sampled_from([1, 3, 7, 50]),
+        direction=st.sampled_from(["backward", "forward"]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(seed, bucket, direction):
+        rng = np.random.RandomState(seed)
+        nl, nr = 60, 40
+        # integer-second times: many exact border/tie collisions
+        lrows = [
+            (i, int(rng.randint(0, 4)), float(rng.randint(0, 120)))
+            for i in range(nl)
+        ]
+        rrows = [
+            (1000 + i, int(rng.randint(0, 5)), float(rng.randint(0, 120)),
+             float(i))
+            for i in range(nr)
+        ]
+        left = spark.createDataFrame(lrows, "lid long, user_id long, t double")
+        right = spark.createDataFrame(
+            rrows, "rid long, user_id long, t double, v double"
+        )
+        kw = dict(time_col="t", by="user_id", value_cols=["rid", "v"],
+                  direction=direction)
+        plain = (
+            asof_join(left, right, **kw)
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        )
+        bucketed = (
+            asof_join(left, right, bucket_seconds=bucket, **kw)
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        )
+        assert plain.equals(bucketed)
+
+    check()
