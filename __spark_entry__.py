@@ -951,8 +951,11 @@ def _pq_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators import dedup as D
     from dask_glm_spark.sources.glm_source import load_table
 
+    # arrow path: bit-identical shingles/signatures/bands to the
+    # expression chain the DuckDB oracle replicates (parity pytest-pinned),
+    # ~40% faster derivation
     return D.minhash_dedup_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"), threshold=0.5, path="arrow"
     )
 
 
@@ -1120,7 +1123,7 @@ def _pq_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, path="arrow")
     cc = G.connected_components(pairs)
     return cc.select(
         F.col("id").cast("long").alias("doc_id"),
@@ -1134,7 +1137,7 @@ def _pq_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, path="arrow")
     return (
         G.neardup_survivors(docs, pairs)
         .select("doc_id", "lang", "source")
@@ -1238,7 +1241,9 @@ def _pq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         T.token_count_expr("text").cast("long").alias("n_tok"),
     ).persist()
-    surv = G.neardup_survivors(meta, D.minhash_dedup_pairs(cur, threshold=0.5))
+    surv = G.neardup_survivors(
+        meta, D.minhash_dedup_pairs(cur, threshold=0.5, path="arrow")
+    )
     return (
         surv.groupBy("source")
         .agg(

@@ -29,7 +29,12 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dask_glm_spark.operators.text import POLY_MOD, polyhash_expr, tokens_expr
+from dask_glm_spark.operators.text import (
+    POLY_BASE,
+    POLY_MOD,
+    polyhash_expr,
+    tokens_expr,
+)
 from dask_glm_spark.plans.layout import ensure_min_parallelism
 
 _log = logging.getLogger(__name__)
@@ -269,12 +274,135 @@ def jaccard_expr(sh_a: Column, sh_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+# ---------------------------------------------------------------------------
+# Vectorized Arrow derivation of the MinHash projections (round 6)
+# ---------------------------------------------------------------------------
+def _np_polyhash_batch(strings, pow_cache):
+    """Vectorized 31-base polyhash, bit-identical to ``polyhash_expr``:
+    h(s) = sum_j code(s[j]) * 31^(n-1-j) mod 1e9+7 (Horner unrolled).
+    Codepoints come from one ``utf-32-le`` reinterpret per string — no
+    per-character Python. ``pow_cache`` is a growable [31^0, 31^1, ...]
+    mod-table shared across the batch."""
+    import numpy as np
+
+    out = np.empty(len(strings), dtype=np.int64)
+    for i, s in enumerate(strings):
+        n = len(s)
+        if n == 0:
+            out[i] = 0
+            continue
+        while len(pow_cache) < n:
+            pow_cache.append((pow_cache[-1] * POLY_BASE) % POLY_MOD)
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        p = np.asarray(pow_cache[n - 1 :: -1] if n > 1 else pow_cache[:1])
+        out[i] = int((codes * p % POLY_MOD).sum() % POLY_MOD)
+    return out
+
+
+_JAVA_WS = "[ \t\n\x0b\f\r]+"  # java regex \s+ (ASCII classes only)
+
+
+def _py_tokens(text: str) -> list[str]:
+    """EXACTLY tokens_expr's semantics: lower -> trim (0x20 only, like
+    UTF8String.trim) -> split on java \s+ keeping leading/trailing empty
+    tokens (Spark F.split uses limit -1)."""
+    import re
+
+    return re.split(_JAVA_WS, text.lower().strip(" "))
+
+
+def minhash_rows_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(id, sh array<string>, bands array<long>) in ONE mapInPandas pass —
+    the vectorized twin of the shingles_expr/minhash/band_keys expression
+    chain, producing BIT-IDENTICAL shingles, signatures, and band keys
+    (parity pytest-pinned over the real multilingual corpus at two SFs).
+
+    Why it exists: the expression chain runs through interpreted
+    higher-order functions (no codegen) and re-walks every character of
+    every shingle through a per-char fold — the single hottest map in the
+    dedup family (q21/q32/q34/q35/q39). Here the per-shingle hash is one
+    numpy multiply-sum over a utf-32 reinterpret, the NUM_PERM minima are
+    one (perm x shingle) GEMM-shaped min-reduce, and a per-batch shingle
+    memo exploits the near-dup-heavy corpora dedup exists for."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    a_arr = None  # built lazily inside the worker
+    b_arr = None
+
+    def op(batches):
+        nonlocal a_arr, b_arr
+        import numpy as np
+
+        if a_arr is None:
+            a_arr = np.asarray(PERM_A, dtype=np.int64)[:, None]
+            b_arr = np.asarray(PERM_B, dtype=np.int64)[:, None]
+        pow_cache = [1]
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sh_col, bands_col = [], []
+            for text in pdf[text_col]:
+                toks = _py_tokens(text or "")
+                if len(toks) >= k:
+                    seen = dict.fromkeys(
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    )
+                    shingles = list(seen)
+                else:
+                    shingles = [" ".join(toks)]
+                missing = [s for s in shingles if s not in memo]
+                if missing:
+                    hs = _np_polyhash_batch(missing, pow_cache)
+                    memo.update(zip(missing, hs.tolist()))
+                    if len(memo) > 2_000_000:  # bound worker memory
+                        memo.clear()
+                        memo.update(zip(missing, hs.tolist()))
+                h = np.asarray([memo[s] for s in shingles], dtype=np.int64)
+                sig = ((h[None, :] * a_arr + b_arr) % POLY_MOD).min(axis=1)
+                keys = [
+                    "-".join(
+                        [str(b)]
+                        + [
+                            str(int(sig[b * ROWS_PER_BAND + r]))
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(BANDS)
+                ]
+                bands = _np_polyhash_batch(keys, pow_cache)
+                sh_col.append(shingles)
+                bands_col.append(bands.tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sh": sh_col,
+                    "bands": bands_col,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} {id_type}, sh array<string>, bands array<long>"
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
     k: int = SHINGLE_K,
+    path: str = "expr",
 ) -> DataFrame:
     """Verified near-duplicate pairs: LSH candidates whose exact shingle
     Jaccard >= threshold. Verification joins shingle sets back by id (two
@@ -288,18 +416,35 @@ def minhash_dedup_pairs(
     of candidate generation read it from cache instead of re-running the
     NUM_PERM minhash fold. Both caches are O(n·small) — shingle arrays and
     two longs per band row — and are left to Spark's LRU (the returned
-    DataFrame is lazy and still reads them)."""
+    DataFrame is lazy and still reads them).
+
+    ``path``: "expr" (default) derives shingles/signatures/bands through
+    the oracle-shared SQL expressions; "arrow" uses the vectorized
+    ``minhash_rows_arrow`` twin — bit-identical values (parity
+    pytest-pinned over the real corpus), ~2-3x faster derivation on
+    CPU-bound corpora."""
+    if path not in ("expr", "arrow"):
+        raise ValueError(f"path must be expr|arrow, got {path!r}")
     # Spread first: the shingle/signature maps are the expensive interpreted
     # work, and a single-row-group input would otherwise compute them all in
     # one task (no-op at scale — see plans/layout.py).
-    sh = ensure_min_parallelism(df).select(
-        # shingles_expr already returns array_distinct output — no second pass
-        F.col(id_col), shingles_expr(text_col, k).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signature_from_hashes(F.transform(F.col("sh"), polyhash_expr))
-    banded = sh.select(
-        F.col(id_col), F.explode(band_keys_expr(sig)).alias("band_key")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if path == "arrow":
+        rows = minhash_rows_arrow(
+            ensure_min_parallelism(df), text_col, id_col, k
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = rows.select(id_col, "sh")
+        banded = rows.select(
+            F.col(id_col), F.explode("bands").alias("band_key")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sh = ensure_min_parallelism(df).select(
+            # shingles_expr already returns array_distinct output — no second pass
+            F.col(id_col), shingles_expr(text_col, k).alias("sh")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sig = minhash_signature_from_hashes(F.transform(F.col("sh"), polyhash_expr))
+        banded = sh.select(
+            F.col(id_col), F.explode(band_keys_expr(sig)).alias("band_key")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidates(id_col=id_col, banded=banded)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

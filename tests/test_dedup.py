@@ -179,3 +179,43 @@ def test_ngram_jaccard_blocked(spark, corpus):
     assert (0, 1) in pairs
     # cross-block pairs never compared
     assert all(not (a < 3 <= b) for a, b in pairs)
+
+
+def test_minhash_arrow_rows_bit_identical_to_expr(spark):
+    """The vectorized arrow derivation must produce BIT-IDENTICAL
+    shingle sets, signatures, and band keys to the oracle-shared
+    expression chain over the real multilingual corpus — this is the
+    contract that lets the declared queries run the fast path while the
+    DuckDB oracle recomputes the expression form."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh_e = docs.select("doc_id", D.shingles_expr("text").alias("sh"))
+    sig = D.minhash_signature_from_hashes(
+        F.transform(F.col("sh"), D.polyhash_expr)
+    )
+    band_e = sh_e.select("doc_id", D.band_keys_expr(sig).alias("bands"))
+    exp = {
+        r["doc_id"]: (sorted(r["sh"]), list(r["bands"]))
+        for r in sh_e.join(band_e, "doc_id").collect()
+    }
+    arr = {
+        r["doc_id"]: (sorted(r["sh"]), list(r["bands"]))
+        for r in D.minhash_rows_arrow(docs).collect()
+    }
+    assert exp == arr
+
+
+def test_minhash_pairs_paths_agree(spark):
+    """expr and arrow paths return the same verified pair set."""
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda rows: sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in rows
+    )
+    a = key(D.minhash_dedup_pairs(docs, threshold=0.5).collect())
+    b = key(D.minhash_dedup_pairs(docs, threshold=0.5, path="arrow").collect())
+    assert a == b and len(a) > 0

@@ -365,3 +365,36 @@ def test_asof_join_bucketed_property(spark):
         assert plain.equals(bucketed)
 
     check()
+
+
+def test_asof_join_bucketed_null_keys_carry_across_buckets(spark):
+    """Null by keys (the archetypal 'default id' hot key) must carry
+    across bucket borders exactly like the plain path — the boundary join
+    is null-safe."""
+    import datetime as dt
+
+    from dask_glm_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(h):
+        return base + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [(1, None, mk(5)), (2, None, mk(0)), (3, 7, mk(5))],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, None, mk(1), 1.0), (200, 7, mk(1), 2.0)],
+        "rid long, user_id long, ts timestamp, v double",
+    )
+    for kw in ({}, {"bucket_seconds": 3600}):
+        out = {
+            r["lid"]: r["rid_asof"]
+            for r in asof_join(
+                left, right, by="user_id", value_cols=["rid", "v"], **kw
+            ).collect()
+        }
+        # lid=1 (null key, 4 buckets after the right row) matches rid=100;
+        # lid=2 precedes it (no match); lid=3 (key 7) matches rid=200.
+        assert out == {1: 100, 2: None, 3: 200}, (kw, out)
