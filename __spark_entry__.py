@@ -1109,7 +1109,7 @@ def _pq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("source").isin("src6", "src7")
     )
-    pairs = D.ngram_jaccard_pairs(docs, "source", threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(docs, "source", threshold=0.5, path="arrow")
     return pairs.select(
         "blk", "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
     ).orderBy("blk", "id_a", "id_b")

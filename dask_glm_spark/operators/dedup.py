@@ -313,6 +313,52 @@ def _py_tokens(text: str) -> list[str]:
     return re.split(_JAVA_WS, text.lower().strip(" "))
 
 
+def _py_shingles(text: str, k: int) -> list[str]:
+    """EXACTLY shingles_expr's semantics: distinct k-token shingles in
+    first-occurrence order; docs under k tokens contribute the full token
+    string as one shingle."""
+    toks = _py_tokens(text)
+    if len(toks) >= k:
+        return list(
+            dict.fromkeys(
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            )
+        )
+    return [" ".join(toks)]
+
+
+def shingle_rows_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *keep_cols, sh array<string>) — the shingles-only arrow twin
+    (used by the exact-Jaccard family where no signatures are needed);
+    ``keep_cols`` ride through the same pass so no re-attach join is
+    needed."""
+    import pandas as pd
+
+    cols = [id_col, *keep_cols]
+    fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in cols
+    )
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {c: pdf[c] for c in cols}
+            out["sh"] = [_py_shingles(t or "", k) for t in pdf[text_col]]
+            yield pd.DataFrame(out)
+
+    return df.select(*cols, text_col).mapInPandas(
+        op, schema=f"{fields}, sh array<string>"
+    )
+
+
+
 def minhash_rows_arrow(
     df: DataFrame,
     text_col: str = "text",
@@ -352,15 +398,7 @@ def minhash_rows_arrow(
                 continue
             sh_col, bands_col = [], []
             for text in pdf[text_col]:
-                toks = _py_tokens(text or "")
-                if len(toks) >= k:
-                    seen = dict.fromkeys(
-                        " ".join(toks[i : i + k])
-                        for i in range(len(toks) - k + 1)
-                    )
-                    shingles = list(seen)
-                else:
-                    shingles = [" ".join(toks)]
+                shingles = _py_shingles(text or "", k)
                 missing = [s for s in shingles if s not in memo]
                 if missing:
                     hs = _np_polyhash_batch(missing, pow_cache)
@@ -571,6 +609,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
     threshold: float = 0.0,
+    path: str = "expr",
 ) -> DataFrame:
     """Exact shingle-Jaccard for every within-block pair. For corpora with
     a natural partition key (source, domain, date bucket) this is the
@@ -591,12 +630,31 @@ def ngram_jaccard_pairs(
     carried through the join) and the implicit candidate filter (pairs
     sharing zero shingles never materialize). Consequence: with
     ``threshold=0.0`` pairs with Jaccard exactly 0 are OMITTED rather than
-    emitted as zero rows."""
-    sh = ensure_min_parallelism(df).select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col),
-        shingles_expr(text_col, k).alias("sh"),  # already distinct
-    ).withColumn("n", F.size("sh"))
+    emitted as zero rows.
+
+    ``path``: "expr" (default, oracle-shared expressions) or "arrow"
+    (vectorized ``shingle_rows_arrow`` — bit-identical shingles,
+    pytest-pinned)."""
+    if path not in ("expr", "arrow"):
+        raise ValueError(f"path must be expr|arrow, got {path!r}")
+    if path == "arrow":
+        sh = (
+            shingle_rows_arrow(
+                ensure_min_parallelism(df),
+                text_col,
+                id_col,
+                k,
+                keep_cols=(block_col,),
+            )
+            .select(F.col(block_col).alias("blk"), id_col, "sh")
+            .withColumn("n", F.size("sh"))
+        )
+    else:
+        sh = ensure_min_parallelism(df).select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col),
+            shingles_expr(text_col, k).alias("sh"),  # already distinct
+        ).withColumn("n", F.size("sh"))
     # Persisted: BOTH sides of the inverted-index self-join read this
     # projection — without the cache the interpreted shingle build runs
     # twice over the corpus.

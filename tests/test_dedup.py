@@ -219,3 +219,20 @@ def test_minhash_pairs_paths_agree(spark):
     a = key(D.minhash_dedup_pairs(docs, threshold=0.5).collect())
     b = key(D.minhash_dedup_pairs(docs, threshold=0.5, path="arrow").collect())
     assert a == b and len(a) > 0
+
+
+def test_ngram_jaccard_paths_agree(spark):
+    """expr and arrow shingle paths return identical within-block pairs."""
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda rows: sorted(
+        (r["blk"], r["id_a"], r["id_b"], r["jaccard"]) for r in rows
+    )
+    a = key(D.ngram_jaccard_pairs(docs, "source", threshold=0.5).collect())
+    b = key(
+        D.ngram_jaccard_pairs(
+            docs, "source", threshold=0.5, path="arrow"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
