@@ -960,13 +960,18 @@ def _pq_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from dask_glm_spark.operators import dedup as D
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", D.simhash_expr("text").cast("long").alias("simhash")
-    ).orderBy("doc_id")
+    # arrow twin: bit-identical to simhash_expr (parity pytest-pinned)
+    return (
+        D.simhash_rows_arrow(docs)
+        .select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )
 
 
 def _pq_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1074,7 +1079,7 @@ def _pq_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
-    pairs = D.simhash_dedup_pairs(docs, max_hamming=3)
+    pairs = D.simhash_dedup_pairs(docs, max_hamming=3, path="arrow")
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     ).orderBy("id_a", "id_b")

@@ -541,12 +541,65 @@ def hamming_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_rows_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash long) — vectorized twin of ``simhash_expr`` (the 28
+    interpreted per-bit vote folds become ONE numpy (tokens x bits)
+    sign-sum per doc; token hashes share the per-batch memo). Bit-identical
+    values, parity pytest-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    jbits = None
+
+    def op(batches):
+        nonlocal jbits
+        import numpy as np
+
+        if jbits is None:
+            jbits = np.arange(bits, dtype=np.int64)
+        pow_cache = [1]
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for text in pdf[text_col]:
+                toks = list(dict.fromkeys(_py_tokens(text or "")))
+                missing = [t for t in toks if t not in memo]
+                if missing:
+                    hs_new = _np_polyhash_batch(missing, pow_cache)
+                    memo.update(zip(missing, hs_new.tolist()))
+                    if len(memo) > 2_000_000:
+                        memo.clear()
+                        memo.update(zip(missing, hs_new.tolist()))
+                hs = np.asarray([memo[t] for t in toks], dtype=np.int64)
+                votes = (
+                    (((hs[:, None] >> jbits[None, :]) & 1) * 2 - 1).sum(axis=0)
+                    if len(hs)
+                    else np.zeros(bits, dtype=np.int64)
+                )
+                out.append(int(((votes > 0).astype(np.int64) << jbits).sum()))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, schema=f"{id_col} {id_type}, simhash long"
+    )
+
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
+    path: str = "expr",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, banded: the `bits`-bit
     hash splits into (max_hamming+1) bands; any pair within `max_hamming`
@@ -557,9 +610,16 @@ def simhash_dedup_pairs(
     # Spread (no-op at scale) THEN hash: the 32 interpreted bit-fold
     # expressions dominate; both join sides below reuse the persisted
     # banded projection instead of re-hashing every doc.
-    sh = ensure_min_parallelism(df).select(
-        F.col(id_col), simhash_expr(text_col, bits).alias("simhash")
-    )
+    if path not in ("expr", "arrow"):
+        raise ValueError(f"path must be expr|arrow, got {path!r}")
+    if path == "arrow":
+        sh = simhash_rows_arrow(
+            ensure_min_parallelism(df), text_col, id_col, bits
+        )
+    else:
+        sh = ensure_min_parallelism(df).select(
+            F.col(id_col), simhash_expr(text_col, bits).alias("simhash")
+        )
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[

@@ -236,3 +236,23 @@ def test_ngram_jaccard_paths_agree(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_simhash_arrow_bit_identical_and_pairs_agree(spark):
+    """simhash_rows_arrow == simhash_expr per doc over the real corpus;
+    banded pair sets agree between paths."""
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", D.simhash_expr("text").alias("sh")
+        ).collect()
+    }
+    b = {r["doc_id"]: r["simhash"] for r in D.simhash_rows_arrow(docs).collect()}
+    assert a == b
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(D.simhash_dedup_pairs(docs).collect()) == key(
+        D.simhash_dedup_pairs(docs, path="arrow").collect()
+    )
