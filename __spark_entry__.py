@@ -31,7 +31,7 @@ SIG = f"(1/(1+exp(-{XB})))"
 # glm derivation — identical text in Spark SQL and DuckDB (FIXTURES.md §A).
 GLM = """glm AS (
   SELECT
-    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS id,
+    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag) AS BIGINT) AS id,
     l_quantity * 1.0        AS f1,
     l_extendedprice / 1e4   AS f2,
     l_discount * 10.0       AS f3,
@@ -1535,6 +1535,16 @@ def _glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_glm(spark, sf_dir)
 
 
+def _glm_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four row-addressed queries (q01/q10/q14/q15) read ONLY ids
+    1..100, so they use the TakeOrdered head instead of dragging the
+    whole table through a single-partition row_number sort (round 6 —
+    values identical, pytest-pinned in tests/test_ingest.py)."""
+    from dask_glm_spark.sources.glm_source import load_glm_top
+
+    return load_glm_top(spark, sf_dir, 100)
+
+
 def _glm_nosort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The glm relation WITHOUT the row_number id: a pure narrow map over
     the pruned scan. Used by every aggregate-only query (sums are
@@ -1572,13 +1582,12 @@ def _q_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dask_glm_spark.functions import kernels
 
-    df = _glm(spark, sf_dir)
+    df = _glm_top100(spark, sf_dir)
     return (
         df.select(
             "id", F.round(kernels.matvec_expr(BETA), 6).cast("double").alias("xb")
         )
         .orderBy("id")
-        .limit(100)
     )
 
 
@@ -1655,7 +1664,7 @@ def _q_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.functions import kernels
     from dask_glm_spark.functions.families import sigmoid_expr
 
-    df = _glm(spark, sf_dir)
+    df = _glm_top100(spark, sf_dir)
     return (
         df.select(
             "id",
@@ -1664,7 +1673,6 @@ def _q_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sig"),
         )
         .orderBy("id")
-        .limit(100)
     )
 
 
@@ -1712,7 +1720,7 @@ def _q_add_intercept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dask_glm_spark.functions import kernels
 
-    df = kernels.add_intercept(_glm(spark, sf_dir))
+    df = kernels.add_intercept(_glm_top100(spark, sf_dir))
     fc = F.col("features")
     return (
         df.select(
@@ -1724,7 +1732,6 @@ def _q_add_intercept(spark: SparkSession, sf_dir: str) -> DataFrame:
             fc[4].alias("icpt"),
         )
         .orderBy("id")
-        .limit(100)
     )
 
 
@@ -1733,11 +1740,13 @@ def _q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dask_glm_spark.functions import kernels
 
-    df = _glm(spark, sf_dir)
-    mean, std = kernels.column_moments(df, p=4)
+    # moments over the FULL table (aggregate — no order needed); the
+    # standardized rows come from the TakeOrdered head
+    mean, std = kernels.column_moments(_glm_nosort(spark, sf_dir), p=4)
     z = kernels.standardize_expr(mean, std)
     return (
-        df.withColumn("z", z)
+        _glm_top100(spark, sf_dir)
+        .withColumn("z", z)
         .select(
             "id",
             *[
@@ -1746,7 +1755,6 @@ def _q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         .orderBy("id")
-        .limit(100)
     )
 
 

@@ -12,8 +12,8 @@ reference's X/y chunk-alignment hazard by construction.
 
 The `glm` view (FIXTURES.md §A) is derived from the driver's lineitem
 table identically in Spark and DuckDB so kernel queries can be
-oracle-checked. The ``id`` from ``row_number() OVER (ORDER BY l_orderkey,
-l_linenumber)`` exists for oracle determinism; the solver path never uses
+oracle-checked. The ``id`` from ``row_number() OVER (ORDER BY
+GLM_ID_ORDER)`` exists for oracle determinism; the solver path never uses
 it (a global sort at 100 TB would be wrong — real pipelines carry a
 source-provided key).
 """
@@ -25,11 +25,23 @@ from pyspark.sql import functions as F
 
 FEATURE_COLS = ["f1", "f2", "f3", "f4"]
 
+# The id's ORDER BY key, extended past (l_orderkey, l_linenumber) with every
+# payload column the glm derivation reads: the synthetic lineitem has ~20%
+# DUPLICATE (orderkey, linenumber) pairs, so the short key left row_number's
+# tie order engine/plan-dependent — the old green-ness silently relied on
+# both engines stable-sorting in parquet file order, which a distributed
+# TakeOrdered breaks. With the full key, remaining ties are rows identical
+# in every derived value, so any tie order is value-deterministic (round 6).
+GLM_ID_ORDER = [
+    "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag",
+]
+
 # SQL text shared verbatim between Spark SQL and the DuckDB oracle
 # (FIXTURES.md §A). Keep engine-portable: ANSI expressions only.
 GLM_VIEW_SQL = """
 SELECT
-  CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS id,
+  CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag) AS BIGINT) AS id,
   l_quantity * 1.0        AS f1,
   l_extendedprice / 1e4   AS f2,
   l_discount * 10.0       AS f3,
@@ -120,6 +132,30 @@ def load_glm(spark: SparkSession, sf_dir: str, with_features_array: bool = True)
     """The oracle-parity glm table (includes the row_number id)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     df = spark.sql(GLM_VIEW_SQL)
+    if with_features_array:
+        df = df.withColumn("features", F.array(*[F.col(c) for c in FEATURE_COLS]))
+    return df
+
+
+def load_glm_top(
+    spark: SparkSession, sf_dir: str, n: int, with_features_array: bool = True
+) -> DataFrame:
+    """First ``n`` glm rows (id = 1..n) WITHOUT the full-table
+    single-partition row_number sort: a distributed TakeOrdered on the
+    value-deterministic GLM_ID_ORDER key pulls the n head rows
+    (per-partition top-n heaps, driver merge of k*n candidates), and the
+    row_number then runs over just those n. Values are identical to
+    ``load_glm(...).orderBy('id').limit(n)`` — pytest-pinned — with the
+    plan a 100 TB table needs: the global total order only ever existed
+    to ADDRESS the first n rows."""
+    top = (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy(*GLM_ID_ORDER)
+        .limit(int(n))
+    )
+    view = "lineitem_glm_top"
+    top.createOrReplaceTempView(view)
+    df = spark.sql(GLM_VIEW_SQL.replace("FROM lineitem", f"FROM {view}"))
     if with_features_array:
         df = df.withColumn("features", F.array(*[F.col(c) for c in FEATURE_COLS]))
     return df

@@ -97,3 +97,21 @@ def test_orc_roundtrip_and_fit(spark, tmp_path_factory):
     assert df.count() == 400
     lr = LogisticRegression(solver="lbfgs", regularizer=None, max_iter=20).fit(df)
     assert lr.score(df) > 0.8
+
+
+def test_load_glm_top_matches_global_sort(spark):
+    """load_glm_top(n) == load_glm().orderBy(id).limit(n) value-for-value
+    — the TakeOrdered head replaces the single-partition row_number sort
+    for the row-addressed gate queries."""
+    from dask_glm_spark.sources.glm_source import load_glm, load_glm_top
+
+    sf = "/root/testdata/sf0.001"
+    want = [
+        tuple(r)
+        for r in load_glm(spark, sf).orderBy("id").limit(25).drop("features").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in load_glm_top(spark, sf, 25).orderBy("id").drop("features").collect()
+    ]
+    assert got == want and len(got) == 25
