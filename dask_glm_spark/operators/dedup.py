@@ -305,7 +305,7 @@ _JAVA_WS = "[ \t\n\x0b\f\r]+"  # java regex \s+ (ASCII classes only)
 
 
 def _py_tokens(text: str) -> list[str]:
-    """EXACTLY tokens_expr's semantics: lower -> trim (0x20 only, like
+    r"""EXACTLY tokens_expr's semantics: lower -> trim (0x20 only, like
     UTF8String.trim) -> split on java \s+ keeping leading/trailing empty
     tokens (Spark F.split uses limit -1)."""
     import re

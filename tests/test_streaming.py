@@ -317,3 +317,69 @@ def test_sessionize_stream_far_early_event_forms_own_session(
         (mk(-120), mk(-120), 1),
         (mk(0), mk(10), 2),
     ]
+
+
+def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path_factory):
+    """The stream enrichment over an in-order tagged stream equals the
+    batch asof_join (backward, left semantics, right-wins-at-equal-ts),
+    and state stays two reference rows per key."""
+    import datetime as dt
+
+    from dask_glm_spark.operators.joins import asof_join
+    from dask_glm_spark.streaming.enrich import asof_enrich_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(m):
+        return base + dt.timedelta(minutes=m)
+
+    # reference updates (side=r) and events (side=l) for two keys
+    rrows = [
+        (None, 1, mk(0), "r", 10.0),
+        (None, 1, mk(30), "r", 20.0),
+        (None, 2, mk(10), "r", 99.0),
+    ]
+    lrows = [
+        (100, 1, mk(5), "l", None),    # after r@0  -> 10.0
+        (101, 1, mk(30), "l", None),   # ties r@30  -> 20.0 (right first)
+        (102, 1, mk(45), "l", None),   # after r@30 -> 20.0
+        (103, 2, mk(5), "l", None),    # before any r -> NULL
+        (104, 3, mk(5), "l", None),    # key never updated -> NULL
+    ]
+    schema = "event_id long, user_id long, ts timestamp, side string, price double"
+    d = str(tmp_path_factory.mktemp("enrich_stream"))
+    # two microbatches, in event-time order
+    spark.createDataFrame(rrows[:1] + lrows[:1], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/b=0")
+    spark.createDataFrame(rrows[1:] + lrows[1:], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/b=1")
+    sch = spark.read.parquet(f"{d}/b=0").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b=*")
+    )
+    out = asof_enrich_stream(stream, ["price"])
+    SC.run_stream_to_memory(out, "enrich_stream_test", mode="append")
+    got = {
+        r["event_id"]: r["price_asof"]
+        for r in spark.table("enrich_stream_test").collect()
+    }
+    # batch oracle on the same data
+    left = spark.createDataFrame(
+        [(e, u, t) for e, u, t, _, _ in lrows],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(u, t, p) for _, u, t, _, p in rrows],
+        "user_id long, ts timestamp, price double",
+    )
+    want = {
+        r["event_id"]: r["price_asof"]
+        for r in asof_join(left, right, value_cols=["price"]).collect()
+    }
+    as_f = lambda v: None if v is None else float(v)
+    assert {k: as_f(v) for k, v in got.items()} == want
+    assert len(got) == 5
