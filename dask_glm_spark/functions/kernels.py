@@ -394,9 +394,20 @@ def column_moments_full(
 def column_moments(
     df: DataFrame, p: int | None = None, features_col: str = "features"
 ) -> tuple[np.ndarray, np.ndarray]:
-    _, mean, std = column_moments_full(df, features_col)
-    if p is not None and len(mean) != p:
-        raise ValueError(f"expected p={p} features, found {len(mean)}")
+    """One-shot moments. With ``p`` given: the p-wide codegen aggregate
+    (stddev_pop — JVM-only, fastest over an uncached scan; the q09/q15
+    gate shape). Without ``p``: delegates to the fused Arrow pass, which
+    discovers p. Parity between the two forms is pytest-pinned (same
+    population std to ~1e-13)."""
+    if p is None:
+        _, mean, std = column_moments_full(df, features_col)
+        return mean, std
+    fcol = F.col(features_col)
+    aggs = [F.avg(fcol[j]).alias(f"m{j}") for j in range(p)]
+    aggs += [F.stddev_pop(fcol[j]).alias(f"s{j}") for j in range(p)]
+    row = df.agg(*aggs).collect()[0]
+    mean = np.array([row[f"m{j}"] for j in range(p)])
+    std = np.array([row[f"s{j}"] for j in range(p)])
     return mean, std
 
 

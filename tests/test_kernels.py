@@ -159,3 +159,14 @@ def test_poisson_deviance_zero_pred_not_silently_dropped(spark):
     df2 = spark.createDataFrame([(0.0, 0.0), (1.0, 1.0)], "y double, mu double")
     v2 = metrics.poisson_deviance(df2, "y", "mu")
     assert math.isnan(v2)
+
+
+def test_moments_fused_matches_codegen_agg(data):
+    """The fused Arrow pass (solver preamble) and the p-wide codegen
+    aggregate (one-shot gate shape) agree on mean/std and the row count."""
+    df, X, y = data
+    n, mean_a, std_a = kernels.column_moments_full(df)
+    mean_s, std_s = kernels.column_moments(df, 4)
+    assert n == len(X)
+    np.testing.assert_allclose(mean_a, mean_s, rtol=1e-12)
+    np.testing.assert_allclose(std_a, std_s, rtol=1e-11)
