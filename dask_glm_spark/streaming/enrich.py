@@ -53,9 +53,13 @@ def asof_enrich_stream(
     flat); values are parsed back to their column types by the output
     schema cast.
     """
+    # id/key types ride through generically (the multimodal id-type lesson,
+    # ADVICE r5) — string event ids / keys work unchanged
+    id_type = tagged.schema[id_col].dataType.simpleString()
+    by_type = tagged.schema[by].dataType.simpleString()
     out_fields = ", ".join(f"{c}{suffix} string" for c in value_cols)
     schema = (
-        f"{id_col} long, {by} long, {time_col} timestamp, {out_fields}"
+        f"{id_col} {id_type}, {by} {by_type}, {time_col} timestamp, {out_fields}"
     )
 
     def fn(
@@ -103,7 +107,7 @@ def asof_enrich_stream(
             )
             out_rows.append(
                 (
-                    int(getattr(row, id_col)),
+                    getattr(row, id_col),
                     key_val,
                     getattr(row, time_col),
                     *[
