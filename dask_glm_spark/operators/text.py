@@ -86,38 +86,76 @@ def regex_token_count_expr(text: Column | str) -> Column:
 WORD_DELIMS_RE = r"[\t\n\r.,;:!?]"
 
 
+def _let(value: Column, body) -> Column:
+    """Evaluate ``value`` once and bind it into ``body`` (single-element
+    ``transform`` trick — same helper as operators/dedup). Without it,
+    every marker-word probe re-inlines its own regexp_replace(lower(...))
+    normalization of the whole document: langid's 25 probes plus quality's
+    5 re-normalized the text 30x per row (measured 2.8 s for the q39
+    filter at sf0.1 — round 6)."""
+    return F.transform(F.array(value), body)[0]
+
+
+def _padded_norm(text: Column) -> Column:
+    """The shared probe target: delimiter-normalized, lowercased,
+    space-padded text — computed ONCE per row via ``_let``."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(text), WORD_DELIMS_RE, " "),
+        F.lit(" "),
+    )
+
+
 def _contains_word(text: Column, word: str) -> Column:
     """Word-boundary membership via space padding over the
-    delimiter-normalized text."""
-    normalized = F.regexp_replace(F.lower(text), WORD_DELIMS_RE, " ")
-    padded = F.concat(F.lit(" "), normalized, F.lit(" "))
-    return F.instr(padded, f" {word} ") > 0
+    delimiter-normalized text. (Standalone form — the batch probe sets in
+    ``langid_expr``/``quality_score_expr`` bind the normalization once
+    instead.)"""
+    return F.instr(_padded_norm(text), f" {word} ") > 0
+
+
+def _scores_of(padded: Column) -> dict[str, Column]:
+    out: dict[str, Column] = {}
+    for lang, words in MARKER_WORDS.items():
+        hits = [(F.instr(padded, f" {w} ") > 0).cast("int") for w in words]
+        out[lang] = _reduce(lambda a, b: a + b, hits)
+    return out
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Per-language marker-presence scores (0..len(markers))."""
     c = F.col(text) if isinstance(text, str) else text
-    out: dict[str, Column] = {}
-    for lang, words in MARKER_WORDS.items():
-        hits = [_contains_word(c, w).cast("int") for w in words]
-        out[lang] = _reduce(lambda a, b: a + b, hits)
-    return out
+
+    # one dict of columns; each column independently let-binds the shared
+    # normalization (5 evals instead of 25 when all five are selected).
+    # Closure factory, NOT a lang=lang default arg: transform() inspects
+    # the lambda's arity and a second parameter would be fed the array
+    # index instead.
+    def one(lang: str) -> Column:
+        return _let(_padded_norm(c), lambda p: _scores_of(p)[lang])
+
+    return {lang: one(lang) for lang in MARKER_WORDS}
 
 
 def langid_expr(text: Column | str) -> Column:
     """argmax of marker scores; deterministic tie-break by LANG_ORDER.
 
-    At 100 TB this is a pure narrow map (a handful of substring probes per
-    row, all codegen'd) — no shuffle, no Python.
+    At 100 TB this is a pure narrow map (ONE delimiter normalization per
+    row + a handful of substring probes) — no shuffle, no Python.
     """
-    scores = lang_scores(text)
-    expr: Column = F.lit(LANG_ORDER[-1])
-    # Build CASE chain back-to-front so earlier languages win ties.
-    for lang in reversed(LANG_ORDER[:-1]):
-        later = [scores[o] for o in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
-        cond = _reduce(lambda a, b: a & b, [scores[lang] >= o for o in later])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    c = F.col(text) if isinstance(text, str) else text
+
+    def body(padded: Column) -> Column:
+        scores = _scores_of(padded)
+        expr: Column = F.lit(LANG_ORDER[-1])
+        # Build CASE chain back-to-front so earlier languages win ties.
+        for lang in reversed(LANG_ORDER[:-1]):
+            later = [scores[o] for o in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
+            cond = _reduce(lambda a, b: a & b, [scores[lang] >= o for o in later])
+            expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        return expr
+
+    return _let(_padded_norm(c), body)
 
 
 def quality_score_expr(text: Column | str) -> Column:
@@ -128,7 +166,9 @@ def quality_score_expr(text: Column | str) -> Column:
             + 0.3 * (alpha-or-space chars / chars)
     """
     c = F.col(text) if isinstance(text, str) else text
-    stop = lang_scores(c)["en"].cast("double") / float(len(MARKER_WORDS["en"]))
+    stop = _let(
+        _padded_norm(c), lambda p: _scores_of(p)["en"]
+    ).cast("double") / float(len(MARKER_WORDS["en"]))
     n_tok = token_count_expr(c).cast("double")
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z ]", ""))
