@@ -198,3 +198,39 @@ def test_pushed_filters_keeps_in_lists_whole(spark):
     pf = audit.pushed_filters(df)
     assert any(p.startswith("In(l_returnflag") and p.endswith("])") for p in pf)
     assert any("l_shipdate" in p for p in pf)
+
+
+def test_load_glm_top_is_take_ordered_not_global_sort(spark):
+    """Round-6 plan pin: the row-addressed head uses a distributed
+    TakeOrdered (per-partition top-n), never a full-table global sort
+    feeding the row_number window — at 100 TB the old shape dragged the
+    whole table into one task."""
+    from dask_glm_spark.sources.glm_source import load_glm_top
+
+    df = load_glm_top(spark, "/root/testdata/sf0.001", 100)
+    plan = audit.explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_arrow_rows_zero_shuffle(spark):
+    """Round-6 plan pin: the arrow MinHash derivation is ONE narrow
+    python map over the scan — zero exchanges before the band explode."""
+    from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = D.minhash_rows_arrow(docs)
+    assert audit.count_exchanges(rows) == 0
+
+
+def test_langid_single_normalization(spark):
+    """Round-6 plan pin: langid/quality carry ONE regexp_replace
+    normalization each (let-bound), not one per marker probe — 30
+    re-inlined normalizations cost 2.8 s on the q39 filter at sf0.1."""
+    from dask_glm_spark.operators import text as T
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = docs.select(T.langid_expr("text").alias("lang"))
+    plan = audit.explain_str(df, "simple")  # physical plan only
+    assert plan.count("regexp_replace") == 1
