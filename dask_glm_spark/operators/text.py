@@ -667,3 +667,64 @@ def tfidf_features(
         else _idf_literals(n_docs, idf_map, num_features)
     )
     return _dense_pivot(counts, id_col, num_features, scale=idf)
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50_000,
+    oov_logp: float | None = None,
+) -> DataFrame:
+    """Per-doc mean unigram log-probability — the classic model-based
+    quality signal (CCNet-style filtering, with the corpus's own unigram
+    LM standing in for KenLM): fluent in-domain text scores high,
+    gibberish and boilerplate-mix score low.
+
+    (id, n_tokens, mean_logp): p(tok) = corpus_count/total over ALL
+    tokens; only the ``top_k`` most frequent tokens ride the broadcast
+    (bounded at any corpus size — a Zipf tail adds nothing to the
+    signal), everything else scores ``oov_logp`` (default: half the
+    rarest possible count, ln(0.5/total)).
+
+    Plan shape at 100 TB: one wordcount aggregate (map-side combine) for
+    the model + one driver scalar, then scoring is explode (narrow) ->
+    BROADCAST join on the token -> one groupBy(id) average — a single
+    doc-keyed shuffle; no vocabulary-sized per-doc state anywhere.
+    Deterministic: vocab truncation ties break by token, and the model
+    depends only on corpus content.
+    """
+    import math
+
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    tok = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c")).first()[0] or 0
+    if total == 0:
+        # empty corpus: every doc reports zero tokens
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("mean_logp"),
+        )
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(int(top_k))
+        .select(
+            "tok", F.log(F.col("c") / F.lit(float(total))).alias("logp")
+        )
+    )
+    if oov_logp is None:
+        oov_logp = math.log(0.5 / total)
+    scored = tok.join(F.broadcast(vocab), "tok", "left")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.coalesce("logp", F.lit(float(oov_logp)))), 6)
+        .cast("double")
+        .alias("mean_logp"),
+    )

@@ -250,3 +250,51 @@ def test_tfidf_high_dim_smoke(spark):
     out = T.tfidf_features(docs, num_features=1 << 18, path="arrow")
     row = out.select(F.size("features").alias("n")).first()
     assert row["n"] == 1 << 18
+
+
+def test_unigram_logprob_scores_hand_computed(spark):
+    """4-token corpus: p(a)=3/6, p(b)=2/6, p(c)=1/6; doc scores are the
+    mean token log-probs; OOV floor applies under vocab truncation."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+        for r in T.unigram_logprob_scores(docs).collect()
+    }
+    lp = lambda n: math.log(n / 6.0)
+    assert out[1][0] == 3
+    assert out[1][1] == pytest.approx(round((2 * lp(3) + lp(2)) / 3, 6), abs=1e-9)
+    assert out[2][1] == pytest.approx(
+        round((lp(3) + lp(2) + lp(1)) / 3, 6), abs=1e-9
+    )
+    assert 3 not in out  # zero-token doc emits no score row
+
+    # top_k=1 keeps only 'a'; b and c fall to the OOV floor ln(0.5/6)
+    out1 = {
+        r["doc_id"]: r["mean_logp"]
+        for r in T.unigram_logprob_scores(docs, top_k=1).collect()
+    }
+    floor = math.log(0.5 / 6.0)
+    assert out1[2] == pytest.approx(round((lp(3) + 2 * floor) / 3, 6), abs=1e-9)
+
+
+def test_unigram_logprob_scores_real_corpus_broadcast(spark):
+    """Real corpus smoke: scores are finite/negative, the vocab side is
+    broadcast (no vocabulary-sized shuffle), and results are
+    partitioning-independent."""
+    from dask_glm_spark.plans import audit
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = T.unigram_logprob_scores(docs)
+    assert audit.has_broadcast(out)
+    a = {r["doc_id"]: r["mean_logp"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["mean_logp"]
+        for r in T.unigram_logprob_scores(docs.repartition(7)).collect()
+    }
+    assert a == b and all(v < 0 for v in a.values())
