@@ -364,6 +364,7 @@ def minhash_rows_arrow(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
+    memo_cap: int = 2_000_000,
 ) -> DataFrame:
     """(id, sh array<string>, bands array<long>) in ONE mapInPandas pass —
     the vectorized twin of the shingles_expr/minhash/band_keys expression
@@ -403,10 +404,14 @@ def minhash_rows_arrow(
                 if missing:
                     hs = _np_polyhash_batch(missing, pow_cache)
                     memo.update(zip(missing, hs.tolist()))
-                    if len(memo) > 2_000_000:  # bound worker memory
-                        memo.clear()
-                        memo.update(zip(missing, hs.tolist()))
                 h = np.asarray([memo[s] for s in shingles], dtype=np.int64)
+                if len(memo) > memo_cap:  # bound worker memory
+                    # Repopulate with the CURRENT doc's full hash set (looked
+                    # up above, before the clear) so the next doc's overlap
+                    # with this one still hits; clearing to only `missing`
+                    # would KeyError on previously-memoized shingles.
+                    memo.clear()
+                    memo.update(zip(shingles, h.tolist()))
                 sig = ((h[None, :] * a_arr + b_arr) % POLY_MOD).min(axis=1)
                 keys = [
                     "-".join(
@@ -546,6 +551,7 @@ def simhash_rows_arrow(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
+    memo_cap: int = 2_000_000,
 ) -> DataFrame:
     """(id, simhash long) — vectorized twin of ``simhash_expr`` (the 28
     interpreted per-bit vote folds become ONE numpy (tokens x bits)
@@ -575,10 +581,11 @@ def simhash_rows_arrow(
                 if missing:
                     hs_new = _np_polyhash_batch(missing, pow_cache)
                     memo.update(zip(missing, hs_new.tolist()))
-                    if len(memo) > 2_000_000:
-                        memo.clear()
-                        memo.update(zip(missing, hs_new.tolist()))
                 hs = np.asarray([memo[t] for t in toks], dtype=np.int64)
+                if len(memo) > memo_cap:
+                    # Full-doc repopulate after lookup — see minhash twin.
+                    memo.clear()
+                    memo.update(zip(toks, hs.tolist()))
                 votes = (
                     (((hs[:, None] >> jbits[None, :]) & 1) * 2 - 1).sum(axis=0)
                     if len(hs)

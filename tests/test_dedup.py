@@ -256,3 +256,31 @@ def test_simhash_arrow_bit_identical_and_pairs_agree(spark):
     assert key(D.simhash_dedup_pairs(docs).collect()) == key(
         D.simhash_dedup_pairs(docs, path="arrow").collect()
     )
+
+
+def test_arrow_memo_cap_trip_keeps_parity(spark):
+    """Regression (ADVICE r6, high): when the per-task shingle/token memo
+    crosses its cap mid-stream, previously-memoized hashes of the CURRENT
+    doc must still resolve — the old clear-and-relookup raised KeyError on
+    any shingle seen before the clear. A tiny cap (5) trips the branch on
+    every near-dup doc; values must equal the uncapped run bit-for-bit."""
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    base_mh = {
+        r["doc_id"]: (sorted(r["sh"]), list(r["bands"]))
+        for r in D.minhash_rows_arrow(docs).collect()
+    }
+    capped_mh = {
+        r["doc_id"]: (sorted(r["sh"]), list(r["bands"]))
+        for r in D.minhash_rows_arrow(docs, memo_cap=5).collect()
+    }
+    assert base_mh == capped_mh and len(base_mh) > 0
+    base_sh = {
+        r["doc_id"]: r["simhash"] for r in D.simhash_rows_arrow(docs).collect()
+    }
+    capped_sh = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_rows_arrow(docs, memo_cap=5).collect()
+    }
+    assert base_sh == capped_sh
