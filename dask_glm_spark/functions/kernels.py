@@ -89,15 +89,22 @@ TREE_MERGE_THRESHOLD = 256
 TREE_FANIN = 64
 
 
-def _sum_partial_rows(rows: Iterable, columns: list[str]) -> dict:
+def _sum_partial_rows(
+    rows: Iterable, columns: list[str], merges: dict | None = None
+) -> dict:
     """Fold partial rows (already sorted by pid) column-wise: arrays sum
-    element-wise, scalars add."""
+    element-wise, scalars add; a per-column entry in ``merges`` overrides
+    the combine (e.g. np.minimum for a running min)."""
     acc: dict = {}
     for r in rows:
         for c in columns:
             v = r[c]
             v = np.asarray(v, dtype=np.float64) if isinstance(v, (list, tuple)) else v
-            acc[c] = v if c not in acc else acc[c] + v
+            if c not in acc:
+                acc[c] = v
+            else:
+                m = merges.get(c) if merges else None
+                acc[c] = m(acc[c], v) if m is not None else acc[c] + v
     return acc
 
 
@@ -106,6 +113,7 @@ def _arrow_partials_generic(
     batch_partial_fn,
     out_fields: str,
     tree_threshold: int | None = None,
+    merges: dict | None = None,
 ) -> list:
     """Run ``batch_partial_fn(pdf) -> dict`` per Arrow batch, sum within the
     partition, one output row per partition.
@@ -134,7 +142,8 @@ def _arrow_partials_generic(
                 acc = part
             else:
                 for k, v in part.items():
-                    acc[k] = acc[k] + v
+                    m = merges.get(k) if merges else None
+                    acc[k] = m(acc[k], v) if m is not None else acc[k] + v
         if acc is not None:
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
@@ -159,7 +168,7 @@ def _arrow_partials_generic(
             if not rows:
                 return
             rows.sort(key=lambda r: r["pid"])
-            acc = _sum_partial_rows(rows, value_cols)
+            acc = _sum_partial_rows(rows, value_cols, merges)
             row = {"pid": [int(rows[0]["pid"])]}
             for c in value_cols:
                 v = acc[c]
@@ -357,12 +366,14 @@ def column_moments_full(
     Previously every fit paid three small jobs before iterating (infer_p
     probe + a p-wide codegen agg + admm's row count); on this box each job
     has a ~0.2 s scheduling floor, so the fusion is ~0.5 s off every fit
-    wall (round 6). Partials (n, Σx, Σx²) merge driver-side in sorted-pid
-    order (run-invariant); std is the population form
-    sqrt(max(Σx²/n − mean², 0)) — within ~1e-13 relative of stddev_pop at
-    GLM feature magnitudes, and EXACTLY 0 for the appended intercept-ones
-    column (sums of 1.0 are fp-exact), preserving normalize's
-    constant-column detection contract."""
+    wall (round 6). Partials (n, Σx, Σx², min, max) merge driver-side in
+    sorted-pid order (run-invariant); std is the population form
+    sqrt(max(Σx²/n − mean², 0)), then forced to EXACTLY 0.0 wherever
+    min == max: the non-central form is fp-exact-zero only for the
+    all-ones intercept column, so a constant non-one column could yield a
+    tiny nonzero std and silently evade normalize()'s constant-column
+    detection (intercept identification / multi-constant error) — the
+    min/max probe rides the same scan for free (ADVICE r6)."""
 
     def batch_partial(pdf: pd.DataFrame) -> dict:
         X = _features_matrix(pdf, features_col)
@@ -370,25 +381,35 @@ def column_moments_full(
             "n": np.float64(len(X)),
             "s": X.sum(axis=0),
             "ss": (X * X).sum(axis=0),
+            "mn": X.min(axis=0),  # generic op skips empty batches
+            "mx": X.max(axis=0),
         }
 
     rows = _arrow_partials_generic(
         df.select(features_col),
         batch_partial,
-        "n double, s array<double>, ss array<double>",
+        "n double, s array<double>, ss array<double>, "
+        "mn array<double>, mx array<double>",
+        merges={"mn": np.minimum, "mx": np.maximum},
     )
     if not rows:
         raise ValueError("empty input DataFrame")
     n = 0.0
     s = np.zeros(len(rows[0]["s"]))
     ss = np.zeros_like(s)
+    mn = np.full_like(s, np.inf)
+    mx = np.full_like(s, -np.inf)
     for r in rows:  # rows arrive pid-sorted: deterministic fold order
         n += r["n"]
         s += np.asarray(r["s"])
         ss += np.asarray(r["ss"])
+        mn = np.minimum(mn, np.asarray(r["mn"]))
+        mx = np.maximum(mx, np.asarray(r["mx"]))
     mean = s / n
     var = np.maximum(ss / n - mean * mean, 0.0)
-    return int(n), mean, np.sqrt(var)
+    std = np.sqrt(var)
+    std[mn == mx] = 0.0  # constant columns: exact zero, robustly
+    return int(n), mean, std
 
 
 def column_moments(

@@ -375,20 +375,36 @@ class MulticlassLogisticRegression(_GLM):
         )
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
+        from dask_glm_spark.operators.text import _let
+
         df_ = self._maybe_add_intercept(df)
-        scores = self._scores_expr()
-        total = F.aggregate(scores, F.lit(0.0), lambda a, x: a + x)
-        return df_.withColumn(
-            "probabilities", F.transform(scores, lambda x: x / total)
+        # Let-bind the k-class score array ONCE, then the total ONCE:
+        # unbound, Catalyst re-inlines the k sigmoid(matvec) expressions at
+        # every reference, evaluating the score array ~k+2 times per row
+        # (ADVICE r6).
+        probs = _let(
+            self._scores_expr(),
+            lambda s: _let(
+                F.aggregate(s, F.lit(0.0), lambda a, x: a + x),
+                lambda total: F.transform(s, lambda x: x / total),
+            ),
         )
+        return df_.withColumn("probabilities", probs)
 
     def predict(self, df: DataFrame) -> DataFrame:
+        from dask_glm_spark.operators.text import _let
+
         df_ = self._maybe_add_intercept(df)
-        scores = self._scores_expr()
         cls = F.array(*[F.lit(c) for c in self.classes_])
-        # first max wins: deterministic tie-break by class order
-        idx = F.array_position(scores, F.array_max(scores)).cast("int")
-        return df_.withColumn("prediction", F.element_at(cls, idx))
+        # first max wins: deterministic tie-break by class order; scores
+        # bound once (two references otherwise each re-evaluate k matvecs)
+        pred = _let(
+            self._scores_expr(),
+            lambda s: F.element_at(
+                cls, F.array_position(s, F.array_max(s)).cast("int")
+            ),
+        )
+        return df_.withColumn("prediction", pred)
 
     def score(self, df: DataFrame) -> float:
         pred = self.predict(df)

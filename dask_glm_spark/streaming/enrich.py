@@ -66,10 +66,14 @@ def asof_enrich_stream(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (key_val,) = key
+        # Absence is marked by p == "" (json.dumps never returns ""), NOT
+        # by a ts sentinel: comparing against -1 silently refused to store
+        # or match pre-epoch (negative-micros) timestamps, diverging from
+        # the batch asof_join which handles arbitrary ts (ADVICE r6).
         if state.exists:
             ts0, p0, ts1, p1 = state.get
         else:
-            ts0, p0, ts1, p1 = -1, "", -1, ""
+            ts0, p0, ts1, p1 = 0, "", 0, ""
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             state.update((ts0, p0, ts1, p1))
@@ -88,15 +92,15 @@ def asof_enrich_stream(
                 payload = json.dumps(
                     {c: getattr(row, c) for c in value_cols}, default=str
                 )
-                if ts_us >= ts1:
+                if p1 == "" or ts_us >= ts1:
                     ts0, p0, ts1, p1 = ts1, p1, ts_us, payload
-                elif ts_us >= ts0:
+                elif p0 == "" or ts_us >= ts0:
                     ts0, p0 = ts_us, payload
                 continue
             # event: newest reference at-or-before
-            if ts1 >= 0 and ts_us >= ts1:
+            if p1 != "" and ts_us >= ts1:
                 chosen = p1
-            elif ts0 >= 0 and ts_us >= ts0:
+            elif p0 != "" and ts_us >= ts0:
                 chosen = p0
             else:
                 chosen = None

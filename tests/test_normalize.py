@@ -66,3 +66,35 @@ def test_normalize_no_constant_column_scales_only(spark):
     spy(df)
     # scale-only: first row = X[0]/std = [1/1, 10/10] = [1, 1]
     np.testing.assert_allclose(captured["first"], [1.0, 1.0])
+
+
+def test_constant_nonone_column_detected_exactly(spark):
+    """Regression (ADVICE r6): a constant NON-one column whose non-central
+    variance doesn't cancel fp-exactly must still be detected as std==0 —
+    column_moments_full forces std to 0 wherever min == max (probed in the
+    same scan). Value 0.1 is not fp-representable, so ss/n - mean^2 is a
+    tiny nonzero under the old form."""
+    from dask_glm_spark.functions import kernels
+
+    X = np.array([[0.1, 2.0], [0.1, 4.0], [0.1, 6.0]])
+    df = _df_from(spark, X, np.zeros(3))
+    n, mean, std = kernels.column_moments_full(df)
+    assert n == 3
+    assert std[0] == 0.0  # exactly, not approximately
+    np.testing.assert_allclose(mean, [0.1, 4.0])
+    # and normalize treats it as the constant column (intercept slot)
+    captured = {}
+
+    @normalize
+    def spy(df_, **kwargs):
+        captured["first"] = (
+            df_.select("features").orderBy("id").first()["features"]
+        )
+        return np.zeros(2)
+
+    spy(df)
+    # col 0 constant: mean->0, std->1 (untouched); col 1 standardized
+    got = np.asarray(captured["first"])
+    np.testing.assert_allclose(
+        got, [0.1, (2.0 - 4.0) / np.sqrt(8.0 / 3.0)]
+    )

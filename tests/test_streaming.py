@@ -383,3 +383,42 @@ def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path_factory):
     as_f = lambda v: None if v is None else float(v)
     assert {k: as_f(v) for k, v in got.items()} == want
     assert len(got) == 5
+
+
+def test_asof_enrich_stream_pre_epoch_timestamps(spark, tmp_path_factory):
+    """Regression (ADVICE r6): absence is marked by an empty payload, not a
+    ts >= -1 sentinel — a reference with a pre-epoch (negative unix micros)
+    timestamp must be stored and matched exactly like the batch asof_join."""
+    import datetime as dt
+
+    from dask_glm_spark.streaming.enrich import asof_enrich_stream
+
+    pre = dt.datetime(1969, 12, 31, 12, 0, 0)  # negative unix micros
+
+    def mk(m):
+        return pre + dt.timedelta(minutes=m)
+
+    rows = [
+        (None, 1, mk(0), "r", 7.0),       # pre-epoch reference
+        (200, 1, mk(5), "l", None),       # pre-epoch event -> 7.0
+        (201, 1, dt.datetime(2024, 1, 1), "l", None),  # post-epoch -> 7.0
+        (202, 1, mk(-5), "l", None),      # before the reference -> NULL
+    ]
+    schema = "event_id long, user_id long, ts timestamp, side string, price double"
+    d = str(tmp_path_factory.mktemp("enrich_pre_epoch"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/b=0")
+    sch = spark.read.parquet(f"{d}/b=0").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b=*")
+    )
+    out = asof_enrich_stream(stream, ["price"])
+    SC.run_stream_to_memory(out, "enrich_pre_epoch_test", mode="append")
+    got = {
+        r["event_id"]: r["price_asof"]
+        for r in spark.table("enrich_pre_epoch_test").collect()
+    }
+    assert got == {200: "7.0", 201: "7.0", 202: None}
