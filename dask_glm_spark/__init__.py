@@ -33,4 +33,5 @@ from dask_glm_spark.operators.estimators import (  # noqa: F401
     LogisticRegression,
     MulticlassLogisticRegression,
     PoissonRegression,
+    SoftmaxRegression,
 )

@@ -411,6 +411,100 @@ class MulticlassLogisticRegression(_GLM):
         return metrics.accuracy_score(pred, self.label_col, "prediction")
 
 
+class SoftmaxRegression(MulticlassLogisticRegression):
+    """True multinomial (softmax) logistic regression — beyond-reference.
+
+    Unlike the OvR parent, the k class coefficient vectors are fit JOINTLY:
+    each L-BFGS objective evaluation is one fused Arrow scan computing the
+    softmax loss and all k gradients together (``kernels.
+    softmax_loss_gradient`` — the P2 shape with a (p, k) partial), so an
+    optimizer sweep costs one pass over the cache instead of OvR's k, and
+    ``predict_proba`` returns the jointly-calibrated softmax instead of
+    OvR's renormalized sigmoids. Only ``solver='lbfgs'`` is supported
+    (``regularizer``/``lamduh``/``max_iter``/``tol`` route through).
+
+    Prediction reuses the parent's argmax machinery over LINEAR scores
+    (argmax is monotone-invariant, so the sigmoid is unnecessary);
+    ``predict_proba`` is a numerically-stable (max-shifted) softmax, with
+    the score array let-bound once."""
+
+    def fit(self, df: DataFrame, y=None, **extra):
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col) or V.is_sparse_columns(df):
+            raise NotImplementedError(
+                "SoftmaxRegression supports dense array features"
+            )
+        if self.solver != "lbfgs":
+            raise NotImplementedError(
+                f"SoftmaxRegression supports solver='lbfgs', got {self.solver!r}"
+            )
+        classes = [
+            r[0]
+            for r in df.select(self.label_col)
+            .distinct()
+            .orderBy(self.label_col)
+            .collect()
+        ]
+        if len(classes) < 2:
+            raise ValueError(f"need >= 2 classes, got {classes!r}")
+        k = len(classes)
+        # label -> class index (position in the sorted class array);
+        # array_position is 1-based and the label column is replaced only
+        # in the solver's view of the data
+        cls_arr = F.array(*[F.lit(c) for c in classes])
+        dfi = df.withColumn(
+            self.label_col,
+            (F.array_position(cls_arr, F.col(self.label_col)) - 1).cast(
+                "double"
+            ),
+        )
+        dfi = self._maybe_add_intercept(dfi)
+        B = solvers.softmax_lbfgs(
+            dfi,
+            k,
+            regularizer=self.regularizer,
+            lamduh=self.lamduh,
+            max_iter=self.max_iter,
+            tol=self.tol,
+            features_col=self.features_col,
+            label_col=self.label_col,
+            **extra,
+        )
+        self.classes_ = classes
+        self._coefs = [np.asarray(B[:, c]) for c in range(k)]
+        if self.fit_intercept:
+            self.coefs_ = np.stack([b[:-1] for b in self._coefs])
+            self.intercepts_ = np.array([b[-1] for b in self._coefs])
+        else:
+            self.coefs_ = np.stack(self._coefs)
+            self.intercepts_ = np.zeros(k)
+        return self
+
+    def _scores_expr(self):
+        # LINEAR scores z_c = X·β_c (no sigmoid): predict()'s argmax is
+        # unchanged, predict_proba softmaxes them
+        return F.array(
+            *[kernels.matvec_expr(b, self.features_col) for b in self._coefs]
+        )
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        from dask_glm_spark.operators.text import _let
+
+        df_ = self._maybe_add_intercept(df)
+        probs = _let(
+            self._scores_expr(),
+            lambda s: _let(
+                F.transform(s, lambda x: F.exp(x - F.array_max(s))),
+                lambda e: _let(
+                    F.aggregate(e, F.lit(0.0), lambda a, x: a + x),
+                    lambda total: F.transform(e, lambda x: x / total),
+                ),
+            ),
+        )
+        return df_.withColumn("probabilities", probs)
+
+
 # ---------------------------------------------------------------------------
 # Model persistence — beyond-reference (the reference has none; real
 # pipelines need to fit once and score elsewhere). Plain JSON: the model
@@ -493,5 +587,6 @@ for _cls in (
     LinearRegression,
     PoissonRegression,
     MulticlassLogisticRegression,
+    SoftmaxRegression,
 ):
     _register(_cls)

@@ -696,14 +696,26 @@ def unigram_logprob_scores(
     """
     import math
 
+    from pyspark import StorageLevel
+
     from dask_glm_spark.plans.layout import ensure_min_parallelism
 
+    # Persisted (the tfidf convention, left to Spark's LRU): the explode +
+    # tokenize feeds BOTH the model aggregate and the scoring join — unpersisted
+    # it re-tokenized the whole corpus in each job (VERDICT r6 #2).
     tok = (
         ensure_min_parallelism(df)
         .select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
         .where(F.length("tok") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    # counts feeds two driver jobs (total, vocab top-k) — persisting the
+    # O(vocab) result skips the second full wordcount shuffle over the cache
+    counts = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     total = counts.agg(F.sum("c")).first()[0] or 0
     if total == 0:
         # empty corpus: every doc reports zero tokens

@@ -209,3 +209,103 @@ class TestModelPersistence:
         assert m2.max_iter == 7 and m2._coef is None
         with pytest.raises(ValueError, match="unknown estimator"):
             model_from_dict({"estimator": "Nope", "params": {}})
+
+
+class TestSoftmaxRegression:
+    """True multinomial softmax (jointly-normalized; one fused scan per
+    L-BFGS evaluation) — VERDICT r6 gap #1."""
+
+    def test_fit_predict_separable_blobs(self, spark):
+        from dask_glm_spark import SoftmaxRegression
+
+        df = TestMulticlassLogistic._blobs(spark)
+        m = SoftmaxRegression(solver="lbfgs", regularizer=None).fit(df)
+        assert m.classes_ == [0, 1, 2]
+        assert m.coefs_.shape == (3, 2)
+        assert m.score(df) > 0.95
+        probs = m.predict_proba(df).select("probabilities").first()[0]
+        assert len(probs) == 3
+        assert abs(sum(probs) - 1.0) < 1e-12
+        assert all(p > 0 for p in probs)
+
+    def test_matches_driver_numpy_softmax_fit(self, spark):
+        """Distributed fused-scan fit == in-memory numpy fit of the SAME
+        objective (normalize=False, L2 so the optimum is unique)."""
+        from dask_glm_spark import SoftmaxRegression
+        from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
+
+        df = TestMulticlassLogistic._blobs(spark)
+        m = SoftmaxRegression(
+            solver="lbfgs", regularizer="l2", lamduh=0.1, tol=1e-10
+        ).fit(df, normalize=False)
+
+        pdf = df.toPandas()
+        X = np.array(pdf["features"].tolist())
+        Xi = np.hstack([X, np.ones((len(X), 1))])
+        y = pdf["label"].to_numpy().astype(np.int64)
+        p, k = Xi.shape[1], 3
+
+        def obj(bflat):
+            B = bflat.reshape(p, k)
+            Z = Xi @ B
+            mx = Z.max(axis=1, keepdims=True)
+            ez = np.exp(Z - mx)
+            se = ez.sum(axis=1)
+            lse = mx[:, 0] + np.log(se)
+            rows = np.arange(len(y))
+            loss = (lse - Z[rows, y]).sum() + 0.1 * 0.5 * (bflat**2).sum()
+            P = ez / se[:, None]
+            P[rows, y] -= 1.0
+            return loss, (Xi.T @ P).ravel() + 0.1 * bflat
+
+        bref, _, _ = fmin_l_bfgs_b(obj, np.zeros(p * k), pgtol=1e-10)
+        Bref = bref.reshape(p, k)
+        got = np.column_stack(m._coefs)
+        np.testing.assert_allclose(got, Bref, rtol=1e-4, atol=1e-6)
+
+    def test_two_class_probabilities_match_binary(self, spark):
+        """k=2 softmax probabilities == binary sigmoid fit's (same data, no
+        regularizer, both converged): P(1) = sigmoid(z1 - z0)."""
+        from dask_glm_spark import LogisticRegression, SoftmaxRegression
+        from pyspark.sql import functions as F
+
+        df = TestMulticlassLogistic._blobs(spark, labels=(0, 1))
+        sm = SoftmaxRegression(
+            solver="lbfgs", regularizer=None, tol=1e-10
+        ).fit(df)
+        b = LogisticRegression(
+            solver="lbfgs", regularizer=None, tol=1e-10
+        ).fit(df.withColumn("label", F.col("label").cast("double")))
+        ps = [
+            r["probabilities"][1]
+            for r in sm.predict_proba(df).orderBy("label").collect()
+        ]
+        pb = [
+            r["probability"]
+            for r in b.predict(df.withColumn("label", F.col("label").cast("double")))
+            .orderBy("label")
+            .collect()
+        ]
+        np.testing.assert_allclose(ps, pb, atol=2e-4)
+
+    def test_string_labels_and_roundtrip(self, spark, tmp_path):
+        from dask_glm_spark import SoftmaxRegression
+        from dask_glm_spark.operators.estimators import load_model, save_model
+
+        df = TestMulticlassLogistic._blobs(spark, labels=("ant", "bee", "cat"))
+        m = SoftmaxRegression(solver="lbfgs", regularizer=None).fit(df)
+        assert m.classes_ == ["ant", "bee", "cat"]
+        assert m.score(df) > 0.95
+        p = str(tmp_path / "sm.json")
+        save_model(m, p)
+        m2 = load_model(p)
+        assert type(m2) is SoftmaxRegression
+        np.testing.assert_array_equal(m2.coefs_, m.coefs_)
+        assert m2.score(df) == m.score(df)
+
+    def test_unsupported_solver_raises(self, spark):
+        from dask_glm_spark import SoftmaxRegression
+
+        df = TestMulticlassLogistic._blobs(spark)
+        with pytest.raises(NotImplementedError, match="lbfgs"):
+            SoftmaxRegression(solver="admm").fit(df)
