@@ -143,7 +143,14 @@ def test_asof_join_single_exchange(spark):
     from dask_glm_spark.plans import audit
 
     left, right, _, _ = _asof_fixture(spark)
-    out = asof_join(left, right, time_col="t", by="user_id", value_cols=["v"])
+    # bucket_seconds=None pins the single-pass shape; the "auto" default
+    # would (correctly) bucket this fixture — its handful of keys reads as
+    # concentration to the probe, and spreading a low-cardinality key
+    # space across time buckets is the desired behavior at scale
+    out = asof_join(
+        left, right, time_col="t", by="user_id", value_cols=["v"],
+        bucket_seconds=None,
+    )
     plan = audit.explain_str(out, "simple")
     assert audit.count_exchanges(out) <= 2  # two sides union pre-shuffle
     assert "hashpartitioning(user_id" in plan
@@ -398,3 +405,70 @@ def test_asof_join_bucketed_null_keys_carry_across_buckets(spark):
         # lid=1 (null key, 4 buckets after the right row) matches rid=100;
         # lid=2 precedes it (no match); lid=3 (key 7) matches rid=200.
         assert out == {1: 100, 2: None, 3: 200}, (kw, out)
+
+
+def test_asof_auto_skew_detection(spark):
+    """Round-7 default (`bucket_seconds="auto"`): a head-of-partition probe
+    auto-enables the two-pass carry on hot-key data and stays single-pass
+    on uniform keys — a 100-TB caller gets skew safety without asking."""
+    import numpy as np
+
+    from dask_glm_spark.operators.joins import _asof_skew_probe, asof_join
+    from dask_glm_spark.plans import audit
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    n = 1000
+
+    def mk(hot):
+        users = [
+            0 if (hot and i < n * 3 // 10) else int(rng.randint(1, 50))
+            for i in range(n)
+        ]
+        lrows = [(i, users[i], float(rng.uniform(0, 1000))) for i in range(n)]
+        rrows = [
+            (1_000_000 + i, users[i], float(rng.uniform(0, 1000)), float(i))
+            for i in range(n)
+        ]
+        left = spark.createDataFrame(lrows, "lid long, user_id long, t double")
+        right = spark.createDataFrame(
+            rrows, "rid long, user_id long, t double, v double"
+        )
+        return left, right
+
+    # hot-key data: auto == explicit-bucketed == never-bucketed results,
+    # and the auto plan partitions by (user_id, _bkt)
+    left, right = mk(hot=True)
+    auto = asof_join(left, right, time_col="t", by="user_id", value_cols=["rid", "v"])
+    plan = audit.explain_str(auto, "simple")
+    assert "hashpartitioning(user_id" in plan and "_bkt" in plan.split(
+        "hashpartitioning(user_id", 1
+    )[1].split(")")[0]
+    never = asof_join(
+        left, right, time_col="t", by="user_id", value_cols=["rid", "v"],
+        bucket_seconds=None,
+    )
+    a = auto.toPandas().sort_values("lid").reset_index(drop=True)
+    b = never.toPandas().sort_values("lid").reset_index(drop=True)
+    assert a.equals(b)
+
+    # uniform keys: probe stays below threshold -> single-pass plan
+    left_u, right_u = mk(hot=False)
+    auto_u = asof_join(
+        left_u, right_u, time_col="t", by="user_id", value_cols=["rid", "v"]
+    )
+    plan_u = audit.explain_str(auto_u, "simple")
+    assert "_bkt" not in plan_u
+
+    # probe numbers directly: hot share ~0.3 vs uniform ~1/50
+    u = left.withColumn("_side", F.lit(1)).unionByName(
+        right.withColumnRenamed("rid", "rid2"), allowMissingColumns=True
+    )
+    t_us = (F.col("t").cast("double") * 1_000_000).cast("long")
+    share_hot, span = _asof_skew_probe(u, ["user_id"], t_us)
+    assert share_hot >= 0.2 and span > 0
+    u2 = left_u.unionByName(
+        right_u.withColumnRenamed("rid", "rid2"), allowMissingColumns=True
+    )
+    share_uni, _ = _asof_skew_probe(u2, ["user_id"], t_us)
+    assert share_uni < 0.1
