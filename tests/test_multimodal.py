@@ -59,17 +59,18 @@ def test_frame_sample_indices(spark):
 
 
 def test_compressed_decode_is_clearly_guarded(media):
-    """Without a codec library, *compressed* media types must raise the
-    documented NotImplementedError (never silently fake pixels). Raw
-    layouts decode codec-free and are tested below."""
+    """Without a codec library, compressed media types with NO codec-free
+    envelope (JPEG) must raise the documented NotImplementedError (never
+    silently fake pixels). PNG no longer hits this construction-time
+    guard — its gray8 non-interlaced envelope decodes via stdlib zlib
+    (round 7); the per-payload guard for unsupported PNG flavors is
+    tested in test_png_stdlib_decode_* below."""
     try:
         import PIL  # noqa: F401
 
         pytest.skip("codec installed; guard not reachable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="codec"):
-        M.decode_image(media, width=16, media_type="image/png")
     with pytest.raises(NotImplementedError, match="codec"):
         M.resize_images(media, 16, 4, 4, media_type="image/jpeg")
 
@@ -182,3 +183,117 @@ def test_png_decode_and_resize_via_pil(spark):
     ).collect()
     expect = img.astype(np.float64).reshape(4, 2, 4, 2).mean(axis=(1, 3))
     np.testing.assert_allclose(res[0]["features"], expect.ravel())
+
+
+def _png_encode_gray8(img: np.ndarray, filters=None) -> bytes:
+    """Test-side encoder: hand-built 8-bit grayscale non-interlaced PNG
+    with a chosen scanline filter per row (inverts the decoder's unfilter
+    from the original pixels — reconstruction is exact, so prior-pixel
+    predictors use the true values)."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+    img = img.astype(np.int32)
+    if filters is None:
+        filters = [0] * h
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for i in range(h):
+        f = filters[i % len(filters)]
+        cur = img[i]
+        raw.append(f)
+        if f == 0:
+            fl = cur
+        elif f == 1:  # Sub
+            a = np.concatenate([[0], cur[:-1]])
+            fl = (cur - a) & 0xFF
+        elif f == 2:  # Up
+            fl = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            a = np.concatenate([[0], cur[:-1]])
+            fl = (cur - (a + prev) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            fl = np.empty(w, dtype=np.int32)
+            for j in range(w):
+                a = int(cur[j - 1]) if j else 0
+                b = int(prev[j])
+                c = int(prev[j - 1]) if j else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                fl[j] = (cur[j] - pred) & 0xFF
+        else:
+            raise ValueError(f)
+        raw.extend(int(x) for x in fl)
+        prev = cur
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_stdlib_decode_all_filters(spark):
+    """Round 7 (VERDICT r6 #3): gray8 non-interlaced PNG decodes with
+    stdlib zlib only — no PIL — exercising all five scanline filters, and
+    feeds the same decode/resize surface as raw rasters. Corrupt payloads
+    drop like torn rasters."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(10, 8)).astype(np.uint8)
+    payload = _png_encode_gray8(img, filters=[0, 1, 2, 3, 4])
+    rows = [(1, bytearray(payload)), (2, bytearray(b"not a png"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    dec = M.decode_image(df, width=0, media_type="image/png").collect()
+    assert [r["doc_id"] for r in dec] == [1]  # corrupt row dropped
+    assert (dec[0]["height"], dec[0]["width"]) == (10, 8)
+    assert dec[0]["pixels"] == [float(x) for x in img.ravel()]
+
+    res = M.resize_images(
+        df, width=0, out_width=4, out_height=5, media_type="image/png"
+    ).collect()
+    expect = img.astype(np.float64).reshape(5, 2, 4, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(res[0]["features"], expect.ravel())
+
+
+def test_png_stdlib_unsupported_flavor_guarded(spark):
+    """A structurally valid PNG OUTSIDE the codec-free envelope (RGB) in a
+    PIL-less environment raises the clear per-payload guard instead of
+    silently dropping every row."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; fallback handles non-gray8 flavors")
+    except ImportError:
+        pass
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # color type 2: RGB
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(2 * (1 + 6))))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="envelope"):
+        M.decode_image(df, width=0, media_type="image/png").collect()
