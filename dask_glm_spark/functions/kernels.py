@@ -243,7 +243,7 @@ def loss_gradient(
     grad = np.zeros(p)
     for r_ in rows:
         loss += r_["loss"]
-        grad += np.asarray(r_["grad"])
+        grad += np.asarray(r_["grad"], dtype=np.float64)
     return loss, grad
 
 
@@ -302,7 +302,7 @@ def gradient_hessian(
     grad = np.zeros(p)
     hess = np.zeros(p * p)
     for r_ in rows:
-        grad += np.asarray(r_["grad"])
+        grad += np.asarray(r_["grad"], dtype=np.float64)
         hess += np.asarray(r_["hess"])
     return grad, hess.reshape(p, p)
 
@@ -345,8 +345,118 @@ def multi_loss(
     rows = _arrow_partials(df, features_col, label_col, partial, "losses array<double>")
     out = np.zeros(k)
     for r_ in rows:
-        out += np.asarray(r_["losses"])
+        out += np.asarray(r_["losses"], dtype=np.float64)
     return out
+
+
+def multi_loss_gradient(
+    df: DataFrame,
+    family,
+    betas: list[np.ndarray],
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(losses (k,), grads (p, k)) for k candidate betas in ONE scan — the
+    fused line-search probe (round 7): when the Armijo/ISTA probe also
+    returns each candidate's gradient, the accepted candidate's gradient
+    IS the next iteration's — so the per-iteration loss_gradient job
+    disappears and GD/prox run ~one scan per iteration instead of two.
+    On this box that halves the dominant ~0.2 s/job scheduling floor; at
+    scale it halves passes over the data (the gradient reuses the batch
+    the probe already read).
+
+    Arrow path: XB and XᵀR are two (n,p)x(p,k)-shaped GEMMs per batch;
+    partials are (k + p·k) doubles. SQL path: k matvec/loglike/residual
+    projections then k(p+1) unrolled agg columns.
+
+    ``auto`` resolves to ARROW unconditionally (unlike the other kernels'
+    size-based split): this kernel only ever runs inside the solver
+    iteration loop with fresh beta literals every call, so the SQL plan —
+    k(p+1) agg columns over k matvec projections — pays a Janino codegen
+    compile per iteration and measures SLOWER than the two jobs it
+    replaced (gd 5.4 s vs 5.0 r6). The arrow plan is literal-free (B
+    rides the closure), byte-identical across iterations, and lands at
+    3.5-3.6 s — the same plan-stability lesson as the k-means round
+    (SURVEY §13)."""
+    k = len(betas)
+    p = len(betas[0])
+    if path == "auto":
+        path = "arrow"
+    if path == "sql":
+        # Pre-project each candidate's xb, loglike term, and residual ONCE
+        # per row before aggregating: naively inlining xb into all p+1 agg
+        # columns per candidate evaluates the matvec k·(p+1) times per row
+        # (~6x the row work at p=4+1 — measured as a net fit REGRESSION
+        # despite the job savings). The stacked selects collapse into one
+        # codegen stage evaluating k matvecs + k residuals per row.
+        y = F.col(label_col)
+        base = df.select(
+            F.col(features_col).alias("_f"),
+            y.alias("_y"),
+            *[
+                matvec_expr(b, features_col).alias(f"_xb{i}")
+                for i, b in enumerate(betas)
+            ],
+        )
+        base = base.select(
+            "_f",
+            *[
+                family.loglike_terms(F.col(f"_xb{i}"), F.col("_y")).alias(
+                    f"_ll{i}"
+                )
+                for i in range(k)
+            ],
+            *[
+                family.residual(F.col(f"_xb{i}"), F.col("_y")).alias(f"_r{i}")
+                for i in range(k)
+            ],
+        )
+        fcol = F.col("_f")
+        aggs = []
+        for i in range(k):
+            aggs.append(
+                F.coalesce(F.sum(F.col(f"_ll{i}")), F.lit(0.0)).alias(f"s{i}")
+            )
+            aggs += [
+                F.coalesce(
+                    F.sum(fcol[j] * F.col(f"_r{i}")), F.lit(0.0)
+                ).alias(f"g{i}_{j}")
+                for j in range(p)
+            ]
+        row = base.agg(*aggs).collect()[0]
+        losses = np.array([row[f"s{i}"] for i in range(k)])
+        grads = np.empty((p, k))
+        for i in range(k):
+            for j in range(p):
+                grads[j, i] = row[f"g{i}_{j}"]
+        return losses, grads
+
+    B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
+
+    def partial(X: np.ndarray, y: np.ndarray) -> dict:
+        # Extreme line-search candidates legitimately overflow exp (inf/nan
+        # losses reject themselves); silence the per-task warning spam.
+        with np.errstate(over="ignore", invalid="ignore"):
+            XB = X @ B  # (n, k)
+            losses = np.array(
+                [family.loglike_np(XB[:, i], y) for i in range(k)]
+            )
+            R = np.column_stack(
+                [family.residual_np(XB[:, i], y) for i in range(k)]
+            )
+            return {"losses": losses, "grads": (X.T @ R).ravel()}
+
+    rows = _arrow_partials(
+        df, features_col, label_col, partial,
+        "losses array<double>, grads array<double>",
+    )
+    losses = np.zeros(k)
+    grads = np.zeros(p * k)
+    for r_ in rows:
+        losses += np.asarray(r_["losses"], dtype=np.float64)
+        grads += np.asarray(r_["grads"], dtype=np.float64)
+    return losses, grads.reshape(p, k)
 
 
 def loss(df, family, beta, **kw) -> float:
@@ -396,7 +506,7 @@ def softmax_loss_gradient(
     grad = np.zeros(p * k)
     for r_ in rows_:
         loss += r_["loss"]
-        grad += np.asarray(r_["grad"])
+        grad += np.asarray(r_["grad"], dtype=np.float64)
     return loss, grad.reshape(p, k)
 
 

@@ -118,7 +118,7 @@ def loss_gradient_sparse(
     grad = np.zeros(p)
     for r_ in rows:
         loss += r_["loss"]
-        grad += np.asarray(r_["grad"])
+        grad += np.asarray(r_["grad"], dtype=np.float64)
     return float(loss), grad
 
 
@@ -153,5 +153,50 @@ def multi_loss_sparse(
     rows = _arrow_partials_generic(df, batch_partial, "losses array<double>")
     out = np.zeros(k)
     for r_ in rows:
-        out += np.asarray(r_["losses"])
+        out += np.asarray(r_["losses"], dtype=np.float64)
     return out
+
+
+def multi_loss_gradient_sparse(
+    df: DataFrame,
+    family,
+    betas: list[np.ndarray],
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(losses (k,), grads (p, k)) for k candidates in one O(k·nnz) scan —
+    the sparse twin of ``kernels.multi_loss_gradient`` (fused line-search
+    probe: the accepted candidate's gradient feeds the next iteration, so
+    the separate per-iteration loss_gradient job disappears)."""
+    B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
+    k = B.shape[1]
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        y = pdf[label_col].to_numpy(dtype=np.float64)
+        losses = np.empty(k)
+        grads = np.empty((p, k))
+        # extreme candidates overflow exp by design — no warning spam
+        with np.errstate(over="ignore", invalid="ignore"):
+            for i in range(k):
+                xb = np.bincount(
+                    row_ids, weights=flat_val * B[flat_idx, i], minlength=n
+                )
+                losses[i] = family.loglike_np(xb, y)
+                r = family.residual_np(xb, y)
+                grads[:, i] = np.bincount(
+                    flat_idx, weights=r[row_ids] * flat_val, minlength=p
+                )
+        return {"losses": losses, "grads": grads.ravel()}
+
+    rows = _arrow_partials_generic(
+        df, batch_partial, "losses array<double>, grads array<double>"
+    )
+    losses = np.zeros(k)
+    grads = np.zeros(p * k)
+    for r_ in rows:
+        losses += np.asarray(r_["losses"], dtype=np.float64)
+        grads += np.asarray(r_["grads"], dtype=np.float64)
+    return losses, grads.reshape(p, k)

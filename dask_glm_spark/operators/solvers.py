@@ -11,8 +11,10 @@ Per-iteration cluster cost (the scale contract):
   solver            jobs/iter   bytes leaving executors
   ----------------- ----------- -------------------------
   lbfgs             1           p + 1 floats per partition
-  gradient_descent  1 + probes/8  (same)
-  proximal_grad     1 + probes/8  (same)
+  gradient_descent  ~probes/8   (k·(p+1) floats per partition; the fused
+                                probe also returns candidate gradients, so
+                                the per-iteration gradient job is gone — r7)
+  proximal_grad     ~probes/8   (same)
   newton            1           p² + p floats per partition
   admm              1           p floats per partition (NO scan of X by the
                                 JVM at all — partition-local scipy solves)
@@ -104,7 +106,7 @@ def normalize(algo):
 
 
 def _armijo_probe(
-    multi_loss,
+    multi_loss_grad,
     beta,
     step_dir,
     lf,
@@ -119,9 +121,15 @@ def _armijo_probe(
     Candidates ``s_i = step_size * backtrack_mult**i`` are exactly the
     reference's sequence; evaluating PROBE_BATCH of them per scan keeps the
     accept decision identical (first ``i`` meeting the Armijo test wins)
-    while cutting jobs ~8x. ``multi_loss(candidates) -> losses`` is the
-    one-scan probe kernel — dense or sparse, the control flow is identical.
-    """
+    while cutting jobs ~8x. ``multi_loss_grad(candidates) -> (losses,
+    grads)`` is the one-scan FUSED probe kernel (round 7): each probe also
+    returns the candidates' gradients, so the accepted candidate's
+    gradient is handed back for the next outer iteration and the separate
+    per-iteration loss_gradient scan disappears — GD runs ~one job per
+    iteration. Dense or sparse, the control flow is identical.
+
+    Returns (step_size, loss, grad_at_new_beta | None) — None only with
+    step 0 (beta unchanged; caller breaks)."""
     func = lf
     for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
         # clamp the final batch so exactly MAX_BACKTRACKS candidates are
@@ -137,19 +145,19 @@ def _armijo_probe(
             cand = beta - s * step_dir
             if (base + idx) > 0 and np.array_equal(cand, beta):
                 if candidates:
-                    losses = multi_loss(candidates)
-                    for s2, fval in zip(kept_sizes, losses):
+                    losses, grads = multi_loss_grad(candidates)
+                    for i, (s2, fval) in enumerate(zip(kept_sizes, losses)):
                         if lf - fval >= armijo_mult * s2 * steplen:
-                            return s2, fval
-                return 0.0, func
+                            return s2, fval, grads[:, i]
+                return 0.0, func, None
             candidates.append(cand)
             kept_sizes.append(s)
-        losses = multi_loss(candidates)
-        for s2, fval in zip(kept_sizes, losses):
+        losses, grads = multi_loss_grad(candidates)
+        for i, (s2, fval) in enumerate(zip(kept_sizes, losses)):
             func = fval
             if lf - fval >= armijo_mult * s2 * steplen:
-                return s2, fval
-    return kept_sizes[-1], func
+                return s2, fval, grads[:, i]
+    return kept_sizes[-1], func, grads[:, -1]
 
 
 
@@ -160,22 +168,27 @@ def _resolve_p(df, features_col, kwargs):
     return int(p) if p else kernels.infer_p(df, features_col)
 
 
-def _gd_loop(loss_grad, multi_loss, p, max_iter, tol):
+def _gd_loop(loss_grad, multi_loss_grad, p, max_iter, tol):
     """Gradient-descent control flow shared by the dense and sparse paths:
-    ``loss_grad(beta) -> (f, grad)`` is one fused scan; ``multi_loss`` is
-    the batched Armijo probe kernel."""
+    ONE ``loss_grad(beta0)`` scan up front, then ~one fused probe scan per
+    iteration — ``multi_loss_grad`` returns each candidate's gradient, and
+    the accepted candidate's gradient IS the next iteration's (round 7;
+    previously every iteration paid a separate loss_gradient job). The
+    candidate schedule, Armijo accept rule, and convergence checks are
+    unchanged — the gradient the probe hands back is the same quantity the
+    dropped job recomputed."""
     first_backtrack, next_backtrack = 0.1, 0.5
     armijo_mult, step_growth = 0.1, 1.25
     step_size = 1.0
     backtrack_mult = first_backtrack
     beta = np.zeros(p)
 
+    func, grad = loss_grad(beta)
     for _ in range(max_iter):
-        func, grad = loss_grad(beta)
         steplen = float(np.sum(grad**2))
         lf = func
-        step_size, func = _armijo_probe(
-            multi_loss, beta, grad, lf, step_size, steplen,
+        step_size, func, ngrad = _armijo_probe(
+            multi_loss_grad, beta, grad, lf, step_size, steplen,
             armijo_mult, backtrack_mult,
         )
         beta = beta - step_size * grad
@@ -186,15 +199,19 @@ def _gd_loop(loss_grad, multi_loss, p, max_iter, tol):
             break
         step_size *= step_growth
         backtrack_mult = next_backtrack
+        grad = ngrad
     return beta
 
 
-def _prox_loop(loss_grad, multi_loss, p, regularizer, lamduh, max_iter, tol):
+def _prox_loop(loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol):
     """Proximal-gradient / ISTA control flow shared by the dense and sparse
-    paths (``algorithms.py:422-505``): per outer iteration one fused
-    loss+gradient scan, then batched probe scans where each candidate is
-    ``prox(beta - s*grad, s*lamduh)`` and acceptance is simple decrease
-    (``df > 0``, :489-491)."""
+    paths (``algorithms.py:422-505``): ONE fused loss+gradient scan up
+    front, then batched FUSED probe scans per iteration where each
+    candidate is ``prox(beta - s*grad, s*lamduh)`` and acceptance is
+    simple decrease (``df > 0``, :489-491). As in ``_gd_loop`` (round 7),
+    the probe returns each candidate's gradient, so the accepted (or last
+    evaluated) candidate's gradient feeds the next iteration without a
+    separate scan."""
     first_backtrack, next_backtrack = 0.1, 0.5
     step_growth = 1.25
     step_size = 1.0
@@ -202,10 +219,11 @@ def _prox_loop(loss_grad, multi_loss, p, regularizer, lamduh, max_iter, tol):
     beta = np.zeros(p)
     regularizer = Regularizer.get(regularizer)
 
+    func, grad = loss_grad(beta)
     for _ in range(max_iter):
-        func, grad = loss_grad(beta)
         obeta = beta
         lf = func
+        ngrad = grad
         accepted = False
         for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
             sizes = [
@@ -216,9 +234,9 @@ def _prox_loop(loss_grad, multi_loss, p, regularizer, lamduh, max_iter, tol):
                 regularizer.proximal_operator(obeta - s * grad, s * lamduh)
                 for s in sizes
             ]
-            losses = multi_loss(cands)
-            for s, cand, fval in zip(sizes, cands, losses):
-                beta, func = cand, fval
+            losses, grads = multi_loss_grad(cands)
+            for i, (s, cand, fval) in enumerate(zip(sizes, cands, losses)):
+                beta, func, ngrad = cand, fval, grads[:, i]
                 if lf - fval > 0:
                     step_size = s
                     accepted = True
@@ -234,6 +252,7 @@ def _prox_loop(loss_grad, multi_loss, p, regularizer, lamduh, max_iter, tol):
             break
         step_size *= step_growth
         backtrack_mult = next_backtrack
+        grad = ngrad
     return beta
 
 
@@ -324,7 +343,7 @@ def gradient_descent(
         lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path
         ),
-        lambda cands: kernels.multi_loss(
+        lambda cands: kernels.multi_loss_gradient(
             df, family, cands, features_col, label_col, path
         ),
         p, max_iter, tol,
@@ -432,7 +451,7 @@ def proximal_grad(
         lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path
         ),
-        lambda cands: kernels.multi_loss(
+        lambda cands: kernels.multi_loss_gradient(
             df, family, cands, features_col, label_col, path
         ),
         p, regularizer, lamduh, max_iter, tol,
@@ -533,7 +552,7 @@ def gradient_descent_sparse(
             lambda beta: kernels_sparse.loss_gradient_sparse(
                 dfc, family, beta, pp, idx_col, val_col, label_col
             ),
-            lambda cands: kernels_sparse.multi_loss_sparse(
+            lambda cands: kernels_sparse.multi_loss_gradient_sparse(
                 dfc, family, cands, pp, idx_col, val_col, label_col
             ),
             pp, max_iter, tol,
@@ -566,7 +585,7 @@ def proximal_grad_sparse(
             lambda beta: kernels_sparse.loss_gradient_sparse(
                 dfc, family, beta, pp, idx_col, val_col, label_col
             ),
-            lambda cands: kernels_sparse.multi_loss_sparse(
+            lambda cands: kernels_sparse.multi_loss_gradient_sparse(
                 dfc, family, cands, pp, idx_col, val_col, label_col
             ),
             pp, regularizer, lamduh, max_iter, tol,

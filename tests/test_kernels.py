@@ -170,3 +170,45 @@ def test_moments_fused_matches_codegen_agg(data):
     assert n == len(X)
     np.testing.assert_allclose(mean_a, mean_s, rtol=1e-12)
     np.testing.assert_allclose(std_a, std_s, rtol=1e-11)
+
+
+def test_multi_loss_gradient_survives_overflow_candidates(spark, data):
+    """Regression (round 7): line-search probes evaluate extreme candidates
+    whose Poisson residuals overflow to inf/nan; Spark returns NaN inside
+    array<double> as None, which made the driver accumulation blow up with
+    an object-dtype cast error. The explicit float64 coercion must map
+    None back to nan and keep finite candidates' columns exact."""
+    import warnings
+
+    from dask_glm_spark.functions.families import Poisson
+
+    df, X, y = data
+    sane = np.array([0.01, 0.01, 0.01, 0.01])
+    crazy = np.array([500.0, 500.0, 500.0, 500.0])  # exp overflow -> inf/nan
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        losses, grads = kernels.multi_loss_gradient(
+            df, Poisson, [sane, crazy], path="arrow"
+        )
+        ref_l, ref_g = kernels.loss_gradient(df, Poisson, sane, path="arrow")
+    assert grads.shape == (4, 2)
+    np.testing.assert_allclose(losses[0], ref_l, rtol=1e-12)
+    np.testing.assert_allclose(grads[:, 0], ref_g, rtol=1e-12)
+    assert not np.isfinite(losses[1])  # the crazy candidate: inf, not a crash
+
+
+def test_multi_loss_gradient_paths_agree(spark, data):
+    """sql and arrow fused-probe paths agree on losses AND gradients."""
+    from dask_glm_spark.functions.families import Logistic
+
+    df, X, y = data
+    betas = [np.array([0.1, -0.2, 0.3, 0.0]), np.array([0.0, 0.1, 0.0, -0.1])]
+    l_s, g_s = kernels.multi_loss_gradient(df, Logistic, betas, path="sql")
+    l_a, g_a = kernels.multi_loss_gradient(df, Logistic, betas, path="arrow")
+    np.testing.assert_allclose(l_s, l_a, rtol=1e-12)
+    np.testing.assert_allclose(g_s, g_a, rtol=1e-12)
+    # and against the single-beta fused kernel
+    for i, b in enumerate(betas):
+        l1, g1 = kernels.loss_gradient(df, Logistic, b, path="sql")
+        np.testing.assert_allclose(l_s[i], l1, rtol=1e-12)
+        np.testing.assert_allclose(g_s[:, i], g1, rtol=1e-12)
