@@ -104,9 +104,20 @@ FROM agg, js ORDER BY j""",
     "q10_sigmoid": f"""WITH {GLM}
 SELECT id, CAST(round({SIG}, 6) AS DOUBLE) AS sig FROM glm ORDER BY id LIMIT 100""",
     # metrics (utils.py:172-181)
-    "q11_accuracy": f"""WITH {GLM}
-SELECT CAST(round(avg(CAST(CASE WHEN ({SIG} > 0.5) = (label > 0.5) THEN 1 ELSE 0 END AS DOUBLE)), 6) AS DOUBLE) AS acc
-FROM glm""",
+    # round 7: + distributed ROC AUC (tie-aware rank-sum over score
+    # groups; scores rounded to 6dp BEFORE grouping so both engines form
+    # identical tie groups — raw libm sigmoids can differ in the last ulp)
+    "q11_accuracy": f"""WITH {GLM},
+t AS (SELECT round({SIG}, 6) AS s, CAST(label > 0.5 AS DOUBLE) AS y FROM glm),
+g AS (SELECT s, sum(y) AS pos, count(*) - sum(y) AS neg FROM t GROUP BY s),
+o AS (SELECT pos, neg,
+        coalesce(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      FROM g)
+SELECT
+  CAST(round((SELECT avg(CASE WHEN (s > 0.5) = (y > 0.5) THEN 1.0 ELSE 0.0 END) FROM t), 6) AS DOUBLE) AS acc,
+  CAST(round(sum(pos * (cumneg + neg / 2.0))
+             / ((SELECT sum(y) FROM t) * (SELECT count(*) - sum(y) FROM t)), 6) AS DOUBLE) AS auc
+FROM o""",
     "q12_mse": f"""WITH {GLM}
 SELECT CAST(round(avg(pow(label_reg - {XB}, 2)), 6) AS DOUBLE) AS mse FROM glm""",
     "q13_poisson_deviance": f"""WITH {GLM},
@@ -1749,6 +1760,9 @@ def _q_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """accuracy + distributed ROC AUC (round 7: metrics.roc_auc_score —
+    the scale-safe rank-sum with a range-partitioned prefix sum; scores
+    rounded to 6dp pre-grouping so both engines tie identically)."""
     from pyspark.sql import functions as F
 
     from dask_glm_spark.functions import kernels, metrics
@@ -1756,11 +1770,21 @@ def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _glm_nosort(spark, sf_dir)
     scored = df.select(
-        (sigmoid_expr(kernels.matvec_expr(BETA)) > 0.5).cast("double").alias("pred"),
+        F.round(sigmoid_expr(kernels.matvec_expr(BETA)), 6).alias("score"),
         (F.col("label") > 0.5).cast("double").alias("truth"),
+    ).persist()
+    acc = metrics.accuracy_score(
+        scored.select(
+            (F.col("score") > 0.5).cast("double").alias("pred"), "truth"
+        ),
+        "truth",
+        "pred",
     )
-    val = metrics.accuracy_score(scored, "truth", "pred")
-    return _scalar_df(spark, val, "acc", 6)
+    auc = metrics.roc_auc_score(scored, "truth", "score")
+    scored.unpersist()
+    return spark.createDataFrame(
+        [(float(round(acc, 6)), float(round(auc, 6)))], "acc double, auc double"
+    )
 
 
 def _q_mse(spark: SparkSession, sf_dir: str) -> DataFrame:

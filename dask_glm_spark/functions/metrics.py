@@ -59,3 +59,117 @@ def accuracy_score_np(y_true, y_pred):
 
 def poisson_deviance_np(y_true, y_pred):
     return float(2 * np.sum(y_true * np.log1p(y_true / y_pred) - (y_true - y_pred)))
+
+
+def roc_auc_score(
+    df: DataFrame, y_true: str = "label", y_score: str = "score"
+) -> float:
+    """Distributed ROC AUC — beyond-reference (the classifier metric real
+    pipelines report next to accuracy).
+
+    Tie-aware rank-sum identity over score groups in ascending order:
+
+        AUC = Σ_g pos_g · (cum_neg_before_g + neg_g / 2) / (n_pos · n_neg)
+
+    (equals sklearn's trapezoidal ROC integral, with tied scores
+    contributing the half-credit average rank.)
+
+    Plan shape at 100 TB — NO single-partition sort anywhere:
+    1. ``groupBy(score)`` — one shuffle, O(distinct scores) rows out;
+    2. ``repartitionByRange(score)`` of the group table, so partition id
+       order equals score order;
+    3. a two-job distributed prefix sum: per-partition neg totals
+       (O(partitions) rows to the driver) → offsets closure-captured →
+       per-partition contribution sums (one row each).
+
+    Returns nan when either class is absent (0/0 — degenerate input
+    poisons loudly, the poisson_deviance convention)."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    g = df.groupBy(F.col(y_score).alias("_s")).agg(
+        F.sum(F.col(y_true).cast("double")).alias("pos"),
+        (
+            F.count("*") - F.sum(F.col(y_true).cast("double"))
+        ).alias("neg"),
+    )
+    nparts = max(1, min(32, g.rdd.getNumPartitions()))
+    from pyspark import StorageLevel
+
+    gr = g.repartitionByRange(nparts, F.col("_s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def part_totals(batches):
+        tot_neg = 0.0
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                seen = True
+                tot_neg += float(pdf["neg"].sum())
+        if seen:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            yield pd.DataFrame({"pid": [pid], "neg": [tot_neg]})
+
+    rows = gr.mapInPandas(part_totals, "pid int, neg double").collect()
+    offsets = {}
+    cum = 0.0
+    for r in sorted(rows, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = cum
+        cum += r["neg"]
+
+    def contrib(batches):
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        )
+        pdf = pdf.sort_values("_s", kind="mergesort")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        neg = pdf["neg"].to_numpy(dtype=np.float64)
+        cum_before = offsets.get(pid, 0.0) + np.cumsum(neg) - neg
+        pos = pdf["pos"].to_numpy(dtype=np.float64)
+        yield pd.DataFrame(
+            {
+                "v": [float((pos * (cum_before + neg * 0.5)).sum())],
+                "pos": [float(pos.sum())],
+                "neg": [float(neg.sum())],
+            }
+        )
+
+    out = gr.mapInPandas(contrib, "v double, pos double, neg double").collect()
+    gr.unpersist()
+    n_pos = sum(r["pos"] for r in out)
+    n_neg = sum(r["neg"] for r in out)
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    return float(sum(r["v"] for r in out) / (n_pos * n_neg))
+
+
+def roc_auc_score_np(y_true, y_score):
+    """Driver-side oracle twin (same tie-aware rank-sum)."""
+    y_true = np.asarray(y_true, dtype=np.float64)
+    y_score = np.asarray(y_score, dtype=np.float64)
+    order = np.argsort(y_score, kind="mergesort")
+    s, t = y_score[order], y_true[order]
+    auc = 0.0
+    cum_neg = 0.0
+    i = 0
+    n = len(s)
+    while i < n:
+        j = i
+        pos_g = neg_g = 0.0
+        while j < n and s[j] == s[i]:
+            pos_g += t[j]
+            neg_g += 1.0 - t[j]
+            j += 1
+        auc += pos_g * (cum_neg + neg_g / 2.0)
+        cum_neg += neg_g
+        i = j
+    n_pos, n_neg = t.sum(), len(t) - t.sum()
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    return float(auc / (n_pos * n_neg))

@@ -260,6 +260,13 @@ class LogisticRegression(_GLM):
         pred = self.predict(df)
         return metrics.accuracy_score(pred, self.label_col, "prediction")
 
+    def get_auc(self, df: DataFrame) -> float:
+        """Distributed ROC AUC of predict_proba vs the label column
+        (``metrics.roc_auc_score`` — scale-safe rank-sum, round 7)."""
+        return metrics.roc_auc_score(
+            self.predict_proba(df), self.label_col, "probability"
+        )
+
 
 class LinearRegression(_GLM):
     """OLS (reference ``estimators.py:156-204``)."""

@@ -309,3 +309,21 @@ class TestSoftmaxRegression:
         df = TestMulticlassLogistic._blobs(spark)
         with pytest.raises(NotImplementedError, match="lbfgs"):
             SoftmaxRegression(solver="admm").fit(df)
+
+
+def test_logistic_get_auc(cls_data):
+    """get_auc == driver-side rank-sum oracle on the fitted probabilities,
+    and a good fit separates (auc well above 0.5)."""
+    import numpy as np
+
+    from dask_glm_spark.functions.metrics import roc_auc_score_np
+
+    lr = LogisticRegression(solver="lbfgs", regularizer=None).fit(cls_data)
+    got = lr.get_auc(cls_data)
+    rows = lr.predict_proba(cls_data).select("label", "probability").collect()
+    want = roc_auc_score_np(
+        np.array([r["label"] for r in rows]),
+        np.array([r["probability"] for r in rows]),
+    )
+    assert abs(got - want) < 1e-12
+    assert got > 0.7

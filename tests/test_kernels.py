@@ -212,3 +212,34 @@ def test_multi_loss_gradient_paths_agree(spark, data):
         l1, g1 = kernels.loss_gradient(df, Logistic, b, path="sql")
         np.testing.assert_allclose(l_s[i], l1, rtol=1e-12)
         np.testing.assert_allclose(g_s[:, i], g1, rtol=1e-12)
+
+
+def test_roc_auc_distributed_matches_numpy(spark):
+    """Distributed rank-sum AUC == the driver-side oracle on random scores
+    WITH ties, independent of partitioning; known hand value; degenerate
+    single-class input -> nan."""
+    import math
+
+    from dask_glm_spark.functions.metrics import roc_auc_score, roc_auc_score_np
+
+    rng = np.random.RandomState(42)
+    n = 500
+    scores = np.round(rng.uniform(0, 1, n), 2)  # 2dp -> plenty of ties
+    labels = (rng.uniform(0, 1, n) < scores).astype(np.float64)  # informative
+    want = roc_auc_score_np(labels, scores)
+    # sklearn-free cross-check of the oracle on a tiny hand case:
+    # scores [0.1,0.2,0.2,0.9], labels [0,0,1,1]:
+    # pairs (pos,neg): (0.2,0.1) win, (0.2,0.2) tie=0.5, (0.9,0.1) win,
+    # (0.9,0.2) win -> auc = 3.5/4
+    assert roc_auc_score_np([0, 0, 1, 1], [0.1, 0.2, 0.2, 0.9]) == 3.5 / 4
+    rows = [(float(l), float(s)) for l, s in zip(labels, scores)]
+    for nparts in (1, 7):
+        df = spark.createDataFrame(rows, "label double, score double").repartition(
+            nparts
+        )
+        got = roc_auc_score(df, "label", "score")
+        assert abs(got - want) < 1e-12, (nparts, got, want)
+    df1 = spark.createDataFrame(rows[:5], "label double, score double").where(
+        "label = 0.0"
+    )
+    assert math.isnan(roc_auc_score(df1, "label", "score"))
