@@ -1421,6 +1421,10 @@ def _pq_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("event_id"),
             F.max_by("value", "event_id").alias("value"),
         )
+        # persisted: the auto skew probe is an eager action over the union,
+        # and an unpersisted shuffle-rooted side would run its aggregation
+        # twice (probe + real query) — see asof_join's docstring
+        .persist()
     )
     out = asof_join(
         clicks, errors, time_col="ts", by="user_id",
@@ -1481,12 +1485,17 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dask_glm_spark.sources.glm_source import load_table
 
+    # The returned (lazy) histogram reads a FRESH load; the persisted copy
+    # only serves the three eager recall computations below and is released
+    # before returning — a leaked cache here would squat executor memory
+    # for the rest of the 50-query gate session (review r7).
+    emb_fresh = load_table(spark, sf_dir, "embeddings")
     emb = load_table(spark, sf_dir, "embeddings").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     planes = _hyperplanes(64, DEFAULT_PLANES)
     hist = (
-        emb.select(bucket_expr(F.col("embedding"), planes).alias("bucket"))
+        emb_fresh.select(bucket_expr(F.col("embedding"), planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").cast("long").alias("n"))
     )
@@ -1511,6 +1520,7 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_ann_topk(emb, queries, k=k, n_centroids=12, nprobe=6).collect(),
         truth,
     )
+    emb.unpersist()
     return hist.select(
         "bucket",
         "n",

@@ -303,7 +303,7 @@ def gradient_hessian(
     hess = np.zeros(p * p)
     for r_ in rows:
         grad += np.asarray(r_["grad"], dtype=np.float64)
-        hess += np.asarray(r_["hess"])
+        hess += np.asarray(r_["hess"], dtype=np.float64)
     return grad, hess.reshape(p, p)
 
 
@@ -558,10 +558,10 @@ def column_moments_full(
     mx = np.full_like(s, -np.inf)
     for r in rows:  # rows arrive pid-sorted: deterministic fold order
         n += r["n"]
-        s += np.asarray(r["s"])
-        ss += np.asarray(r["ss"])
-        mn = np.minimum(mn, np.asarray(r["mn"]))
-        mx = np.maximum(mx, np.asarray(r["mx"]))
+        s += np.asarray(r["s"], dtype=np.float64)
+        ss += np.asarray(r["ss"], dtype=np.float64)
+        mn = np.minimum(mn, np.asarray(r["mn"], dtype=np.float64))
+        mx = np.maximum(mx, np.asarray(r["mx"], dtype=np.float64))
     mean = s / n
     var = np.maximum(ss / n - mean * mean, 0.0)
     std = np.sqrt(var)

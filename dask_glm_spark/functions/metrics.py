@@ -93,7 +93,14 @@ def roc_auc_score(
             F.count("*") - F.sum(F.col(y_true).cast("double"))
         ).alias("neg"),
     )
-    nparts = max(1, min(32, g.rdd.getNumPartitions()))
+    # Range-partition count: the group table's own (shuffle-sized)
+    # partitioning, bounded by 4x the cluster's core count — a CONSTANT
+    # cap would funnel a near-unique continuous score column (O(n)
+    # groups) into a handful of pandas sorts (review r7), while an
+    # uncapped 200-partition default is pure task overhead on small
+    # inputs. 4x defaultParallelism scales with the cluster.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nparts = max(1, min(g.rdd.getNumPartitions(), 4 * par))
     from pyspark import StorageLevel
 
     gr = g.repartitionByRange(nparts, F.col("_s")).persist(

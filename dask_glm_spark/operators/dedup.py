@@ -120,14 +120,10 @@ def shingles_expr(text: Column | str, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
-def _let(value: Column, body) -> Column:
-    """Evaluate ``value`` once and bind it into ``body`` (single-element
-    ``transform`` trick). Higher-order-function expressions are interpreted
-    (no whole-stage codegen) and Catalyst's project collapse re-inlines a
-    subtree at every reference — without this binding, an expression like
-    the shingle-hash array would be recomputed once per permutation/band
-    (measured 10-60x slowdowns on the MinHash/SimHash paths)."""
-    return F.transform(F.array(value), body)[0]
+# Shared let-binding combinator (promoted to functions/exprs in round 7):
+# without it the shingle-hash array would be recomputed once per
+# permutation/band (measured 10-60x slowdowns on the MinHash/SimHash paths).
+from dask_glm_spark.functions.exprs import let as _let  # noqa: E402
 
 
 def shingle_hashes_expr(text: Column | str, k: int = SHINGLE_K) -> Column:

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dask_glm_spark.functions import families, kernels, metrics
+from dask_glm_spark.functions.exprs import let as _let
 from dask_glm_spark.operators import solvers
 
 try:
@@ -382,8 +383,6 @@ class MulticlassLogisticRegression(_GLM):
         )
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
-        from dask_glm_spark.operators.text import _let
-
         df_ = self._maybe_add_intercept(df)
         # Let-bind the k-class score array ONCE, then the total ONCE:
         # unbound, Catalyst re-inlines the k sigmoid(matvec) expressions at
@@ -399,8 +398,6 @@ class MulticlassLogisticRegression(_GLM):
         return df_.withColumn("probabilities", probs)
 
     def predict(self, df: DataFrame) -> DataFrame:
-        from dask_glm_spark.operators.text import _let
-
         df_ = self._maybe_add_intercept(df)
         cls = F.array(*[F.lit(c) for c in self.classes_])
         # first max wins: deterministic tie-break by class order; scores
@@ -496,8 +493,6 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         )
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
-        from dask_glm_spark.operators.text import _let
-
         df_ = self._maybe_add_intercept(df)
         probs = _let(
             self._scores_expr(),

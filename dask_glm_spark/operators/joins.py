@@ -149,6 +149,15 @@ def _asof_skew_probe(
         if r["has_t"]:
             tmin = r["tmin"] if tmin is None else min(tmin, r["tmin"])
             tmax = r["tmax"] if tmax is None else max(tmax, r["tmax"])
+    # Estimator bias (review r7, accepted deliberately): head sampling can
+    # OVERSTATE a key's share when the input is key-clustered with few
+    # partitions (one key's run fills a whole sampled head), and can MISS
+    # a hot key hidden past the heads. The asymmetry is what makes this
+    # acceptable: a false positive only switches to the two-pass carry —
+    # result-identical, same one big shuffle, plus a tiny boundary
+    # shuffle — while a false negative merely reverts to the pre-r7
+    # always-single-pass behavior. An unbiased estimate needs a full
+    # sample pass, which would double the probe's cost at 100 TB.
     hot_share = (max(merged.values()) / total) if merged and total else 0.0
     span_s = ((tmax - tmin) / 1e6) if tmin is not None else 0.0
     return hot_share, span_s
@@ -209,7 +218,12 @@ def asof_join(
       sized so the probed time range splits into ~16× defaultParallelism
       buckets; otherwise single-pass. Costs one extra small job (~0.2 s
       scheduling floor locally) — pass ``None`` to skip it when the key
-      distribution is known-safe.
+      distribution is known-safe. NOTE the probe is an EAGER action at
+      call time: it executes the inputs' upstream lineage once (cheap for
+      scan-rooted inputs — the probe tasks stop after their first Arrow
+      batch — but a shuffle-rooted side, e.g. an aggregate, runs its
+      shuffle for the probe and again for the real query; persist such
+      inputs first, or pass an explicit ``bucket_seconds``/``None``).
     - ``None``: always single-pass (the pre-r7 default).
     - int: always two-pass with that bucket span.
 

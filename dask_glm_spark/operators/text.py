@@ -86,14 +86,12 @@ def regex_token_count_expr(text: Column | str) -> Column:
 WORD_DELIMS_RE = r"[\t\n\r.,;:!?]"
 
 
-def _let(value: Column, body) -> Column:
-    """Evaluate ``value`` once and bind it into ``body`` (single-element
-    ``transform`` trick — same helper as operators/dedup). Without it,
-    every marker-word probe re-inlines its own regexp_replace(lower(...))
-    normalization of the whole document: langid's 25 probes plus quality's
-    5 re-normalized the text 30x per row (measured 2.8 s for the q39
-    filter at sf0.1 — round 6)."""
-    return F.transform(F.array(value), body)[0]
+# Shared let-binding combinator (promoted to functions/exprs in round 7).
+# Without it, every marker-word probe re-inlines its own
+# regexp_replace(lower(...)) normalization of the whole document: langid's
+# 25 probes plus quality's 5 re-normalized the text 30x per row (measured
+# 2.8 s for the q39 filter at sf0.1 — round 6).
+from dask_glm_spark.functions.exprs import let as _let  # noqa: E402
 
 
 def _padded_norm(text: Column) -> Column:
