@@ -57,9 +57,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001", workdir: str | None = None):
         where=F.col("l_quantity") > 1,
     )
 
-    # 3. fit / 4. score
+    # 3. fit / 4. score (accuracy + distributed ROC AUC — round 7)
     lr = LogisticRegression(solver="lbfgs", regularizer=None, max_iter=50).fit(df)
     acc = lr.score(df)
+    auc = lr.get_auc(df)
+
+    # 3b. true multinomial over a derived 3-way label (same cached input;
+    # one fused scan per L-BFGS evaluation computes all class gradients)
+    from dask_glm_spark import SoftmaxRegression
+
+    df3 = df.withColumn(
+        "label",
+        F.when(F.col("features")[0] < 10, 0.0)
+        .when(F.col("features")[0] < 30, 1.0)
+        .otherwise(2.0),
+    )
+    sm = SoftmaxRegression(solver="lbfgs", regularizer=None).fit(df3)
+    sm_acc = sm.score(df3)
 
     # 5. partitioned predictions sink
     out_dir = f"{workdir}/predictions"
@@ -78,7 +92,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", workdir: str | None = None):
     acc2 = load_model(model_path).score(df)
     assert acc2 == acc
 
-    print(f"coef={lr.coef_} intercept={lr.intercept_} accuracy={acc:.4f}")
+    print(f"coef={lr.coef_} intercept={lr.intercept_} accuracy={acc:.4f} auc={auc:.4f}")
+    print(f"softmax 3-class accuracy={sm_acc:.4f} classes={sm.classes_}")
     print(f"predictions written to {out_dir}; model saved to {model_path}")
     return lr.coef_, float(acc)
 
