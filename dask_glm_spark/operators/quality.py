@@ -285,3 +285,129 @@ def select_to_token_budget(
         .where(F.col("_prior_tokens") < budget)
         .drop("_prior_tokens")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level exact PARAGRAPH dedup (the Dolma-style pass that
+    strips boilerplate headers/footers shared across millions of pages
+    without dropping whole documents): a paragraph occurring anywhere
+    else in the corpus survives only at its FIRST occurrence — smallest
+    (doc id, position) — and every document is reassembled from its
+    surviving paragraphs in original order. Docs losing every paragraph
+    keep an empty string (row count is preserved).
+
+    Scale shape — NO window over paragraph-hash groups (a boilerplate
+    paragraph duplicated across millions of docs would put all its
+    occurrences into one window task's sort):
+
+    1. ``posexplode(split(text, sep))`` — narrow;
+    2. one ``groupBy(xxhash64(paragraph))`` aggregate computing the
+       ``min(struct(id, pos, paragraph))`` first occurrence — map-side
+       combinable, hot paragraphs collapse to one row per partition
+       before the exchange;
+    3. equi-join occurrences back on the hash (paragraph TEXT re-checked
+       in the join condition, so a 64-bit collision can drop nothing);
+    4. per-doc reassembly via ``array_sort(collect_list(struct(pos,
+       par)))`` — state bounded by a single document's paragraph count;
+    5. left join to the input preserves paragraph-less docs.
+
+    Returns the input columns with ``out_col`` (default: ``text_col`` —
+    replaced in place) holding the deduplicated text.
+    """
+    out_col = out_col or text_col
+    pars = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_par"),
+    )
+    first = pars.groupBy(F.xxhash64("_par").alias("_ph")).agg(
+        F.min(F.struct("_id", "_pos", "_par")).alias("_first")
+    )
+    kept = (
+        pars.join(
+            first,
+            (F.xxhash64(pars["_par"]) == first["_ph"])
+            & (pars["_par"] == first["_first"]["_par"]),
+        )
+        .where(
+            (F.col("_id") == F.col("_first._id"))
+            & (F.col("_pos") == F.col("_first._pos"))
+        )
+        .select("_id", "_pos", "_par")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_par"))),
+                lambda x: x["_par"],
+            ),
+        ).alias("_rebuilt")
+    )
+    joined = df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+    keep_cols = [c for c in df.columns if c != out_col]
+    return joined.select(
+        *[df[c] for c in keep_cols],
+        F.coalesce(F.col("_rebuilt"), F.lit("")).alias(out_col),
+    ).select(*df.columns if out_col in df.columns else [*df.columns, out_col])
+
+
+def domain_expr(url: Column | str) -> Column:
+    """Registrable-host extraction from a URL-ish string (scheme and
+    path/port/query stripped; no public-suffix list — the curation use
+    is grouping, not cookie policy)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(
+        F.regexp_extract(c, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#]+)", 1)
+    )
+
+
+def domain_caps(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Cap documents per domain (the "no single domain dominates the mix"
+    curation rule).
+
+    Default (``exact=False``) — the 100 TB shape: ONE count aggregate per
+    domain (map-side combinable; output is O(domains)), joined back, then
+    a deterministic hash-thinning filter keeps a row iff
+    ``xxhash64(id) % ceil(n/cap) == 0`` — EXPECTED ~cap survivors per
+    domain, no per-domain sort anywhere, a million-doc hot domain costs
+    the same as a ten-doc one. Survivors are a stable function of ids
+    (reruns and relayouts agree).
+
+    ``exact=True``: precise cap via the smallest-``xxhash64(id)``-wins
+    rank — a row_number window per domain; exact counts, but a hot
+    domain's rows all sort in one window task (use only when domain
+    cardinality balance is known).
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(domain_col).orderBy(
+            F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()
+        )
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    rate = F.ceil(F.col("_n") / F.lit(cap)).cast("long")
+    keep = F.pmod(F.xxhash64(F.col(id_col)), rate) == 0
+    return (
+        df.join(counts, domain_col)
+        .where((F.col("_n") <= cap) | keep)
+        .drop("_n")
+    )

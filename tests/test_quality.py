@@ -156,3 +156,135 @@ def test_ngrams_expr_binds_tokens_once():
 
     expr = repr(ngrams_expr("text", 5))
     assert expr.lower().count("split") == 1
+
+
+class TestParagraphDedup:
+    def _corpus(self, spark):
+        boiler = "subscribe to our newsletter"
+        rows = [
+            (0, f"intro zero\n\n{boiler}\n\nbody zero"),
+            (1, f"{boiler}\n\nbody one"),
+            (2, "body two\n\nintro zero"),     # 'intro zero' first seen in doc 0
+            (3, boiler),                        # loses everything -> ""
+            (4, "unique four"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_first_occurrence_semantics(self, spark):
+        from dask_glm_spark.operators.quality import paragraph_dedup
+
+        df = self._corpus(spark)
+        out = {
+            r["doc_id"]: r["text"]
+            for r in paragraph_dedup(df).collect()
+        }
+        boiler = "subscribe to our newsletter"
+        assert out[0] == f"intro zero\n\n{boiler}\n\nbody zero"  # first owner keeps
+        assert out[1] == "body one"
+        assert out[2] == "body two"
+        assert out[3] == ""                    # all paragraphs were dupes
+        assert out[4] == "unique four"
+        assert len(out) == 5                   # row count preserved
+
+    def test_matches_naive_oracle_and_layout_independent(self, spark):
+        import numpy as np
+
+        from dask_glm_spark.operators.quality import paragraph_dedup
+
+        rng = np.random.RandomState(3)
+        pool = [f"para {i}" for i in range(12)]
+        rows = [
+            (i, "\n\n".join(pool[j] for j in rng.randint(0, 12, size=rng.randint(1, 6))))
+            for i in range(60)
+        ]
+        # naive oracle: global first occurrence by (doc_id, pos)
+        seen: dict = {}
+        for i, text in rows:
+            for pos, par in enumerate(text.split("\n\n")):
+                if par not in seen:
+                    seen[par] = (i, pos)
+        want = {
+            i: "\n\n".join(
+                par
+                for pos, par in enumerate(text.split("\n\n"))
+                if seen[par] == (i, pos)
+            )
+            for i, text in rows
+        }
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for nparts in (1, 7):
+            got = {
+                r["doc_id"]: r["text"]
+                for r in paragraph_dedup(df.repartition(nparts)).collect()
+            }
+            assert got == want, nparts
+
+    def test_out_col_and_extra_columns_ride_through(self, spark):
+        from dask_glm_spark.operators.quality import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(0, "a\n\nb", "s1"), (1, "a\n\nc", "s2")],
+            "doc_id long, text string, source string",
+        )
+        out = paragraph_dedup(df, out_col="clean").orderBy("doc_id").collect()
+        assert out[0]["text"] == "a\n\nb" and out[0]["clean"] == "a\n\nb"
+        assert out[1]["text"] == "a\n\nc" and out[1]["clean"] == "c"
+        assert out[0]["source"] == "s1"
+
+
+class TestDomainCaps:
+    def _docs(self, spark):
+        rows = [(i, "big.com" if i < 80 else f"small{i}.org") for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def test_exact_cap(self, spark):
+        from dask_glm_spark.operators.quality import domain_caps
+
+        df = self._docs(spark)
+        out = domain_caps(df, "domain", cap=10, exact=True)
+        by_dom: dict = {}
+        for r in out.collect():
+            by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + 1
+        assert by_dom["big.com"] == 10
+        assert all(v == 1 for d, v in by_dom.items() if d != "big.com")
+        # deterministic across layouts
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in domain_caps(
+                df.repartition(7), "domain", cap=10, exact=True
+            ).collect()
+        )
+        assert a == b
+
+    def test_hash_thinning_cap(self, spark):
+        from dask_glm_spark.operators.quality import domain_caps
+
+        df = self._docs(spark)
+        out = domain_caps(df, "domain", cap=10).collect()
+        by_dom: dict = {}
+        for r in out:
+            by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + 1
+        # expected ~10 from the 80-doc domain (hash thinning, not exact)
+        assert 2 <= by_dom["big.com"] <= 30
+        # small domains (<= cap) are untouched
+        assert sum(1 for d in by_dom if d != "big.com") == 20
+        # deterministic: same survivors on a different layout
+        a = sorted(r["doc_id"] for r in out)
+        b = sorted(
+            r["doc_id"]
+            for r in domain_caps(df.repartition(5), "domain", cap=10).collect()
+        )
+        assert a == b
+
+    def test_domain_expr(self, spark):
+        from dask_glm_spark.operators.quality import domain_expr
+
+        rows = [
+            ("https://WWW.Example.com/path?q=1",),
+            ("http://sub.site.org:8080/x",),
+            ("bare-host.net/abc",),
+        ]
+        df = spark.createDataFrame(rows, "url string")
+        got = [r[0] for r in df.select(domain_expr("url")).collect()]
+        assert got == ["www.example.com", "sub.site.org", "bare-host.net"]
