@@ -671,14 +671,29 @@ WHERE tok <> '' -- engine filters empty tokens
 GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 100""",
     # reproducible stratified mixture: per-lang keep rates keyed on the
     # shared double-polyhash bucket of doc_id (engine: operators/sampling)
+    # round 7: + capped_docs — domain_caps(source, cap=10) survivors per
+    # lang; keep rule re-derived exactly (portable polyhash of the doc id
+    # string, rate = ceil(n_source/10), keep when n<=10 or hash%rate==0)
     "q37_stratified_sample": f"""WITH k AS (
   SELECT lang, text FROM documents
   WHERE {_duck_sample_bucket("mix")} <
     CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'fr' THEN 40 ELSE 20 END
-)
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(sum(len({_DUCK_TOKENS_CASED})) AS BIGINT) AS sum_tokens
-FROM k GROUP BY lang ORDER BY lang""",
+),
+cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+capped AS (
+  SELECT d.lang FROM documents d JOIN cnt c ON d.source = c.source
+  WHERE c.n <= 10
+     OR ({_duck_polyhash("CAST(d.doc_id AS VARCHAR)")})
+        % CAST(ceil(c.n * 1.0 / 10) AS BIGINT) = 0
+),
+cl AS (SELECT lang, count(*) AS capped_docs FROM capped GROUP BY lang)
+SELECT k2.lang, k2.n_docs, k2.sum_tokens,
+  CAST(coalesce(cl.capped_docs, 0) AS BIGINT) AS capped_docs
+FROM (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len({_DUCK_TOKENS_CASED})) AS BIGINT) AS sum_tokens
+  FROM k GROUP BY lang
+) k2 LEFT JOIN cl ON cl.lang = k2.lang ORDER BY k2.lang""",
     # token-budget sequence packing, both disciplines (chunked + greedy)
     "q38_sequence_packing": _pack_oracle_sql(256, 8),
     # composed curation pipeline: filter -> dedup(closure) -> stats
@@ -1213,10 +1228,16 @@ def _pq_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling stats + (round 7) per-lang survivor counts of
+    ``quality.domain_caps`` over the source column — the hash-thinning cap
+    runs with the engine-portable polyhash so the oracle re-derives the
+    exact survivor set."""
     from pyspark.sql import functions as F
 
+    from dask_glm_spark.operators import quality as Q
     from dask_glm_spark.operators import sampling as S
     from dask_glm_spark.operators import text as T
+    from dask_glm_spark.operators.text import polyhash_expr
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1224,12 +1245,21 @@ def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "lang", {"en": 60, "de": 40, "fr": 40}, default_pct=20,
         key_col="doc_id", salt="mix",
     )
+    capped = Q.domain_caps(
+        docs, "source", cap=10,
+        hash_col=polyhash_expr(F.col("doc_id").cast("string")),
+    )
+    capped_by_lang = capped.groupBy("lang").agg(
+        F.count("*").cast("long").alias("capped_docs")
+    )
     return (
         kept.groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum(T.token_count_expr("text")).cast("long").alias("sum_tokens"),
         )
+        .join(capped_by_lang, "lang", "left")
+        .withColumn("capped_docs", F.coalesce("capped_docs", F.lit(0)))
         .orderBy("lang")
     )
 

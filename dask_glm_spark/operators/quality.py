@@ -373,6 +373,7 @@ def domain_caps(
     cap: int,
     id_col: str = "doc_id",
     exact: bool = False,
+    hash_col: Column | None = None,
 ) -> DataFrame:
     """Cap documents per domain (the "no single domain dominates the mix"
     curation rule).
@@ -389,14 +390,20 @@ def domain_caps(
     rank — a row_number window per domain; exact counts, but a hot
     domain's rows all sort in one window task (use only when domain
     cardinality balance is known).
+
+    ``hash_col`` overrides the keep-hash expression (default
+    ``xxhash64(id)``) — e.g. the engine-portable 31-base polyhash so an
+    external SQL engine can re-derive the exact survivor set (the q37
+    oracle does).
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
+    h = hash_col if hash_col is not None else F.xxhash64(F.col(id_col))
     if exact:
         from pyspark.sql import Window
 
         w = Window.partitionBy(domain_col).orderBy(
-            F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()
+            h.asc(), F.col(id_col).asc()
         )
         return (
             df.withColumn("_rk", F.row_number().over(w))
@@ -405,7 +412,7 @@ def domain_caps(
         )
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
     rate = F.ceil(F.col("_n") / F.lit(cap)).cast("long")
-    keep = F.pmod(F.xxhash64(F.col(id_col)), rate) == 0
+    keep = F.pmod(h, rate) == 0
     return (
         df.join(counts, domain_col)
         .where((F.col("_n") <= cap) | keep)
