@@ -751,18 +751,45 @@ ORDER BY d.doc_id""",
     # both engines append the SAME deterministic synthetic tail (built from
     # doc_id) and the oracle checks the full three-regex mask chain on it.
     # Regex subset common to Java and RE2 dialects: no backrefs/lookaround.
-    "q42_scrub": r"""SELECT doc_id,
+    # round 7: + par_dedup_text — paragraphs synthesized by replacing the
+    # token 'merge' with '|'; each paragraph survives only at its global
+    # first occurrence (smallest (doc_id, pos)), docs reassembled in order
+    "q42_scrub": r"""WITH pl AS (
+  SELECT doc_id,
+    string_split(replace(text, 'merge', '|'), '|') AS pars
+  FROM documents
+),
+pp AS (
+  SELECT doc_id, u.pos AS pos, u.par AS par FROM (
+    SELECT doc_id,
+      unnest([{'pos': i - 1, 'par': pars[i]}
+              for i in generate_series(1, len(pars))]) AS u
+    FROM pl
+  )
+),
+rk AS (
+  SELECT doc_id, pos, par,
+    row_number() OVER (PARTITION BY par ORDER BY doc_id, pos) AS r
+  FROM pp
+),
+reb AS (
+  SELECT doc_id, string_agg(par, '|' ORDER BY pos) AS par_dedup_text
+  FROM rk WHERE r = 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
   regexp_replace(
     regexp_replace(
       regexp_replace(
-        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        text || ' contact user' || CAST(d.doc_id AS VARCHAR)
              || '@mail.example.com via https://ex.example/'
-             || CAST(doc_id AS VARCHAR) || ' ref '
-             || CAST(doc_id * doc_id + 1234567 AS VARCHAR),
+             || CAST(d.doc_id AS VARCHAR) || ' ref '
+             || CAST(d.doc_id * d.doc_id + 1234567 AS VARCHAR),
         '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
       '(?i)https?://[^\s]+', '<URL>', 'g'),
-    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
-FROM documents ORDER BY doc_id""",
+    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+  coalesce(reb.par_dedup_text, '') AS par_dedup_text
+FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
+ORDER BY d.doc_id""",
     # Benchmark decontamination: docs sharing any word 5-gram with the
     # benchmark slice (doc_id % 31 = 0) are contaminated.
     "q43_decontam": f"""WITH toks AS (
@@ -1348,9 +1375,15 @@ def _pq_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + (round 7) corpus-level paragraph dedup, both per-doc:
+    paragraphs are synthesized by replacing the literal token 'merge'
+    with '|' (the corpus has no newlines), then ``quality.
+    paragraph_dedup`` keeps only each paragraph's global first occurrence
+    and reassembles — the oracle re-derives the whole split/first/
+    reassemble pipeline in SQL."""
     from pyspark.sql import functions as F
 
-    from dask_glm_spark.operators.quality import scrub_expr
+    from dask_glm_spark.operators.quality import paragraph_dedup, scrub_expr
 
     docs = _docs_spread(spark, sf_dir)
     synth = F.concat(
@@ -1362,9 +1395,20 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" ref "),
         (F.col("doc_id") * F.col("doc_id") + F.lit(1234567)).cast("string"),
     )
-    return docs.select(
-        "doc_id", scrub_expr(synth).alias("scrubbed")
-    ).orderBy("doc_id")
+    pdd = paragraph_dedup(
+        docs.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), "merge", "|").alias("ptext"),
+        ),
+        text_col="ptext",
+        sep="|",
+        out_col="par_dedup_text",
+    ).select("doc_id", "par_dedup_text")
+    return (
+        docs.select("doc_id", scrub_expr(synth).alias("scrubbed"))
+        .join(pdd, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _pq_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -320,10 +320,17 @@ def paragraph_dedup(
     Returns the input columns with ``out_col`` (default: ``text_col`` —
     replaced in place) holding the deduplicated text.
     """
+    import re
+
     out_col = out_col or text_col
+    # sep is a LITERAL separator: escape it for the regex split (an
+    # unescaped '|' would split on every character), reuse it verbatim in
+    # the concat_ws reassembly
     pars = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_par"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "_pos", "_par"
+        ),
     )
     first = pars.groupBy(F.xxhash64("_par").alias("_ph")).agg(
         F.min(F.struct("_id", "_pos", "_par")).alias("_first")
