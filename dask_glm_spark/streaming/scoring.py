@@ -154,3 +154,71 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def softmax_score_expr(
+    coefs, classes: list, feature_cols: list[str]
+) -> F.Column:
+    """Jointly-normalized class probabilities over named scalar columns —
+    the streaming twin of ``SoftmaxRegression.predict_proba`` (round 7).
+    ``coefs`` is the estimator's per-class coefficient list (each length
+    len(feature_cols)+1 with a trailing intercept, or exactly
+    len(feature_cols)); returns an array<double> of len(classes)
+    probabilities, numerically stable (max-shifted), score array
+    let-bound once. Stateless: usable identically on batch and streaming
+    frames."""
+    from dask_glm_spark.functions.exprs import let as _let
+
+    def linear(beta):
+        beta = [float(b) for b in beta]
+        if len(beta) == len(feature_cols) + 1:
+            xb: F.Column = F.lit(beta[-1])
+            beta = beta[:-1]
+        elif len(beta) == len(feature_cols):
+            xb = F.lit(0.0)
+        else:
+            raise ValueError(
+                f"class coefficient vector has {len(beta)} entries for "
+                f"{len(feature_cols)} feature columns"
+            )
+        for c, b in zip(feature_cols, beta):
+            xb = xb + F.col(c) * b
+        return xb
+
+    if len(coefs) != len(classes):
+        raise ValueError(f"{len(coefs)} coefficient vectors for {len(classes)} classes")
+    scores = F.array(*[linear(b) for b in coefs])
+    return _let(
+        scores,
+        lambda s: _let(
+            F.transform(s, lambda x: F.exp(x - F.array_max(s))),
+            lambda e: _let(
+                F.aggregate(e, F.lit(0.0), lambda a, x: a + x),
+                lambda total: F.transform(e, lambda x: x / total),
+            ),
+        ),
+    )
+
+
+def softmax_scored_event_stream(
+    events: DataFrame,
+    coefs,
+    classes: list,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Attach multiclass probabilities + argmax prediction to each event
+    (stateless narrow map — works on batch and streaming frames alike).
+    ``coefs``/``classes`` drop in from a fitted ``SoftmaxRegression``
+    (``m._coefs`` / ``m.classes_``) or a ``load_model`` artifact."""
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    probs = softmax_score_expr(coefs, classes, feature_cols)
+    from dask_glm_spark.functions.exprs import let as _let
+
+    out = events.withColumn("probabilities", probs)
+    pred = _let(
+        F.col("probabilities"),
+        lambda p: F.element_at(
+            cls_arr, F.array_position(p, F.array_max(p)).cast("int")
+        ),
+    )
+    return out.withColumn("prediction", pred)

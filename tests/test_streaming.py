@@ -422,3 +422,57 @@ def test_asof_enrich_stream_pre_epoch_timestamps(spark, tmp_path_factory):
         for r in spark.table("enrich_pre_epoch_test").collect()
     }
     assert got == {200: "7.0", 201: "7.0", 202: None}
+
+
+def test_softmax_scored_stream_matches_batch_estimator(spark, tmp_path_factory):
+    """Streaming softmax scoring (stateless map over named columns) equals
+    the fitted SoftmaxRegression's batch predict_proba/predict on the same
+    rows — the fit's coefficient list drops in directly."""
+    import numpy as np
+
+    from dask_glm_spark import SoftmaxRegression
+    from dask_glm_spark.streaming.scoring import softmax_scored_event_stream
+
+    rng = np.random.RandomState(9)
+    centers = np.array([[3.0, 0.0], [-3.0, 2.0], [0.0, -4.0]])
+    rows = [
+        (int(i), float(c), *map(float, centers[c] + rng.standard_normal(2)))
+        for i, c in enumerate(rng.randint(0, 3, size=120))
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, label double, f1 double, f2 double"
+    )
+    feat = batch.select(
+        "event_id", "label", F.array("f1", "f2").alias("features")
+    )
+    m = SoftmaxRegression(solver="lbfgs", regularizer=None).fit(feat)
+
+    d = str(tmp_path_factory.mktemp("softmax_stream"))
+    batch.coalesce(1).write.mode("overwrite").parquet(f"{d}/b=0")
+    sch = spark.read.parquet(f"{d}/b=0").schema
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b=*")
+    )
+    out = softmax_scored_event_stream(
+        stream, m._coefs, m.classes_, ["f1", "f2"]
+    )
+    SC.run_stream_to_memory(out, "softmax_stream_test", mode="append")
+    got = {
+        r["event_id"]: (list(r["probabilities"]), r["prediction"])
+        for r in spark.table("softmax_stream_test").collect()
+    }
+    want_rows = (
+        m.predict_proba(feat)
+        .join(m.predict(feat).select("event_id", "prediction"), "event_id")
+        .collect()
+    )
+    want = {
+        r["event_id"]: (list(r["probabilities"]), r["prediction"])
+        for r in want_rows
+    }
+    assert set(got) == set(want) and len(got) == 120
+    for k in got:
+        np.testing.assert_allclose(got[k][0], want[k][0], rtol=1e-12)
+        assert got[k][1] == want[k][1]
