@@ -166,8 +166,45 @@ _B1_CASE = "CASE j WHEN 1 THEN b1 WHEN 2 THEN b2 WHEN 3 THEN b3 ELSE b4 END"
 # and r5's three newest queries fell off the end. The prox column is the
 # L1 soft-threshold exactly as regularizers.L1.proximal_operator:
 # max(0, v - t) - max(0, -v - t), t = s*lamduh as the same float product.)
+# Pinned (p=4, k=3) softmax coefficient matrix — shared literal values
+# between kernels.softmax_loss_gradient (engine) and the SQL below
+# (oracle), the BETA convention. Row j = feature f{j+1}, column c = class.
+SOFTMAX_B = [
+    [0.1, -0.05, 0.02],
+    [0.0, 0.1, -0.1],
+    [0.2, 0.0, -0.2],
+    [-0.1, 0.05, 0.0],
+]
+
+
+def _softmax_z(c: int) -> str:
+    return " + ".join(f"({SOFTMAX_B[j][c]!r})*f{j + 1}" for j in range(4))
+
+
+_SM_CTES = f"""sm AS (
+  SELECT f1, f2, f3, f4, CAST(label_cnt % 3 AS INT) AS yc,
+    {_softmax_z(0)} AS z0, {_softmax_z(1)} AS z1, {_softmax_z(2)} AS z2
+  FROM glm
+),
+sme AS (SELECT *, greatest(z0, z1, z2) AS mx FROM sm),
+smt AS (SELECT *, exp(z0-mx) AS e0, exp(z1-mx) AS e1, exp(z2-mx) AS e2 FROM sme),
+smtt AS (SELECT *, e0+e1+e2 AS tt FROM smt),
+smagg AS (SELECT
+  sum(mx + ln(tt) - CASE yc WHEN 0 THEN z0 WHEN 1 THEN z1 ELSE z2 END) AS smloss,
+  {", ".join(
+    f"sum(f{j}*(e{c}/tt - CASE WHEN yc = {c} THEN 1 ELSE 0 END)) AS sg{j}_{c}"
+    for j in range(1, 5) for c in range(3)
+  )}
+FROM smtt)"""
+_SG_CASE = {
+    c: f"CASE j WHEN 1 THEN sg1_{c} WHEN 2 THEN sg2_{c} "
+       f"WHEN 3 THEN sg3_{c} ELSE sg4_{c} END"
+    for c in range(3)
+}
+
 KERNEL_SQL["q48_solver_steps"] = f"""WITH {GLM},
 {_B1_CTES},
+{_SM_CTES},
 l AS (SELECT sum(xb + ln(1+exp(-xb)) - label*xb) AS loss1
       FROM (SELECT (b1*f1 + b2*f2 + b3*f3 + b4*f4) AS xb, label FROM glm, b) s),
 bt AS (SELECT j, {_B1_CASE} AS v FROM b, js)
@@ -175,8 +212,12 @@ SELECT j,
   CAST(round(v, 6) AS DOUBLE) AS beta1,
   CAST(round(loss1, 3) AS DOUBLE) AS loss1,
   CAST(round(greatest(0, v - {GD_STEP_S!r}*{PROX_LAMDUH!r})
-           - greatest(0, -v - {GD_STEP_S!r}*{PROX_LAMDUH!r}), 6) AS DOUBLE) AS beta1_prox
-FROM bt, l ORDER BY j"""
+           - greatest(0, -v - {GD_STEP_S!r}*{PROX_LAMDUH!r}), 6) AS DOUBLE) AS beta1_prox,
+  CAST(round(smloss, 3) AS DOUBLE) AS smloss,
+  CAST(round({_SG_CASE[0]}, 3) AS DOUBLE) AS smg_c0,
+  CAST(round({_SG_CASE[1]}, 3) AS DOUBLE) AS smg_c1,
+  CAST(round({_SG_CASE[2]}, 3) AS DOUBLE) AS smg_c2
+FROM bt, l, smagg ORDER BY j"""
 
 
 def _register_tables(
@@ -1952,26 +1993,52 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     soft-threshold of the same candidate. Merged former q48+q49 — one
     4-row result keeps the declared-query count inside the driver gate's
     50-row record."""
+    import numpy as np
     from pyspark.sql import functions as F
 
+    from dask_glm_spark.functions import kernels
     from dask_glm_spark.operators import solvers
 
     df = _glm_nosort(spark, sf_dir)
     beta1, loss1 = solvers.gd_step(df, BETA, GD_STEP_S)
     bp = solvers.prox_step(df, BETA, GD_STEP_S, PROX_LAMDUH, regularizer="l1")
+    # round 7: the softmax kernel under the same gate — one fused
+    # loss+gradient evaluation at the pinned (4,3) SOFTMAX_B over the
+    # 3-class label label_cnt % 3; the oracle recomputes the max-shifted
+    # softmax and all 12 gradient sums in SQL. Row j carries gradient row
+    # j-1 (one column per class); smloss repeats like loss1.
+    df3 = df.select(
+        "features", (F.col("label_cnt") % 3).cast("double").alias("label")
+    )
+    smloss, G = kernels.softmax_loss_gradient(df3, np.asarray(SOFTMAX_B))
     rows = [
-        (j + 1, float(beta1[j]), float(loss1), float(bp[j]))
+        (
+            j + 1,
+            float(beta1[j]),
+            float(loss1),
+            float(bp[j]),
+            float(smloss),
+            float(G[j, 0]),
+            float(G[j, 1]),
+            float(G[j, 2]),
+        )
         for j in range(len(beta1))
     ]
     return (
         spark.createDataFrame(
-            rows, "j int, beta1 double, loss1 double, beta1_prox double"
+            rows,
+            "j int, beta1 double, loss1 double, beta1_prox double, "
+            "smloss double, smg_c0 double, smg_c1 double, smg_c2 double",
         )
         .select(
             "j",
             F.round("beta1", 6).cast("double").alias("beta1"),
             F.round("loss1", 3).cast("double").alias("loss1"),
             F.round("beta1_prox", 6).cast("double").alias("beta1_prox"),
+            F.round("smloss", 3).cast("double").alias("smloss"),
+            F.round("smg_c0", 3).cast("double").alias("smg_c0"),
+            F.round("smg_c1", 3).cast("double").alias("smg_c1"),
+            F.round("smg_c2", 3).cast("double").alias("smg_c2"),
         )
         .orderBy("j")
     )
