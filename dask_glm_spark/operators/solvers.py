@@ -38,6 +38,10 @@ from dask_glm_spark.functions.families import Logistic
 from dask_glm_spark.functions.regularizers import Regularizer
 from dask_glm_spark.plans.layout import ensure_min_parallelism
 
+import logging
+
+_log = logging.getLogger(__name__)
+
 PROBE_BATCH = 8  # line-search candidates evaluated per scan
 MAX_BACKTRACKS = 100  # reference: algorithms.py:71,478
 MIN_ADMM_BLOCK_ROWS = 100_000  # admm: amortize per-round task overhead
@@ -851,6 +855,7 @@ def _admm_consensus(
             rho * u_next
         )
         if primal_res < eps_pri and dual_res < eps_dual:
+            _log.info("admm (executor-state) converged after %d rounds", it + 1)
             break
 
     data.unpersist(False)
@@ -886,7 +891,7 @@ def _admm_consensus_driver_state(
     betas = {pid: np.ones(p) for pid in pids}  # block-build init parity
     us = {pid: np.zeros(p) for pid in pids}
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         st_bc = sc.broadcast((z, betas, us))
 
         def run(block, _st=st_bc):
@@ -923,6 +928,7 @@ def _admm_consensus_driver_state(
             rho * np.array([us[pid] for pid in pids])
         )
         if primal_res < eps_pri and dual_res < eps_dual:
+            _log.info("admm (driver-state) converged after %d rounds", it + 1)
             break
 
     data.unpersist(False)

@@ -167,6 +167,27 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
         ncomp = connected_components(edges).select("component").distinct().count()
         out[f"components_{tag}"] = round(time.perf_counter() - t0, 3)
         out[f"components_n_{tag}"] = ncomp
+        spark.catalog.clearCache()
+        # power-law hub graph (VERDICT r6 #6): chain backbone + one hub
+        # node in ~30% of edges. The hub is a hot JOIN KEY in the star
+        # rounds' min-agg + join-back; partial aggregation absorbs the
+        # min-agg and AQE skew-split the join, so the ratio should stay
+        # near the chain graph's — a single-task blowup would read >>10x.
+        # local_threshold=0 forces the distributed contraction.
+        hub_edges = ids.withColumn("id_b", F.col("id_a") + 1).where(
+            (F.col("id_a") % 100) != 99
+        ).union(
+            ids.where((F.col("id_a") % 7) < 3).select(
+                F.lit(0).cast("long").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        t0 = time.perf_counter()
+        nhub = (
+            connected_components(hub_edges, local_threshold=0)
+            .select("component").distinct().count()
+        )
+        out[f"hub_components_{tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"hub_components_n_{tag}"] = nhub
     # time-series joins at 10x events: 10 day-shifted copies of the events
     # table (disjoint in time per copy via a +i-day offset, same structure)
     from dask_glm_spark.operators.joins import asof_join, range_join
@@ -211,7 +232,7 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
         range_join(pts, sess).write.format("noop").mode("overwrite").save()
         out[f"range_{tag}"] = round(time.perf_counter() - t0, 3)
 
-    for k in ("tfidf", "repetition", "minhash", "components", "asof", "asof_bkt", "range"):
+    for k in ("tfidf", "repetition", "minhash", "components", "hub_components", "asof", "asof_bkt", "range"):
         r = out[f"{k}_10x"] / max(out[f"{k}_1x"], 1e-9)
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
     print(

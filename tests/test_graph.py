@@ -123,3 +123,40 @@ def test_survivors_transitive_chain(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in neardup_survivors(docs, pairs).collect())
     assert kept == [1]
+
+
+def test_hub_graph_converges_in_log_rounds(spark, caplog):
+    """VERDICT r6 #6: power-law hub fixture. One hub node sits in ~30% of
+    edges; the star contraction must still converge in O(log n) rounds
+    (the hub is a skewed JOIN KEY for the min-agg + join-back, never an
+    in-memory neighbor list) and produce the same labels as union-find."""
+    import logging
+
+    rng = random.Random(7)
+    n = 400
+    nodes = list(range(n))
+    edges: list[tuple[int, int]] = []
+    # chain backbone over the non-hub nodes (worst case for naive O(D)
+    # label propagation), then hub spokes until the hub holds ~30%
+    for i in range(1, n - 1):
+        edges.append((i, i + 1))
+    hub = 0
+    n_spokes = len(edges) * 3 // 7 + 1  # spokes/(chain+spokes) ≈ 30%
+    for _ in range(n_spokes):
+        edges.append((hub, rng.randrange(1, n)))
+    assert sum(1 for a, b in edges if hub in (a, b)) / len(edges) >= 0.29
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with caplog.at_level(logging.INFO, logger="dask_glm_spark.operators.graph"):
+        got = _cc_dict(pairs, local_threshold=0)  # force distributed path
+    assert got == _union_find(nodes, edges)  # all one component, label 0
+
+    rounds = [
+        int(rec.args[0])
+        for rec in caplog.records
+        if "converged" in rec.getMessage()
+    ]
+    assert rounds, "distributed path did not log convergence"
+    # O(log n): log2(400) ≈ 8.6; alternating stars converge well under it,
+    # and far under the O(D)=400 a label-propagation loop would need.
+    assert rounds[-1] <= 10
