@@ -45,6 +45,10 @@ _log = logging.getLogger(__name__)
 PROBE_BATCH = 8  # line-search candidates evaluated per scan
 MAX_BACKTRACKS = 100  # reference: algorithms.py:71,478
 MIN_ADMM_BLOCK_ROWS = 100_000  # admm: amortize per-round task overhead
+# ~160 MB of X at p=100: the largest block worth materializing as one
+# numpy array on an executor; past this the nblocks heuristic adds blocks
+# beyond core count rather than growing blocks with n.
+MAX_ADMM_BLOCK_ROWS = 2_000_000
 
 
 def normalize(algo):
@@ -685,10 +689,27 @@ def admm(
         # present; a direct admm() call pays one cached-scan count
         n_rows = kwargs.pop("n_rows", None) or df.count()
         nblocks = max(1, min(sc.defaultParallelism, n_rows // MIN_ADMM_BLOCK_ROWS))
-    if nblocks and df.rdd.getNumPartitions() != nblocks:
-        # one-time round-robin rebalance (~bytes of X once); every round
-        # after this is compute-parallel across all nblocks cores
-        df = df.repartition(nblocks)
+        # memory guard: one-block-per-core would make each materialized
+        # numpy block n_rows/cores × p doubles — unbounded in n. Cap block
+        # rows so a huge-n fit raises the block count past core count
+        # (tasks queue; consensus still sees every block each round)
+        # instead of building multi-GB partitions.
+        nblocks = max(nblocks, n_rows // MAX_ADMM_BLOCK_ROWS)
+    cur = df.rdd.getNumPartitions()
+    if nblocks and cur != nblocks:
+        if nblocks < cur:
+            # contiguous merge, NO shuffle — each block is a union of
+            # adjacent input splits, exactly the reference's dask-array
+            # chunking (contiguous row ranges, algorithms.py admm blocks),
+            # and a full-data exchange cheaper at any scale. Round-robin
+            # repartition bought nothing: consensus ADMM only needs every
+            # block visited per round, not IID blocks, and the reference
+            # itself fits contiguous chunks.
+            df = df.coalesce(nblocks)
+        else:
+            # can't split partitions without an exchange (rare: tiny
+            # file-split count on a single-file table)
+            df = df.repartition(nblocks)
 
     # Block build (VERDICT r2 #3): one Arrow pass converts each partition
     # to a single (pid, X-bytes, y-bytes) row — column batches flatten to
