@@ -995,8 +995,12 @@ def admm_sparse(
 
     if nblocks is None:
         nblocks = sc.defaultParallelism
-    if nblocks and df.rdd.getNumPartitions() != nblocks:
-        df = df.repartition(nblocks)
+    cur = df.rdd.getNumPartitions()
+    if nblocks and cur != nblocks:
+        # same layout rule as the dense path: contiguous no-shuffle merge
+        # when reducing (reference chunking is contiguous), exchange only
+        # when partitions must be split
+        df = df.coalesce(nblocks) if nblocks < cur else df.repartition(nblocks)
 
     def build_block_arrow(batches):
         import pyarrow as pa
