@@ -145,6 +145,18 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
     connected_components(
         wids.withColumn("id_b", F.col("id_a") + 1).where((F.col("id_a") % 10) != 9)
     ).count()
+    # hub probe has a different plan shape (chain ∪ spokes) — warm it too,
+    # or the 1x hub run absorbs the Janino compile and reads slower than 10x
+    connected_components(
+        wids.withColumn("id_b", F.col("id_a") + 1)
+        .where((F.col("id_a") % 10) != 9)
+        .union(
+            wids.where((F.col("id_a") % 7) < 3).select(
+                F.lit(0).cast("long").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        ),
+        local_threshold=0,
+    ).count()
     warm.unpersist()
     spark.catalog.clearCache()
 
