@@ -508,6 +508,15 @@ def _duck_sample_bucket(
     return f"{_duck_polyhash(f'CAST(({h1}) AS VARCHAR)')} % {n_buckets}"
 
 
+def _duck_uniform_unit(salt: str, key_expr: str = "doc_id") -> str:
+    """DuckDB SQL computing operators.sampling.uniform_unit_expr exactly:
+    salted polyhash, Knuth multiplicative mix, top 20 of 32 bits, +0.5
+    half-bucket offset — all exact integer/dyadic-rational steps, so both
+    engines hand the SAME double to the transcendentals downstream."""
+    h1 = _duck_polyhash(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    return f"((((({h1}) * 2654435761) % 4294967296) >> 12) + 0.5) / 1048576.0"
+
+
 def _curation_oracle_sql(q_threshold: float = 0.5, mh_threshold: float = 0.5) -> str:
     """End-to-end curation pipeline, fully recomputed: language-ID filter +
     quality filter -> MinHash near-dup pairs on the SURVIVING subset ->
@@ -727,14 +736,34 @@ capped AS (
      OR ({_duck_polyhash("CAST(d.doc_id AS VARCHAR)")})
         % CAST(ceil(c.n * 1.0 / 10) AS BIGINT) = 0
 ),
-cl AS (SELECT lang, count(*) AS capped_docs FROM capped GROUP BY lang)
+cl AS (SELECT lang, count(*) AS capped_docs FROM capped GROUP BY lang),
+-- round 7: weighted_sample_k(25 per lang, weight = token count) — the
+-- Gumbel-form Efraimidis–Spirakis priority re-derived end to end
+wsk AS (
+  SELECT lang, doc_id, len({_DUCK_TOKENS_CASED}) AS ntok,
+    round(ln(-ln({_duck_uniform_unit("wmix", "doc_id")}))
+          - ln(len({_DUCK_TOKENS_CASED}) * 1.0), 9) AS sk
+  FROM documents
+  WHERE len({_DUCK_TOKENS_CASED}) > 0
+),
+wsel AS (
+  SELECT lang, ntok FROM (
+    SELECT lang, ntok,
+      row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS rn
+    FROM wsk) q WHERE rn <= 25
+),
+wl AS (SELECT lang, CAST(count(*) AS BIGINT) AS wsample_docs,
+       CAST(sum(ntok) AS BIGINT) AS wsample_tokens FROM wsel GROUP BY lang)
 SELECT k2.lang, k2.n_docs, k2.sum_tokens,
-  CAST(coalesce(cl.capped_docs, 0) AS BIGINT) AS capped_docs
+  CAST(coalesce(cl.capped_docs, 0) AS BIGINT) AS capped_docs,
+  CAST(coalesce(wl.wsample_docs, 0) AS BIGINT) AS wsample_docs,
+  CAST(coalesce(wl.wsample_tokens, 0) AS BIGINT) AS wsample_tokens
 FROM (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
     CAST(sum(len({_DUCK_TOKENS_CASED})) AS BIGINT) AS sum_tokens
   FROM k GROUP BY lang
-) k2 LEFT JOIN cl ON cl.lang = k2.lang ORDER BY k2.lang""",
+) k2 LEFT JOIN cl ON cl.lang = k2.lang
+     LEFT JOIN wl ON wl.lang = k2.lang ORDER BY k2.lang""",
     # token-budget sequence packing, both disciplines (chunked + greedy)
     "q38_sequence_packing": _pack_oracle_sql(256, 8),
     # composed curation pipeline: filter -> dedup(closure) -> stats
@@ -1320,6 +1349,17 @@ def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped_by_lang = capped.groupBy("lang").agg(
         F.count("*").cast("long").alias("capped_docs")
     )
+    # round 7: exact-k weighted sampling (Efraimidis–Spirakis / Gumbel
+    # top-k) — 25 docs per lang, longer docs proportionally likelier;
+    # the oracle re-derives the full priority chain
+    wsel = S.weighted_sample_k(
+        docs, 25, T.token_count_expr("text"), by="lang",
+        key_col="doc_id", salt="wmix",
+    )
+    ws_by_lang = wsel.groupBy("lang").agg(
+        F.count("*").cast("long").alias("wsample_docs"),
+        F.sum(T.token_count_expr("text")).cast("long").alias("wsample_tokens"),
+    )
     return (
         kept.groupBy("lang")
         .agg(
@@ -1328,6 +1368,9 @@ def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(capped_by_lang, "lang", "left")
         .withColumn("capped_docs", F.coalesce("capped_docs", F.lit(0)))
+        .join(ws_by_lang, "lang", "left")
+        .withColumn("wsample_docs", F.coalesce("wsample_docs", F.lit(0)))
+        .withColumn("wsample_tokens", F.coalesce("wsample_tokens", F.lit(0)))
         .orderBy("lang")
     )
 

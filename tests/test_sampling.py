@@ -110,3 +110,118 @@ def test_stratified_default_pct_validated(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with _pytest.raises(ValueError, match="default_pct"):
         stratified_sample(df, "lang", {"en": 60}, default_pct=150)
+
+
+# --- weighted_sample_k -------------------------------------------------
+
+_P = 1_000_000_007
+
+
+def _ph(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % _P
+    return h
+
+
+def _ws_twin_key(key, weight, salt):
+    """Driver-side twin of weighted_sample_k's sort key (polyhash +
+    Fibonacci mix, Gumbel-form priority, 9dp half-up rounding)."""
+    import math
+
+    b = ((_ph(f"{salt}:{key}") * 2654435761) % (1 << 32)) >> 12
+    u = (b + 0.5) / float(1 << 20)
+    x = math.log(-math.log(u)) - math.log(weight)
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _ws_twin_select(rows, k, salt):
+    """rows: (group, key, weight) -> set of selected keys (top-k per
+    group by (sortkey, key), positive weights only)."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for g, key, w in rows:
+        if w is not None and w > 0:
+            per[g].append((_ws_twin_key(key, w, salt), key))
+    out = set()
+    for g, lst in per.items():
+        lst.sort()
+        out.update(key for _, key in lst[:k])
+    return out
+
+
+@pytest.fixture(scope="module")
+def weighted_docs(spark):
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float(1 + (i * 7) % 40)) for i in range(300)
+    ]
+    # a few degenerate weights: null, zero, negative — never sampled
+    rows += [(1000, "a", None), (1001, "b", 0.0), (1002, "c", -3.0)]
+    return spark.createDataFrame(
+        rows, "doc_id long, grp string, w double"
+    ).persist()
+
+
+def test_weighted_sample_matches_twin_and_is_layout_stable(weighted_docs):
+    from dask_glm_spark.operators.sampling import weighted_sample_k
+
+    base = [(r["grp"], r["doc_id"], r["w"]) for r in weighted_docs.collect()]
+    want = _ws_twin_select(base, 10, "wt")
+    got = {
+        r["doc_id"]
+        for r in weighted_sample_k(
+            weighted_docs, 10, "w", by="grp", key_col="doc_id", salt="wt"
+        ).collect()
+    }
+    assert got == want
+    got2 = {
+        r["doc_id"]
+        for r in weighted_sample_k(
+            weighted_docs.repartition(17), 10, "w", by="grp",
+            key_col="doc_id", salt="wt",
+        ).collect()
+    }
+    assert got2 == want  # partitioning-independent
+    assert not got & {1000, 1001, 1002}  # degenerate weights excluded
+    # exactly k per group (groups are 100-strong)
+    per = weighted_sample_k(
+        weighted_docs, 10, "w", by="grp", key_col="doc_id", salt="wt"
+    ).groupBy("grp").count().collect()
+    assert sorted((r["grp"], r["count"]) for r in per) == [
+        ("a", 10), ("b", 10), ("c", 10)
+    ]
+
+
+def test_weighted_sample_small_group_and_global(weighted_docs, spark):
+    from dask_glm_spark.operators.sampling import weighted_sample_k
+
+    tiny = spark.createDataFrame(
+        [(1, "g", 2.0), (2, "g", 5.0)], "doc_id long, grp string, w double"
+    )
+    assert weighted_sample_k(tiny, 10, "w", by="grp").count() == 2
+    # by=None ranks globally (distributed TakeOrdered)
+    base = [("*", r["doc_id"], r["w"]) for r in weighted_docs.collect()]
+    want = _ws_twin_select(base, 25, "gl")
+    got = {
+        r["doc_id"]
+        for r in weighted_sample_k(
+            weighted_docs, 25, "w", key_col="doc_id", salt="gl"
+        ).collect()
+    }
+    assert got == want and len(got) == 25
+
+
+def test_weighted_sample_inclusion_tracks_weight():
+    """Statistical contract on the (twin of the) exact formula: with k=1
+    the winner is drawn with probability w_i/Σw (Efraimidis–Spirakis).
+    Runs driver-side over many salts — the Spark path is pinned to this
+    twin by test_weighted_sample_matches_twin_and_is_layout_stable."""
+    rows = [("g", i, 10.0 if i < 10 else 1.0) for i in range(110)]
+    # Σw = 200; P(heavy wins) = 100/200 = 0.5
+    heavy_wins = sum(
+        1
+        for s in range(400)
+        if min(_ws_twin_select(rows, 1, f"s{s}")) < 10
+    )
+    assert 0.40 < heavy_wins / 400 < 0.60
