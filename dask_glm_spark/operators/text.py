@@ -738,3 +738,63 @@ def unigram_logprob_scores(
         .cast("double")
         .alias("mean_logp"),
     )
+
+
+def fit_text_classifier(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 256,
+    regularizer="l2",
+    lamduh: float = 1e-3,
+    max_iter: int = 100,
+):
+    """FastText-style linear text classifier: hashed token counts →
+    jointly-fit softmax (`Bag of Tricks for Efficient Text
+    Classification`, Joulin et al. 2016 — the linear-over-hashed-features
+    recipe, minus subword n-grams).
+
+    One `hashing_tf` pass featurizes (zero shuffles), then
+    `SoftmaxRegression` fits all k classes in one fused scan per L-BFGS
+    evaluation. Standardization is OFF: hashed count columns are
+    already commensurate, and empty buckets (constant-0 columns) would
+    trip the reference's >1-constant-column guard. Docs whose text
+    yields no tokens carry no features and drop out of training.
+
+    Returns the fitted SoftmaxRegression; featurize scoring input with
+    the SAME num_features via `classify_text`."""
+    from dask_glm_spark.operators.estimators import SoftmaxRegression
+
+    feats = hashing_tf(
+        docs, text_col=text_col, id_col=id_col, num_features=num_features
+    )
+    data = feats.join(docs.select(id_col, label_col), id_col).select(
+        "features", F.col(label_col).alias("label")
+    )
+    model = SoftmaxRegression(
+        solver="lbfgs", regularizer=regularizer, lamduh=lamduh,
+        max_iter=max_iter,
+    )
+    model.fit(data, normalize=False)
+    model.num_features_ = num_features
+    return model
+
+
+def classify_text(
+    model,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a `fit_text_classifier` model: one featurize
+    pass + the estimator's single codegen predict pass. Returns
+    (id_col, label). Docs with no tokens emit no row (no features to
+    score)."""
+    feats = hashing_tf(
+        docs, text_col=text_col, id_col=id_col,
+        num_features=model.num_features_,
+    )
+    return model.predict(feats).select(
+        id_col, F.col("prediction").alias("label")
+    )

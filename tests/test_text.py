@@ -298,3 +298,32 @@ def test_unigram_logprob_scores_real_corpus_broadcast(spark):
         for r in T.unigram_logprob_scores(docs.repartition(7)).collect()
     }
     assert a == b and all(v < 0 for v in a.values())
+
+
+def test_text_classifier_separable_langs(spark):
+    """fastText-style composite: hashed counts -> joint softmax. Three
+    'languages' with disjoint vocabularies must classify ~perfectly, and
+    classify_text must reproduce the training labels."""
+    import itertools
+
+    vocab = {
+        "aa": ["alpha", "apple", "anchor", "arrow"],
+        "bb": ["bravo", "berry", "basket", "bridge"],
+        "cc": ["cedar", "coral", "candle", "copper"],
+    }
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for combo in itertools.permutations(words, 3):
+            rows.append((i, lang, " ".join(combo)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    from dask_glm_spark.operators.text import classify_text, fit_text_classifier
+
+    model = fit_text_classifier(docs, num_features=64, max_iter=60)
+    assert sorted(model.classes_) == ["aa", "bb", "cc"]
+    got = {r["doc_id"]: r["label"] for r in classify_text(model, docs).collect()}
+    truth = {r[0]: r[1] for r in rows}
+    acc = sum(got[k] == truth[k] for k in truth) / len(truth)
+    assert acc > 0.95
