@@ -200,3 +200,57 @@ def multi_loss_gradient_sparse(
         losses += np.asarray(r_["losses"], dtype=np.float64)
         grads += np.asarray(r_["grads"], dtype=np.float64)
     return losses, grads.reshape(p, k)
+
+
+def softmax_loss_gradient_sparse(
+    df: DataFrame,
+    B: np.ndarray,
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+) -> tuple[float, np.ndarray]:
+    """Sparse twin of ``kernels.softmax_loss_gradient``: (negative
+    log-likelihood, (p, k) gradient) for multinomial logistic over
+    (indices, values) rows — ALL k class scores and gradients from one
+    O(k·nnz) scan, partials (1 + p·k) doubles per partition, pid-sorted
+    driver fold. ``label_col`` must hold class indices in [0, k).
+
+    Z columns come from k bincount scatters (the multi_loss pattern —
+    no (nnz, k) temporary), the row logsumexp is max-shifted, and each
+    gradient column is one bincount of (softmax − onehot) residuals."""
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    k = B.shape[1]
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        y = pdf[label_col].to_numpy(dtype=np.float64).astype(np.int64)
+        Z = np.empty((n, k))
+        for c in range(k):
+            Z[:, c] = np.bincount(
+                row_ids, weights=flat_val * B[flat_idx, c], minlength=n
+            )
+        m = Z.max(axis=1, keepdims=True)
+        ez = np.exp(Z - m)
+        se = ez.sum(axis=1)
+        lse = m[:, 0] + np.log(se)
+        rows = np.arange(n)
+        loss = float((lse - Z[rows, y]).sum())
+        P = ez / se[:, None]
+        P[rows, y] -= 1.0
+        G = np.empty((p, k))
+        for c in range(k):
+            G[:, c] = np.bincount(
+                flat_idx, weights=P[row_ids, c] * flat_val, minlength=p
+            )
+        return {"loss": loss, "grad": G.ravel()}
+
+    rows_ = _arrow_partials_generic(
+        df, batch_partial, "loss double, grad array<double>"
+    )
+    loss = 0.0
+    grad = np.zeros(p * k)
+    for r_ in rows_:
+        loss += r_["loss"]
+        grad += np.asarray(r_["grad"], dtype=np.float64)
+    return float(loss), grad.reshape(p, k)

@@ -435,14 +435,14 @@ class SoftmaxRegression(MulticlassLogisticRegression):
     def fit(self, df: DataFrame, y=None, **extra):
         from dask_glm_spark.sources import vectors as V
 
-        if V.is_vector_column(df, self.features_col) or V.is_sparse_columns(df):
-            raise NotImplementedError(
-                "SoftmaxRegression supports dense array features"
-            )
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
         if self.solver != "lbfgs":
             raise NotImplementedError(
                 f"SoftmaxRegression supports solver='lbfgs', got {self.solver!r}"
             )
+        if V.is_sparse_columns(df):
+            return self._fit_softmax_sparse(df, **extra)
         classes = [
             r[0]
             for r in df.select(self.label_col)
@@ -485,6 +485,122 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             self.intercepts_ = np.zeros(k)
         return self
 
+    def _fit_softmax_sparse(self, df: DataFrame, **extra):
+        """Wide-sparse (findices/fvalues) multinomial fit: one O(k·nnz)
+        fused scan per L-BFGS evaluation (``solvers.softmax_lbfgs_sparse``).
+        fit_intercept is unsupported for sparse input, matching the dense
+        sparse solvers (reference xfail: tests/test_estimators.py:47-54);
+        standardization never applies (it would densify)."""
+        if self.fit_intercept:
+            raise NotImplementedError(
+                "fit_intercept with sparse features is unsupported "
+                "(reference xfail: tests/test_estimators.py:47-54)"
+            )
+        classes = [
+            r[0]
+            for r in df.select(self.label_col)
+            .distinct()
+            .orderBy(self.label_col)
+            .collect()
+        ]
+        if len(classes) < 2:
+            raise ValueError(f"need >= 2 classes, got {classes!r}")
+        k = len(classes)
+        cls_arr = F.array(*[F.lit(c) for c in classes])
+        dfi = df.withColumn(
+            self.label_col,
+            (F.array_position(cls_arr, F.col(self.label_col)) - 1).cast(
+                "double"
+            ),
+        )
+        extra.pop("normalize", None)  # sparse path never standardizes
+        B = solvers.softmax_lbfgs_sparse(
+            dfi,
+            k,
+            regularizer=self.regularizer,
+            lamduh=self.lamduh,
+            max_iter=self.max_iter,
+            tol=self.tol,
+            label_col=self.label_col,
+            **extra,
+        )
+        self.classes_ = classes
+        self._coefs = [np.asarray(B[:, c]) for c in range(k)]
+        self.coefs_ = np.stack(self._coefs)
+        self.intercepts_ = np.zeros(k)
+        return self
+
+    def _sparse_scores_df(self, df: DataFrame, col: str) -> DataFrame:
+        """df + a linear (n, k) scores array column over wide-sparse rows:
+        one vectorized O(k·nnz) Arrow pass (the _sparse_xb shape, k-wide).
+        Sparse fits carry no intercept (see _fit_softmax_sparse)."""
+        from dask_glm_spark.functions.kernels_sparse import _batch_csr
+
+        Bmat = np.column_stack(self._coefs)  # (p, k)
+        k = Bmat.shape[1]
+
+        def op(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                flat_idx, flat_val, row_ids, n = _batch_csr(
+                    pdf, "findices", "fvalues"
+                )
+                Z = np.empty((n, k))
+                for c in range(k):
+                    Z[:, c] = np.bincount(
+                        row_ids,
+                        weights=flat_val * Bmat[flat_idx, c],
+                        minlength=n,
+                    )
+                out = pdf.copy()
+                out[col] = [r.tolist() for r in Z]
+                yield out
+
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        return df.mapInPandas(op, schema=f"{fields}, {col} array<double>")
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if not V.is_sparse_columns(df):
+            return super().predict(df)
+        cls = F.array(*[F.lit(c) for c in self.classes_])
+        scored = self._sparse_scores_df(df, "_scores")
+        pred = _let(
+            F.col("_scores"),
+            lambda s: F.element_at(
+                cls, F.array_position(s, F.array_max(s)).cast("int")
+            ),
+        )
+        return scored.withColumn("prediction", pred).drop("_scores")
+
+    def predict_proba(self, df: DataFrame) -> DataFrame:
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if not V.is_sparse_columns(df):
+            return self._predict_proba_dense(df)
+        scored = self._sparse_scores_df(df, "_scores")
+        probs = _let(
+            F.col("_scores"),
+            lambda s: _let(
+                F.transform(s, lambda x: F.exp(x - F.array_max(s))),
+                lambda e: _let(
+                    F.aggregate(e, F.lit(0.0), lambda a, x: a + x),
+                    lambda total: F.transform(e, lambda x: x / total),
+                ),
+            ),
+        )
+        return scored.withColumn("probabilities", probs).drop("_scores")
+
     def _scores_expr(self):
         # LINEAR scores z_c = X·β_c (no sigmoid): predict()'s argmax is
         # unchanged, predict_proba softmaxes them
@@ -492,7 +608,7 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             *[kernels.matvec_expr(b, self.features_col) for b in self._coefs]
         )
 
-    def predict_proba(self, df: DataFrame) -> DataFrame:
+    def _predict_proba_dense(self, df: DataFrame) -> DataFrame:
         df_ = self._maybe_add_intercept(df)
         probs = _let(
             self._scores_expr(),

@@ -1133,6 +1133,52 @@ def softmax_lbfgs(
             df.unpersist()
 
 
+def softmax_lbfgs_sparse(
+    df: DataFrame,
+    k: int,
+    regularizer=None,
+    lamduh: float = 1.0,
+    max_iter: int = 100,
+    tol: float = 1e-4,
+    p: int | None = None,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    **kwargs,
+):
+    """True multinomial fit over wide-sparse (indices, values) features:
+    the sparse twin of ``softmax_lbfgs`` — each L-BFGS evaluation is one
+    O(k·nnz) ``kernels_sparse.softmax_loss_gradient_sparse`` scan. No
+    standardization (the ``lbfgs_sparse`` rationale: standardizing
+    one-hot/hashed columns would densify them — reference
+    ``dask_glm/estimators.py:82-83``). Returns (p, k)."""
+    from dask_glm_spark.functions import kernels_sparse
+    from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
+
+    reg_f = reg_grad = None
+    if regularizer is not None:
+        reg = Regularizer.get(regularizer)
+        reg_f, reg_grad = reg.f, reg.gradient
+
+    def body(dfc, pp):
+        def compute_loss_grad(bflat):
+            B = bflat.reshape(pp, k)
+            loss, grad = kernels_sparse.softmax_loss_gradient_sparse(
+                dfc, B, pp, idx_col, val_col, label_col
+            )
+            if reg_f is not None:
+                loss = loss + lamduh * reg_f(bflat)
+                grad = grad + lamduh * reg_grad(bflat).reshape(pp, k)
+            return loss, grad.ravel()
+
+        bflat, _, _ = fmin_l_bfgs_b(
+            compute_loss_grad, np.zeros(pp * k), pgtol=tol, maxiter=max_iter
+        )
+        return bflat.reshape(pp, k)
+
+    return _run_sparse(df, idx_col, p, body)
+
+
 _solvers = {
     "admm": admm,
     "gradient_descent": gradient_descent,

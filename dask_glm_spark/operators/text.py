@@ -749,6 +749,7 @@ def fit_text_classifier(
     regularizer="l2",
     lamduh: float = 1e-3,
     max_iter: int = 100,
+    sparse: bool | None = None,
 ):
     """FastText-style linear text classifier: hashed token counts →
     jointly-fit softmax (`Bag of Tricks for Efficient Text
@@ -762,22 +763,47 @@ def fit_text_classifier(
     trip the reference's >1-constant-column guard. Docs whose text
     yields no tokens carry no features and drop out of training.
 
+    `sparse` selects the feature representation: dense arrays keep the
+    whole-stage-codegen scoring path at small dims; wide-sparse
+    (findices, fvalues) rows keep fit AND scoring O(nnz) per row —
+    mandatory at fastText-scale bucket counts (2^18+), where densifying
+    multiplies bytes by num_features/tokens. Default: auto (sparse past
+    4096 buckets). Sparse fits carry no intercept (reference xfail
+    parity).
+
     Returns the fitted SoftmaxRegression; featurize scoring input with
     the SAME num_features via `classify_text`."""
     from dask_glm_spark.operators.estimators import SoftmaxRegression
 
-    feats = hashing_tf(
-        docs, text_col=text_col, id_col=id_col, num_features=num_features
-    )
-    data = feats.join(docs.select(id_col, label_col), id_col).select(
-        "features", F.col(label_col).alias("label")
-    )
-    model = SoftmaxRegression(
-        solver="lbfgs", regularizer=regularizer, lamduh=lamduh,
-        max_iter=max_iter,
-    )
-    model.fit(data, normalize=False)
+    if sparse is None:
+        sparse = num_features > 4096
+    labels = docs.select(id_col, F.col(label_col).alias("label"))
+    if sparse:
+        rows = _sparse_rows(docs, text_col, id_col, num_features).where(
+            F.size("buckets") > 0
+        )
+        data = rows.join(labels, id_col).select(
+            F.col("buckets").alias("findices"),
+            F.col("tfs").alias("fvalues"),
+            "label",
+        )
+        model = SoftmaxRegression(
+            solver="lbfgs", regularizer=regularizer, lamduh=lamduh,
+            max_iter=max_iter, fit_intercept=False,
+        )
+        model.fit(data, p=num_features)
+    else:
+        feats = hashing_tf(
+            docs, text_col=text_col, id_col=id_col, num_features=num_features
+        )
+        data = feats.join(labels, id_col).select("features", "label")
+        model = SoftmaxRegression(
+            solver="lbfgs", regularizer=regularizer, lamduh=lamduh,
+            max_iter=max_iter,
+        )
+        model.fit(data, normalize=False)
     model.num_features_ = num_features
+    model.sparse_ = sparse
     return model
 
 
@@ -791,10 +817,19 @@ def classify_text(
     pass + the estimator's single codegen predict pass. Returns
     (id_col, label). Docs with no tokens emit no row (no features to
     score)."""
-    feats = hashing_tf(
-        docs, text_col=text_col, id_col=id_col,
-        num_features=model.num_features_,
-    )
+    if getattr(model, "sparse_", False):
+        feats = _sparse_rows(
+            docs, text_col, id_col, model.num_features_
+        ).where(F.size("buckets") > 0).select(
+            id_col,
+            F.col("buckets").alias("findices"),
+            F.col("tfs").alias("fvalues"),
+        )
+    else:
+        feats = hashing_tf(
+            docs, text_col=text_col, id_col=id_col,
+            num_features=model.num_features_,
+        )
     return model.predict(feats).select(
         id_col, F.col("prediction").alias("label")
     )

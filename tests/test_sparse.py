@@ -220,3 +220,50 @@ def test_from_coo_feeds_sparse_fit(spark, sparse_data, dense_df):
     beta_sp = lbfgs_sparse(sp, p=P, max_iter=50)
     beta_dn = lbfgs(dense_df, max_iter=50, normalize=False)
     np.testing.assert_allclose(beta_sp, beta_dn, atol=1e-5)
+
+
+def test_softmax_sparse_matches_dense_fit(spark, dense_df, sparse_df):
+    """Sparse softmax kernel + solver + estimator routing: identical
+    (p, k) coefficients to the dense softmax fit of the same L2 objective
+    (unique optimum) on the same rows, and parity on predict /
+    predict_proba through the sparse scoring pass."""
+    from dask_glm_spark.operators.estimators import SoftmaxRegression
+
+    # 3-class label: one shared dense frame, sparse derived row-wise from
+    # it (to_sparse_columns is a per-row transform, so labels line up)
+    dd = dense_df.withColumn(
+        "label", (F.abs(F.hash(F.col("features"))) % 3).cast("double")
+    )
+    sd = V.to_sparse_columns(dd)
+    md = SoftmaxRegression(
+        solver="lbfgs", regularizer="l2", lamduh=1e-2,
+        fit_intercept=False, max_iter=200,
+    ).fit(dd, normalize=False)
+    ms = SoftmaxRegression(
+        solver="lbfgs", regularizer="l2", lamduh=1e-2,
+        fit_intercept=False, max_iter=200,
+    ).fit(sd)
+    assert md.classes_ == ms.classes_
+    np.testing.assert_allclose(ms.coefs_, md.coefs_, atol=1e-6)
+
+    pd_ = {r["label"]: r["prediction"] for r in md.predict(dd).collect()}
+    ps_ = {r["label"]: r["prediction"] for r in ms.predict(sd).collect()}
+    # same rows -> same predictions keyed by... label is not unique; use
+    # full-row comparison instead: sort probabilities
+    probs_d = sorted(
+        tuple(np.round(r["probabilities"], 8))
+        for r in md.predict_proba(dd).collect()
+    )
+    probs_s = sorted(
+        tuple(np.round(r["probabilities"], 8))
+        for r in ms.predict_proba(sd).collect()
+    )
+    assert probs_d == probs_s
+
+
+def test_softmax_sparse_intercept_raises(sparse_df):
+    from dask_glm_spark.operators.estimators import SoftmaxRegression
+
+    df3 = sparse_df.withColumn("label", (F.col("label") + F.size("findices") % 2).cast("double"))
+    with pytest.raises(NotImplementedError, match="intercept"):
+        SoftmaxRegression(solver="lbfgs", fit_intercept=True).fit(df3)

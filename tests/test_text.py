@@ -327,3 +327,31 @@ def test_text_classifier_separable_langs(spark):
     truth = {r[0]: r[1] for r in rows}
     acc = sum(got[k] == truth[k] for k in truth) / len(truth)
     assert acc > 0.95
+
+
+def test_text_classifier_sparse_path(spark):
+    """num_features past the auto threshold routes through the wide-sparse
+    softmax (O(nnz) fit + scoring, no densified 2^13-wide rows) and still
+    separates disjoint vocabularies."""
+    import itertools
+
+    vocab = {
+        "aa": ["alpha", "apple", "anchor"],
+        "bb": ["bravo", "berry", "basket"],
+    }
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for combo in itertools.permutations(words, 2):
+            rows.append((i, lang, " ".join(combo)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    from dask_glm_spark.operators.text import classify_text, fit_text_classifier
+
+    model = fit_text_classifier(docs, num_features=8192, max_iter=60)
+    assert model.sparse_ is True
+    got = {r["doc_id"]: r["label"] for r in classify_text(model, docs).collect()}
+    truth = {r[0]: r[1] for r in rows}
+    acc = sum(got[k] == truth[k] for k in truth) / len(truth)
+    assert acc == 1.0
