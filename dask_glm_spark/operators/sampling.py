@@ -180,7 +180,11 @@ def weighted_sample_k(
     w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
     u = uniform_unit_expr(key_col, salt)
     sortkey = F.round(F.log(-F.log(u)) - F.log(w), 9)
-    pr = df.where(w.isNotNull() & (w > 0)).withColumn("_wskey", sortkey)
+    # NaN guard is load-bearing: Spark ORDERS NaN above every double, so
+    # a NaN weight would pass (w > 0) and carry a NaN sortkey
+    pr = df.where(
+        w.isNotNull() & ~F.isnan(w) & (w > 0)
+    ).withColumn("_wskey", sortkey)
     if by is None:
         return pr.orderBy("_wskey", key_col).limit(k).drop("_wskey")
     gcols = [by] if isinstance(by, str) else list(by)

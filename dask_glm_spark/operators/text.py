@@ -812,11 +812,21 @@ def classify_text(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_features: int | None = None,
+    sparse: bool | None = None,
 ) -> DataFrame:
     """Score documents with a `fit_text_classifier` model: one featurize
-    pass + the estimator's single codegen predict pass. Returns
-    (id_col, label). Docs with no tokens emit no row (no features to
-    score)."""
+    pass + the estimator's single predict pass. Returns (id_col, label).
+    Docs with no tokens emit no row (no features to score).
+
+    ``num_features``/``sparse`` override the model's recorded
+    featurization (required for models reloaded from JSON persistence,
+    which round-trips coefficients but not these annotations — pass the
+    values used at fit time)."""
+    if num_features is not None:
+        model.num_features_ = num_features
+    if sparse is not None:
+        model.sparse_ = sparse
     if getattr(model, "sparse_", False):
         feats = _sparse_rows(
             docs, text_col, id_col, model.num_features_

@@ -157,7 +157,10 @@ def weighted_docs(spark):
         (i, ["a", "b", "c"][i % 3], float(1 + (i * 7) % 40)) for i in range(300)
     ]
     # a few degenerate weights: null, zero, negative — never sampled
-    rows += [(1000, "a", None), (1001, "b", 0.0), (1002, "c", -3.0)]
+    rows += [
+        (1000, "a", None), (1001, "b", 0.0), (1002, "c", -3.0),
+        (1003, "a", float("nan")),  # Spark orders NaN above every double
+    ]
     return spark.createDataFrame(
         rows, "doc_id long, grp string, w double"
     ).persist()
@@ -183,7 +186,7 @@ def test_weighted_sample_matches_twin_and_is_layout_stable(weighted_docs):
         ).collect()
     }
     assert got2 == want  # partitioning-independent
-    assert not got & {1000, 1001, 1002}  # degenerate weights excluded
+    assert not got & {1000, 1001, 1002, 1003}  # degenerate weights excluded
     # exactly k per group (groups are 100-strong)
     per = weighted_sample_k(
         weighted_docs, 10, "w", by="grp", key_col="doc_id", salt="wt"
