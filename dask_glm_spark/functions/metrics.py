@@ -180,3 +180,27 @@ def roc_auc_score_np(y_true, y_score):
     if n_pos == 0 or n_neg == 0:
         return float("nan")
     return float(auc / (n_pos * n_neg))
+
+
+def confusion_matrix(df: DataFrame, y_true: str, y_pred: str) -> DataFrame:
+    """Distributed confusion matrix: (truth, prediction, n) with zero
+    cells omitted — ONE hash aggregate (partial aggregation makes it
+    O(classes²) traffic), never a collect of labels. Works for any label
+    type; callers pivot driver-side if they want the dense k×k grid
+    (k² rows is always tiny next to the data)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(
+            F.col(y_true).alias("truth"), F.col(y_pred).alias("prediction")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def confusion_matrix_np(y_true, y_pred):
+    """Driver-side oracle twin: {(truth, pred): count}."""
+    out: dict = {}
+    for t, p in zip(y_true, y_pred):
+        out[(t, p)] = out.get((t, p), 0) + 1
+    return out

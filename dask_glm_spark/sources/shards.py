@@ -1,0 +1,126 @@
+"""Sharded tar sink: the training-loader handoff format.
+
+Beyond-reference surface. Large-scale training jobs consume corpora as
+fixed-count tar shards (the webdataset convention: one archive member per
+sample, shard files streamed sequentially by data loaders) — the natural
+last stage after curation/packing. Stdlib ``tarfile`` only; no extra deps.
+
+Scale shape: one ``applyInPandas`` group per shard — shard assignment is
+a DETERMINISTIC content hash of the sample id (layout/rerun/engine
+stable, the sampling-operator convention), so re-running the sink on the
+same corpus reproduces byte-identical shards (fixed mtime/uid, sorted
+member order). Each task materializes exactly one shard; pick
+``n_shards`` so corpus_bytes / n_shards fits comfortably in a worker
+(the same sizing rule data loaders want anyway — shards of hundreds of
+MB, not GB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_glm_spark.operators.sampling import hash_bucket_expr
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    payload_col: str = "text",
+    id_col: str = "doc_id",
+    ext: str = "txt",
+    salt: str = "shard",
+) -> DataFrame:
+    """Write ``path/shard-NNNNN.tar`` files, one archive member per row
+    (member name ``{id}.{ext}``), and return the shard manifest
+    ``(shard, n_files, n_bytes)`` — the sink's action doubles as its
+    verification handle.
+
+    ``payload_col`` may be string (utf-8 encoded) or binary. Member order
+    inside a shard is id-sorted and metadata is pinned (mtime=0,
+    uid/gid=0), so the same corpus always produces byte-identical
+    shards regardless of partitioning or task order."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    os.makedirs(path, exist_ok=True)
+    is_binary = dict(df.dtypes)[payload_col] == "binary"
+
+    rows = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(payload_col).alias("_payload"),
+        hash_bucket_expr(id_col, n_shards, salt).alias("_shard"),
+    )
+
+    def write_shard(key, pdf):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        out = os.path.join(path, f"shard-{shard:05d}.tar")
+        tmp = out + ".tmp"
+        n_bytes = 0
+        with tarfile.open(tmp, "w") as tf:
+            for _id, payload in zip(pdf["_id"], pdf["_payload"]):
+                data = (
+                    bytes(payload)
+                    if is_binary
+                    else str(payload).encode("utf-8")
+                )
+                info = tarfile.TarInfo(name=f"{_id}.{ext}")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                tf.addfile(info, io.BytesIO(data))
+                n_bytes += len(data)
+        os.replace(tmp, out)  # atomic publish: no torn shards on retry
+        return pd.DataFrame(
+            {"shard": [shard], "n_files": [len(pdf)], "n_bytes": [n_bytes]}
+        )
+
+    return rows.groupBy("_shard").applyInPandas(
+        write_shard, schema="shard long, n_files long, n_bytes long"
+    )
+
+
+def read_tar_shards(spark, path: str, ext: str = "txt") -> DataFrame:
+    """Round-trip reader: (shard, id, payload binary) from every
+    ``shard-*.tar`` under ``path``. One task per shard file (binaryFile
+    source), stdlib tarfile unpack — the verification twin of the sink
+    and a loader for downstream Spark stages."""
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "shard-*.tar")
+    )
+
+    def unpack(batches):
+        import io
+        import re
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.tar$", fpath)
+                shard = int(m.group(1)) if m else -1
+                with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+                    names, payloads = [], []
+                    for member in tf.getmembers():
+                        names.append(member.name.rsplit(".", 1)[0])
+                        payloads.append(tf.extractfile(member).read())
+                yield pd.DataFrame(
+                    {
+                        "shard": [shard] * len(names),
+                        "id": names,
+                        "payload": payloads,
+                    }
+                )
+
+    return files.select("path", "content").mapInPandas(
+        unpack, schema="shard long, id string, payload binary"
+    )

@@ -327,3 +327,22 @@ def test_logistic_get_auc(cls_data):
     )
     assert abs(got - want) < 1e-12
     assert got > 0.7
+
+
+def test_confusion_matrix_matches_oracle(spark):
+    from dask_glm_spark.functions.metrics import (
+        confusion_matrix,
+        confusion_matrix_np,
+    )
+
+    rows = [(["a", "b", "c"][i % 3], ["a", "b", "c"][(i * 2) % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "y string, yhat string").repartition(7)
+    got = {
+        (r["truth"], r["prediction"]): r["n"]
+        for r in confusion_matrix(df, "y", "yhat").collect()
+    }
+    assert got == confusion_matrix_np(*zip(*rows))
+    # diagonal sum == accuracy numerator
+    assert sum(n for (t, p), n in got.items() if t == p) == sum(
+        1 for t, p in rows if t == p
+    )
