@@ -1354,11 +1354,11 @@ def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle re-derives the full priority chain
     wsel = S.weighted_sample_k(
         docs, 25, T.token_count_expr("text"), by="lang",
-        key_col="doc_id", salt="wmix",
+        key_col="doc_id", salt="wmix", keys_only=True,
     )
     ws_by_lang = wsel.groupBy("lang").agg(
         F.count("*").cast("long").alias("wsample_docs"),
-        F.sum(T.token_count_expr("text")).cast("long").alias("wsample_tokens"),
+        F.sum("weight").cast("long").alias("wsample_tokens"),
     )
     return (
         kept.groupBy("lang")

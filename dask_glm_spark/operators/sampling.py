@@ -142,6 +142,7 @@ def weighted_sample_k(
     by: str | list[str] | None = None,
     key_col: str = "doc_id",
     salt: str = "ws0",
+    keys_only: bool = False,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement: exactly
     ``min(k, |group|)`` rows per group, inclusion probability proportional
@@ -174,6 +175,10 @@ def weighted_sample_k(
     Rows with NULL or non-positive weight are never sampled. ``key_col``
     must be unique across the frame (it seeds u and carries the
     join-back).
+
+    ``keys_only=True`` returns just ``(by..., key_col, weight)`` for the
+    winners straight off the top-k aggregate — consumers that only need
+    ids or weight sums skip the join-back's second pass over the corpus.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -186,9 +191,18 @@ def weighted_sample_k(
         w.isNotNull() & ~F.isnan(w) & (w > 0)
     ).withColumn("_wskey", sortkey)
     if by is None:
-        return pr.orderBy("_wskey", key_col).limit(k).drop("_wskey")
+        out = pr.orderBy("_wskey", key_col).limit(k)
+        if keys_only:
+            return out.select(F.col(key_col), w.alias("weight"))
+        return out.drop("_wskey")
     gcols = [by] if isinstance(by, str) else list(by)
-    pair = F.struct(F.col("_wskey").alias("sk"), F.col(key_col).alias("ky"))
+    # weight rides the struct (after the (sk, ky) sort key, so ordering is
+    # untouched) — keys_only consumers get it without rescanning df
+    pair = F.struct(
+        F.col("_wskey").alias("sk"),
+        F.col(key_col).alias("ky"),
+        w.alias("wt"),
+    )
     lvl1 = pr.groupBy(*gcols, F.spark_partition_id().alias("_wspid")).agg(
         F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("_top")
     )
@@ -196,7 +210,14 @@ def weighted_sample_k(
         lvl1.select(*gcols, F.explode("_top").alias("_t"))
         .groupBy(*gcols)
         .agg(F.slice(F.array_sort(F.collect_list("_t")), 1, k).alias("_top"))
-        .select(F.explode("_top").alias("_t"))
-        .select(F.col("_t.ky").alias(key_col))
+        .select(*gcols, F.explode("_top").alias("_t"))
     )
-    return df.join(winners, key_col, "left_semi")
+    if keys_only:
+        return winners.select(
+            *gcols,
+            F.col("_t.ky").alias(key_col),
+            F.col("_t.wt").alias("weight"),
+        )
+    return df.join(
+        winners.select(F.col("_t.ky").alias(key_col)), key_col, "left_semi"
+    )

@@ -228,3 +228,27 @@ def test_weighted_sample_inclusion_tracks_weight():
         if min(_ws_twin_select(rows, 1, f"s{s}")) < 10
     )
     assert 0.40 < heavy_wins / 400 < 0.60
+
+
+def test_weighted_sample_keys_only_matches_join_back(weighted_docs):
+    from dask_glm_spark.operators.sampling import weighted_sample_k
+
+    full = weighted_sample_k(
+        weighted_docs, 10, "w", by="grp", key_col="doc_id", salt="wt"
+    )
+    keys = weighted_sample_k(
+        weighted_docs, 10, "w", by="grp", key_col="doc_id", salt="wt",
+        keys_only=True,
+    )
+    assert {r["doc_id"] for r in keys.collect()} == {
+        r["doc_id"] for r in full.collect()
+    }
+    # carried weights are the source weights
+    w_by_id = {r["doc_id"]: r["w"] for r in weighted_docs.collect()}
+    for r in keys.collect():
+        assert r["weight"] == w_by_id[r["doc_id"]]
+    # global variant too
+    g = weighted_sample_k(
+        weighted_docs, 7, "w", key_col="doc_id", salt="gl", keys_only=True
+    ).collect()
+    assert len(g) == 7 and all(r["weight"] == w_by_id[r["doc_id"]] for r in g)
