@@ -82,6 +82,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     )
     acc = lr.score(labeled)
 
+    # 6. (round 7) exact-k weighted sample per source — longer docs
+    # proportionally likelier — then the training-loader handoff:
+    # deterministic webdataset-style tar shards + manifest
+    import tempfile
+
+    from dask_glm_spark.operators.sampling import weighted_sample_k
+    from dask_glm_spark.sources.shards import read_tar_shards, write_tar_shards
+
+    mixed = weighted_sample_k(
+        selected, 40, T.token_count_expr("text"), by="source",
+        key_col="doc_id", salt="mix7",
+    )
+    shard_dir = os.path.join(
+        tempfile.mkdtemp(prefix="dask_glm_spark_shards_"), "out"
+    )
+    manifest = write_tar_shards(mixed, shard_dir, n_shards=4).collect()
+    n5 = sum(m["n_files"] for m in manifest)
+    n_back = read_tar_shards(spark, shard_dir).count()
+
     out = {
         "raw": n0,
         "quality_gated": n1,
@@ -89,9 +108,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "decontaminated": n3,
         "in_budget": n4,
         "fit_accuracy": round(float(acc), 4),
+        "sharded": n5,
+        "shards": len(manifest),
     }
     print(out)
-    assert n0 >= n1 >= n2 >= n3 >= n4 > 0
+    assert n0 >= n1 >= n2 >= n3 >= n4 >= n5 > 0
+    assert n_back == n5  # every sharded doc reads back
     return out
 
 
