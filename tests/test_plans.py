@@ -234,3 +234,30 @@ def test_langid_single_normalization(spark):
     df = docs.select(T.langid_expr("text").alias("lang"))
     plan = audit.explain_str(df, "simple")  # physical plan only
     assert plan.count("regexp_replace") == 1
+
+
+def test_weighted_sample_plan_no_window_no_cartesian(spark):
+    """Round-7 plan pin: weighted_sample_k's per-group top-k is the
+    two-level partial aggregate (map-side array_sort∘collect_list, then
+    a final top-k) — NO Window operator (a hot group would funnel its
+    full row set through one window task) and no cartesian product; the
+    keys_only path additionally runs without any join at all."""
+    from dask_glm_spark.operators.sampling import weighted_sample_k
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    from dask_glm_spark.operators.text import token_count_expr
+
+    full = weighted_sample_k(
+        docs, 5, token_count_expr("text"), by="lang", key_col="doc_id"
+    )
+    plan = audit.explain_str(full, "simple")
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    keys = weighted_sample_k(
+        docs, 5, token_count_expr("text"), by="lang", key_col="doc_id",
+        keys_only=True,
+    )
+    kplan = audit.explain_str(keys, "simple")
+    assert "Window" not in kplan and "Join" not in kplan
