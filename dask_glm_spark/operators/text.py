@@ -823,22 +823,19 @@ def classify_text(
     featurization (required for models reloaded from JSON persistence,
     which round-trips coefficients but not these annotations — pass the
     values used at fit time)."""
-    if num_features is not None:
-        model.num_features_ = num_features
-    if sparse is not None:
-        model.sparse_ = sparse
-    if getattr(model, "sparse_", False):
-        feats = _sparse_rows(
-            docs, text_col, id_col, model.num_features_
-        ).where(F.size("buckets") > 0).select(
+    nf = num_features if num_features is not None else model.num_features_
+    sp = sparse if sparse is not None else getattr(model, "sparse_", False)
+    if sp:
+        feats = _sparse_rows(docs, text_col, id_col, nf).where(
+            F.size("buckets") > 0
+        ).select(
             id_col,
             F.col("buckets").alias("findices"),
             F.col("tfs").alias("fvalues"),
         )
     else:
         feats = hashing_tf(
-            docs, text_col=text_col, id_col=id_col,
-            num_features=model.num_features_,
+            docs, text_col=text_col, id_col=id_col, num_features=nf
         )
     return model.predict(feats).select(
         id_col, F.col("prediction").alias("label")
