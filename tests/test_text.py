@@ -355,3 +355,28 @@ def test_text_classifier_sparse_path(spark):
     truth = {r[0]: r[1] for r in rows}
     acc = sum(got[k] == truth[k] for k in truth) / len(truth)
     assert acc == 1.0
+
+
+def test_text_classifier_persistence_round_trip(spark, tmp_path):
+    """save -> load -> classify: coefficients round-trip through JSON;
+    featurization (num_features/sparse) is re-supplied via the
+    classify_text overrides since it is not part of the model state."""
+    rows = [(i, "aa" if i % 2 == 0 else "bb",
+             "alpha apple" if i % 2 == 0 else "bravo berry") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    from dask_glm_spark.operators.estimators import load_model, save_model
+    from dask_glm_spark.operators.text import classify_text, fit_text_classifier
+
+    model = fit_text_classifier(docs, num_features=64, max_iter=40)
+    path = str(tmp_path / "clf.json")
+    save_model(model, path)
+    loaded = load_model(path)
+    got = {
+        r["doc_id"]: r["label"]
+        for r in classify_text(loaded, docs, num_features=64, sparse=False).collect()
+    }
+    want = {
+        r["doc_id"]: r["label"] for r in classify_text(model, docs).collect()
+    }
+    assert got == want
