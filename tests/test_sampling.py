@@ -252,3 +252,29 @@ def test_weighted_sample_keys_only_matches_join_back(weighted_docs):
         weighted_docs, 7, "w", key_col="doc_id", salt="gl", keys_only=True
     ).collect()
     assert len(g) == 7 and all(r["weight"] == w_by_id[r["doc_id"]] for r in g)
+
+
+def test_weighted_sample_multi_column_group(spark):
+    from dask_glm_spark.operators.sampling import weighted_sample_k
+
+    rows = [
+        (i, ["x", "y"][i % 2], ["p", "q"][(i // 2) % 2], float(1 + i % 9))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a string, b string, w double")
+    got = weighted_sample_k(
+        df, 5, "w", by=["a", "b"], key_col="doc_id", salt="mc"
+    )
+    per = {
+        (r["a"], r["b"]): r["count"]
+        for r in got.groupBy("a", "b").count().collect()
+    }
+    assert per == {(x, y): 5 for x in "xy" for y in "pq"}
+    # keys_only carries both group columns
+    keys = weighted_sample_k(
+        df, 5, "w", by=["a", "b"], key_col="doc_id", salt="mc", keys_only=True
+    )
+    assert set(keys.columns) == {"a", "b", "doc_id", "weight"}
+    assert {r["doc_id"] for r in keys.collect()} == {
+        r["doc_id"] for r in got.collect()
+    }
