@@ -124,3 +124,37 @@ def read_tar_shards(spark, path: str, ext: str = "txt") -> DataFrame:
     return files.select("path", "content").mapInPandas(
         unpack, schema="shard long, id string, payload binary"
     )
+
+
+def stream_to_tar_shards(
+    stream_df: DataFrame,
+    path: str,
+    n_shards: int,
+    checkpoint_dir: str,
+    payload_col: str = "text",
+    id_col: str = "doc_id",
+    ext: str = "txt",
+    salt: str = "shard",
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of ``write_tar_shards``: each micro-batch lands as
+    ``path/batch-NNNNNN/shard-*.tar`` via ``foreachBatch`` — exactly-once
+    per epoch directory (the checkpoint replays an incomplete epoch, and
+    the sink's atomic tmp+rename publish makes the rewrite idempotent:
+    shard content is a pure function of the batch rows). Returns the
+    started StreamingQuery; callers own awaitTermination /
+    processAllAvailable."""
+
+    def sink(batch_df, epoch_id: int):
+        out = os.path.join(path, f"batch-{int(epoch_id):06d}")
+        write_tar_shards(
+            batch_df, out, n_shards,
+            payload_col=payload_col, id_col=id_col, ext=ext, salt=salt,
+        ).collect()
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

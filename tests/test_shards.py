@@ -57,3 +57,30 @@ def test_binary_payload(spark, tmp_path):
         assert m.name.endswith(".bin") and m.mtime == 0
         data = tf.extractfile(m).read()
         assert len(data) == 4
+
+
+def test_stream_to_tar_shards_matches_batch(spark, tmp_path):
+    """availableNow file stream -> foreachBatch shard sink: the union of
+    all epoch directories holds exactly the corpus, each shard
+    byte-identical to the batch sink's shard of the same rows."""
+    from dask_glm_spark.sources.shards import stream_to_tar_shards
+
+    src = str(tmp_path / "src")
+    rows = [(i, f"streamed doc {i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "stream_out")
+    q = stream_to_tar_shards(
+        spark.readStream.schema(docs.schema).parquet(src),
+        out, n_shards=4, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    import glob as g
+    tars = g.glob(os.path.join(out, "batch-*", "shard-*.tar"))
+    assert tars
+    back = read_tar_shards(spark, os.path.join(out, "batch-*")).collect()
+    got = {int(r["id"]): r["payload"].decode() for r in back}
+    assert got == {i: t for i, t in rows}
