@@ -204,3 +204,35 @@ def confusion_matrix_np(y_true, y_pred):
     for t, p in zip(y_true, y_pred):
         out[(t, p)] = out.get((t, p), 0) + 1
     return out
+
+
+def precision_recall_f1(df: DataFrame, y_true: str, y_pred: str) -> dict:
+    """Per-class precision/recall/F1 from ONE confusion_matrix aggregate:
+    the k² sparse cells collect to the driver (always tiny next to the
+    data) and the per-class ratios fold there. Returns
+    {class: {"precision": p, "recall": r, "f1": f, "support": n}};
+    classes with no predicted instances score precision 0 (and f1 0),
+    mirroring the usual zero-division convention."""
+    cells = confusion_matrix(df, y_true, y_pred).collect()
+    pred_tot: dict = {}
+    true_tot: dict = {}
+    diag: dict = {}
+    for r in cells:
+        t, p, n = r["truth"], r["prediction"], r["n"]
+        true_tot[t] = true_tot.get(t, 0) + n
+        pred_tot[p] = pred_tot.get(p, 0) + n
+        if t == p:
+            diag[t] = n
+    out = {}
+    for c in sorted(true_tot, key=str):
+        tp = diag.get(c, 0)
+        prec = tp / pred_tot[c] if pred_tot.get(c) else 0.0
+        rec = tp / true_tot[c]
+        f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+        out[c] = {
+            "precision": prec,
+            "recall": rec,
+            "f1": f1,
+            "support": true_tot[c],
+        }
+    return out

@@ -346,3 +346,20 @@ def test_confusion_matrix_matches_oracle(spark):
     assert sum(n for (t, p), n in got.items() if t == p) == sum(
         1 for t, p in rows if t == p
     )
+
+
+def test_precision_recall_f1(spark):
+    from dask_glm_spark.functions.metrics import precision_recall_f1
+
+    #        pred:  a  a  b  b  b  c
+    # truth:        a  b  b  b  c  c   -> a: tp1/p2/t1, b: tp2/p3/t3, c: tp1/p1/t2
+    rows = [("a", "a"), ("b", "a"), ("b", "b"), ("b", "b"), ("c", "b"), ("c", "c")]
+    df = spark.createDataFrame(rows, "y string, yhat string")
+    got = precision_recall_f1(df, "y", "yhat")
+    assert got["a"] == {"precision": 0.5, "recall": 1.0, "f1": 2/3, "support": 1}
+    assert got["b"]["precision"] == 2/3 and got["b"]["recall"] == 2/3
+    assert got["c"] == {"precision": 1.0, "recall": 0.5, "f1": 2/3, "support": 2}
+    # a class never predicted: precision/f1 0, recall 0
+    df2 = spark.createDataFrame([("a", "b"), ("b", "b")], "y string, yhat string")
+    g2 = precision_recall_f1(df2, "y", "yhat")
+    assert g2["a"] == {"precision": 0.0, "recall": 0.0, "f1": 0.0, "support": 1}
