@@ -221,3 +221,23 @@ def weighted_sample_k(
     return df.join(
         winners.select(F.col("_t.ky").alias(key_col)), key_col, "left_semi"
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    by: str | list[str] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "rs0",
+    keys_only: bool = False,
+) -> DataFrame:
+    """Uniform exact-k sampling per group (deterministic reservoir):
+    ``weighted_sample_k`` with unit weights — every row equally likely,
+    exactly ``min(k, |group|)`` survivors, stable across layouts, reruns,
+    and engines. The distributed answer to "give me 1000 example rows per
+    source" that ``LIMIT`` (arbitrary) and ``TABLESAMPLE`` (rate-based,
+    layout-dependent) cannot give."""
+    return weighted_sample_k(
+        df, k, F.lit(1.0), by=by, key_col=key_col, salt=salt,
+        keys_only=keys_only,
+    )

@@ -278,3 +278,19 @@ def test_weighted_sample_multi_column_group(spark):
     assert {r["doc_id"] for r in keys.collect()} == {
         r["doc_id"] for r in got.collect()
     }
+
+
+def test_sample_k_per_group_uniform(spark):
+    from dask_glm_spark.operators.sampling import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, ["g1", "g2"][i % 2]) for i in range(200)],
+        "doc_id long, grp string",
+    )
+    got = sample_k_per_group(df, 15, by="grp")
+    per = {r["grp"]: r["count"] for r in got.groupBy("grp").count().collect()}
+    assert per == {"g1": 15, "g2": 15}
+    # deterministic across layouts
+    a = {r["doc_id"] for r in got.collect()}
+    b = {r["doc_id"] for r in sample_k_per_group(df.repartition(9), 15, by="grp").collect()}
+    assert a == b
