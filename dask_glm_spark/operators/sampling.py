@@ -196,31 +196,20 @@ def weighted_sample_k(
             return out.select(F.col(key_col), w.alias("weight"))
         return out.drop("_wskey")
     gcols = [by] if isinstance(by, str) else list(by)
-    # weight rides the struct (after the (sk, ky) sort key, so ordering is
-    # untouched) — keys_only consumers get it without rescanning df
-    pair = F.struct(
-        F.col("_wskey").alias("sk"),
-        F.col(key_col).alias("ky"),
-        w.alias("wt"),
-    )
-    lvl1 = pr.groupBy(*gcols, F.spark_partition_id().alias("_wspid")).agg(
-        F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("_top")
-    )
-    winners = (
-        lvl1.select(*gcols, F.explode("_top").alias("_t"))
-        .groupBy(*gcols)
-        .agg(F.slice(F.array_sort(F.collect_list("_t")), 1, k).alias("_top"))
-        .select(*gcols, F.explode("_top").alias("_t"))
+    # weight rides the struct as a carry column (after the unique
+    # (sortkey, key) order — ordering untouched) so keys_only consumers
+    # get it without rescanning df
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    winners = grouped_topk(
+        pr.withColumn("_wsw", w), gcols, ["_wskey", key_col], k,
+        carry_cols=["_wsw"],
     )
     if keys_only:
         return winners.select(
-            *gcols,
-            F.col("_t.ky").alias(key_col),
-            F.col("_t.wt").alias("weight"),
+            *gcols, F.col(key_col), F.col("_wsw").alias("weight")
         )
-    return df.join(
-        winners.select(F.col("_t.ky").alias(key_col)), key_col, "left_semi"
-    )
+    return df.join(winners.select(key_col), key_col, "left_semi")
 
 
 def sample_k_per_group(

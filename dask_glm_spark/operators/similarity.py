@@ -474,3 +474,75 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def lsh_ann_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    dim: int | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate k-NN JOIN for two LARGE sides — same candidate
+    generation as ``lsh_ann_topk`` (shared LSH buckets, optional Hamming-1
+    multiprobe) but with neither the query-side broadcast nor the
+    per-query Window rank that cap it:
+
+    - the bucket match is a plain hash equi-join (both sides shuffle on
+      the bucket id; AQE still broadcasts if one side turns out small),
+    - the per-query top-k is the two-level partial aggregate
+      (``operators.topk.grouped_topk``) — a query landing in a hot bucket
+      never funnels its full candidate set through one window task.
+
+    Use ``lsh_ann_topk`` for the interactive few-queries case (one
+    broadcast, no shuffle of the corpus); use this when the "queries" are
+    themselves a corpus — e.g. joining a new crawl snapshot against the
+    existing index at 100 TB. Output: (query_id, neighbor_id, cosine,
+    rank), rank 1-based by descending cosine, ties by neighbor_id."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket0"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[
+                F.col("bucket0").bitwiseXOR(F.lit(2**i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+    else:
+        qb = qb.select("query_id", "qvec", F.col("bucket0").alias("bucket"))
+
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    scored = (
+        c.join(qb, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+        # as in lsh_ann_topk: one bucket per corpus row and distinct probe
+        # values per query mean a (query, neighbor) pair joins at most once
+        .withColumn("_negcos", -F.col("cosine"))
+    )
+    out = grouped_topk(
+        scored, "query_id", ["_negcos", "neighbor_id"], k,
+        carry_cols=["cosine"], rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "cosine", "rank")

@@ -211,3 +211,56 @@ def test_sample_vectors_layout_independent(spark, vectors, emb_df):
         tuple(float(x) for x in vectors[i].astype("float64")) for i in range(n)
     }
     assert {tuple(v) for v in base} != first40
+
+
+def test_lsh_ann_join_matches_topk(spark):
+    """The large-both-sides ANN join (shuffle equi-join + two-level
+    per-query top-k) returns the SAME (query, neighbor, rank) set as the
+    broadcast+Window lsh_ann_topk on identical inputs."""
+    from dask_glm_spark.operators.similarity import lsh_ann_join, lsh_ann_topk
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(12)
+    a = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in lsh_ann_topk(emb, queries, k=4).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in lsh_ann_join(emb, queries, k=4).collect()
+    }
+    assert a == b and len(b) > 0
+
+
+def test_lsh_ann_join_plan_no_window(spark):
+    from dask_glm_spark.operators.similarity import lsh_ann_join
+    from dask_glm_spark.plans import audit
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = audit.explain_str(lsh_ann_join(emb, emb, k=3), "simple")
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_grouped_topk_rank_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    df = spark.createDataFrame(
+        [(g, i, float((i * 7) % 13)) for g in ("a", "b") for i in range(40)],
+        "g string, i long, v double",
+    ).repartition(7)
+    got = grouped_topk(df, "g", ["v", "i"], 5, rank_col="rank").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append((r["rank"], r["v"], r["i"]))
+    for g, rows in by_g.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        want = sorted(
+            ((i * 7) % 13, i) for i in range(40)
+        )[:5]
+        assert [(v, i) for _, v, i in rows] == [(float(v), i) for v, i in want]
