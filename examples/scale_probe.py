@@ -200,6 +200,40 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
         )
         out[f"hub_components_{tag}"] = round(time.perf_counter() - t0, 3)
         out[f"hub_components_n_{tag}"] = nhub
+    # ANN join at 10x on BOTH sides (the two-corpus shape): 10 offset
+    # copies of the embeddings table joined against itself — candidate
+    # volume grows with bucket occupancy on both sides, the per-query
+    # top-k stays the two-level aggregate (no Window)
+    from dask_glm_spark.operators.similarity import lsh_ann_join
+    from dask_glm_spark.sources.glm_source import load_table as _lt
+
+    emb1 = _lt(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e_copies = [
+        emb1.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(10)
+    ]
+    emb10_path = f"{workdir}/emb_10x.parquet"
+    reduce(lambda a, b: a.unionAll(b), e_copies).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(emb10_path)
+    emb10 = spark.read.parquet(emb10_path)
+    # fixed query set vs growing corpus: candidate volume scales with
+    # corpus bucket occupancy (~10x) — a clean engine ratio, unlike a
+    # self-join whose per-bucket pair count is quadratic by construction
+    qset = emb1.limit(1000).persist()
+    qset.count()
+    lsh_ann_join(emb1.limit(64), qset.limit(64), k=3).count()  # warm shape
+    for tag, emb in (("1x", emb1), ("10x", emb10)):
+        t0 = time.perf_counter()
+        npairs_ann = lsh_ann_join(emb, qset, k=3).count()
+        out[f"ann_join_{tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"ann_join_pairs_{tag}"] = npairs_ann
+    qset.unpersist()
+    spark.catalog.clearCache()
+
     # time-series joins at 10x events: 10 day-shifted copies of the events
     # table (disjoint in time per copy via a +i-day offset, same structure)
     from dask_glm_spark.operators.joins import asof_join, range_join
@@ -244,7 +278,7 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
         range_join(pts, sess).write.format("noop").mode("overwrite").save()
         out[f"range_{tag}"] = round(time.perf_counter() - t0, 3)
 
-    for k in ("tfidf", "repetition", "minhash", "components", "hub_components", "asof", "asof_bkt", "range"):
+    for k in ("tfidf", "repetition", "minhash", "components", "hub_components", "ann_join", "asof", "asof_bkt", "range"):
         r = out[f"{k}_10x"] / max(out[f"{k}_1x"], 1e-9)
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
     print(
