@@ -485,6 +485,7 @@ def lsh_ann_join(
     n_planes: int = DEFAULT_PLANES,
     dim: int | None = None,
     multiprobe: bool = True,
+    max_per_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN JOIN for two LARGE sides — same candidate
     generation as ``lsh_ann_topk`` (shared LSH buckets, optional Hamming-1
@@ -501,7 +502,15 @@ def lsh_ann_join(
     broadcast, no shuffle of the corpus); use this when the "queries" are
     themselves a corpus — e.g. joining a new crawl snapshot against the
     existing index at 100 TB. Output: (query_id, neighbor_id, cosine,
-    rank), rank 1-based by descending cosine, ties by neighbor_id."""
+    rank), rank 1-based by descending cosine, ties by neighbor_id.
+
+    ``max_per_bucket`` bounds the candidate blowup of a degenerate hot
+    bucket (near-identical vectors hash together; an M-row bucket costs
+    M·queries_in_bucket pairs): the corpus side of each bucket is thinned
+    to its ``max_per_bucket`` smallest ``xxhash64(id)`` rows — exact,
+    deterministic, itself a ``grouped_topk`` (no Window) — trading
+    observable recall for a hard per-bucket work bound, the same contract
+    as the MinHash dedup bucket caps. Default None: no thinning."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes)
@@ -528,6 +537,13 @@ def lsh_ann_join(
         qb = qb.select("query_id", "qvec", F.col("bucket0").alias("bucket"))
 
     from dask_glm_spark.operators.topk import grouped_topk
+
+    if max_per_bucket is not None:
+        c = grouped_topk(
+            c.withColumn("_h", F.xxhash64("neighbor_id")),
+            "bucket", ["_h", "neighbor_id"], max_per_bucket,
+            carry_cols=["cvec"],
+        ).drop("_h")
 
     scored = (
         c.join(qb, "bucket")

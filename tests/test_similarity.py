@@ -264,3 +264,29 @@ def test_grouped_topk_rank_and_bounds(spark):
             ((i * 7) % 13, i) for i in range(40)
         )[:5]
         assert [(v, i) for _, v, i in rows] == [(float(v), i) for v, i in want]
+
+
+def test_lsh_ann_join_bucket_cap(spark):
+    """A degenerate all-identical corpus lands in ONE bucket; the cap
+    bounds the corpus side per bucket (candidates per query <= cap) while
+    the uncapped join scores every corpus row."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.similarity import lsh_ann_join
+
+    base = [1.0, 0.0, 0.5, 0.25]
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1000, base)], "vec_id long, embedding array<double>"
+    )
+    full = lsh_ann_join(corpus, queries, k=500, multiprobe=False)
+    assert full.count() == 300
+    capped = lsh_ann_join(
+        corpus, queries, k=500, multiprobe=False, max_per_bucket=20
+    )
+    assert capped.count() == 20
+    # capped output is a subset of the uncapped candidates, rank-contiguous
+    ranks = sorted(r["rank"] for r in capped.collect())
+    assert ranks == list(range(1, 21))
