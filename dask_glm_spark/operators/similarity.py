@@ -562,3 +562,72 @@ def lsh_ann_join(
         carry_cols=["cosine"], rank_col="rank",
     )
     return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def ivf_ann_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+    max_per_cell: int | None = None,
+) -> DataFrame:
+    """IVF twin of ``lsh_ann_join``: the two-corpus-sized-sides k-NN join
+    through the inverted-file index. Identical cell assignment and
+    nprobe probing as ``ivf_ann_topk`` (centroids are codegen literals —
+    both sides assign with a narrow map), but the cell match is a plain
+    hash equi-join (no query-side broadcast) and the per-query top-k is
+    the Window-free two-level aggregate. ``max_per_cell`` bounds a
+    degenerate hot cell exactly like ``lsh_ann_join.max_per_bucket``."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, vec_col)
+
+    sims = _centroid_sims_expr(F.col(vec_col), centroids)
+    cell = F.array_position(sims, F.array_max(sims)).cast("long")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        cell.alias("cell"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(len(centroids)))
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")))
+        )
+    )
+    probes = F.transform(
+        F.slice(ranked, 1, nprobe), lambda st: (-st["ni"]).cast("long")
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probes).alias("cell"),
+    )
+
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    if max_per_cell is not None:
+        c = grouped_topk(
+            c.withColumn("_h", F.xxhash64("neighbor_id")),
+            "cell", ["_h", "neighbor_id"], max_per_cell,
+            carry_cols=["cvec"],
+        ).drop("_h")
+
+    scored = (
+        c.join(qb, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+        .withColumn("_negcos", -F.col("cosine"))
+    )
+    out = grouped_topk(
+        scored, "query_id", ["_negcos", "neighbor_id"], k,
+        carry_cols=["cosine"], rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "cosine", "rank")

@@ -290,3 +290,20 @@ def test_lsh_ann_join_bucket_cap(spark):
     # capped output is a subset of the uncapped candidates, rank-contiguous
     ranks = sorted(r["rank"] for r in capped.collect())
     assert ranks == list(range(1, 21))
+
+
+def test_ivf_ann_join_matches_topk(spark):
+    from dask_glm_spark.operators.similarity import ivf_ann_join, ivf_ann_topk
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(12)
+    a = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_ann_topk(emb, queries, k=4, n_centroids=8).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_ann_join(emb, queries, k=4, n_centroids=8).collect()
+    }
+    assert a == b and len(b) > 0
