@@ -182,25 +182,10 @@ def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
-def lsh_ann_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = DEFAULT_PLANES,
-    dim: int | None = None,
-    multiprobe: bool = True,
-) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket.
-
-    With ``multiprobe`` (default), each query also probes every Hamming-1
-    neighbor bucket (the n_planes buckets one sign-flip away) — the classic
-    multi-probe LSH recall fix: candidate volume grows by ~(1 + n_planes)x
-    while the corpus side still hashes each vector exactly once. The join
-    is a hash equi-join on the bucket id; only the small query side is
-    exploded and broadcast.
-    """
+def _lsh_sides(corpus, queries, id_col, vec_col, n_planes, dim, multiprobe):
+    """(corpus-with-bucket, query-with-probe-buckets) — the candidate
+    generation shared by lsh_ann_topk (broadcast consumer) and
+    lsh_ann_join (equi-join consumer)."""
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes)
@@ -222,11 +207,32 @@ def lsh_ann_topk(
                 for i in range(n_planes)
             ],
         )
-        qb = qb.select(
-            "query_id", "qvec", F.explode(probes).alias("bucket")
-        )
+        qb = qb.select("query_id", "qvec", F.explode(probes).alias("bucket"))
     else:
         qb = qb.select("query_id", "qvec", F.col("bucket0").alias("bucket"))
+    return c, qb
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    dim: int | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    With ``multiprobe`` (default), each query also probes every Hamming-1
+    neighbor bucket (the n_planes buckets one sign-flip away) — the classic
+    multi-probe LSH recall fix: candidate volume grows by ~(1 + n_planes)x
+    while the corpus side still hashes each vector exactly once. The join
+    is a hash equi-join on the bucket id; only the small query side is
+    exploded and broadcast.
+    """
+    c, qb = _lsh_sides(corpus, queries, id_col, vec_col, n_planes, dim, multiprobe)
     q = F.broadcast(qb)
     scored = (
         c.join(q, "bucket")
@@ -301,29 +307,10 @@ def train_ivf_centroids(
     return _kmeans_np(sample_vectors(corpus, vec_col), n_centroids, seed=seed)
 
 
-def ivf_ann_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    nprobe: int = 2,
-    centroids: np.ndarray | None = None,
-) -> DataFrame:
-    """Approximate top-k via an inverted-file index (IVF-flat).
-
-    Corpus rows are assigned to their nearest coarse centroid (ONE narrow
-    argmax map, centroids as codegen literals — no shuffle, no Python);
-    each query probes its ``nprobe`` nearest cells, so scored candidates
-    are ~(nprobe / n_centroids) of the corpus instead of all of it. The
-    cell join is a broadcast hash join on the cell id (query side is small
-    and exploded ``nprobe``x); the only wide op is the final per-query
-    top-k window over candidates.
-    """
-    if centroids is None:
-        centroids = train_ivf_centroids(corpus, n_centroids, vec_col)
-
+def _ivf_sides(corpus, queries, id_col, vec_col, nprobe, centroids):
+    """(corpus-with-cell, query-with-probe-cells) — the IVF candidate
+    generation shared by ivf_ann_topk and ivf_ann_join. Centroids fold in
+    as codegen literals; both sides assign with a narrow map."""
     sims = _centroid_sims_expr(F.col(vec_col), centroids)
     # nearest cell: 1-based position of the max similarity
     cell = F.array_position(sims, F.array_max(sims)).cast("long")
@@ -352,6 +339,32 @@ def ivf_ann_topk(
         F.col(vec_col).alias("qvec"),
         F.explode(probes).alias("cell"),
     )
+    return c, qb
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index (IVF-flat).
+
+    Corpus rows are assigned to their nearest coarse centroid (ONE narrow
+    argmax map, centroids as codegen literals — no shuffle, no Python);
+    each query probes its ``nprobe`` nearest cells, so scored candidates
+    are ~(nprobe / n_centroids) of the corpus instead of all of it. The
+    cell join is a broadcast hash join on the cell id (query side is small
+    and exploded ``nprobe``x); the only wide op is the final per-query
+    top-k window over candidates.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, vec_col)
+    c, qb = _ivf_sides(corpus, queries, id_col, vec_col, nprobe, centroids)
     scored = (
         c.join(F.broadcast(qb), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -511,30 +524,7 @@ def lsh_ann_join(
     deterministic, itself a ``grouped_topk`` (no Window) — trading
     observable recall for a hard per-bucket work bound, the same contract
     as the MinHash dedup bucket caps. Default None: no thinning."""
-    if dim is None:
-        dim = _infer_dim(corpus, vec_col)
-    planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        bucket_expr(F.col(vec_col), planes).alias("bucket0"),
-    )
-    if multiprobe:
-        probes = F.array(
-            F.col("bucket0"),
-            *[
-                F.col("bucket0").bitwiseXOR(F.lit(2**i).cast("long"))
-                for i in range(n_planes)
-            ],
-        )
-        qb = qb.select("query_id", "qvec", F.explode(probes).alias("bucket"))
-    else:
-        qb = qb.select("query_id", "qvec", F.col("bucket0").alias("bucket"))
+    c, qb = _lsh_sides(corpus, queries, id_col, vec_col, n_planes, dim, multiprobe)
 
     from dask_glm_spark.operators.topk import grouped_topk
 
@@ -584,28 +574,7 @@ def ivf_ann_join(
     degenerate hot cell exactly like ``lsh_ann_join.max_per_bucket``."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_centroids, vec_col)
-
-    sims = _centroid_sims_expr(F.col(vec_col), centroids)
-    cell = F.array_position(sims, F.array_max(sims)).cast("long")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        cell.alias("cell"),
-    )
-    idx = F.sequence(F.lit(1), F.lit(len(centroids)))
-    ranked = F.reverse(
-        F.array_sort(
-            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")))
-        )
-    )
-    probes = F.transform(
-        F.slice(ranked, 1, nprobe), lambda st: (-st["ni"]).cast("long")
-    )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(probes).alias("cell"),
-    )
+    c, qb = _ivf_sides(corpus, queries, id_col, vec_col, nprobe, centroids)
 
     from dask_glm_spark.operators.topk import grouped_topk
 
