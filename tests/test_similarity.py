@@ -307,3 +307,40 @@ def test_ivf_ann_join_matches_topk(spark):
         for r in ivf_ann_join(emb, queries, k=4, n_centroids=8).collect()
     }
     assert a == b and len(b) > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],  # unique id tiebreaker
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=5, deadline=None)
+def test_grouped_topk_property(spark, rows, k):
+    """grouped_topk == sorted-oracle top-k per group for arbitrary data
+    (unique ids as the tiebreaker, any grouping, any k)."""
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    df = spark.createDataFrame(rows, "g string, i long, v double").repartition(5)
+    got = {}
+    for r in grouped_topk(df, "g", ["v", "i"], k, rank_col="rank").collect():
+        got.setdefault(r["g"], []).append((r["rank"], r["v"], r["i"]))
+    want = {}
+    for g, i, v in rows:
+        want.setdefault(g, []).append((v, i))
+    for g in want:
+        top = sorted(want[g])[:k]
+        ours = sorted(got.get(g, []))
+        assert [(v, i) for _, v, i in ours] == top
+        assert [r for r, _, _ in ours] == list(range(1, len(top) + 1))
