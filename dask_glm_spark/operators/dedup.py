@@ -748,3 +748,42 @@ def ngram_jaccard_pairs(
         common.select("blk", "id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_fps: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch exact dedup for continuous ingestion: drop new rows
+    whose content fingerprint was seen in ANY previous batch, dedup the
+    batch internally, and hand back the grown fingerprint index.
+
+    Returns ``(survivors, updated_seen)`` where ``updated_seen`` is the
+    union of ``seen_fps`` and the survivors' ``(fp_col)`` rows — persist
+    it (parquet) between runs and feed it back. The index holds ONE
+    64-bit-ish fingerprint row per distinct document ever kept: O(corpus
+    distinct) state, the smallest possible exact-dedup memory, and the
+    anti-join shuffles only fingerprints, never text. At 100 TB keep the
+    index bucketed by ``fp_col`` (``joins.write_bucketed``) so the
+    per-batch anti-join co-locates without exchanging the index side.
+
+    Within-batch semantics match ``exact_dedup`` on the fingerprint
+    (smallest (id, ...) row survives); collision risk is the fingerprint
+    family's (polyhash mod 1e9+7 — swap in a wider ``fp_col`` expression
+    upstream if the corpus is large enough to care)."""
+    from dask_glm_spark.operators.text import fingerprint_fast_expr
+
+    fp = new_docs.withColumn(fp_col, fingerprint_fast_expr(text_col))
+    if seen_fps is not None:
+        fp = fp.join(seen_fps.select(fp_col).distinct(), fp_col, "left_anti")
+    survivors = exact_dedup(fp, [fp_col], order_col=id_col)
+    new_seen = survivors.select(fp_col)
+    updated = (
+        new_seen
+        if seen_fps is None
+        else seen_fps.select(fp_col).union(new_seen).distinct()
+    )
+    return survivors.drop(fp_col), updated

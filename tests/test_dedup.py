@@ -284,3 +284,31 @@ def test_arrow_memo_cap_trip_keeps_parity(spark):
         for r in D.simhash_rows_arrow(docs, memo_cap=5).collect()
     }
     assert base_sh == capped_sh
+
+
+def test_exact_dedup_incremental_across_batches(spark):
+    """Batch 2 drops docs whose text appeared in batch 1 (even under new
+    ids), dedups internally, and the fed-back index grows by exactly the
+    new distinct texts."""
+    from dask_glm_spark.operators.dedup import exact_dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    s1, seen1 = exact_dedup_incremental(b1, None)
+    kept1 = sorted(r["doc_id"] for r in s1.collect())
+    assert kept1 == [1, 2]  # in-batch dup of 'alpha text' dropped
+    assert seen1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    s2, seen2 = exact_dedup_incremental(b2, seen1)
+    kept2 = sorted(r["doc_id"] for r in s2.collect())
+    assert kept2 == [11]  # 10 seen in batch 1; 12 in-batch dup
+    assert seen2.count() == 3
+    # replay of an already-seen batch keeps nothing and leaves the index
+    s3, seen3 = exact_dedup_incremental(b1, seen2)
+    assert s3.count() == 0 and seen3.count() == 3
