@@ -787,3 +787,87 @@ def exact_dedup_incremental(
         else seen_fps.select(fp_col).union(new_seen).distinct()
     )
     return survivors.drop(fp_col), updated
+
+
+def minhash_est_jaccard_expr(sig_a: Column, sig_b: Column) -> Column:
+    """Signature-estimated Jaccard: fraction of agreeing positions — the
+    standard MinHash estimator (granularity 1/NUM_PERM)."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(NUM_PERM))
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    seen_index: DataFrame | None,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch NEAR-dedup for continuous ingestion — the MinHash
+    companion to ``exact_dedup_incremental``.
+
+    The persisted index holds ``(doc_id, sig, bands)`` per kept doc —
+    NUM_PERM longs + BANDS band keys, never text: O(corpus kept) state at
+    ~200 bytes/doc. A new batch:
+
+    1. drops every doc whose banded-LSH candidates against the index
+       include a signature with estimated Jaccard ≥ threshold (the
+       1/NUM_PERM-granular position-agreement estimator — cross-batch
+       checks are estimator-based BY DESIGN, since the index keeps no
+       text to verify against);
+    2. near-dedups internally with the exact verified pipeline
+       (``minhash_dedup_pairs`` + connected-component survivors — full
+       text available within the batch);
+    3. returns ``(survivors, updated_index)``; persist the index
+       (parquet, ideally bucketed by a band column after explode)
+       between runs.
+
+    Hot-band behavior matches ``lsh_candidates``' analysis: a band shared
+    by M index docs and N batch docs joins M·N pairs — cap the batch or
+    index side upstream (``topk.grouped_topk`` by hash) if a boilerplate
+    band ever dominates."""
+    from dask_glm_spark.operators.graph import neardup_survivors
+
+    sig = minhash_signature_expr(text_col)
+    newf = new_docs.withColumn("_sig", sig).withColumn(
+        "_bands", band_keys_expr(F.col("_sig"))
+    )
+    if seen_index is not None:
+        nb = newf.select(
+            F.col(id_col), F.col("_sig"), F.explode("_bands").alias("_b")
+        )
+        ib = seen_index.select(
+            F.col("sig").alias("_osig"), F.explode("bands").alias("_b")
+        )
+        hits = (
+            nb.join(ib, "_b")
+            .select(
+                id_col,
+                minhash_est_jaccard_expr(
+                    F.col("_sig"), F.col("_osig")
+                ).alias("_est"),
+            )
+            .groupBy(id_col)
+            .agg(F.max("_est").alias("_best"))
+            .where(F.col("_best") >= threshold)
+            .select(id_col)
+        )
+        newf = newf.join(hits, id_col, "left_anti")
+
+    fresh = newf.drop("_sig", "_bands")
+    pairs = minhash_dedup_pairs(fresh, threshold=threshold, path="arrow")
+    survivors = neardup_survivors(fresh, pairs, id_col=id_col)
+    new_rows = newf.join(
+        survivors.select(id_col), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("_sig").alias("sig"),
+        F.col("_bands").alias("bands"),
+    )
+    updated = (
+        new_rows if seen_index is None else seen_index.union(new_rows)
+    )
+    return survivors, updated

@@ -312,3 +312,38 @@ def test_exact_dedup_incremental_across_batches(spark):
     # replay of an already-seen batch keeps nothing and leaves the index
     s3, seen3 = exact_dedup_incremental(b1, seen2)
     assert s3.count() == 0 and seen3.count() == 3
+
+
+def test_minhash_dedup_incremental_across_batches(spark):
+    """Batch 2's near-copy of a batch-1 survivor is dropped via the
+    signature index (no text stored); genuinely new content survives and
+    grows the index."""
+    from dask_glm_spark.operators.dedup import minhash_dedup_incremental
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark engines "
+                        "processing immense corpora with bucketed joins")],
+        "doc_id long, text string",
+    )
+    s1, idx1 = minhash_dedup_incremental(b1, None, threshold=0.6)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    assert idx1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("hunter", "hunters")),  # near-copy of doc 1
+            (11, "entirely novel text on weighted sampling priorities "
+                 "and deterministic shard construction for loaders"),
+        ],
+        "doc_id long, text string",
+    )
+    s2, idx2 = minhash_dedup_incremental(b2, idx1, threshold=0.6)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+    assert idx2.count() == 3
+    # replaying batch 1 keeps nothing (estimated self-jaccard = 1)
+    s3, idx3 = minhash_dedup_incremental(b1, idx2, threshold=0.6)
+    assert s3.count() == 0 and idx3.count() == 3
