@@ -633,9 +633,26 @@ FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id ORDER BY d.doc_id""",
     "q19_fingerprint": f"""SELECT doc_id,
   CAST({_duck_polyhash("lower(text)")} AS BIGINT) AS fp
 FROM documents ORDER BY doc_id""",
-    "q20_exact_dedup": """SELECT
+    # round 7: + inc_b0/inc_b1 — exact_dedup_incremental replayed over a
+    # doc_id-parity two-batch split (first batch wins per fingerprint);
+    # survivor counts re-derived as count(distinct fp) per batch with
+    # batch 1 excluding batch 0's fingerprints
+    "q20_exact_dedup": f"""WITH ct AS (
+  SELECT doc_id,
+    array_to_string(string_split_regex(lower(text), '\\s+')[1:2], ' ') AS ctext
+  FROM documents
+),
+fps AS (
+  SELECT doc_id % 2 AS b, {_duck_polyhash("lower(ctext)")} AS fp FROM ct
+),
+i0 AS (SELECT DISTINCT fp FROM fps WHERE b = 0),
+i1 AS (SELECT DISTINCT fp FROM fps WHERE b = 1
+       AND fp NOT IN (SELECT fp FROM i0))
+SELECT
   CAST(count(*) AS BIGINT) AS dup_groups,
-  CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_rows
+  CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_rows,
+  CAST((SELECT count(*) FROM i0) AS BIGINT) AS inc_b0,
+  CAST((SELECT count(*) FROM i1) AS BIGINT) AS inc_b1
 FROM (SELECT text, count(*) AS c FROM documents GROUP BY text HAVING count(*) > 1)""",
     "q21_minhash_dedup": _minhash_oracle_sql(0.5),
     "q22_simhash": _simhash_oracle_sql(),
@@ -1094,10 +1111,34 @@ def _pq_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate stats + (round 7) the incremental-dedup replay contract:
+    the corpus split into two batches by doc_id parity, fed through
+    exact_dedup_incremental sequentially with the engine-portable
+    polyhash fingerprint — inc_b0/inc_b1 are the per-batch survivor
+    counts the oracle re-derives as per-fp first-batch-wins."""
+    from pyspark.sql import functions as F
+
     from dask_glm_spark.operators import dedup as D
+    from dask_glm_spark.operators import text as T
     from dask_glm_spark.sources.glm_source import load_table
 
-    return D.duplicate_stats(load_table(spark, sf_dir, "documents"), ["text"])
+    docs = load_table(spark, sf_dir, "documents")
+    # coarsened dedup text (first two whitespace tokens of the lowered
+    # text): the synthetic corpus has no full-text duplicates, so the
+    # replay would never exercise a cross-batch hit — the 2-token prefix
+    # collides heavily and makes both the in-batch survivor pick and the
+    # batch-1 exclusion real
+    coarse = F.array_join(F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 2), " ")
+    docs = docs.withColumn("ctext", coarse)
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    fp = T.fingerprint_expr("ctext").cast("long")
+    s0, idx = D.exact_dedup_incremental(b0, None, text_col="ctext", fp_expr=fp)
+    s1, _ = D.exact_dedup_incremental(b1, idx, text_col="ctext", fp_expr=fp)
+    inc = spark.createDataFrame(
+        [(s0.count(), s1.count())], "inc_b0 long, inc_b1 long"
+    )
+    return D.duplicate_stats(docs, ["text"]).crossJoin(inc)
 
 
 def _pq_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

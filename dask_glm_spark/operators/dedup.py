@@ -756,6 +756,7 @@ def exact_dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     fp_col: str = "fp",
+    fp_expr: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-batch exact dedup for continuous ingestion: drop new rows
     whose content fingerprint was seen in ANY previous batch, dedup the
@@ -776,7 +777,13 @@ def exact_dedup_incremental(
     upstream if the corpus is large enough to care)."""
     from dask_glm_spark.operators.text import fingerprint_fast_expr
 
-    fp = new_docs.withColumn(fp_col, fingerprint_fast_expr(text_col))
+    # fp_expr hook (the domain_caps hash_col pattern): default is the
+    # codegen xxhash64 fast path; the q20 gate passes the engine-portable
+    # polyhash so DuckDB re-derives the identical survivor sets
+    fp = new_docs.withColumn(
+        fp_col,
+        fp_expr if fp_expr is not None else fingerprint_fast_expr(text_col),
+    )
     if seen_fps is not None:
         fp = fp.join(seen_fps.select(fp_col).distinct(), fp_col, "left_anti")
     survivors = exact_dedup(fp, [fp_col], order_col=id_col)
