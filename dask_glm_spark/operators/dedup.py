@@ -878,3 +878,72 @@ def minhash_dedup_incremental(
         new_rows if seen_index is None else seen_index.union(new_rows)
     )
     return survivors, updated
+
+
+def simhash_dedup_incremental(
+    new_docs: DataFrame,
+    seen_index: DataFrame | None,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch SimHash near-dedup — the third incremental variant
+    (exact / MinHash / SimHash share the pattern: tiny persisted index,
+    banded candidates, survivors + grown index back).
+
+    Index rows: ``(doc_id, simhash)`` — ONE long per kept doc, the
+    cheapest near-dup memory of the three. New docs hash once; cross-batch
+    candidates come from the pigeonhole band equi-join against the index
+    (any pair within ``max_hamming`` shares a band), verified by exact
+    hamming distance — unlike the MinHash variant this cross-batch check
+    is EXACT, because the simhash IS the similarity state. Within-batch
+    dedup reuses ``simhash_dedup_pairs`` + component survivors."""
+    from dask_glm_spark.operators.graph import neardup_survivors
+
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+
+    def band_rows(df_, sh_col, out_id):
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col(sh_col), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return df_.select(
+            F.col(sh_col), F.col(out_id), F.explode(bands).alias("b")
+        )
+
+    newh = new_docs.withColumn("_sh", simhash_expr(text_col, bits))
+    if seen_index is not None:
+        nb = band_rows(newh.select(id_col, "_sh"), "_sh", id_col)
+        ib = band_rows(
+            seen_index.select(F.col("simhash").alias("_osh")), "_osh",
+            "_osh",
+        ).select("_osh", "b")
+        hits = (
+            nb.join(ib, ["b"])
+            .where(hamming_expr(F.col("_sh"), F.col("_osh")) <= max_hamming)
+            .select(id_col)
+            .distinct()
+        )
+        newh = newh.join(hits, id_col, "left_anti")
+
+    fresh = newh.drop("_sh")
+    pairs = simhash_dedup_pairs(
+        fresh, text_col=text_col, id_col=id_col,
+        max_hamming=max_hamming, bits=bits,
+    )
+    survivors = neardup_survivors(fresh, pairs, id_col=id_col)
+    new_rows = newh.join(survivors.select(id_col), id_col, "left_semi").select(
+        F.col(id_col).alias("doc_id"), F.col("_sh").alias("simhash")
+    )
+    updated = new_rows if seen_index is None else seen_index.union(new_rows)
+    return survivors, updated

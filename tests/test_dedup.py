@@ -347,3 +347,34 @@ def test_minhash_dedup_incremental_across_batches(spark):
     # replaying batch 1 keeps nothing (estimated self-jaccard = 1)
     s3, idx3 = minhash_dedup_incremental(b1, idx2, threshold=0.6)
     assert s3.count() == 0 and idx3.count() == 3
+
+
+def test_simhash_dedup_incremental_across_batches(spark):
+    from dask_glm_spark.operators.dedup import simhash_dedup_incremental
+
+    base = (
+        "sampling priorities and deterministic shard construction with "
+        "bucketed joins over immense corpora of curated documents"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "short unrelated note about streaming rollups "
+                        "with watermarked windows and stateful sessions")],
+        "doc_id long, text string",
+    )
+    s1, idx1 = simhash_dedup_incremental(b1, None, max_hamming=3)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    assert idx1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("curated", "cursed")),  # near-copy of 1
+            (11, "fresh content entirely: graph contraction rounds and "
+                 "alternating star operations bounded by log n"),
+        ],
+        "doc_id long, text string",
+    )
+    s2, idx2 = simhash_dedup_incremental(b2, idx1, max_hamming=3)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+    assert idx2.count() == 3
+    s3, idx3 = simhash_dedup_incremental(b1, idx2, max_hamming=3)
+    assert s3.count() == 0 and idx3.count() == 3
