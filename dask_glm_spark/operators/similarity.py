@@ -499,6 +499,7 @@ def lsh_ann_join(
     dim: int | None = None,
     multiprobe: bool = True,
     max_per_bucket: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate k-NN JOIN for two LARGE sides — same candidate
     generation as ``lsh_ann_topk`` (shared LSH buckets, optional Hamming-1
@@ -523,7 +524,12 @@ def lsh_ann_join(
     to its ``max_per_bucket`` smallest ``xxhash64(id)`` rows — exact,
     deterministic, itself a ``grouped_topk`` (no Window) — trading
     observable recall for a hard per-bucket work bound, the same contract
-    as the MinHash dedup bucket caps. Default None: no thinning."""
+    as the MinHash dedup bucket caps. Default None: no thinning.
+
+    ``exclude_self=False`` keeps same-id matches — needed when the two
+    sides are DIFFERENT snapshots that can legitimately share ids (e.g.
+    the incremental-dedup replay, where a re-ingested document must
+    match its own indexed vector)."""
     c, qb = _lsh_sides(corpus, queries, id_col, vec_col, n_planes, dim, multiprobe)
 
     from dask_glm_spark.operators.topk import grouped_topk
@@ -535,10 +541,11 @@ def lsh_ann_join(
             carry_cols=["cvec"],
         ).drop("_h")
 
+    joined = c.join(qb, "bucket")
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     scored = (
-        c.join(qb, "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        joined.select(
             "query_id",
             "neighbor_id",
             cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
@@ -600,3 +607,58 @@ def ivf_ann_join(
         carry_cols=["cosine"], rank_col="rank",
     )
     return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def embedding_dedup_incremental(
+    new_vecs: DataFrame,
+    seen_index: DataFrame | None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    max_per_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch SEMANTIC near-dedup — the embedding member of the
+    incremental family (exact / MinHash / SimHash in operators.dedup).
+
+    The index stores ``(id_col, vec_col)`` for every kept vector (the
+    vectors ARE the similarity state — nothing smaller verifies cosine).
+    A new batch drops every vector whose ``lsh_ann_join`` neighbors in
+    the index reach ``cosine >= threshold`` (bucketed equi-join, no
+    broadcast requirement, ``max_per_bucket`` guards degenerate hot
+    buckets), then near-dedups internally via
+    ``embedding_neardup_pairs`` + component survivors. Returns
+    ``(survivors, updated_index)``; persist the index between runs —
+    at 100 TB bucket it by the sign-pattern bucket so per-batch joins
+    co-locate. Approximate like every LSH path: recall loss is the
+    bucketing's, observable via the q45-style recall contract."""
+    from dask_glm_spark.operators.graph import neardup_survivors
+
+    if seen_index is not None:
+        hits = (
+            lsh_ann_join(
+                seen_index, new_vecs, k=1, id_col=id_col, vec_col=vec_col,
+                n_planes=n_planes, max_per_bucket=max_per_bucket,
+                exclude_self=False,  # replayed ids must match themselves
+            )
+            .where(F.col("cosine") >= threshold)
+            .select(F.col("query_id").alias(id_col))
+            .distinct()
+        )
+        new_vecs = new_vecs.join(hits, id_col, "left_anti")
+        if new_vecs.limit(1).count() == 0:
+            # everything matched the index (e.g. a full replay): nothing
+            # to dedup internally, and the in-batch path can't infer the
+            # embedding dim from an empty frame
+            return new_vecs, seen_index
+
+    pairs = embedding_neardup_pairs(
+        new_vecs, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes,
+    )
+    survivors = neardup_survivors(new_vecs, pairs, id_col=id_col)
+    new_rows = survivors.select(id_col, vec_col)
+    updated = (
+        new_rows if seen_index is None else seen_index.union(new_rows)
+    )
+    return survivors, updated

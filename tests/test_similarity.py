@@ -344,3 +344,27 @@ def test_grouped_topk_property(spark, rows, k):
         ours = sorted(got.get(g, []))
         assert [(v, i) for _, v, i in ours] == top
         assert [r for r, _, _ in ours] == list(range(1, len(top) + 1))
+
+
+def test_embedding_dedup_incremental_across_batches(spark):
+    from dask_glm_spark.operators.similarity import embedding_dedup_incremental
+
+    v = [1.0, 0.2, -0.5, 0.8]
+    near = [x * 1.001 + (0.0005 if i == 1 else 0.0) for i, x in enumerate(v)]
+    other = [-0.9, 0.4, 0.7, -0.1]
+    b1 = spark.createDataFrame(
+        [(1, v), (2, other)], "vec_id long, embedding array<double>"
+    )
+    s1, idx1 = embedding_dedup_incremental(b1, None, threshold=0.99)
+    assert sorted(r["vec_id"] for r in s1.collect()) == [1, 2]
+    assert idx1.count() == 2
+
+    fresh = [0.1, -0.8, 0.3, 0.5]
+    b2 = spark.createDataFrame(
+        [(10, near), (11, fresh)], "vec_id long, embedding array<double>"
+    )
+    s2, idx2 = embedding_dedup_incremental(b2, idx1, threshold=0.99)
+    assert sorted(r["vec_id"] for r in s2.collect()) == [11]
+    assert idx2.count() == 3
+    s3, idx3 = embedding_dedup_incremental(b1, idx2, threshold=0.99)
+    assert s3.count() == 0 and idx3.count() == 3
