@@ -2,6 +2,7 @@
 
     documents ──> quality gates ──> dedup ──> decontaminate ──> budget
         ──> TF-IDF features ──> GLM fit ──> score
+        ──> weighted mixture ──> tar shards (+ manifest round-trip)
 
 Every stage is an engine operator (no ad-hoc SQL), so this doubles as an
 integration test of the pipeline surface (tests/test_example.py runs it
