@@ -840,3 +840,31 @@ def classify_text(
     return model.predict(feats).select(
         id_col, F.col("prediction").alias("label")
     )
+
+
+def vocab_topk_by(
+    df: DataFrame,
+    by: str,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group heavy hitters: the k most frequent tokens within each
+    ``by`` group (tf desc, token asc — the q36 total order, per group).
+
+    One explode + one (group, token) count aggregate + the shared
+    Window-free ``grouped_topk`` — a group with a huge vocabulary never
+    funnels through one window task. Returns (by, token, tf, rank).
+    Empty tokens are filtered (the TF-path convention)."""
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    toks = df.select(
+        F.col(by), F.explode(tokens_expr(text_col)).alias("token")
+    ).where(F.length("token") > 0)
+    counts = toks.groupBy(by, "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    ranked = grouped_topk(
+        counts.withColumn("_ntf", -F.col("tf")),
+        by, ["_ntf", "token"], k, carry_cols=["tf"], rank_col="rank",
+    )
+    return ranked.select(by, "token", "tf", "rank")

@@ -380,3 +380,31 @@ def test_text_classifier_persistence_round_trip(spark, tmp_path):
         r["doc_id"]: r["label"] for r in classify_text(model, docs).collect()
     }
     assert got == want
+
+
+def test_vocab_topk_by_matches_pandas(spark):
+    import collections
+
+    rows = []
+    texts = {
+        "s1": ["red red red blue", "blue green red", "yellow red"],
+        "s2": ["blue blue", "blue green green", "green blue red"],
+    }
+    i = 0
+    for src, ts in texts.items():
+        for t in ts:
+            rows.append((i, src, t))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    from dask_glm_spark.operators.text import vocab_topk_by
+
+    got = {}
+    for r in vocab_topk_by(df, "source", k=2).collect():
+        got.setdefault(r["source"], []).append((r["rank"], r["token"], r["tf"]))
+    want = {}
+    for src, ts in texts.items():
+        c = collections.Counter(" ".join(ts).split())
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        want[src] = [(i + 1, tok, tf) for i, (tok, tf) in enumerate(top)]
+    assert {k: sorted(v) for k, v in got.items()} == want
