@@ -708,3 +708,42 @@ for _cls in (
     SoftmaxRegression,
 ):
     _register(_cls)
+
+
+def cross_val_score(
+    make_estimator,
+    df: DataFrame,
+    n_folds: int = 5,
+    features_col: str = "features",
+    label_col: str = "label",
+) -> list:
+    """Deterministic k-fold cross-validation over content-hash folds.
+
+    Fold membership is ``xxhash64(features, label) % n_folds`` — a pure
+    narrow expression, so folds are identical across partitionings,
+    reruns, and cluster shapes (the sampling-operator reproducibility
+    contract; ``randomSplit`` changes with layout). Each fold fits a
+    fresh estimator from ``make_estimator()`` on the other folds and
+    scores on the held-out one; returns the per-fold scores (the
+    estimator's own ``score`` — accuracy / MSE / deviance by class).
+
+    The folded frame is cached once; each of the k fits scans that cache
+    with a narrow fold filter — no per-fold materialization."""
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    from pyspark import StorageLevel
+
+    folded = df.withColumn(
+        "_cvfold", F.pmod(F.xxhash64(features_col, label_col), F.lit(n_folds))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        scores = []
+        for i in range(n_folds):
+            train = folded.where(F.col("_cvfold") != i).drop("_cvfold")
+            test = folded.where(F.col("_cvfold") == i).drop("_cvfold")
+            m = make_estimator()
+            m.fit(train)
+            scores.append(float(m.score(test)))
+        return scores
+    finally:
+        folded.unpersist()

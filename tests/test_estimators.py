@@ -363,3 +363,20 @@ def test_precision_recall_f1(spark):
     df2 = spark.createDataFrame([("a", "b"), ("b", "b")], "y string, yhat string")
     g2 = precision_recall_f1(df2, "y", "yhat")
     assert g2["a"] == {"precision": 0.0, "recall": 0.0, "f1": 0.0, "support": 1}
+
+
+def test_cross_val_score_deterministic_folds(spark):
+    from dask_glm_spark import LogisticRegression
+    from dask_glm_spark.operators.estimators import cross_val_score
+    from dask_glm_spark.sources.glm_source import load_glm_fast
+
+    df = load_glm_fast(spark, "/root/testdata/sf0.001")
+    mk = lambda: LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=False, max_iter=20
+    )
+    a = cross_val_score(mk, df, n_folds=3)
+    assert len(a) == 3 and all(0.0 <= s <= 1.0 for s in a)
+    # layout independence: same folds, same scores
+    b = cross_val_score(mk, df.repartition(11), n_folds=3)
+    import numpy as np
+    np.testing.assert_allclose(a, b, atol=1e-8)
