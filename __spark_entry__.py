@@ -517,6 +517,47 @@ def _duck_uniform_unit(salt: str, key_expr: str = "doc_id") -> str:
     return f"((((({h1}) * 2654435761) % 4294967296) >> 12) + 0.5) / 1048576.0"
 
 
+def _vocab_topk_oracle_sql(depth: int = 4, width: int = 256) -> str:
+    """Top-100 vocabulary + count-min estimates, fully re-derived: the
+    counter grid is the SAME depth×width cell sums (portable double
+    polyhash per row salt ``cms{i}``) built from the per-token counts
+    (cell sums are additive, so aggregating tf first is exact), and each
+    top token's estimate is the min over depth correlated lookups —
+    deterministic, so it hash-matches the engine's sketch exactly."""
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS i, ({_duck_sample_bucket(f'cms{i}', 'tok', width)})"
+        f" AS bucket, tf FROM cnt"
+        for i in range(depth)
+    )
+    # table alias must not shadow the polyhash lambda's parameters (h, c)
+    lookups = ",\n    ".join(
+        "coalesce((SELECT ctr_.cnt FROM ctr ctr_ WHERE ctr_.i = "
+        f"{i} AND ctr_.bucket = ({_duck_sample_bucket(f'cms{i}', 't.tok', width)})), 0)"
+        for i in range(depth)
+    )
+    return f"""WITH tk AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+  WHERE tok <> ''
+),
+cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM tk GROUP BY tok
+),
+ctr AS (
+  SELECT i, bucket, CAST(sum(tf) AS BIGINT) AS cnt
+  FROM ({unions})
+  GROUP BY i, bucket
+),
+top AS (SELECT * FROM cnt ORDER BY tf DESC, tok ASC LIMIT 100)
+SELECT t.tok AS token, t.tf, t.doc_freq,
+  CAST(least(
+    {lookups}
+  ) AS BIGINT) AS cms_est
+FROM top t"""
+
+
 def _curation_oracle_sql(q_threshold: float = 0.5, mh_threshold: float = 0.5) -> str:
     """End-to-end curation pipeline, fully recomputed: language-ID filter +
     quality filter -> MinHash near-dup pairs on the SURVIVING subset ->
@@ -729,13 +770,10 @@ ORDER BY 1, 2""",
     # cluster" actually needs). Oracle = recursive reachability walk.
     "q34_components": _components_oracle_sql(0.5),
     "q35_neardup_survivors": _survivors_oracle_sql(0.5),
-    # deterministic top-k vocabulary with total ordering (tf desc, token asc)
-    "q36_vocab_topk": f"""SELECT tok AS token,
-  CAST(count(*) AS BIGINT) AS tf,
-  CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
-WHERE tok <> '' -- engine filters empty tokens
-GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 100""",
+    # deterministic top-k vocabulary with total ordering (tf desc, token
+    # asc); round 7: + cms_est — count-min point estimates from the
+    # depth-4 × width-256 sketch, exact counter-grid re-derivation
+    "q36_vocab_topk": _vocab_topk_oracle_sql(4, 256),
     # reproducible stratified mixture: per-lang keep rates keyed on the
     # shared double-polyhash bucket of doc_id (engine: operators/sampling)
     # round 7: + capped_docs — domain_caps(source, cap=10) survivors per
@@ -1345,8 +1383,18 @@ def _pq_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary + (round 7) count-min point estimates: the
+    ``cms_est`` column is ``min_i counters[i][h_i(token)]`` from a
+    depth-4 × width-256 sketch built over the SAME token stream
+    (``sketches.cms_counters``) — width deliberately small at the gate
+    SFs so bucket collisions are real and the min-over-depth estimate is
+    exercised, not vacuous. The hashing is the engine-portable double
+    polyhash, so the oracle re-derives the exact counter grid and the
+    estimates HASH-match (no tolerance contract needed: CMS is
+    deterministic given its hash family)."""
     from pyspark.sql import functions as F
 
+    from dask_glm_spark.functions import sketches as SK
     from dask_glm_spark.operators import text as T
     from dask_glm_spark.sources.glm_source import load_table
 
@@ -1354,7 +1402,7 @@ def _pq_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(T.tokens_expr("text")).alias("token")
     ).where(F.length("token") > 0)
-    return (
+    top = (
         tok.groupBy("token")
         .agg(
             F.count("*").cast("long").alias("tf"),
@@ -1363,6 +1411,8 @@ def _pq_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("token"))
         .limit(100)
     )
+    ctr = SK.cms_counters(docs, depth=4, width=256)
+    return SK.cms_estimate(top, ctr, depth=4, width=256)
 
 
 def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

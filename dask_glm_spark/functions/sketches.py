@@ -67,6 +67,103 @@ def vocab_sketch_stats(
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 10
+
+
+def cms_counters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch over the corpus token stream: ``(i, bucket, cnt)``
+    counters with ``cnt = Σ tf(tok)`` over tokens hashing to ``bucket``
+    under row ``i``'s salted hash — the frequency companion to the
+    HLL/theta cardinality sketches above.
+
+    Why a CMS at 100 TB: exact per-token counts shuffle the whole
+    vocabulary (billions of strings); the CMS state is a FIXED
+    ``depth×width`` grid of longs that merges by cell-wise addition, so
+    the exchange carries ≤ depth·width rows per partition (map-side
+    combine bounds it) no matter the corpus, and day-over-day sketches
+    union by summing. Point estimates overestimate only:
+    ``tf(t) <= est(t) <= tf(t) + ε·N`` with ε = e/width at the standard
+    failure bound — collisions add, never subtract.
+
+    Hashing is the engine-portable double polyhash (``hash_bucket_expr``
+    with per-row salt ``f"{salt}{i}"``), so a second engine re-derives
+    the EXACT same counters — the q36 gate hash-matches estimates, not
+    just a tolerance contract."""
+    if depth <= 0 or width <= 0:
+        raise ValueError(f"depth/width must be positive, got {depth}/{width}")
+    from dask_glm_spark.operators.sampling import hash_bucket_expr
+
+    tok = _token_table(df, text_col)
+    pairs = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        hash_bucket_expr(F.col("tok"), width, salt=f"{salt}{i}")
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    tokens_df: DataFrame,
+    counters: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms",
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Append ``est_col`` = count-min point estimate for ``token_col``:
+    ``min_i counters[i][h_i(token)]`` via ``depth`` broadcast joins
+    against the counter grid (≤ depth·width rows by construction — the
+    broadcast is safe no matter the corpus the sketch summarizes; an
+    unseen bucket estimates 0). ``depth/width/salt`` must match the
+    ``cms_counters`` call that built ``counters``."""
+    from dask_glm_spark.operators.sampling import hash_bucket_expr
+
+    out = tokens_df
+    drop: list[str] = []
+    for i in range(depth):
+        ci = counters.where(F.col("i") == i).select(
+            F.col("bucket").alias(f"_cmsb{i}"), F.col("cnt").alias(f"_cmsc{i}")
+        )
+        out = (
+            out.withColumn(
+                f"_cmsk{i}",
+                hash_bucket_expr(F.col(token_col), width, salt=f"{salt}{i}"),
+            ).join(
+                F.broadcast(ci),
+                F.col(f"_cmsk{i}") == F.col(f"_cmsb{i}"),
+                "left",
+            )
+        )
+        drop += [f"_cmsb{i}", f"_cmsc{i}", f"_cmsk{i}"]
+    est = F.least(
+        *[
+            F.coalesce(F.col(f"_cmsc{i}"), F.lit(0).cast("long"))
+            for i in range(depth)
+        ]
+    )
+    return out.withColumn(est_col, est.cast("long")).drop(*drop)
+
+
 def vocab_cardinality_by(
     df: DataFrame, by: str = "source", text_col: str = "text"
 ) -> DataFrame:
