@@ -212,6 +212,36 @@ def weighted_sample_k(
     return df.join(winners.select(key_col), key_col, "left_semi")
 
 
+def shuffled(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "epoch0",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global pseudo-random row order — the training-epoch
+    shuffle. Rows are totally ordered by ``(uniform_unit_expr(key, salt),
+    key)``; a fresh salt per epoch (``"epoch1"``, ``"epoch2"``, …) gives
+    independent orders, and the SAME salt reproduces the exact order on
+    any rerun, engine, layout, or cluster shape — the property
+    ``df.orderBy(rand())`` loses on the first retry.
+
+    Plan shape: one range exchange on the order key + an in-partition
+    sort — never a single-task global sort. Spark's range sampling picks
+    balanced boundaries for whatever the data is; boundaries only move
+    WHERE the cuts fall, the total order (partition index, then position)
+    is a pure function of keys and salt. Downstream sequential consumers
+    (``toLocalIterator``, the tar-shard sink's ``member_order="shuffled"``)
+    see the same stream every time."""
+    u = uniform_unit_expr(key_col, salt)
+    pr = df.withColumn("_shufu", u)
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        pr.repartitionByRange(n, F.col("_shufu"), F.col(key_col))
+        .sortWithinPartitions("_shufu", key_col)
+        .drop("_shufu")
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     k: int,

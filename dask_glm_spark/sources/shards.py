@@ -33,6 +33,7 @@ def write_tar_shards(
     id_col: str = "doc_id",
     ext: str = "txt",
     salt: str = "shard",
+    member_order: str = "id",
 ) -> DataFrame:
     """Write ``path/shard-NNNNN.tar`` files, one archive member per row
     (member name ``{id}.{ext}``), and return the shard manifest
@@ -40,18 +41,31 @@ def write_tar_shards(
     verification handle.
 
     ``payload_col`` may be string (utf-8 encoded) or binary. Member order
-    inside a shard is id-sorted and metadata is pinned (mtime=0,
-    uid/gid=0), so the same corpus always produces byte-identical
-    shards regardless of partitioning or task order."""
+    inside a shard is id-sorted (``member_order="id"``) or hash-shuffled
+    (``member_order="shuffled"`` — the training-epoch order: members sort
+    by the deterministic hash-uniform of their id under salt
+    ``f"{salt}-ord"``, so hash shard assignment + shuffled member order is
+    a complete reproducible epoch shuffle a sequential data loader streams
+    straight off the tars). Either way metadata is pinned (mtime=0,
+    uid/gid=0), so the same corpus always produces byte-identical shards
+    regardless of partitioning or task order."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if member_order not in ("id", "shuffled"):
+        raise ValueError(f"member_order must be 'id' or 'shuffled', got {member_order!r}")
     os.makedirs(path, exist_ok=True)
     is_binary = dict(df.dtypes)[payload_col] == "binary"
+    from dask_glm_spark.operators.sampling import uniform_unit_expr
 
     rows = df.select(
         F.col(id_col).cast("string").alias("_id"),
         F.col(payload_col).alias("_payload"),
         hash_bucket_expr(id_col, n_shards, salt).alias("_shard"),
+        (
+            uniform_unit_expr(id_col, salt=f"{salt}-ord")
+            if member_order == "shuffled"
+            else F.lit(0.0)
+        ).alias("_ord"),
     )
 
     def write_shard(key, pdf):
@@ -61,7 +75,7 @@ def write_tar_shards(
         import pandas as pd
 
         shard = int(key[0])
-        pdf = pdf.sort_values("_id", kind="mergesort")
+        pdf = pdf.sort_values(["_ord", "_id"], kind="mergesort")
         out = os.path.join(path, f"shard-{shard:05d}.tar")
         tmp = out + ".tmp"
         n_bytes = 0

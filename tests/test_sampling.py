@@ -294,3 +294,61 @@ def test_sample_k_per_group_uniform(spark):
     a = {r["doc_id"] for r in got.collect()}
     b = {r["doc_id"] for r in sample_k_per_group(df.repartition(9), 15, by="grp").collect()}
     assert a == b
+
+
+def test_shuffled_is_deterministic_and_layout_independent(spark):
+    """shuffled(): the collected row order is a pure function of keys and
+    salt — identical across input layouts and reruns, different under a
+    different salt, a permutation of the input either way."""
+    from dask_glm_spark.operators.sampling import shuffled
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    o1 = [r["doc_id"] for r in shuffled(df, n_partitions=7).collect()]
+    o2 = [
+        r["doc_id"]
+        for r in shuffled(df.repartition(13), n_partitions=7).collect()
+    ]
+    o3 = [r["doc_id"] for r in shuffled(df, n_partitions=7).collect()]
+    assert o1 == o2 == o3
+    assert sorted(o1) == list(range(500))
+    assert o1 != list(range(500))  # actually shuffled
+    oe = [
+        r["doc_id"]
+        for r in shuffled(df, salt="epoch1", n_partitions=7).collect()
+    ]
+    assert sorted(oe) == list(range(500)) and oe != o1  # fresh epoch order
+
+
+def test_shuffled_matches_hash_order(spark):
+    """The order IS ascending (uniform_unit, key) — verified against the
+    expression itself."""
+    from dask_glm_spark.operators.sampling import shuffled, uniform_unit_expr
+
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    got = [r["doc_id"] for r in shuffled(df, n_partitions=5).collect()]
+    want = [
+        r["doc_id"]
+        for r in df.select(
+            "doc_id", uniform_unit_expr("doc_id", "epoch0").alias("_u")
+        )
+        .orderBy("_u", "doc_id")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_shuffled_plan_has_no_global_sort(spark):
+    """Plan shape: one range exchange + in-partition sort — a global
+    single-task sort would be the 100-TB anti-pattern."""
+    from dask_glm_spark.operators.sampling import shuffled
+    from dask_glm_spark.plans.audit import explain_str
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = explain_str(shuffled(df, n_partitions=4), "formatted")
+    assert "rangepartitioning" in plan.lower()
+    import re
+
+    # formatted Sort node: "Arguments: [...], <global>, 0"
+    flags = re.findall(r"\], (true|false), \d+", plan)
+    assert flags, f"no Sort node found in plan:\n{plan}"
+    assert all(f == "false" for f in flags), f"global sort in plan:\n{plan}"

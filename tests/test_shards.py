@@ -84,3 +84,45 @@ def test_stream_to_tar_shards_matches_batch(spark, tmp_path):
     back = read_tar_shards(spark, os.path.join(out, "batch-*")).collect()
     got = {int(r["id"]): r["payload"].decode() for r in back}
     assert got == {i: t for i, t in rows}
+
+
+def test_member_order_shuffled_deterministic_and_distinct(docs, spark, tmp_path):
+    """member_order='shuffled': same membership per shard, different
+    member sequence than id order, byte-identical across layouts (the
+    training-epoch shuffle must reproduce exactly on reruns)."""
+    import io
+
+    a, b, c = (str(tmp_path / d) for d in "abc")
+    write_tar_shards(docs, a, n_shards=3, member_order="shuffled").collect()
+    write_tar_shards(
+        docs.repartition(17), b, n_shards=3, member_order="shuffled"
+    ).collect()
+    write_tar_shards(docs, c, n_shards=3, member_order="id").collect()
+    for x, y in zip(
+        sorted(glob.glob(os.path.join(a, "*.tar"))),
+        sorted(glob.glob(os.path.join(b, "*.tar"))),
+    ):
+        with open(x, "rb") as fx, open(y, "rb") as fy:
+            assert fx.read() == fy.read()
+
+    def members(path):
+        out = {}
+        for f in sorted(glob.glob(os.path.join(path, "*.tar"))):
+            with tarfile.open(f) as tf:
+                out[os.path.basename(f)] = [m.name for m in tf.getmembers()]
+        return out
+
+    ma, mc = members(a), members(c)
+    # identical membership per shard (assignment hash untouched) ...
+    assert {k: sorted(v) for k, v in ma.items()} == {
+        k: sorted(v) for k, v in mc.items()
+    }
+    # ... but at least one shard's member SEQUENCE differs from id order
+    assert any(ma[k] != mc[k] for k in ma)
+
+
+def test_member_order_validation(docs, tmp_path):
+    with pytest.raises(ValueError, match="member_order"):
+        write_tar_shards(
+            docs, str(tmp_path / "x"), n_shards=2, member_order="random"
+        )
