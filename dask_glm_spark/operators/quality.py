@@ -228,6 +228,145 @@ def decontaminate(
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
 
 
+BLOOM_MAX_BITS = 1 << 24
+
+
+def build_ngram_bloom(
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> list[int]:
+    """Driver-side Bloom filter (packed 64-bit words, signed for the Spark
+    long literal) over the benchmark's distinct word ``n``-grams.
+
+    The bit POSITIONS are computed distributed (explode ``n_hashes``
+    salted-xxhash64 buckets per gram, distinct) and only the set
+    positions come to the driver — ≤ ``min(n_bits, n_hashes·|grams|)``
+    ints, bounded by ``n_bits`` regardless of benchmark size. ``n_bits``
+    is capped at 2^24 (2 MiB of words) so the literal the filter ships in
+    stays broadcast-sized; benchmark sets are eval suites, not corpora
+    (the ``decontaminate`` contract), so 2^24 bits at ~10 bits/gram
+    covers ~1.6M grams at <1% fp.
+
+    Hash family: ``xxhash64(salt_j, gram)`` — NOT the portable double
+    polyhash the sampling operators use. The k positions must be
+    independent per gram PAIR, and any scheme post-processing one 30-bit
+    inner hash (the polyhash form) collapses: a single inner collision
+    between a corpus gram and any benchmark gram makes ALL k positions
+    match at once (~8% somewhere at 50k×1.6k grams — caught by the
+    pressure test while polyhash-backed). xxhash64's 64-bit space makes
+    full-pair collisions ~2^-64 and each salt is an independent seed."""
+    if not 0 < n_bits <= BLOOM_MAX_BITS:
+        raise ValueError(f"n_bits must be in (0, {BLOOM_MAX_BITS}], got {n_bits}")
+    if n_hashes <= 0:
+        raise ValueError(f"n_hashes must be positive, got {n_hashes}")
+    grams = benchmark.select(
+        F.explode(ngrams_expr(text_col, n)).alias("g")
+    ).distinct()
+    pos = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos_expr(F.col("g"), n_bits, salt, j)
+                    for j in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    words = [0] * ((n_bits + 63) // 64)
+    for r in pos.collect():
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_pos_expr(col: Column, n_bits: int, salt: str, j: int) -> Column:
+    """Bit position for hash row ``j``: ``pmod(xxhash64(salt_j, gram),
+    n_bits)`` — independent 64-bit hash per row (see build_ngram_bloom's
+    hash-family note)."""
+    return F.pmod(F.xxhash64(F.lit(f"{salt}{j}"), col), F.lit(n_bits)).cast(
+        "long"
+    )
+
+
+def bloom_contains_expr(
+    col: Column,
+    words_arr: Column,
+    n_bits: int,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> Column:
+    """Membership test against a Bloom word array: all ``n_hashes`` bits
+    set. ``words_arr`` must be ONE shared ``F.lit(words)`` column (a
+    constant-folded array literal — cheap to reference repeatedly). Bit
+    extraction is ``(word >> (p % 64)) & 1`` — arithmetic shift
+    sign-extends, which is harmless for single-bit extraction."""
+    from dask_glm_spark.functions.exprs import let
+
+    def bit_set(p: Column) -> Column:
+        word = F.element_at(words_arr, (p / F.lit(64)).cast("int") + F.lit(1))
+        return (
+            F.call_function(
+                "shiftright", word, (p % F.lit(64)).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == F.lit(1)
+        )
+
+    checks = [
+        # let-bind the bucket: the hash feeds both the word index and
+        # the shift, and Catalyst would re-inline it at each reference
+        let(_bloom_pos_expr(col, n_bits, salt, j), bit_set)
+        for j in range(n_hashes)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "flag",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """``decontaminate`` with the benchmark compiled into a Bloom filter:
+    the corpus side becomes a PURE NARROW MAP — no gram explode, no join,
+    no shuffle; each doc evaluates ``exists(grams, bloom_contains)``
+    against the in-plan word array. At 100 TB this is the shape you want:
+    the exact variant's semi-join explodes every corpus n-gram into the
+    exchange, this one touches nothing but the scan.
+
+    Guarantee: NO false negatives (every truly-contaminated doc is
+    flagged — collisions only ADD bits). False positives are possible at
+    rate ~(n_hashes·|grams|/n_bits)^n_hashes per distinct gram — size
+    ``n_bits`` at ~10·|grams| for <1%; ``mode='flag'`` callers can re-check
+    flagged docs with the exact ``decontaminate`` (two-phase: cheap narrow
+    pass over everything, exact join over the tiny flagged subset)."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be flag|drop, got {mode!r}")
+    words = build_ngram_bloom(
+        benchmark, n=n, text_col=text_col, n_bits=n_bits,
+        n_hashes=n_hashes, salt=salt,
+    )
+    arr = F.lit(words)
+    hit = F.exists(
+        ngrams_expr(text_col, n),
+        lambda g: bloom_contains_expr(g, arr, n_bits, n_hashes, salt),
+    )
+    if mode == "drop":
+        return docs.where(~hit)
+    return docs.withColumn("contaminated", hit)
+
+
 def select_to_token_budget(
     df: DataFrame,
     budget_tokens: dict[str, int] | int,

@@ -288,3 +288,92 @@ class TestDomainCaps:
         df = spark.createDataFrame(rows, "url string")
         got = [r[0] for r in df.select(domain_expr("url")).collect()]
         assert got == ["www.example.com", "sub.site.org", "bare-host.net"]
+
+
+def test_bloom_decontam_matches_exact_at_wide_bits(spark):
+    """At ~10 bits/gram the fp rate is negligible: the Bloom flag set
+    EQUALS the exact semi-join flag set on the real corpus split."""
+    from dask_glm_spark.operators.quality import decontaminate, decontaminate_bloom
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    corpus = docs.where(F.col("doc_id") % 31 != 0)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, n=5)
+        .where("contaminated")
+        .select("doc_id")
+        .collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in decontaminate_bloom(corpus, bench, n=5, n_bits=1 << 20)
+        .where("contaminated")
+        .select("doc_id")
+        .collect()
+    }
+    assert exact  # non-vacuous: the split really contaminates
+    assert bloom == exact
+
+
+def test_bloom_decontam_no_false_negatives_under_pressure(spark):
+    """A deliberately tiny filter (256 bits) collides hard: the flag set
+    must still be a SUPERSET of the exact set (collisions only add bits),
+    and at this density false positives must actually occur — otherwise
+    the pressure test is vacuous."""
+    from dask_glm_spark.operators.quality import decontaminate, decontaminate_bloom
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    corpus = docs.where(F.col("doc_id") % 31 != 0)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, n=5)
+        .where("contaminated")
+        .select("doc_id")
+        .collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in decontaminate_bloom(corpus, bench, n=5, n_bits=256)
+        .where("contaminated")
+        .select("doc_id")
+        .collect()
+    }
+    assert bloom >= exact
+    assert bloom > exact  # fps present at 256 bits
+
+
+def test_bloom_decontam_flag_is_narrow_and_drop_is_complement(spark):
+    """mode='flag' adds ZERO exchanges on the corpus side (the 100-TB
+    rationale for the Bloom variant) and mode='drop' returns exactly the
+    unflagged docs."""
+    from dask_glm_spark.operators.quality import decontaminate_bloom
+    from dask_glm_spark.plans.audit import assert_narrow
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    corpus = docs.where(F.col("doc_id") % 31 != 0)
+    flagged = decontaminate_bloom(corpus, bench, n=5)
+    assert_narrow(flagged)
+    kept = decontaminate_bloom(corpus, bench, n=5, mode="drop")
+    n_corpus = corpus.count()
+    n_flagged = flagged.where("contaminated").count()
+    assert kept.count() == n_corpus - n_flagged
+
+
+def test_bloom_build_validation(spark):
+    from dask_glm_spark.operators.quality import BLOOM_MAX_BITS, build_ngram_bloom
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_bits"):
+        build_ngram_bloom(docs, n_bits=BLOOM_MAX_BITS * 2)
+    with pytest.raises(ValueError, match="n_hashes"):
+        build_ngram_bloom(docs, n_hashes=0)
+    # empty benchmark -> all-zero filter -> nothing can be flagged
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    words = build_ngram_bloom(empty, n_bits=1 << 10)
+    assert all(w == 0 for w in words)
