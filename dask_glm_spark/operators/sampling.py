@@ -242,6 +242,47 @@ def shuffled(
     )
 
 
+def interleave_by_weight(
+    df: DataFrame,
+    weight: Column | str,
+    key_col: str = "doc_id",
+    salt: str = "ilv0",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted interleaving — the training-mixture ORDER
+    primitive: ``stratified_sample`` thins by rate, ``shuffled`` orders
+    uniformly, this orders so that any PREFIX of the global order holds
+    rows from each source in proportion to its weight (e.g. weight 3.0
+    for code, 1.0 for web → every training window sees ~3:1 code:web,
+    not a code block followed by a web block).
+
+    Method: exponential arrival clocks. Each row draws its hash-uniform
+    ``u`` and sorts ascending by ``t = −ln(u) / w`` — a rate-``w``
+    exponential, so merging all rows is a Poisson race where a weight-w
+    source wins each successive slot with probability ``w / Σw`` (until
+    it runs dry — a finite source exhausts and the remaining sources
+    split its share, which is exactly the mixture semantics trainers
+    want). Same plan shape as ``shuffled``: one range exchange +
+    in-partition sort, never a global single-task sort; the order is a
+    pure function of keys, weights, and salt — identical across layouts,
+    reruns, and cluster shapes.
+
+    Rows with NULL or non-positive weight are dropped (the
+    ``weighted_sample_k`` convention — they have no arrival time)."""
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    u = uniform_unit_expr(key_col, salt)
+    clock = -F.log(u) / w
+    pr = df.where(w.isNotNull() & ~F.isnan(w) & (w > 0)).withColumn(
+        "_ilvt", clock
+    )
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        pr.repartitionByRange(n, F.col("_ilvt"), F.col(key_col))
+        .sortWithinPartitions("_ilvt", key_col)
+        .drop("_ilvt")
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     k: int,

@@ -352,3 +352,39 @@ def test_shuffled_plan_has_no_global_sort(spark):
     flags = re.findall(r"\], (true|false), \d+", plan)
     assert flags, f"no Sort node found in plan:\n{plan}"
     assert all(f == "false" for f in flags), f"global sort in plan:\n{plan}"
+
+
+def test_interleave_by_weight_prefix_proportions(spark):
+    """A 3:1 weighted interleave puts ~75% of source-a rows in every
+    prefix — checked at the 20% and 50% marks — while a uniform shuffle
+    of the same frame sits at ~50%. Deterministic, so the bounds are
+    exact-once-measured, not flake-prone."""
+    from dask_glm_spark.operators.sampling import interleave_by_weight
+
+    rows = [(i, "a" if i < 2000 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    w = F.when(F.col("src") == "a", 3.0).otherwise(1.0)
+    order = [r["src"] for r in interleave_by_weight(df, w, n_partitions=6).collect()]
+    assert len(order) == 4000
+    for frac in (0.2, 0.5):
+        pre = order[: int(4000 * frac)]
+        share_a = pre.count("a") / len(pre)
+        assert 0.68 <= share_a <= 0.82, f"prefix {frac}: share_a={share_a}"
+
+
+def test_interleave_layout_independent_and_drops_bad_weights(spark):
+    from dask_glm_spark.operators.sampling import interleave_by_weight
+
+    rows = [(i, float(1 + i % 3)) for i in range(300)] + [
+        (1000, 0.0),
+        (1001, -1.0),
+        (1002, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    o1 = [r["doc_id"] for r in interleave_by_weight(df, "w", n_partitions=5).collect()]
+    o2 = [
+        r["doc_id"]
+        for r in interleave_by_weight(df.repartition(13), "w", n_partitions=5).collect()
+    ]
+    assert o1 == o2
+    assert sorted(o1) == list(range(300))  # bad-weight rows dropped
