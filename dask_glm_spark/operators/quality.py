@@ -283,6 +283,20 @@ def build_ngram_bloom(
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def bloom_words_lit(words: list[int]) -> Column:
+    """The Bloom word array as ONE plan node: ``from_json`` of a single
+    string literal, which ConstantFolding evaluates to a plain array
+    Literal during optimization (verified: the optimized plan shows the
+    folded value, no from_json). ``F.lit(words)`` instead builds
+    ``array()`` of len(words) Literal nodes — 16k py4j round trips
+    (~16 s to BUILD at the default 2^20 bits) and a 16k-node subtree
+    copied into every downstream plan reference; threading that through
+    an iterative fit OOM'd a 48 GiB driver (round 7)."""
+    import json as _json
+
+    return F.from_json(F.lit(_json.dumps(words)), "array<bigint>")
+
+
 def _bloom_pos_expr(col: Column, n_bits: int, salt: str, j: int) -> Column:
     """Bit position for hash row ``j``: ``pmod(xxhash64(salt_j, gram),
     n_bits)`` — independent 64-bit hash per row (see build_ngram_bloom's
@@ -300,8 +314,8 @@ def bloom_contains_expr(
     salt: str = "bloom",
 ) -> Column:
     """Membership test against a Bloom word array: all ``n_hashes`` bits
-    set. ``words_arr`` must be ONE shared ``F.lit(words)`` column (a
-    constant-folded array literal — cheap to reference repeatedly). Bit
+    set. ``words_arr`` must be ONE shared ``bloom_words_lit(words)``
+    column (a constant-folded array literal — cheap to reference). Bit
     extraction is ``(word >> (p % 64)) & 1`` — arithmetic shift
     sign-extends, which is harmless for single-bit extraction."""
     from dask_glm_spark.functions.exprs import let
@@ -357,7 +371,7 @@ def decontaminate_bloom(
         benchmark, n=n, text_col=text_col, n_bits=n_bits,
         n_hashes=n_hashes, salt=salt,
     )
-    arr = F.lit(words)
+    arr = bloom_words_lit(words)
     hit = F.exists(
         ngrams_expr(text_col, n),
         lambda g: bloom_contains_expr(g, arr, n_bits, n_hashes, salt),

@@ -52,11 +52,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     # (arrow path: bit-identical to the expression chain, ~40% faster)
     pairs = D.minhash_dedup_pairs(gated, threshold=0.7, path="arrow")
     survivors = G.neardup_survivors(gated, pairs)
+    # Materialize the stage boundary: at 100 TB each curation stage lands
+    # in parquet; here localCheckpoint plays that role. Without the cut,
+    # the dedup lineage is re-embedded at EVERY downstream reference —
+    # the two-phase decontamination below references survivors three
+    # times (clean branch, suspect branch, exact re-check), and the
+    # multiplied expression tree grew past what the driver could even
+    # RENDER (AQE's explainString OOM'd a 48 GiB heap — round 7).
+    survivors = survivors.localCheckpoint()
     n2 = survivors.count()
 
-    # 3. decontaminate against a benchmark slice
+    # 3. decontaminate against a benchmark slice — two-phase: the Bloom
+    # narrow map flags suspects (zero corpus-side shuffle, no false
+    # negatives), then the exact gram join re-checks ONLY the flagged
+    # subset; equivalent to the pure-exact drop, touching the exchange
+    # with a tiny fraction of the corpus
     bench = docs.where(F.col("doc_id") % 31 == 0)
-    clean = Q.decontaminate(survivors, bench, n=5, mode="drop")
+    flagged = Q.decontaminate_bloom(survivors, bench, n=5)
+    suspect = flagged.where("contaminated").drop("contaminated")
+    clean = flagged.where(~F.col("contaminated")).drop(
+        "contaminated"
+    ).unionByName(Q.decontaminate(suspect, bench, n=5, mode="drop"))
     n3 = clean.count()
 
     # 4. token-budget mixture per source, then scrub
@@ -98,7 +114,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     shard_dir = os.path.join(
         tempfile.mkdtemp(prefix="dask_glm_spark_shards_"), "out"
     )
-    manifest = write_tar_shards(mixed, shard_dir, n_shards=4).collect()
+    manifest = write_tar_shards(
+        mixed, shard_dir, n_shards=4, member_order="shuffled"
+    ).collect()
     n5 = sum(m["n_files"] for m in manifest)
     n_back = read_tar_shards(spark, shard_dir).count()
 

@@ -365,6 +365,30 @@ def test_bloom_decontam_flag_is_narrow_and_drop_is_complement(spark):
     assert kept.count() == n_corpus - n_flagged
 
 
+def test_bloom_literal_is_one_plan_node(spark):
+    """The filter words ship as ONE from_json(string) node, folded by
+    Catalyst to a plain array literal. Regression pin: F.lit(words) built
+    array() of 16k Literal nodes — 16k py4j round trips (~16 s) and a
+    16k-node subtree at every downstream reference, which OOM'd the
+    example pipeline's driver when threaded into an iterative fit
+    (round 7). Build must be near-instant and the ANALYZED plan small."""
+    import time
+
+    from dask_glm_spark.operators.quality import decontaminate_bloom
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 31 == 0).limit(20)
+    t0 = time.time()
+    flagged = decontaminate_bloom(docs, bench, n=5, n_bits=1 << 20)
+    build_s = time.time() - t0
+    assert build_s < 10.0, f"bloom plan build took {build_s:.1f}s"
+    analyzed = flagged._jdf.queryExecution().analyzed().toString()
+    assert len(analyzed) < 500_000, f"analyzed plan {len(analyzed)} chars"
+    # the folded literal must still test bits correctly
+    assert flagged.where("contaminated").count() >= bench.count()
+
+
 def test_bloom_build_validation(spark):
     from dask_glm_spark.operators.quality import BLOOM_MAX_BITS, build_ngram_bloom
 
