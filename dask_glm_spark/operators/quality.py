@@ -381,6 +381,55 @@ def decontaminate_bloom(
     return docs.withColumn("contaminated", hit)
 
 
+def decontaminate_two_phase(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "drop",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """EXACT decontamination at Bloom cost: identical output to
+    ``decontaminate`` (bit-for-bit — pinned against a filter sized to
+    produce real false positives), but the corpus-wide gram explode +
+    semi-join is replaced by the Bloom narrow map; only the flagged
+    subset (true hits + Bloom false positives, a tiny fraction of the
+    corpus when ``n_bits`` is sized right) pays the exact gram check.
+
+    Plan shape: no union and no double-branch of the corpus — the exact
+    re-check produces a small ``bad_ids`` set and the result is ONE
+    anti/left join of ``docs`` against it, so the corpus lineage is
+    referenced twice (narrow bloom map + join left), not three times as
+    a hand-wired flag/recheck/union would (the curation example's
+    original wiring — re-embedding a deep upstream lineage at every
+    reference is what OOM'd its driver, round 7)."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be flag|drop, got {mode!r}")
+    suspects = decontaminate_bloom(
+        docs, benchmark, n=n, text_col=text_col, id_col=id_col,
+        mode="flag", n_bits=n_bits, n_hashes=n_hashes, salt=salt,
+    ).where("contaminated")
+    bench_grams = benchmark.select(
+        F.explode(ngrams_expr(text_col, n)).alias("g")
+    ).distinct()
+    suspect_grams = suspects.select(
+        id_col, F.explode(ngrams_expr(text_col, n)).alias("g")
+    )
+    bad_ids = (
+        suspect_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    if mode == "drop":
+        return docs.join(bad_ids, id_col, "left_anti")
+    return docs.join(
+        bad_ids.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
 def select_to_token_budget(
     df: DataFrame,
     budget_tokens: dict[str, int] | int,

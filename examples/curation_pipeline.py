@@ -64,15 +64,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
 
     # 3. decontaminate against a benchmark slice — two-phase: the Bloom
     # narrow map flags suspects (zero corpus-side shuffle, no false
-    # negatives), then the exact gram join re-checks ONLY the flagged
-    # subset; equivalent to the pure-exact drop, touching the exchange
-    # with a tiny fraction of the corpus
+    # negatives), the exact gram join re-checks ONLY the flagged subset;
+    # output is bit-identical to the pure-exact drop
     bench = docs.where(F.col("doc_id") % 31 == 0)
-    flagged = Q.decontaminate_bloom(survivors, bench, n=5)
-    suspect = flagged.where("contaminated").drop("contaminated")
-    clean = flagged.where(~F.col("contaminated")).drop(
-        "contaminated"
-    ).unionByName(Q.decontaminate(suspect, bench, n=5, mode="drop"))
+    clean = Q.decontaminate_two_phase(survivors, bench, n=5)
     n3 = clean.count()
 
     # 4. token-budget mixture per source, then scrub

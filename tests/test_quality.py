@@ -365,6 +365,49 @@ def test_bloom_decontam_flag_is_narrow_and_drop_is_complement(spark):
     assert kept.count() == n_corpus - n_flagged
 
 
+def test_two_phase_decontam_equals_exact_under_fp_pressure(spark):
+    """decontaminate_two_phase == decontaminate bit-for-bit in BOTH modes,
+    with the filter sized (256 bits) so Bloom false positives provably
+    occur — the exact re-check must strip every one of them."""
+    from dask_glm_spark.operators.quality import (
+        decontaminate,
+        decontaminate_two_phase,
+    )
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    corpus = docs.where(F.col("doc_id") % 31 != 0)
+    exact_flag = {
+        (r["doc_id"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=5)
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    two_flag = {
+        (r["doc_id"], r["contaminated"])
+        for r in decontaminate_two_phase(
+            corpus, bench, n=5, mode="flag", n_bits=256
+        )
+        .select("doc_id", "contaminated")
+        .collect()
+    }
+    assert two_flag == exact_flag
+    exact_drop = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, n=5, mode="drop").collect()
+    }
+    two_drop = {
+        r["doc_id"]
+        for r in decontaminate_two_phase(
+            corpus, bench, n=5, mode="drop", n_bits=256
+        ).collect()
+    }
+    assert two_drop == exact_drop
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate_two_phase(corpus, bench, mode="bogus")
+
+
 def test_bloom_literal_is_one_plan_node(spark):
     """The filter words ship as ONE from_json(string) node, folded by
     Catalyst to a plain array literal. Regression pin: F.lit(words) built
