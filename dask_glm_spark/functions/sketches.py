@@ -77,6 +77,7 @@ def cms_counters(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     salt: str = "cms",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Count-min sketch over the corpus token stream: ``(i, bucket, cnt)``
     counters with ``cnt = Σ tf(tok)`` over tokens hashing to ``bucket``
@@ -100,8 +101,19 @@ def cms_counters(
         raise ValueError(f"depth/width must be positive, got {depth}/{width}")
     from dask_glm_spark.operators.sampling import hash_bucket_expr
 
-    tok = _token_table(df, text_col)
-    pairs = tok.select(
+    # Aggregate term frequencies FIRST: the portable double polyhash is an
+    # interpreted per-char fold, so hashing every token OCCURRENCE (xdepth)
+    # dominated the build (q36 8.4x regression when cms landed). Hashing
+    # |vocab| distinct tokens instead divides the hash work by the mean tf,
+    # and both exchanges stay small (map-side combine: distinct-tokens-per-
+    # partition rows, then <=depth*width grid rows). Grid values are
+    # unchanged: sum of tf per bucket == count of occurrences per bucket.
+    # tokens_df: a caller-supplied (tok) table (e.g. an already-persisted
+    # explode shared with a vocabulary aggregate) — skips re-tokenizing df
+    tok = tokens_df if tokens_df is not None else _token_table(df, text_col)
+    tf = tok.groupBy("tok").agg(F.count("*").cast("long").alias("_tf"))
+    pairs = tf.select(
+        F.col("_tf"),
         F.explode(
             F.array(
                 *[
@@ -114,11 +126,11 @@ def cms_counters(
                     for i in range(depth)
                 ]
             )
-        ).alias("p")
+        ).alias("p"),
     )
     return pairs.groupBy(
         F.col("p.i").alias("i"), F.col("p.bucket").alias("bucket")
-    ).agg(F.count("*").cast("long").alias("cnt"))
+    ).agg(F.sum("_tf").cast("long").alias("cnt"))
 
 
 def cms_estimate(
