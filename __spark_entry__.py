@@ -900,6 +900,46 @@ rk AS (
 reb AS (
   SELECT doc_id, string_agg(par, '|' ORDER BY pos) AS par_dedup_text
   FROM rk WHERE r = 1 GROUP BY doc_id
+),
+wt AS (
+  SELECT doc_id,
+    list_filter(
+      string_split_regex(trim('shared span block one two three four five '
+                              || text), '\s+'),
+      t -> t <> '') AS T
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, u.st AS st, u.wtxt AS wtxt FROM (
+    SELECT doc_id,
+      unnest([{'st': (i - 1) * 8,
+               'wtxt': array_to_string(T[(i - 1) * 8 + 1:(i - 1) * 8 + 8], ' ')}
+              for i in generate_series(1, (len(T) - 8) // 8 + 1)]) AS u
+    FROM wt WHERE len(T) >= 8
+  )
+),
+wrk AS (
+  SELECT doc_id, st,
+    row_number() OVER (PARTITION BY wtxt ORDER BY doc_id, st) AS r
+  FROM wins
+),
+wbad AS (
+  SELECT doc_id, unnest(generate_series(st, st + 7)) AS p
+  FROM wrk WHERE r > 1
+),
+wpos AS (
+  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+    SELECT doc_id,
+      unnest([{'p': i - 1, 'tok': T[i]} for i in generate_series(1, len(T))]) AS u
+    FROM wt
+  )
+),
+wreb AS (
+  SELECT wpos.doc_id, string_agg(wpos.tok, ' ' ORDER BY wpos.p) AS wspan_text
+  FROM wpos LEFT JOIN wbad
+    ON wbad.doc_id = wpos.doc_id AND wbad.p = wpos.p
+  WHERE wbad.p IS NULL
+  GROUP BY wpos.doc_id
 )
 SELECT d.doc_id,
   regexp_replace(
@@ -912,8 +952,11 @@ SELECT d.doc_id,
         '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
       '(?i)https?://[^\s]+', '<URL>', 'g'),
     '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
-  coalesce(reb.par_dedup_text, '') AS par_dedup_text
-FROM documents d LEFT JOIN reb ON reb.doc_id = d.doc_id
+  coalesce(reb.par_dedup_text, '') AS par_dedup_text,
+  coalesce(wreb.wspan_text, '') AS wspan_text
+FROM documents d
+LEFT JOIN reb ON reb.doc_id = d.doc_id
+LEFT JOIN wreb ON wreb.doc_id = d.doc_id
 ORDER BY d.doc_id""",
     # Benchmark decontamination: docs sharing any word 5-gram with the
     # benchmark slice (doc_id % 31 = 0) are contaminated.
@@ -1562,7 +1605,11 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassemble pipeline in SQL."""
     from pyspark.sql import functions as F
 
-    from dask_glm_spark.operators.quality import paragraph_dedup, scrub_expr
+    from dask_glm_spark.operators.quality import (
+        paragraph_dedup,
+        scrub_expr,
+        strip_duplicated_spans,
+    )
 
     docs = _docs_spread(spark, sf_dir)
     synth = F.concat(
@@ -1583,9 +1630,25 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         sep="|",
         out_col="par_dedup_text",
     ).select("doc_id", "par_dedup_text")
+    # round 7: + wspan_text — FineWeb-style repeated-span removal. An
+    # 8-token span is PREPENDED to every doc (aligned to window 0 at
+    # stride=w=8, so it is one shared window corpus-wide); only the
+    # smallest doc_id keeps it, every other doc loses exactly that
+    # window (plus any natural aligned window repeats — the oracle
+    # re-derives the whole window/first/strip pipeline).
+    wsyn = F.concat(
+        F.lit("shared span block one two three four five "), F.col("text")
+    )
+    wdd = strip_duplicated_spans(
+        docs.select("doc_id", wsyn.alias("wtext")),
+        w=8,
+        text_col="wtext",
+        out_col="wspan_text",
+    ).select("doc_id", "wspan_text")
     return (
         docs.select("doc_id", scrub_expr(synth).alias("scrubbed"))
         .join(pdd, "doc_id")
+        .join(wdd, "doc_id")
         .orderBy("doc_id")
     )
 

@@ -566,6 +566,134 @@ def paragraph_dedup(
     ).select(*df.columns if out_col in df.columns else [*df.columns, out_col])
 
 
+def _ws_tokens(text: Column | str) -> Column:
+    """Case-preserving whitespace tokens (empty tokens dropped). NOT
+    ``text.tokens_expr`` (which lowercases): span stripping rebuilds the
+    document from these tokens, and dedup surgery must not also change
+    case. The rebuild collapses whitespace runs to single spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.trim(c), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def duplicated_span_positions(
+    df: DataFrame,
+    w: int = 50,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, start) of every ``w``-token window whose text occurs EARLIER
+    in the corpus — the detection half of FineWeb/RefinedWeb-style
+    repeated-span removal (boilerplate licenses, navigation blocks,
+    quoted chunks shared across pages; exact-substring dedup at window
+    granularity, the Spark-shaped stand-in for a suffix array).
+
+    Windows start at 0, stride, 2·stride, … over the doc's whitespace
+    tokens; only full windows count (docs shorter than ``w`` emit none).
+    ``stride`` defaults to ``w`` (non-overlapping blocks — misses spans
+    offset by <w tokens; pass a smaller stride for recall at
+    proportionally more window rows, ~w/stride·corpus tokens).
+
+    First occurrence = smallest ``(id, start)`` over the window's exact
+    text, computed as ONE map-side-combinable min-struct aggregate per
+    window hash (the ``paragraph_dedup`` shape — never a window function
+    over hot hash groups); the join back re-checks the window TEXT, so a
+    64-bit hash collision cannot flag anything."""
+    if w <= 0:
+        raise ValueError(f"w must be positive, got {w}")
+    stride = stride or w
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    tk = _ws_tokens(text_col)
+    n = F.size(tk)
+    # windows array built in one transform: (n/stride) structs of
+    # (start, w-token text) — nothing outlives the per-doc projection
+    wins_arr = F.transform(
+        F.sequence(F.lit(0), F.floor((n - F.lit(w)) / F.lit(stride))),
+        lambda i: F.struct(
+            (i * stride).cast("int").alias("start"),
+            F.concat_ws(" ", F.slice(tk, i * stride + 1, w)).alias("wt"),
+        ),
+    )
+    wins = (
+        df.where(n >= w)
+        .select(F.col(id_col).alias("_id"), F.explode(wins_arr).alias("_w"))
+        .select("_id", F.col("_w.start").alias("_st"), F.col("_w.wt").alias("_wt"))
+    )
+    first = wins.groupBy(F.xxhash64("_wt").alias("_wh")).agg(
+        F.min(F.struct("_id", "_st", "_wt")).alias("_f")
+    )
+    return (
+        wins.join(
+            first,
+            (F.xxhash64(wins["_wt"]) == first["_wh"])
+            & (wins["_wt"] == first["_f"]["_wt"]),
+        )
+        .where(
+            (F.col("_id") != F.col("_f._id"))
+            | (F.col("_st") != F.col("_f._st"))
+        )
+        .select(F.col("_id").alias(id_col), F.col("_st").alias("start"))
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    w: int = 50,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove every duplicated ``w``-token span (see
+    ``duplicated_span_positions``) from its non-first occurrences and
+    reassemble each document from the surviving tokens, in order — the
+    global first occurrence keeps its text, later copies lose exactly the
+    repeated window(s). Row count preserved; documents with no duplicated
+    span pass through (token-normalized: the rebuild joins the
+    case-preserved whitespace tokens with single spaces). Overlapping
+    spans (stride < w) union their positions before stripping.
+
+    Scale shape: the span list joins back as ONE small (id, positions)
+    array per affected doc (bounded by the doc's own token count); the
+    rebuild is a narrow per-row ``filter`` over the token array — the
+    corpus never shuffles."""
+    out_col = out_col or text_col
+    stride = stride or w
+    dups = duplicated_span_positions(
+        df, w=w, stride=stride, text_col=text_col, id_col=id_col
+    )
+    bad = dups.groupBy(F.col(id_col).alias("_bid")).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.sequence(
+                        F.col("start"), F.col("start") + F.lit(w - 1)
+                    )
+                )
+            )
+        ).alias("_bad")
+    )
+    joined = df.join(bad, df[id_col] == bad["_bid"], "left")
+    tk = _ws_tokens(df[text_col])
+    rebuilt = F.concat_ws(
+        " ",
+        F.filter(
+            tk,
+            lambda t, i: ~F.array_contains(
+                F.coalesce(F.col("_bad"), F.array().cast("array<int>")), i
+            ),
+        ),
+    )
+    keep_cols = [c for c in df.columns if c != out_col]
+    out = joined.select(*[df[c] for c in keep_cols], rebuilt.alias(out_col))
+    return out.select(
+        *(df.columns if out_col in df.columns else [*df.columns, out_col])
+    )
+
+
 def domain_expr(url: Column | str) -> Column:
     """Registrable-host extraction from a URL-ish string (scheme and
     path/port/query stripped; no public-suffix list — the curation use

@@ -444,3 +444,69 @@ def test_bloom_build_validation(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     words = build_ngram_bloom(empty, n_bits=1 << 10)
     assert all(w == 0 for w in words)
+
+
+def test_duplicated_span_positions_and_strip(spark):
+    """A 4-token span shared by three docs survives only at the smallest
+    (doc_id, start); within-doc repeats keep their first occurrence;
+    short docs emit no windows and pass through."""
+    from dask_glm_spark.operators.quality import (
+        duplicated_span_positions,
+        strip_duplicated_spans,
+    )
+
+    span = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {span} tail one"),
+            (2, f"{span} middle two {span}"),  # leading copy + in-doc repeat
+            (3, f"unique text here {span}"),
+            (4, "too short"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    dups = {
+        (r["doc_id"], r["start"])
+        for r in duplicated_span_positions(docs, w=4, stride=1).collect()
+    }
+    # first occurrence is (1, 2); doc 2's copies at 0 and 6, doc 3's at 3
+    assert (1, 2) not in dups
+    assert {(2, 0), (2, 6), (3, 3)} <= dups
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_spans(docs, w=4, stride=1).collect()
+    }
+    assert out[1] == f"intro one {span} tail one"  # first copy intact
+    assert out[2] == "middle two"
+    assert out[3] == "unique text here"
+    assert out[4] == "too short"
+    assert out[5] == ""
+    assert len(out) == 5  # row count preserved
+
+
+def test_strip_duplicated_spans_layout_independent(spark):
+    """Same output under any partitioning (the sampling-operator
+    reproducibility contract) and out_col appends when named."""
+    from dask_glm_spark.operators.quality import strip_duplicated_spans
+    from dask_glm_spark.sources.glm_source import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.concat_ws(" ", "text", F.lit("shared span of six tokens x")).alias("text")
+    )
+    a = {
+        r["doc_id"]: r["clean"]
+        for r in strip_duplicated_spans(
+            docs, w=6, out_col="clean"
+        ).select("doc_id", "clean").collect()
+    }
+    b = {
+        r["doc_id"]: r["clean"]
+        for r in strip_duplicated_spans(
+            docs.repartition(17), w=6, out_col="clean"
+        ).select("doc_id", "clean").collect()
+    }
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="w must"):
+        strip_duplicated_spans(docs, w=0)
