@@ -14,6 +14,8 @@ batch ``exact_dedup`` sweep the sink for late stragglers if needed).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -31,3 +33,66 @@ def dedup_stream(
     backfills and continuous micro-batches.
     """
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(cols)
+
+
+def dedup_stream_incremental(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming exact dedup with an UNBOUNDED horizon — the foreachBatch
+    face of ``operators/dedup.exact_dedup_incremental``. Where
+    ``dedup_stream`` bounds state with a watermark (and therefore forgets
+    keys older than the delay), this sink keeps the full fingerprint
+    index in parquet: a duplicate is suppressed no matter how late it
+    arrives, and state is one fp row per distinct document ever kept —
+    the smallest exact memory, off-heap, shared across restarts.
+
+    Exactly-once without transactions: every epoch writes to
+    epoch-addressed directories (``out_dir/epoch-N`` survivors,
+    ``state_dir/epoch-N`` their fingerprints) and anti-joins ONLY the
+    fingerprints of epochs < N. A replayed epoch therefore re-derives the
+    identical survivor set (its own half-written state is excluded from
+    the anti-join) and mode="overwrite" republishes it — idempotent, the
+    tar-shard-sink convention. Read the deduped corpus back with
+    ``spark.read.parquet(f"{out_dir}/epoch-*")``.
+
+    At 100 TB: the index is fingerprints only (text never lands in
+    state); compact ``state_dir`` offline into a bucketed table
+    (``joins.write_bucketed``) when epoch-file counts grow — the
+    anti-join is a plain equi-join either way."""
+    from dask_glm_spark.operators.dedup import exact_dedup_incremental
+    from dask_glm_spark.operators.text import fingerprint_fast_expr
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        prior = sorted(
+            os.path.join(state_dir, d)
+            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            if d.startswith("epoch-") and int(d.split("-")[1]) < eid
+        )
+        seen = spark.read.parquet(*prior) if prior else None
+        survivors, _ = exact_dedup_incremental(
+            batch_df, seen, text_col=text_col, id_col=id_col
+        )
+        survivors = survivors.localCheckpoint()  # one derivation, two writes
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch-{eid:06d}")
+        )
+        survivors.select(
+            fingerprint_fast_expr(text_col).alias("fp")
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch-{eid:06d}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
