@@ -109,7 +109,10 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
 
     from dask_glm_spark.operators.dedup import minhash_dedup_pairs
     from dask_glm_spark.operators.graph import connected_components
-    from dask_glm_spark.operators.quality import repetition_stats
+    from dask_glm_spark.operators.quality import (
+        repetition_stats,
+        strip_duplicated_spans,
+    )
     from dask_glm_spark.operators.text import tfidf_features
     from dask_glm_spark.sources.glm_source import load_table
 
@@ -140,6 +143,7 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
     warm.count()
     timed_noop(tfidf_features(warm, num_features=64))
     timed_noop(repetition_stats(warm))
+    timed_noop(strip_duplicated_spans(warm, w=16))
     minhash_dedup_pairs(warm, threshold=0.8).count()
     wids = warm.select(F.col("doc_id").alias("id_a"))
     connected_components(
@@ -165,6 +169,15 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
         out[f"tfidf_{tag}"] = round(timed_noop(tfidf_features(d, num_features=64)), 3)
         spark.catalog.clearCache()
         out[f"repetition_{tag}"] = round(timed_noop(repetition_stats(d)), 3)
+        # span dedup under pathological duplication: the 10x copies differ
+        # only in their prepended marker, so aligned windows past the first
+        # stride are shared by all 10 copies — unlike minhash PAIRS, the
+        # dup-span output is LINEAR in corpus size (first-occurrence is a
+        # map-side min-struct aggregate, never an all-pairs join)
+        out[f"spans_{tag}"] = round(
+            timed_noop(strip_duplicated_spans(d, w=16)), 3
+        )
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         npairs = minhash_dedup_pairs(d, threshold=0.8).count()
         out[f"minhash_{tag}"] = round(time.perf_counter() - t0, 3)
@@ -278,7 +291,7 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
         range_join(pts, sess).write.format("noop").mode("overwrite").save()
         out[f"range_{tag}"] = round(time.perf_counter() - t0, 3)
 
-    for k in ("tfidf", "repetition", "minhash", "components", "hub_components", "ann_join", "asof", "asof_bkt", "range"):
+    for k in ("tfidf", "repetition", "spans", "minhash", "components", "hub_components", "ann_join", "asof", "asof_bkt", "range"):
         r = out[f"{k}_10x"] / max(out[f"{k}_1x"], 1e-9)
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
     print(
