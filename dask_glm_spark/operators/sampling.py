@@ -301,3 +301,77 @@ def sample_k_per_group(
         df, k, F.lit(1.0), by=by, key_col=key_col, salt=salt,
         keys_only=keys_only,
     )
+
+
+def quantile_band_expr(
+    df: DataFrame,
+    score_col: str,
+    edges: list[float],
+    accuracy: int = 10_000,
+) -> tuple[Column, list[float]]:
+    """(band expression, thresholds) splitting ``score_col`` at the given
+    quantile ``edges`` (ascending, in (0,1)) — bands are named ``"b0"``
+    (lowest scores) through ``"b{len(edges)}"`` (highest). One
+    ``percentile_approx`` aggregate computes all thresholds (a fixed-size
+    sketch per partition — never a sort of the column); rows with NULL or
+    NaN score land in the LOWEST band explicitly, not silently nowhere.
+
+    Thresholds are data-dependent and approximate (sketch resolution
+    ``1/accuracy``); the returned list lets callers log them, pin them in
+    configs, or hand them back to ``stratified_sample_by_quantile`` via
+    ``thresholds=`` for exact reproducibility across growing snapshots of
+    the same corpus."""
+    if not edges or any(not 0 < e < 1 for e in edges):
+        raise ValueError(f"edges must be in (0, 1), got {edges}")
+    if sorted(edges) != list(edges):
+        raise ValueError(f"edges must be ascending, got {edges}")
+    row = df.agg(
+        F.percentile_approx(
+            F.col(score_col).cast("double"), F.array(*[F.lit(e) for e in edges]),
+            F.lit(accuracy),
+        ).alias("t")
+    ).collect()[0]
+    thresholds = [float(t) for t in (row["t"] or [])]
+    return band_by_thresholds_expr(score_col, thresholds), thresholds
+
+
+def band_by_thresholds_expr(score_col: str, thresholds: list[float]) -> Column:
+    """Band name ("b0"…"bK") for a score against explicit ascending
+    thresholds — band i is scores in [t_{i-1}, t_i); NULL/NaN scores fall
+    into b0 (degenerate rows stay observable instead of vanishing)."""
+    s = F.col(score_col).cast("double")
+    expr = F.lit(f"b{len(thresholds)}")
+    for i in range(len(thresholds) - 1, -1, -1):
+        expr = F.when(s < F.lit(thresholds[i]), F.lit(f"b{i}")).otherwise(expr)
+    return F.when(s.isNull() | F.isnan(s), F.lit("b0")).otherwise(expr)
+
+
+def stratified_sample_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    edges: list[float],
+    rates_pct: dict[str, int],
+    key_col: str = "doc_id",
+    salt: str = "qmix",
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Quantile-band mixture — the CCNet head/middle/tail recipe: split the
+    corpus at ``edges`` quantiles of ``score_col`` (e.g. a unigram-LM
+    ``mean_logp`` or a classifier quality score) and keep each band at its
+    ``rates_pct`` percentage (band names ``"b0"``=lowest … — e.g.
+    ``edges=[0.3, 0.7]``, ``rates_pct={"b2": 100, "b1": 30, "b0": 0}``
+    keeps the whole top tercile, samples the middle, drops the tail).
+
+    Scale shape: one fixed-size-sketch aggregate for the thresholds (or
+    none, when ``thresholds`` is passed explicitly), then the selection is
+    ``stratified_sample``'s pure narrow filter — the keep decision is the
+    deterministic key hash, so reruns and engines agree given the same
+    thresholds."""
+    if thresholds is None:
+        band, thresholds = quantile_band_expr(df, score_col, edges)
+    else:
+        band = band_by_thresholds_expr(score_col, list(thresholds))
+    banded = df.withColumn("_qband", band)
+    return stratified_sample(
+        banded, "_qband", rates_pct, default_pct=0, key_col=key_col, salt=salt
+    ).drop("_qband")

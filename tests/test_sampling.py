@@ -388,3 +388,68 @@ def test_interleave_layout_independent_and_drops_bad_weights(spark):
     ]
     assert o1 == o2
     assert sorted(o1) == list(range(300))  # bad-weight rows dropped
+
+
+def test_quantile_band_mixture(spark):
+    """Head/middle/tail by score: explicit thresholds reproduce the band
+    split exactly; derived thresholds land near the requested quantiles;
+    rates apply per band via the deterministic key hash; NULL/NaN scores
+    fall in b0."""
+    from dask_glm_spark.operators.sampling import (
+        band_by_thresholds_expr,
+        quantile_band_expr,
+        stratified_sample_by_quantile,
+    )
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") / n).cast("double").alias("q")
+    )
+    band, thr = quantile_band_expr(df, "q", [0.3, 0.7])
+    assert len(thr) == 2 and 0.25 < thr[0] < 0.35 and 0.65 < thr[1] < 0.75
+    counts = {
+        r["_b"]: r["n"]
+        for r in df.select(band.alias("_b")).groupBy("_b").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert set(counts) == {"b0", "b1", "b2"}
+    assert abs(counts["b0"] - 0.3 * n) < 0.02 * n
+    assert abs(counts["b2"] - 0.3 * n) < 0.02 * n
+
+    # keep the whole head, drop the tail, thin the middle
+    kept = stratified_sample_by_quantile(
+        df, "q", [0.3, 0.7], {"b2": 100, "b1": 50, "b0": 0}
+    )
+    got = {r["doc_id"] for r in kept.collect()}
+    head = {r["doc_id"] for r in df.where(F.col("q") >= thr[1]).collect()}
+    tail = {r["doc_id"] for r in df.where(F.col("q") < thr[0]).collect()}
+    assert head <= got and not (tail & got)
+    mid_kept = len(got) - len(head)
+    mid_total = n - len(head) - len(tail)
+    assert abs(mid_kept / mid_total - 0.5) < 0.1
+
+    # explicit thresholds: identical output, zero threshold job
+    again = {
+        r["doc_id"]
+        for r in stratified_sample_by_quantile(
+            df, "q", [0.3, 0.7], {"b2": 100, "b1": 50, "b0": 0},
+            thresholds=thr,
+        ).collect()
+    }
+    assert again == got
+
+    # NULL and NaN scores land in b0 (and are droppable there)
+    weird = spark.createDataFrame(
+        [(1, None), (2, float("nan")), (3, 0.99)], "doc_id long, q double"
+    )
+    bands = {
+        r["doc_id"]: r["_b"]
+        for r in weird.select(
+            "doc_id", band_by_thresholds_expr("q", thr).alias("_b")
+        ).collect()
+    }
+    assert bands[1] == "b0" and bands[2] == "b0" and bands[3] == "b2"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="edges"):
+        quantile_band_expr(df, "q", [0.7, 0.3])
