@@ -808,17 +808,29 @@ wsel AS (
     FROM wsk) q WHERE rn <= 25
 ),
 wl AS (SELECT lang, CAST(count(*) AS BIGINT) AS wsample_docs,
-       CAST(sum(ntok) AS BIGINT) AS wsample_tokens FROM wsel GROUP BY lang)
+       CAST(sum(ntok) AS BIGINT) AS wsample_tokens FROM wsel GROUP BY lang),
+-- round 7: quantile-band mixture at explicit thresholds 40/70 tokens:
+-- band rate (b0=0 / b1=50 / b2=100) gates the shared hash bucket
+qs AS (
+  SELECT lang FROM documents
+  WHERE {_duck_sample_bucket("qmix")} <
+    CASE WHEN len({_DUCK_TOKENS_CASED}) * 1.0 < 40.0 THEN 0
+         WHEN len({_DUCK_TOKENS_CASED}) * 1.0 < 70.0 THEN 50
+         ELSE 100 END
+),
+ql AS (SELECT lang, CAST(count(*) AS BIGINT) AS qband_docs FROM qs GROUP BY lang)
 SELECT k2.lang, k2.n_docs, k2.sum_tokens,
   CAST(coalesce(cl.capped_docs, 0) AS BIGINT) AS capped_docs,
   CAST(coalesce(wl.wsample_docs, 0) AS BIGINT) AS wsample_docs,
-  CAST(coalesce(wl.wsample_tokens, 0) AS BIGINT) AS wsample_tokens
+  CAST(coalesce(wl.wsample_tokens, 0) AS BIGINT) AS wsample_tokens,
+  CAST(coalesce(ql.qband_docs, 0) AS BIGINT) AS qband_docs
 FROM (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
     CAST(sum(len({_DUCK_TOKENS_CASED})) AS BIGINT) AS sum_tokens
   FROM k GROUP BY lang
 ) k2 LEFT JOIN cl ON cl.lang = k2.lang
-     LEFT JOIN wl ON wl.lang = k2.lang ORDER BY k2.lang""",
+     LEFT JOIN wl ON wl.lang = k2.lang
+     LEFT JOIN ql ON ql.lang = k2.lang ORDER BY k2.lang""",
     # token-budget sequence packing, both disciplines (chunked + greedy)
     "q38_sequence_packing": _pack_oracle_sql(256, 8),
     # composed curation pipeline: filter -> dedup(closure) -> stats
@@ -1498,6 +1510,25 @@ def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("wsample_docs"),
         F.sum("weight").cast("long").alias("wsample_tokens"),
     )
+    # round 7: quantile-band mixture (CCNet head/middle/tail) with EXPLICIT
+    # thresholds (40/70 tokens — the corpus terciles sit near 37/72), so
+    # the oracle re-derives the band CASE + hash-rate keep rule exactly;
+    # the approx-sketch threshold derivation is pytest-covered (engine
+    # sketches differ across engines by contract)
+    qsel = S.stratified_sample_by_quantile(
+        docs.withColumn(
+            "_score", T.token_count_expr("text").cast("double")
+        ),
+        "_score",
+        edges=[0.3, 0.7],
+        rates_pct={"b0": 0, "b1": 50, "b2": 100},
+        key_col="doc_id",
+        salt="qmix",
+        thresholds=[40.0, 70.0],
+    )
+    qb_by_lang = qsel.groupBy("lang").agg(
+        F.count("*").cast("long").alias("qband_docs")
+    )
     return (
         kept.groupBy("lang")
         .agg(
@@ -1509,6 +1540,10 @@ def _pq_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ws_by_lang, "lang", "left")
         .withColumn("wsample_docs", F.coalesce("wsample_docs", F.lit(0)))
         .withColumn("wsample_tokens", F.coalesce("wsample_tokens", F.lit(0)))
+        .join(qb_by_lang, "lang", "left")
+        .withColumn(
+            "qband_docs", F.coalesce("qband_docs", F.lit(0)).cast("long")
+        )
         .orderBy("lang")
     )
 
