@@ -46,6 +46,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         )
         .drop("top_bigram_frac")
     )
+    # 1b. model-based gate on top of the heuristics (CCNet-style): score
+    # every doc by its mean unigram log-prob under the corpus's own LM,
+    # then drop the bottom quintile by quantile band — thresholds from one
+    # sketch aggregate, keep decision a deterministic hash filter
+    from dask_glm_spark.operators.sampling import stratified_sample_by_quantile
+    from dask_glm_spark.operators.text import unigram_logprob_scores
+
+    lm = unigram_logprob_scores(docs).select("doc_id", "mean_logp")
+    gated = stratified_sample_by_quantile(
+        gated.join(lm, "doc_id"),
+        "mean_logp",
+        edges=[0.2],
+        rates_pct={"b0": 0, "b1": 100},
+        salt="lmgate",
+    ).drop("mean_logp")
     n1 = gated.count()
 
     # 2. near-dedup: MinHash pairs -> components -> keep one per cluster
