@@ -2136,19 +2136,32 @@ def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.functions.families import sigmoid_expr
 
     df = _glm_nosort(spark, sf_dir)
-    scored = df.select(
-        F.round(sigmoid_expr(kernels.matvec_expr(BETA)), 6).alias("score"),
-        (F.col("label") > 0.5).cast("double").alias("truth"),
-    ).persist()
-    acc = metrics.accuracy_score(
-        scored.select(
-            (F.col("score") > 0.5).cast("double").alias("pred"), "truth"
-        ),
-        "truth",
-        "pred",
+    # ONE corpus scan: the (score, pos, neg) histogram feeds BOTH metrics
+    # — accuracy is sum(score>0.5 ? pos : neg)/n over the tiny group
+    # table, and roc_auc_score(pregrouped=True) skips its own groupBy
+    # (round 7; previously accuracy and the AUC each scanned the scored
+    # frame)
+    g = (
+        df.select(
+            F.round(sigmoid_expr(kernels.matvec_expr(BETA)), 6).alias("_s"),
+            (F.col("label") > 0.5).cast("double").alias("truth"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("truth").alias("pos"),
+            (F.count("*") - F.sum("truth")).alias("neg"),
+        )
+        .persist()
     )
-    auc = metrics.roc_auc_score(scored, "truth", "score")
-    scored.unpersist()
+    row = g.agg(
+        F.sum(
+            F.when(F.col("_s") > 0.5, F.col("pos")).otherwise(F.col("neg"))
+        ).alias("correct"),
+        F.sum(F.col("pos") + F.col("neg")).alias("n"),
+    ).collect()[0]
+    acc = float(row["correct"]) / float(row["n"])
+    auc = metrics.roc_auc_score(g, y_score="_s", pregrouped=True)
+    g.unpersist()
     return spark.createDataFrame(
         [(float(round(acc, 6)), float(round(auc, 6)))], "acc double, auc double"
     )

@@ -62,7 +62,10 @@ def poisson_deviance_np(y_true, y_pred):
 
 
 def roc_auc_score(
-    df: DataFrame, y_true: str = "label", y_score: str = "score"
+    df: DataFrame,
+    y_true: str = "label",
+    y_score: str = "score",
+    pregrouped: bool = False,
 ) -> float:
     """Distributed ROC AUC — beyond-reference (the classifier metric real
     pipelines report next to accuracy).
@@ -87,12 +90,20 @@ def roc_auc_score(
     import pandas as pd
     from pyspark import TaskContext
 
-    g = df.groupBy(F.col(y_score).alias("_s")).agg(
-        F.sum(F.col(y_true).cast("double")).alias("pos"),
-        (
-            F.count("*") - F.sum(F.col(y_true).cast("double"))
-        ).alias("neg"),
-    )
+    if pregrouped:
+        # df IS the (y_score, pos, neg) score histogram — the caller
+        # already grouped (or holds a score histogram from elsewhere);
+        # skips this function's own corpus scan, so accuracy-style
+        # metrics computed from the same tiny table share one pass
+        # over the raw scores (the q11 shape)
+        g = df.select(F.col(y_score).alias("_s"), "pos", "neg")
+    else:
+        g = df.groupBy(F.col(y_score).alias("_s")).agg(
+            F.sum(F.col(y_true).cast("double")).alias("pos"),
+            (
+                F.count("*") - F.sum(F.col(y_true).cast("double"))
+            ).alias("neg"),
+        )
     # Range-partition count: the group table's own (shuffle-sized)
     # partitioning, bounded by 4x the cluster's core count — a CONSTANT
     # cap would funnel a near-unique continuous score column (O(n)
