@@ -977,10 +977,18 @@ ORDER BY d.doc_id""",
 ),
 g AS (SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
       for i in generate_series(1, len(t)-4)]) AS g FROM toks),
-bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0)
-SELECT DISTINCT doc_id FROM g
-WHERE doc_id % 31 <> 0 AND g IN (SELECT g FROM bench)
-ORDER BY doc_id""",
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 31 = 0),
+-- round 7: graduated overlap over DISTINCT per-doc grams
+cs AS (
+  SELECT doc_id,
+    CAST(count(DISTINCT g) AS BIGINT) AS n_grams,
+    CAST(count(DISTINCT CASE WHEN g IN (SELECT g FROM bench) THEN g END)
+         AS BIGINT) AS n_hit
+  FROM g WHERE doc_id % 31 <> 0 GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+  round(n_hit * 1.0 / n_grams, 6) AS overlap_frac
+FROM cs WHERE n_hit > 0 ORDER BY doc_id""",
     # Greedy per-source token-budget selection: keep rows (doc_id order)
     # while the source's running token total BEFORE the row is < budget.
     "q44_token_budget": f"""WITH t AS (
@@ -1691,14 +1699,25 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from dask_glm_spark.operators.quality import decontaminate
+    from dask_glm_spark.operators.quality import (
+        contamination_scores,
+        decontaminate,
+    )
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 31 == 0)
     corpus = docs.where(F.col("doc_id") % 31 != 0)
     out = decontaminate(corpus, bench, n=5)
-    return out.where(F.col("contaminated")).select("doc_id").orderBy("doc_id")
+    # round 7: + graduated overlap columns (contamination_scores) for the
+    # flagged docs — the oracle re-derives distinct-gram totals and hits
+    scores = contamination_scores(corpus, bench, n=5)
+    return (
+        out.where(F.col("contaminated"))
+        .select("doc_id")
+        .join(scores, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _pq_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:

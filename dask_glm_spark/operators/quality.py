@@ -228,6 +228,80 @@ def decontaminate(
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
 
 
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graduated contamination: per doc, ``(n_grams, n_hit, overlap_frac)``
+    over its DISTINCT word ``n``-grams vs the benchmark set — the
+    PaLM/GPT-3-style report where a threshold on the overlap FRACTION
+    decides the drop (a single shared idiom 5-gram flagging a whole doc
+    is the boolean ``decontaminate``'s known false-positive mode).
+
+    One corpus scan: distinct per-doc grams LEFT-join the broadcast
+    benchmark table, and a single aggregate counts totals and hits.
+    Docs with no n-grams (shorter than ``n`` tokens) report
+    ``n_grams = 0, overlap_frac = 0.0`` — observable, never NULL."""
+    bench_grams = benchmark.select(
+        F.explode(ngrams_expr(text_col, n)).alias("g")
+    ).distinct()
+    doc_grams = docs.select(
+        id_col, F.explode_outer(F.array_distinct(ngrams_expr(text_col, n))).alias("g")
+    )
+    hits = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "g", "left"
+    )
+    return hits.groupBy(id_col).agg(
+        F.count("g").cast("long").alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.when(
+                F.count("g") > 0,
+                F.coalesce(F.sum("_hit"), F.lit(0))
+                / F.count("g").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("overlap_frac"),
+    )
+
+
+def decontaminate_by_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_overlap_frac: float,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "drop",
+) -> DataFrame:
+    """``decontaminate`` with a graduated threshold: a doc is contaminated
+    only when ≥ ``min_overlap_frac`` of its distinct ``n``-grams appear in
+    the benchmark (``min_overlap_frac=0+ε`` recovers the boolean any-hit
+    semantics; real pipelines run ~0.5-0.8 to tolerate idiom collisions).
+    Same plan shape as ``contamination_scores`` + one join back."""
+    if not 0 < min_overlap_frac <= 1:
+        raise ValueError(
+            f"min_overlap_frac must be in (0, 1], got {min_overlap_frac}"
+        )
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be flag|drop, got {mode!r}")
+    bad = (
+        contamination_scores(
+            docs, benchmark, n=n, text_col=text_col, id_col=id_col
+        )
+        .where(F.col("overlap_frac") >= min_overlap_frac)
+        .select(id_col)
+    )
+    if mode == "drop":
+        return docs.join(bad, id_col, "left_anti")
+    return docs.join(
+        bad.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+
+
 BLOOM_MAX_BITS = 1 << 24
 
 

@@ -510,3 +510,52 @@ def test_strip_duplicated_spans_layout_independent(spark):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="w must"):
         strip_duplicated_spans(docs, w=0)
+
+
+def test_contamination_scores_and_overlap_threshold(spark):
+    """Known overlap fractions; threshold decides the drop where any-hit
+    would false-positive; short docs report 0 grams, 0.0 overlap."""
+    from dask_glm_spark.operators.quality import (
+        contamination_scores,
+        decontaminate_by_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string"
+    )  # distinct 5-grams: abcde bcdef cdefg defgh
+    corpus = spark.createDataFrame(
+        [
+            # 4 distinct grams, all 4 in bench -> 1.0
+            (1, "a b c d e f g h"),
+            # grams: 'x a b c d','a b c d e','b c d e y' -> 1/3 hit
+            (2, "x a b c d e y"),
+            # no shared grams -> 0.0
+            (3, "p q r s t u v w"),
+            # shorter than 5 tokens -> 0 grams
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["overlap_frac"])
+        for r in contamination_scores(corpus, bench, n=5).collect()
+    }
+    assert got[1] == (4, 4, 1.0)
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (4, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_by_overlap(corpus, bench, 0.5, n=5).collect()
+    }
+    assert kept == {2, 3, 4}  # doc 1 (1.0) dropped; doc 2 (0.33) survives
+    flagged = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_by_overlap(
+            corpus, bench, 0.2, n=5, mode="flag"
+        ).collect()
+    }
+    assert flagged == {1: True, 2: True, 3: False, 4: False}
+    with pytest.raises(ValueError, match="min_overlap_frac"):
+        decontaminate_by_overlap(corpus, bench, 0.0)
