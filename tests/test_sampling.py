@@ -453,3 +453,43 @@ def test_quantile_band_mixture(spark):
 
     with _pt.raises(ValueError, match="edges"):
         quantile_band_expr(df, "q", [0.7, 0.3])
+
+
+def test_downsample_to_mixture(spark):
+    """Post-sample proportions track the target, the binding group keeps
+    ~100%, untargeted groups drop, layouts agree, validation raises."""
+    from dask_glm_spark.operators.sampling import downsample_to_mixture
+
+    # 6000 web / 1000 code / 500 junk; target web:code = 7:3
+    df = spark.range(7500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 6000, "web")
+        .when(F.col("id") < 7000, "code")
+        .otherwise("junk")
+        .alias("source"),
+    )
+    kept, rates = downsample_to_mixture(df, {"web": 7, "code": 3})
+    # binding group: code (1000/3 < 6000/7) -> kept whole
+    assert rates["code"] == 1.0
+    assert abs(rates["web"] - (1000 / 3) * 7 / 6000) < 1e-9
+    got = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "junk" not in got
+    assert got["code"] == 1000
+    web_expected = 6000 * rates["web"]
+    assert abs(got["web"] - web_expected) < 0.1 * web_expected
+    # ~7:3 achieved
+    assert abs(got["web"] / got["code"] - 7 / 3) < 0.3
+    # layout independence
+    kept2, _ = downsample_to_mixture(df.repartition(13), {"web": 7, "code": 3})
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in kept2.collect()
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-negative"):
+        downsample_to_mixture(df, {"web": -1})
+    with _pt.raises(ValueError, match="absent"):
+        downsample_to_mixture(df, {"nope": 1})
