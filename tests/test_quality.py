@@ -559,3 +559,60 @@ def test_contamination_scores_and_overlap_threshold(spark):
     assert flagged == {1: True, 2: True, 3: False, 4: False}
     with pytest.raises(ValueError, match="min_overlap_frac"):
         decontaminate_by_overlap(corpus, bench, 0.0)
+
+
+def test_strip_duplicated_spans_matches_naive_oracle(spark):
+    """Hypothesis property: random corpora over a 3-token alphabet (heavy
+    genuine window collisions — the regime where first-occurrence
+    ordering, in-doc repeats, and overlapping-span union can hide bugs)
+    must match a brute-force python oracle for several (w, stride)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_glm_spark.operators.quality import strip_duplicated_spans
+
+    def naive(rows, w, stride):
+        first = {}
+        for i, text in rows:  # rows pre-sorted by id
+            toks = text.split()
+            for s in range(0, max(len(toks) - w + 1, 0), stride):
+                wt = " ".join(toks[s : s + w])
+                first.setdefault(wt, (i, s))
+        out = {}
+        for i, text in rows:
+            toks = text.split()
+            bad: set = set()
+            for s in range(0, max(len(toks) - w + 1, 0), stride):
+                wt = " ".join(toks[s : s + w])
+                if first[wt] != (i, s):
+                    bad |= set(range(s, s + w))
+            out[i] = " ".join(
+                t for p, t in enumerate(toks) if p not in bad
+            )
+        return out
+
+    docs_strategy = st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(
+        docs=docs_strategy,
+        w=st.integers(2, 4),
+        sdelta=st.integers(0, 2),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(docs, w, sdelta):
+        stride = max(1, w - sdelta)
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in strip_duplicated_spans(df, w=w, stride=stride).collect()
+        }
+        assert got == naive(rows, w, stride)
+
+    check()
