@@ -740,6 +740,120 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_pairs_expr(text: Column | str) -> Column:
+    """array<struct<prev,cur>> of adjacent token pairs (empty tokens
+    dropped; <2 tokens → empty array — guarded, since Spark's
+    ``sequence(1, 0)`` counts DOWN rather than returning empty)."""
+    tkf = F.filter(tokens_expr(text), lambda t: F.length(t) > 0)
+    return _let(
+        tkf,
+        lambda tk: F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("prev"),
+                    F.element_at(tk, i + 1).alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>")),
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 200_000,
+    top_k_uni: int = 50_000,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-doc mean bigram CONDITIONAL log-probability with stupid
+    backoff — the order-2 companion to ``unigram_logprob_scores`` (a much
+    sharper fluency signal: shuffled-token gibberish keeps its unigram
+    score but collapses under transition probabilities).
+
+    (id, n_bigrams, mean_logp2) where each transition scores
+
+        ln(c(prev,cur) / c(prev·))      bigram in the top_k table
+        ln(backoff · c(cur) / total)    else, cur in the unigram table
+        ln(backoff · 0.5 / total)       else (OOV cur)
+
+    ``c(prev·)`` is the exact HISTORY count (occurrences of prev followed
+    by anything — one aggregate over the same pair rows, not the unigram
+    count, so doc-final tokens don't inflate the denominator). Brants et
+    al. 2007's stupid backoff: no discounting, one fixed factor — the
+    scale-friendly choice. Docs with <2 non-empty tokens have no
+    transitions and are absent from the result (the unigram scorer's
+    presence convention).
+
+    Plan shape at 100 TB: pair derivation is one narrow per-doc
+    transform; the model is two map-side-combinable aggregates (pairs,
+    histories) truncated to bounded broadcasts (count desc, pair asc —
+    deterministic); scoring is two broadcast left joins + one
+    groupBy(id). The pair table persists across the model/scoring jobs
+    (the unigram single-tokenize convention)."""
+    import math
+
+    from pyspark import StorageLevel
+
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    bi = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(bigram_pairs_expr(text_col)).alias("p"))
+        .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pair_counts = (
+        bi.groupBy("prev", "cur")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = pair_counts.agg(F.sum("c")).first()[0] or 0
+    if total == 0:
+        bi.unpersist()
+        pair_counts.unpersist()
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0.0).alias("mean_logp2"),
+        ).limit(0)
+    hist = pair_counts.groupBy("prev").agg(F.sum("c").alias("ch"))
+    model = (
+        pair_counts.orderBy(F.desc("c"), F.asc("prev"), F.asc("cur"))
+        .limit(int(top_k))
+        .join(hist, "prev")
+        .select(
+            "prev", "cur",
+            F.log(F.col("c") / F.col("ch")).alias("blogp"),
+        )
+    )
+    # unigram backoff table over the SAME token stream (cur occurrences)
+    uni = (
+        bi.groupBy(F.col("cur").alias("tok"))
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(int(top_k_uni))
+        .select(
+            F.col("tok").alias("cur"),
+            (F.log(F.col("c") / F.lit(float(total))) + F.lit(math.log(backoff)))
+            .alias("ulogp"),
+        )
+    )
+    oov = math.log(backoff * 0.5 / total)
+    scored = bi.join(F.broadcast(model), ["prev", "cur"], "left").join(
+        F.broadcast(uni), "cur", "left"
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.avg(F.coalesce("blogp", "ulogp", F.lit(float(oov)))), 6
+        ).cast("double").alias("mean_logp2"),
+    )
+    return out
+
+
 def fit_text_classifier(
     docs: DataFrame,
     label_col: str = "lang",

@@ -408,3 +408,75 @@ def test_vocab_topk_by_matches_pandas(spark):
         top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
         want[src] = [(i + 1, tok, tf) for i, (tok, tf) in enumerate(top)]
     assert {k: sorted(v) for k, v in got.items()} == want
+
+
+class TestBigramLM:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from dask_glm_spark.operators.text import bigram_logprob_scores
+
+        # corpus pairs: d1: (a,b) (b,a) (a,b); d2: (a,b) (b,x)
+        # c(a,b)=3 c(b,a)=1 c(b,x)=1 total=5; hist a->3 b->2
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b x"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["mean_logp2"])
+            for r in bigram_logprob_scores(df).collect()
+        }
+        lab = math.log(3 / 3)   # p(b|a)=1
+        lba = math.log(1 / 2)   # p(a|b)=0.5
+        lbx = math.log(1 / 2)
+        assert got[1] == (3, round((lab + lba + lab) / 3, 6))
+        assert got[2] == (2, round((lab + lbx) / 2, 6))
+        assert 3 not in got  # <2 tokens: no transitions, absent
+
+    def test_backoff_branches(self, spark):
+        """top_k=1 keeps only c(a,b): the other pairs back off to the
+        unigram table; top_k_uni=1 pushes the rarest cur to OOV."""
+        import math
+
+        from dask_glm_spark.operators.text import bigram_logprob_scores
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b x")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["mean_logp2"]
+            for r in bigram_logprob_scores(
+                df, top_k=1, top_k_uni=1, backoff=0.4
+            ).collect()
+        }
+        total = 5
+        lab = math.log(3 / 3)                      # kept bigram
+        # unigram cur counts: b->3 a->1 x->1; top-1 keeps b
+        lb_uni = math.log(0.4 * 3 / total)         # (b,a)->backoff? cur=a OOV
+        la_oov = math.log(0.4 * 0.5 / total)       # cur=a not in top-1
+        lx_oov = math.log(0.4 * 0.5 / total)
+        assert got[1] == round((lab + la_oov + lab) / 3, 6)
+        assert got[2] == round((lab + lx_oov) / 2, 6)
+
+    def test_layout_independent_and_orders_gibberish_low(self, spark):
+        from dask_glm_spark.operators.text import bigram_logprob_scores
+        from dask_glm_spark.sources.glm_source import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(
+            200
+        )
+        a = {
+            r["doc_id"]: (r["n_bigrams"], r["mean_logp2"])
+            for r in bigram_logprob_scores(docs).collect()
+        }
+        b = {
+            r["doc_id"]: (r["n_bigrams"], r["mean_logp2"])
+            for r in bigram_logprob_scores(docs.repartition(17)).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_empty_corpus(self, spark):
+        from dask_glm_spark.operators.text import bigram_logprob_scores
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert bigram_logprob_scores(empty).count() == 0
