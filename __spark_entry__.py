@@ -662,14 +662,52 @@ lm AS (
   SELECT t.doc_id,
     CAST(round(avg(coalesce(v.logp, ln(0.5 / (SELECT total FROM tot)))), 6) AS DOUBLE) AS mean_logp
   FROM tok t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id
+),
+-- round 7: bigram stupid-backoff scorer (text.bigram_logprob_scores):
+-- adjacent pairs of the empty-filtered token sequence, top-200k bigram
+-- conditionals over exact history counts, 0.4x unigram backoff, OOV floor
+tarr AS (SELECT doc_id, list_filter({_DUCK_TOKENS}, x -> x <> '') AS T FROM documents),
+tokp AS (
+  SELECT doc_id, u.p AS pos, u.tk AS tok FROM (
+    SELECT doc_id, unnest([{{'p': i, 'tk': T[i]}} for i in generate_series(1, len(T))]) AS u
+    FROM tarr)
+),
+pairs AS (
+  SELECT doc_id, prev, cur FROM (
+    SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+           tok AS cur
+    FROM tokp
+  ) WHERE prev IS NOT NULL
+),
+pc AS (SELECT prev, cur, count(*) AS c FROM pairs GROUP BY prev, cur),
+btot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM pc),
+hist AS (SELECT prev, sum(c) AS ch FROM pc GROUP BY prev),
+bmodel AS (
+  SELECT q.prev, q.cur, ln(q.c / h.ch) AS blogp
+  FROM (SELECT * FROM pc ORDER BY c DESC, prev, cur LIMIT 200000) q
+  JOIN hist h USING (prev)
+),
+uni2 AS (
+  SELECT cur, ln(c / (SELECT total FROM btot)) + ln(0.4) AS ulogp
+  FROM (SELECT cur, count(*) AS c FROM pairs GROUP BY cur
+        ORDER BY c DESC, cur LIMIT 50000)
+),
+lm2 AS (
+  SELECT p.doc_id,
+    CAST(round(avg(coalesce(b.blogp, u.ulogp,
+      ln(0.4 * 0.5 / (SELECT total FROM btot)))), 6) AS DOUBLE) AS mean_logp2
+  FROM pairs p LEFT JOIN bmodel b USING (prev, cur)
+  LEFT JOIN uni2 u USING (cur) GROUP BY p.doc_id
 )
 SELECT d.doc_id,
   CAST(len({_DUCK_TOKENS_CASED}) AS BIGINT) AS n_tokens,
   CAST(round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len({_DUCK_TOKENS_CASED}), 4) AS DOUBLE) AS avg_token_len,
   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
   CAST({_duck_quality_expr()} AS DOUBLE) AS quality,
-  lm.mean_logp AS mean_logp
-FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id ORDER BY d.doc_id""",
+  lm.mean_logp AS mean_logp,
+  lm2.mean_logp2 AS mean_logp2
+FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id
+LEFT JOIN lm2 ON lm2.doc_id = d.doc_id ORDER BY d.doc_id""",
     "q17_langid": _langid_oracle_sql(),
     "q19_fingerprint": f"""SELECT doc_id,
   CAST({_duck_polyhash("lower(text)")} AS BIGINT) AS fp
@@ -1185,7 +1223,18 @@ def _pq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = T.unigram_logprob_scores(docs).select(
         "doc_id", F.col("mean_logp").alias("mean_logp")
     )
-    return stats.join(lm, "doc_id", "left").orderBy("doc_id")
+    # round 7: + the order-2 scorer (stupid backoff) under the same gate —
+    # the oracle re-derives pairs (lag over filtered token positions),
+    # top-k bigram conditionals with exact history counts, and both
+    # backoff tiers
+    lm2 = T.bigram_logprob_scores(docs).select(
+        "doc_id", F.col("mean_logp2").alias("mean_logp2")
+    )
+    return (
+        stats.join(lm, "doc_id", "left")
+        .join(lm2, "doc_id", "left")
+        .orderBy("doc_id")
+    )
 
 
 def _pq_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
