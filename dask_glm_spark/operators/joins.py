@@ -173,6 +173,7 @@ def asof_join(
     direction: str = "backward",
     bucket_seconds: int | None | str = "auto",
     skew_threshold: float = 0.1,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the nearest right row at-or-before
     (``backward``) / at-or-after (``forward``) its ``time_col``, within the
@@ -230,6 +231,14 @@ def asof_join(
     ``value_cols`` must be orderable types (atomics, arrays, structs — not
     maps): the payload struct participates in the deterministic
     equal-timestamp tie-break ordering.
+
+    ``tolerance_seconds`` (pandas ``merge_asof`` semantics): a match
+    counts only if the right row is within that many seconds of the left
+    row; staler carries return NULLs. Implemented by riding the right
+    row's own timestamp as the payload struct's FIRST field — among
+    right rows tied on (by, ts) that field is identical, so the
+    deterministic tie-break is unchanged — and null-gating the extracted
+    columns; both the single-pass and bucketed paths share the gate.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -239,6 +248,8 @@ def asof_join(
     clash = set(c + suffix for c in value_cols) & set(left.columns)
     if clash:
         raise ValueError(f"suffixed right columns collide with left: {sorted(clash)}")
+    if "_rts" in value_cols:
+        raise ValueError("value_cols may not contain the reserved name '_rts'")
 
     from pyspark.sql import Window
 
@@ -251,7 +262,10 @@ def asof_join(
     r = right.select(
         *by_cols,
         time_col,
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_payload"),
+        F.struct(
+            F.col(time_col).alias("_rts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_payload"),
     ).withColumn("_side", F.lit(0 if back else 2))
     u = l.unionByName(r, allowMissingColumns=True)
     # _payload as the final order key: among right rows TIED on (by, ts)
@@ -268,6 +282,22 @@ def asof_join(
         if tdt.startswith("timestamp")
         else (F.col(time_col).cast("double") * 1_000_000).cast("long")
     )
+
+    def _gated(carry_col):
+        # tolerance gate shared by both physical paths: null the whole
+        # payload when the carried right row is staler than allowed
+        if tolerance_seconds is None:
+            return carry_col
+        rts = carry_col["_rts"]
+        rts_us = (
+            F.unix_micros(rts)
+            if tdt.startswith("timestamp")
+            else (rts.cast("double") * 1_000_000).cast("long")
+        )
+        diff = (t_us - rts_us) if back else (rts_us - t_us)
+        return F.when(
+            diff <= F.lit(int(tolerance_seconds * 1_000_000)), carry_col
+        )
 
     if bucket_seconds == "auto":
         import math
@@ -298,7 +328,8 @@ def asof_join(
                 .rowsBetween(0, Window.unboundedFollowing)
             )
             carry = F.first(F.col("_payload"), ignorenulls=True).over(w)
-        carried = [carry[c].alias(c + suffix) for c in value_cols]
+        gated = _gated(carry)
+        carried = [gated[c].alias(c + suffix) for c in value_cols]
         return (
             u.select(*left.columns, "_side", *carried)
             .where(F.col("_side") == 1)
@@ -359,7 +390,7 @@ def asof_join(
     for c in (*by_cols, "_bkt"):
         e = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
         cond = e if cond is None else cond & e
-    carry = F.coalesce(F.col("_l._carry_in"), F.col("_r._prev")["p"])
+    carry = _gated(F.coalesce(F.col("_l._carry_in"), F.col("_r._prev")["p"]))
     carried = [carry[c].alias(c + suffix) for c in value_cols]
     return s.join(b, cond, "left").select(
         *[F.col(f"_l.{c}") for c in left.columns], *carried

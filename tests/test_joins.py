@@ -472,3 +472,67 @@ def test_asof_auto_skew_detection(spark):
     )
     share_uni, _ = _asof_skew_probe(u2, ["user_id"], t_us)
     assert share_uni < 0.1
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    """tolerance_seconds == pandas merge_asof(tolerance=...) on random-ish
+    numeric timestamps, single-pass AND forced two-pass paths; stale
+    carries null out, in-window matches survive, tolerance=None is the
+    plain as-of."""
+    import pandas as pd
+
+    from dask_glm_spark.operators.joins import asof_join
+
+    lrows = [
+        (u, float(t), i)
+        for i, (u, t) in enumerate(
+            [("a", 5), ("a", 10), ("a", 30), ("b", 7), ("b", 8), ("c", 1)]
+        )
+    ]
+    rrows = [
+        ("a", 4.0, "a4"), ("a", 9.0, "a9"), ("a", 12.0, "a12"),
+        ("b", 7.0, "b7"), ("d", 1.0, "d1"),
+    ]
+    left = spark.createDataFrame(lrows, "user_id string, ts double, eid long")
+    right = spark.createDataFrame(rrows, "user_id string, ts double, tag string")
+
+    lpd = pd.DataFrame(lrows, columns=["user_id", "ts", "eid"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["user_id", "ts", "tag"]).sort_values("ts")
+
+    for tol in (2.0, 5.0, None):
+        for bseconds in (None, 3):  # single-pass and forced two-pass
+            got = {
+                r["eid"]: r["tag_asof"]
+                for r in asof_join(
+                    left, right, time_col="ts", by="user_id",
+                    value_cols=["tag"], bucket_seconds=bseconds,
+                    tolerance_seconds=tol,
+                ).collect()
+            }
+            want_df = pd.merge_asof(
+                lpd, rpd, on="ts", by="user_id",
+                tolerance=tol, direction="backward",
+            )
+            want = {
+                int(r.eid): (None if pd.isna(r.tag) else r.tag)
+                for r in want_df.itertuples()
+            }
+            assert got == want, (tol, bseconds)
+
+    # forward direction with tolerance
+    got = {
+        r["eid"]: r["tag_asof"]
+        for r in asof_join(
+            left, right, time_col="ts", by="user_id",
+            value_cols=["tag"], direction="forward",
+            bucket_seconds=None, tolerance_seconds=2.0,
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        lpd, rpd, on="ts", by="user_id", tolerance=2.0, direction="forward"
+    )
+    want = {
+        int(r.eid): (None if pd.isna(r.tag) else r.tag)
+        for r in want_df.itertuples()
+    }
+    assert got == want
