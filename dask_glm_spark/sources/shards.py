@@ -34,6 +34,7 @@ def write_tar_shards(
     ext: str = "txt",
     salt: str = "shard",
     member_order: str = "id",
+    write_index: bool = False,
 ) -> DataFrame:
     """Write ``path/shard-NNNNN.tar`` files, one archive member per row
     (member name ``{id}.{ext}``), and return the shard manifest
@@ -48,7 +49,15 @@ def write_tar_shards(
     a complete reproducible epoch shuffle a sequential data loader streams
     straight off the tars). Either way metadata is pinned (mtime=0,
     uid/gid=0), so the same corpus always produces byte-identical shards
-    regardless of partitioning or task order."""
+    regardless of partitioning or task order.
+
+    ``write_index=True`` additionally publishes ``shard-NNNNN.idx``
+    (one ``name<TAB>data_offset<TAB>size`` line per member, same atomic
+    tmp+rename) — the random-access sidecar loaders use to seek straight
+    to a sample without streaming the tar. Offsets are exact: each
+    member's data starts 512 bytes (one ustar header) after its header
+    offset; member names here (``{id}.{ext}``) stay far below the
+    100-byte header limit, so no GNU long-name blocks shift them."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if member_order not in ("id", "shuffled"):
@@ -79,6 +88,7 @@ def write_tar_shards(
         out = os.path.join(path, f"shard-{shard:05d}.tar")
         tmp = out + ".tmp"
         n_bytes = 0
+        index_lines = []
         with tarfile.open(tmp, "w") as tf:
             for _id, payload in zip(pdf["_id"], pdf["_payload"]):
                 data = (
@@ -86,13 +96,25 @@ def write_tar_shards(
                     if is_binary
                     else str(payload).encode("utf-8")
                 )
-                info = tarfile.TarInfo(name=f"{_id}.{ext}")
+                name = f"{_id}.{ext}"
+                info = tarfile.TarInfo(name=name)
                 info.size = len(data)
                 info.mtime = 0
                 info.uid = info.gid = 0
+                if write_index:
+                    # tf.offset = this member's HEADER position; data
+                    # follows one 512-byte ustar header later
+                    index_lines.append(
+                        f"{name}\t{tf.offset + 512}\t{len(data)}\n"
+                    )
                 tf.addfile(info, io.BytesIO(data))
                 n_bytes += len(data)
         os.replace(tmp, out)  # atomic publish: no torn shards on retry
+        if write_index:
+            idx = os.path.join(path, f"shard-{shard:05d}.idx")
+            with open(idx + ".tmp", "w") as fh:
+                fh.writelines(index_lines)
+            os.replace(idx + ".tmp", idx)
         return pd.DataFrame(
             {"shard": [shard], "n_files": [len(pdf)], "n_bytes": [n_bytes]}
         )

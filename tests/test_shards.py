@@ -126,3 +126,33 @@ def test_member_order_validation(docs, tmp_path):
         write_tar_shards(
             docs, str(tmp_path / "x"), n_shards=2, member_order="random"
         )
+
+
+def test_tar_index_sidecar_offsets_are_exact(spark, tmp_path_factory):
+    """write_index=True: every (name, offset, size) line seeks to the
+    member's exact payload bytes with plain open()+seek — no tarfile."""
+    import os
+
+    from dask_glm_spark.sources.shards import write_tar_shards
+
+    out = str(tmp_path_factory.mktemp("tar_idx"))
+    df = spark.createDataFrame(
+        [(i, f"payload number {i} " + "x" * (i * 7 % 90)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    write_tar_shards(df, out, n_shards=3, write_index=True).collect()
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    idxs = sorted(f for f in os.listdir(out) if f.endswith(".idx"))
+    assert len(tars) == len(idxs) > 0
+    texts = {f"{r['doc_id']}.txt": r["text"] for r in df.collect()}
+    n_checked = 0
+    for idx in idxs:
+        tar_path = os.path.join(out, idx.replace(".idx", ".tar"))
+        with open(os.path.join(out, idx)) as fh, open(tar_path, "rb") as tf:
+            for line in fh:
+                name, off, size = line.rstrip("\n").split("\t")
+                tf.seek(int(off))
+                data = tf.read(int(size))
+                assert data.decode("utf-8") == texts[name]
+                n_checked += 1
+    assert n_checked == 40
