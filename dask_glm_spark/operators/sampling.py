@@ -430,3 +430,63 @@ def downsample_to_mixture(
     rate = F.coalesce(F.element_at(rate_map, F.col(by)), F.lit(0.0))
     kept = df.where(uniform_unit_expr(key_col, salt) < rate)
     return kept, rates
+
+
+def negative_sample_ids(
+    df: DataFrame,
+    k: int,
+    pool_size: int = 65_536,
+    key_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: ``k``
+    pseudo-random OTHER keys per anchor row, drawn from a fixed
+    hash-sampled candidate pool — ``(key, neg_idx 0..k-1, neg_key)``
+    pairs, reproducible across layouts/reruns/engines (a retried task
+    regenerates identical negatives, so training runs are replayable).
+
+    Shape at 100 TB: the pool is ``sample_k_per_group``'s global top-k
+    (deterministic, ≤ ``pool_size`` keys collected once), shipped as ONE
+    constant-foldable array literal (`from_json` of a single string — the
+    Bloom-literal lesson: ``F.lit(list)`` is a plan node per element);
+    each anchor then picks ``element_at(pool, hash(key, j) % size)`` in a
+    pure narrow map — no join, no shuffle. Self-collisions re-draw ONCE
+    under a shifted salt and drop on double collision (observable bias
+    ~(1/pool)², negligible at any real pool; exact-k callers can
+    re-request with a new salt).
+
+    Negatives are sampled WITH replacement across anchors (standard for
+    in-batch negatives) and approximately uniform over the pool."""
+    import json as _json
+
+    if k <= 0 or pool_size <= 1:
+        raise ValueError(f"k and pool_size must be positive, got {k}/{pool_size}")
+    pool_rows = sample_k_per_group(
+        df.select(key_col), pool_size, by=None, key_col=key_col,
+        salt=f"{salt}-pool", keys_only=True,
+    ).collect()
+    pool = sorted(r[key_col] for r in pool_rows)
+    if len(pool) < 2:
+        raise ValueError("pool needs at least 2 distinct keys")
+    n = len(pool)
+    arr = F.from_json(
+        F.lit(_json.dumps(pool)), f"array<{df.schema[key_col].dataType.simpleString()}>"
+    )
+
+    def pick(j_salt: str) -> Column:
+        u = uniform_unit_expr(key_col, j_salt)
+        return F.element_at(arr, (u * n).cast("int") + 1)
+
+    draws = [
+        F.when(pick(f"{salt}:{j}") != F.col(key_col), pick(f"{salt}:{j}"))
+        .otherwise(
+            F.when(
+                pick(f"{salt}:{j}r") != F.col(key_col), pick(f"{salt}:{j}r")
+            )
+        )
+        for j in range(k)
+    ]
+    out = df.select(
+        F.col(key_col), F.posexplode(F.array(*draws)).alias("neg_idx", "neg_key")
+    )
+    return out.where(F.col("neg_key").isNotNull())

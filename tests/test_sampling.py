@@ -493,3 +493,34 @@ def test_downsample_to_mixture(spark):
         downsample_to_mixture(df, {"web": -1})
     with _pt.raises(ValueError, match="absent"):
         downsample_to_mixture(df, {"nope": 1})
+
+
+def test_negative_sample_ids(spark):
+    """k negatives per anchor, none equal to the anchor, deterministic
+    across layouts, ~uniform over the pool; validation raises."""
+    from dask_glm_spark.operators.sampling import negative_sample_ids
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = negative_sample_ids(df, k=4, pool_size=64)
+    rows = out.collect()
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["doc_id"], []).append(
+            (r["neg_idx"], r["neg_key"])
+        )
+        assert r["neg_key"] != r["doc_id"]
+    # near-exact k per anchor (double self-collision drop is ~(1/64)^2)
+    sizes = [len(v) for v in per_anchor.values()]
+    assert len(per_anchor) == 500 and min(sizes) >= 3 and max(sizes) == 4
+    # deterministic under relayout
+    rows2 = negative_sample_ids(df.repartition(11), k=4, pool_size=64).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in rows2}
+    # coverage: a 64-key pool should be nearly fully hit by 2000 draws
+    hit = {r["neg_key"] for r in rows}
+    assert len(hit) > 50
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k and pool"):
+        negative_sample_ids(df, k=0)
+    with _pt.raises(ValueError, match="at least 2"):
+        negative_sample_ids(df.limit(1), k=2)
