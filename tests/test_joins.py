@@ -536,3 +536,33 @@ def test_asof_join_tolerance_matches_pandas(spark):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+def test_asof_join_tolerance_timestamp_type(spark):
+    """The tolerance gate's timestamp branch (unix_micros on the carried
+    _rts): a 90-second-stale reference nulls out at 60 s tolerance and
+    survives at 120 s."""
+    import datetime as dt
+
+    from dask_glm_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=90), 1),
+         ("a", t0 + dt.timedelta(seconds=30), 2)],
+        "user_id string, ts timestamp, eid long",
+    )
+    right = spark.createDataFrame(
+        [("a", t0, "ref0")], "user_id string, ts timestamp, tag string"
+    )
+    for tol, want1 in ((60.0, None), (120.0, "ref0")):
+        got = {
+            r["eid"]: r["tag_asof"]
+            for r in asof_join(
+                left, right, time_col="ts", by="user_id",
+                value_cols=["tag"], bucket_seconds=None,
+                tolerance_seconds=tol,
+            ).collect()
+        }
+        assert got[1] == want1
+        assert got[2] == "ref0"  # 30 s stale: inside both bounds
