@@ -982,3 +982,71 @@ def vocab_topk_by(
         by, ["_ntf", "token"], k, carry_cols=["tf"], rank_col="rank",
     )
     return ranked.select(by, "token", "tf", "rank")
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFKC",
+    lowercase: bool = False,
+    strip_accents: bool = False,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode normalization — the canonical step BEFORE fingerprinting /
+    shingling (visually-identical strings with different codepoint
+    sequences, fullwidth forms, ligatures, etc. otherwise defeat exact
+    and near dedup alike).
+
+    - ``form``: NFC / NFKC / NFD / NFKD via pandas' vectorized
+      ``str.normalize`` in one Arrow pass (no per-row Python loop);
+    - ``strip_accents``: decompose (NFKD) → drop combining marks →
+      recompose to ``form``;
+    - ``lowercase`` / ``collapse_whitespace``: the usual casefold and
+      single-space folding, applied after normalization.
+
+    NULL text stays NULL; all other input columns ride through unchanged.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC|NFKC|NFD|NFKD, got {form!r}")
+    out_col = out_col or text_col
+    cols = df.columns
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = pdf[text_col]
+            mask = s.notna()
+            t = s[mask].astype(str)
+            if strip_accents:
+                t = t.str.normalize("NFKD")
+                t = t.map(
+                    lambda x: "".join(
+                        ch for ch in x if not unicodedata.combining(ch)
+                    )
+                )
+                t = pd.Series(t, index=s[mask].index).str.normalize(form)
+            else:
+                t = t.str.normalize(form)
+            if lowercase:
+                t = t.str.casefold()
+            if collapse_whitespace:
+                t = t.str.replace(r"\s+", " ", regex=True).str.strip()
+            res = pd.Series([None] * len(s), index=s.index, dtype=object)
+            res[mask] = t
+            out = {c: pdf[c] for c in cols if c != out_col}
+            out[out_col] = res
+            yield pd.DataFrame(out)
+
+    keep = [c for c in cols if c != out_col]
+    fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+    )
+    schema = f"{fields}, {out_col} string" if keep else f"{out_col} string"
+    res = df.mapInPandas(op, schema=schema)
+    return res.select(*(cols if out_col in cols else [*cols, out_col]))

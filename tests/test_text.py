@@ -480,3 +480,35 @@ class TestBigramLM:
 
         empty = spark.createDataFrame([], "doc_id long, text string")
         assert bigram_logprob_scores(empty).count() == 0
+
+
+def test_normalize_text_unicode_forms(spark):
+    """NFKC folds fullwidth/ligature forms, strip_accents drops combining
+    marks, casefold + whitespace collapse compose, NULLs survive, other
+    columns ride through."""
+    from dask_glm_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "ＡＢＣ ﬁne"),                  # fullwidth + ligature -> NFKC
+        (2, "café  double  space"),    # combining acute
+        (3, None),
+        (4, "Straße"),                  # sharp s casefolds to ss
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(
+            df, lowercase=True, strip_accents=True, collapse_whitespace=True
+        ).collect()
+    }
+    assert out[1] == "abc fine"
+    assert out[2] == "cafe double space"
+    assert out[3] is None
+    assert out[4] == "strasse"
+    # out_col appends; originals intact
+    kept = normalize_text(df, out_col="norm").collect()
+    assert {r["text"] for r in kept} == {r[1] for r in rows}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="form"):
+        normalize_text(df, form="NFX")
