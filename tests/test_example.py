@@ -36,3 +36,20 @@ def test_curation_pipeline_example():
     assert out["raw"] >= out["quality_gated"] >= out["deduped"]
     assert out["deduped"] >= out["decontaminated"] >= out["in_budget"] > 0
     assert 0.0 <= out["fit_accuracy"] <= 1.0
+
+
+def test_continuous_ingestion_example():
+    spec = importlib.util.spec_from_file_location(
+        "continuous_ingestion",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "continuous_ingestion.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.main("/root/testdata/sf0.001")
+    assert out["late_dups_kept"] == 0
+    assert out["total_kept"] >= out["day1_kept"] > 0
+    assert out["sharded"] == out["total_kept"]
+    assert out["seek_sample_ok"]
