@@ -829,3 +829,57 @@ def domain_caps(
         .where((F.col("_n") <= cap) | keep)
         .drop("_n")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+) -> dict:
+    """One-stop corpus health report — the numbers every curation run
+    logs between stages: document/token volume, length distribution,
+    exact-duplicate rate (HLL-estimated distinct fingerprints, so the
+    check is one mergeable aggregate, never a fingerprint shuffle), empty
+    and near-empty counts, and the language mix when ``lang_col`` exists.
+
+    ONE aggregate job over ONE scan (plus a tiny groupBy when lang_col is
+    given) — cheap enough to run after every stage; all estimates are
+    clearly suffixed ``_est``. Returns a plain dict (driver-side, the
+    manifest convention)."""
+    from dask_glm_spark.operators.text import (
+        fingerprint_fast_expr,
+        token_count_expr,
+    )
+
+    ntok = token_count_expr(text_col)
+    empty = F.trim(F.col(text_col)) == ""
+    row = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.round(F.avg(ntok), 2).alias("avg_tokens"),
+        F.min(ntok).cast("long").alias("min_tokens"),
+        F.max(ntok).cast("long").alias("max_tokens"),
+        F.percentile_approx(ntok, F.lit(0.5), F.lit(10_000))
+        .cast("long")
+        .alias("median_tokens_est"),
+        F.sum(empty.cast("long")).cast("long").alias("n_empty"),
+        F.sum((ntok < 10).cast("long")).cast("long").alias("n_under_10_tokens"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(fingerprint_fast_expr(text_col), F.lit(14))
+        ).cast("long").alias("distinct_texts_est"),
+    ).collect()[0]
+    out = dict(row.asDict())
+    out["dup_rate_est"] = (
+        round(1.0 - min(out["distinct_texts_est"], out["n_docs"]) / out["n_docs"], 4)
+        if out["n_docs"]
+        else 0.0
+    )
+    if lang_col is not None and lang_col in df.columns:
+        out["lang_mix"] = {
+            r["l"]: r["n"]
+            for r in df.groupBy(F.col(lang_col).alias("l"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+    return out

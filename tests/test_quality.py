@@ -616,3 +616,28 @@ def test_strip_duplicated_spans_matches_naive_oracle(spark):
         assert got == naive(rows, w, stride)
 
     check()
+
+
+def test_corpus_report(spark):
+    """Known corpus: volumes, duplicate-rate estimate, empties, lang mix."""
+    from dask_glm_spark.operators.quality import corpus_report
+
+    rows = [
+        (1, "en", "one two three four five six seven eight nine ten eleven"),
+        (2, "en", "dup text here"),
+        (3, "de", "dup text here"),
+        (4, "de", ""),
+        (5, "fr", "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rep = corpus_report(df, lang_col="lang")
+    assert rep["n_docs"] == 5
+    assert rep["n_empty"] == 1
+    assert rep["n_under_10_tokens"] == 4
+    assert rep["min_tokens"] == 1 and rep["max_tokens"] == 11
+    # 4 distinct texts over 5 docs -> dup rate 0.2 (HLL exact at this n)
+    assert rep["distinct_texts_est"] == 4
+    assert rep["dup_rate_est"] == 0.2
+    assert rep["lang_mix"] == {"en": 2, "de": 2, "fr": 1}
+    # no lang col requested -> key absent
+    assert "lang_mix" not in corpus_report(df)
