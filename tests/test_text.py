@@ -512,3 +512,25 @@ def test_normalize_text_unicode_forms(spark):
 
     with _pt.raises(ValueError, match="form"):
         normalize_text(df, form="NFX")
+
+
+def test_normalize_text_idempotent(spark):
+    """Unicode normal forms are idempotent: a second pass (same options)
+    is byte-identical — the property that makes re-running a normalize
+    stage on partially-processed data safe."""
+    from dask_glm_spark.operators.text import normalize_text
+
+    rows = [(i, t) for i, t in enumerate([
+        "ＡＢＣ ﬁne ﬂow", "café naïve", "Straße  GROSS", "ascii only",
+        "Å ring", ""  # A + combining ring
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = normalize_text(
+        df, lowercase=True, strip_accents=True, collapse_whitespace=True
+    )
+    twice = normalize_text(
+        once, lowercase=True, strip_accents=True, collapse_whitespace=True
+    )
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
