@@ -69,6 +69,22 @@ def hash_sample(
     return df.where(sample_bucket_expr(key_col, salt) < F.lit(rate_pct))
 
 
+def hash_sample_frac(
+    df: DataFrame, key_col: str, rate: float, salt: str = "s0"
+) -> DataFrame:
+    """Fractional-rate deterministic sampling: keep ~``rate`` (a float in
+    [0, 1]) of rows by key hash — the sub-percent companion to
+    ``hash_sample``'s integer-percent buckets (at 100 TB, 0.1% eval
+    subsets are routine and 1% granularity can't express them). Uses the
+    Knuth-mixed hash-uniform, equidistributed at fine rates where the raw
+    polyhash bucket is not (the downsample_to_mixture lesson); same
+    determinism contract: pure narrow filter, identical subset on any
+    rerun/layout/engine for the same salt."""
+    if not 0 <= rate <= 1:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(uniform_unit_expr(key_col, salt) < F.lit(float(rate)))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

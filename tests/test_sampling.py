@@ -524,3 +524,30 @@ def test_negative_sample_ids(spark):
         negative_sample_ids(df, k=0)
     with _pt.raises(ValueError, match="at least 2"):
         negative_sample_ids(df.limit(1), k=2)
+
+
+def test_hash_sample_frac_subpercent(spark):
+    """0.5% of 200k keys lands within binomial noise; same salt -> same
+    subset under relayout; disjoint salts -> ~independent; validation."""
+    from dask_glm_spark.operators.sampling import hash_sample_frac
+
+    df = spark.range(200_000).select(F.col("id").alias("doc_id"))
+    kept = hash_sample_frac(df, "doc_id", 0.005)
+    n = kept.count()
+    assert abs(n - 1000) < 150  # ~4.7 sigma of binomial(200k, 0.005)
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample_frac(df.repartition(13), "doc_id", 0.005).collect()
+    }
+    assert a == b
+    c = {
+        r["doc_id"]
+        for r in hash_sample_frac(df, "doc_id", 0.005, salt="other").collect()
+    }
+    overlap = len(a & c)
+    assert overlap < 30  # expected ~5 under independence
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rate"):
+        hash_sample_frac(df, "doc_id", 1.5)
