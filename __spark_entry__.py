@@ -816,7 +816,8 @@ ORDER BY 1, 2""",
     # shared double-polyhash bucket of doc_id (engine: operators/sampling)
     # round 7: + capped_docs — domain_caps(source, cap=10) survivors per
     # lang; keep rule re-derived exactly (portable polyhash of the doc id
-    # string, rate = ceil(n_source/10), keep when n<=10 or hash%rate==0)
+    # string, keep when hash % n_source < 10 — the round-8 unbiased rule:
+    # expected exactly cap survivors at every n, n<=cap untouched)
     "q37_stratified_sample": f"""WITH k AS (
   SELECT lang, text FROM documents
   WHERE {_duck_sample_bucket("mix")} <
@@ -825,9 +826,7 @@ ORDER BY 1, 2""",
 cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 capped AS (
   SELECT d.lang FROM documents d JOIN cnt c ON d.source = c.source
-  WHERE c.n <= 10
-     OR ({_duck_polyhash("CAST(d.doc_id AS VARCHAR)")})
-        % CAST(ceil(c.n * 1.0 / 10) AS BIGINT) = 0
+  WHERE ({_duck_polyhash("CAST(d.doc_id AS VARCHAR)")}) % c.n < 10
 ),
 cl AS (SELECT lang, count(*) AS capped_docs FROM capped GROUP BY lang),
 -- round 7: weighted_sample_k(25 per lang, weight = token count) — the
@@ -1840,10 +1839,14 @@ def _pq_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("event_id"),
             F.max_by("value", "event_id").alias("value"),
         )
-        # persisted: the auto skew probe is an eager action over the union,
-        # and an unpersisted shuffle-rooted side would run its aggregation
-        # twice (probe + real query) — see asof_join's docstring
-        .persist()
+        # localCheckpoint (eager), not persist: the auto skew probe is an
+        # eager action over the union, and an unpersisted shuffle-rooted
+        # side would run its aggregation twice (probe + real query) — see
+        # asof_join's docstring. Checkpoint blocks are released when this
+        # frame is GC'd after the query, so nothing leaks into the rest of
+        # the 50-query gate session (the _pq_lsh_buckets pattern; a bare
+        # .persist() here had no matching unpersist).
+        .localCheckpoint()
     )
     out = asof_join(
         clicks, errors, time_col="ts", by="user_id",

@@ -446,9 +446,15 @@ def decontaminate_bloom(
         n_hashes=n_hashes, salt=salt,
     )
     arr = bloom_words_lit(words)
-    hit = F.exists(
-        ngrams_expr(text_col, n),
-        lambda g: bloom_contains_expr(g, arr, n_bits, n_hashes, salt),
+    # NULL text yields a NULL gram array and F.exists propagates the
+    # NULL; coalesce to False so such rows are kept (and flagged False),
+    # matching the exact `decontaminate` path.
+    hit = F.coalesce(
+        F.exists(
+            ngrams_expr(text_col, n),
+            lambda g: bloom_contains_expr(g, arr, n_bits, n_hashes, salt),
+        ),
+        F.lit(False),
     )
     if mode == "drop":
         return docs.where(~hit)
@@ -792,10 +798,13 @@ def domain_caps(
     Default (``exact=False``) — the 100 TB shape: ONE count aggregate per
     domain (map-side combinable; output is O(domains)), joined back, then
     a deterministic hash-thinning filter keeps a row iff
-    ``xxhash64(id) % ceil(n/cap) == 0`` — EXPECTED ~cap survivors per
-    domain, no per-domain sort anywhere, a million-doc hot domain costs
-    the same as a ten-doc one. Survivors are a stable function of ids
-    (reruns and relayouts agree).
+    ``pmod(hash(id), n) < cap`` — EXPECTED exactly ``cap`` survivors per
+    over-cap domain at EVERY n (the earlier ``% ceil(n/cap) == 0`` rule
+    undershot up to 2× just above the cap: n=11, cap=10 kept ~5.5), no
+    per-domain sort anywhere, a million-doc hot domain costs the same as
+    a ten-doc one. Domains with ``n <= cap`` are untouched (the mod-n
+    residue is always < cap there). Survivors are a stable function of
+    ids (reruns and relayouts agree).
 
     ``exact=True``: precise cap via the smallest-``xxhash64(id)``-wins
     rank — a row_number window per domain; exact counts, but a hot
@@ -822,13 +831,8 @@ def domain_caps(
             .drop("_rk")
         )
     counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
-    rate = F.ceil(F.col("_n") / F.lit(cap)).cast("long")
-    keep = F.pmod(h, rate) == 0
-    return (
-        df.join(counts, domain_col)
-        .where((F.col("_n") <= cap) | keep)
-        .drop("_n")
-    )
+    keep = F.pmod(h, F.col("_n")) < F.lit(cap)
+    return df.join(counts, domain_col).where(keep).drop("_n")
 
 
 def corpus_report(

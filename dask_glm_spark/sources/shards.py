@@ -54,10 +54,13 @@ def write_tar_shards(
     ``write_index=True`` additionally publishes ``shard-NNNNN.idx``
     (one ``name<TAB>data_offset<TAB>size`` line per member, same atomic
     tmp+rename) — the random-access sidecar loaders use to seek straight
-    to a sample without streaming the tar. Offsets are exact: each
-    member's data starts 512 bytes (one ustar header) after its header
-    offset; member names here (``{id}.{ext}``) stay far below the
-    100-byte header limit, so no GNU long-name blocks shift them."""
+    to a sample without streaming the tar. Offsets are exact BECAUSE the
+    tar is opened with ``format=tarfile.USTAR_FORMAT`` and each member is
+    validated to fit a single 512-byte ustar header (name <= 100 bytes,
+    size < 8 GiB): Python's default PAX format silently emits extended
+    header blocks for longer names / larger payloads, which would shift
+    that member's and every subsequent member's offset. Violations raise
+    loudly instead of corrupting the sidecar."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if member_order not in ("id", "shuffled"):
@@ -89,7 +92,9 @@ def write_tar_shards(
         tmp = out + ".tmp"
         n_bytes = 0
         index_lines = []
-        with tarfile.open(tmp, "w") as tf:
+        # USTAR: exactly one 512-byte header per member, so .idx offsets
+        # stay exact; oversize names/payloads fail loudly (see docstring)
+        with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tf:
             for _id, payload in zip(pdf["_id"], pdf["_payload"]):
                 data = (
                     bytes(payload)
@@ -97,6 +102,17 @@ def write_tar_shards(
                     else str(payload).encode("utf-8")
                 )
                 name = f"{_id}.{ext}"
+                if len(name.encode("utf-8")) > 100:
+                    raise ValueError(
+                        f"tar member name {name!r} exceeds the 100-byte "
+                        "ustar header limit; longer names would need PAX "
+                        "extension blocks that shift .idx offsets"
+                    )
+                if len(data) >= 8 * 1024**3:
+                    raise ValueError(
+                        f"tar member {name!r} payload {len(data)} bytes "
+                        ">= 8 GiB ustar size limit"
+                    )
                 info = tarfile.TarInfo(name=name)
                 info.size = len(data)
                 info.mtime = 0

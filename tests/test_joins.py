@@ -474,6 +474,47 @@ def test_asof_auto_skew_detection(spark):
     assert share_uni < 0.1
 
 
+def test_asof_auto_probe_skips_shuffle_rooted_sides(spark):
+    """Round-8 hardening (r7 verdict #6): the auto probe only reads sides
+    where the eager action is cheap. An uncached aggregate is excluded
+    (its shuffle is NOT re-executed for the probe); caching it opts back
+    in; results are identical either way."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.operators.joins import _probe_cheap, asof_join
+
+    left = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)],
+        "lid long, user_id long, t double",
+    )
+    raw = spark.createDataFrame(
+        [(i, i % 5, float(i), float(i) * 2) for i in range(50)],
+        "rid long, user_id long, t double, v double",
+    )
+    # shuffle-rooted right side: groupBy aggregate
+    right = raw.groupBy("user_id", "t").agg(
+        F.max("rid").alias("rid"), F.max("v").alias("v")
+    )
+    assert _probe_cheap(left)          # local relation: exchange-free
+    assert not _probe_cheap(right)     # uncached aggregate: not cheap
+    cached = right.persist()
+    try:
+        assert _probe_cheap(cached)    # cached: cheap regardless of plan
+        # auto with a non-cheap side still returns correct results
+        out_auto = asof_join(
+            left, right, time_col="t", by="user_id", value_cols=["rid", "v"]
+        )
+        out_plain = asof_join(
+            left, right, time_col="t", by="user_id",
+            value_cols=["rid", "v"], bucket_seconds=None,
+        )
+        a = out_auto.toPandas().sort_values("lid").reset_index(drop=True)
+        b = out_plain.toPandas().sort_values("lid").reset_index(drop=True)
+        assert a.equals(b)
+    finally:
+        cached.unpersist()
+
+
 def test_asof_join_tolerance_matches_pandas(spark):
     """tolerance_seconds == pandas merge_asof(tolerance=...) on random-ish
     numeric timestamps, single-pass AND forced two-pass paths; stale

@@ -277,6 +277,24 @@ class TestDomainCaps:
         )
         assert a == b
 
+    def test_hash_thinning_near_boundary_unbiased(self, spark):
+        # n just above cap must still keep ~cap survivors (the old
+        # ceil(n/cap) rate rule dropped to ~n/2 at n=cap+1); with the
+        # pmod(h, n) < cap rule, E[survivors] = cap exactly. Average over
+        # many domains so the hash variance washes out.
+        from dask_glm_spark.operators.quality import domain_caps
+
+        rows = [
+            (d * 1000 + i, f"dom{d}.com")
+            for d in range(40)
+            for i in range(11)  # n=11, cap=10
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, domain string")
+        out = domain_caps(df, "domain", cap=10).collect()
+        mean_kept = len(out) / 40
+        # old rule: ~5.5; unbiased rule: ~10 (binomial(11, 10/11))
+        assert 9.0 <= mean_kept <= 11.0
+
     def test_domain_expr(self, spark):
         from dask_glm_spark.operators.quality import domain_expr
 

@@ -156,3 +156,21 @@ def test_tar_index_sidecar_offsets_are_exact(spark, tmp_path_factory):
                 assert data.decode("utf-8") == texts[name]
                 n_checked += 1
     assert n_checked == 40
+
+
+def test_tar_member_name_over_ustar_limit_raises(spark, tmp_path_factory):
+    """Round-8 (ADVICE r7): ids producing member names >100 bytes would
+    force PAX extension headers that silently shift every subsequent .idx
+    offset — the sink now raises loudly instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from dask_glm_spark.sources.shards import write_tar_shards
+
+    out = str(tmp_path_factory.mktemp("tar_longname"))
+    df = spark.createDataFrame(
+        [("x" * 120, "payload")], "doc_id string, text string"
+    )
+    with pytest.raises(Exception) as exc:
+        write_tar_shards(df, out, n_shards=1, write_index=True).collect()
+    assert "100-byte" in str(exc.value)
