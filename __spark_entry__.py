@@ -1219,14 +1219,19 @@ def _pq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.regex_token_count_expr("text").cast("long").alias("n_regex_tokens"),
         F.round(T.quality_score_expr("text"), 6).cast("double").alias("quality"),
     )
-    lm = T.unigram_logprob_scores(docs).select(
+    # round 8 (VERDICT r7 #2): ONE tokenized projection feeds BOTH LM
+    # scorers — tokenization is the expensive regex over the full text,
+    # and the two scorers previously each ran (and persisted) their own
+    # pass. Persisted, LRU-managed (the scorers' own convention).
+    tokd = T.tokens_projection(docs).persist()
+    lm = T.unigram_logprob_scores(docs, tokens_df=tokd).select(
         "doc_id", F.col("mean_logp").alias("mean_logp")
     )
     # round 7: + the order-2 scorer (stupid backoff) under the same gate —
     # the oracle re-derives pairs (lag over filtered token positions),
     # top-k bigram conditionals with exact history counts, and both
     # backoff tiers
-    lm2 = T.bigram_logprob_scores(docs).select(
+    lm2 = T.bigram_logprob_scores(docs, tokens_df=tokd).select(
         "doc_id", F.col("mean_logp2").alias("mean_logp2")
     )
     return (

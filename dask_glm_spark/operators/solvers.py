@@ -264,6 +264,69 @@ def _prox_loop(loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol
     return beta
 
 
+def _fista_loop(loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol):
+    """Accelerated proximal gradient (FISTA, Beck & Teboulle 2009) — the
+    beyond-reference fast path behind ``proximal_grad(accelerate=True)``.
+
+    Why it exists: the reference's ISTA step policy (replicated exactly in
+    ``_prox_loop``) terminates on relative SMOOTH-loss decrease, and once
+    backtracking has shrunk the step the per-iteration decrease can drop
+    below ``tol`` while the iterate is still ~1e-3 from the optimum (seen
+    against the MLlib/OWL-QN oracle in tests/test_mllib_oracle.py). FISTA's
+    O(1/k^2) rate plus a majorization-based acceptance reaches oracle-grade
+    optima in tens of iterations.
+
+    Per iteration: one fused loss+gradient scan at the extrapolated point
+    ``y`` plus batched candidate-loss probe scans (the same two kernel
+    surfaces ISTA uses — no new kernel). Acceptance is the backtracking
+    majorization test ``f(x) <= f(y) + g·(x-y) + ||x-y||^2/(2s)`` (required
+    for the accelerated rate; plain decrease is not valid under momentum).
+    Convergence on the relative change of the FULL objective
+    ``f(x) + lamduh*R(x)`` — the quantity the optimum actually minimizes."""
+    step_size = 1.0
+    regularizer = Regularizer.get(regularizer)
+    x = np.zeros(p)
+    yk = x.copy()
+    t = 1.0
+    fobj_prev = None
+    for _ in range(max_iter):
+        fy, gy = loss_grad(yk)
+        accepted = False
+        fx = fy
+        xn = yk
+        for base in range(0, MAX_BACKTRACKS, PROBE_BATCH):
+            sizes = [
+                step_size * (0.5 ** i)
+                for i in range(base, min(base + PROBE_BATCH, MAX_BACKTRACKS))
+            ]
+            cands = [
+                regularizer.proximal_operator(yk - s * gy, s * lamduh)
+                for s in sizes
+            ]
+            losses, _ = multi_loss_grad(cands)
+            for s, cand, fval in zip(sizes, cands, losses):
+                d = cand - yk
+                if fval <= fy + gy @ d + (d @ d) / (2.0 * s):
+                    xn, fx, step_size = cand, fval, s
+                    accepted = True
+                    break
+            if accepted:
+                break
+        if not accepted:
+            break  # step underflow: yk is numerically a fixed point
+        tn = (1.0 + np.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        yk = xn + ((t - 1.0) / tn) * (xn - x)
+        x, t = xn, tn
+        fobj = fx + lamduh * regularizer.f(x)
+        if fobj_prev is not None and abs(fobj_prev - fobj) / max(
+            abs(fobj), abs(fobj_prev), 1.0
+        ) < tol:
+            break
+        fobj_prev = fobj
+        step_size *= 1.25  # mild growth: re-probe larger steps next round
+    return x
+
+
 def gd_step(
     df: DataFrame,
     beta,
@@ -447,15 +510,22 @@ def proximal_grad(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    accelerate: bool = False,
     **kwargs,
 ):
     """Proximal gradient / ISTA with backtracking (``algorithms.py:422-505``).
 
     Per outer iteration: one fused loss+gradient scan, then batched probe
     scans where each candidate is ``prox(beta - s*grad, s*lamduh)`` and
-    acceptance is simple decrease (``df > 0``, :489-491)."""
+    acceptance is simple decrease (``df > 0``, :489-491).
+
+    ``accelerate=True`` (beyond-reference, round 8): FISTA momentum with
+    majorization backtracking — same two kernel surfaces, O(1/k^2) rate,
+    and a full-objective stopping rule; reaches the MLlib/OWL-QN optimum
+    where the reference's step policy stalls (see ``_fista_loop``)."""
     p = _resolve_p(df, features_col, kwargs)
-    return _prox_loop(
+    loop = _fista_loop if accelerate else _prox_loop
+    return loop(
         lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path
         ),
@@ -579,17 +649,19 @@ def proximal_grad_sparse(
     idx_col: str = "findices",
     val_col: str = "fvalues",
     label_col: str = "label",
+    accelerate: bool = False,
     **kwargs,
 ):
     """Proximal gradient over wide-sparse features — L1 on hashed text is
     the canonical sparse GLM workload (reference runs every solver on
     sparse inputs, ``dask_glm/tests/test_estimators.py:57-135``). Same
-    ``_prox_loop`` control flow as the dense solver with O(nnz) kernels."""
+    ``_prox_loop`` control flow as the dense solver with O(nnz) kernels;
+    ``accelerate=True`` swaps in the FISTA loop (see ``proximal_grad``)."""
     from dask_glm_spark.functions import kernels_sparse
 
     return _run_sparse(
         df, idx_col, p,
-        lambda dfc, pp: _prox_loop(
+        lambda dfc, pp: (_fista_loop if accelerate else _prox_loop)(
             lambda beta: kernels_sparse.loss_gradient_sparse(
                 dfc, family, beta, pp, idx_col, val_col, label_col
             ),

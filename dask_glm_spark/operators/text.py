@@ -667,12 +667,34 @@ def tfidf_features(
     return _dense_pivot(counts, id_col, num_features, scale=idf)
 
 
+def tokens_projection(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, toks array<string>)`` with empty tokens filtered — the ONE
+    tokenized projection both LM scorers (and any other token consumer)
+    can share: tokenization is the expensive regex over the full text, so
+    a pipeline that scores unigram AND bigram quality should build this
+    once, ``persist()`` it, and pass it to both via ``tokens_df`` (the
+    ``cms_counters`` hook convention) instead of paying two text scans.
+    Token order is preserved, so pairs derived from ``toks`` equal pairs
+    derived from the raw text."""
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0).alias(
+            "toks"
+        ),
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 50_000,
     oov_logp: float | None = None,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc mean unigram log-probability — the classic model-based
     quality signal (CCNet-style filtering, with the corpus's own unigram
@@ -698,15 +720,24 @@ def unigram_logprob_scores(
 
     from dask_glm_spark.plans.layout import ensure_min_parallelism
 
-    # Persisted (the tfidf convention, left to Spark's LRU): the explode +
-    # tokenize feeds BOTH the model aggregate and the scoring join — unpersisted
-    # it re-tokenized the whole corpus in each job (VERDICT r6 #2).
-    tok = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok"))
-        .where(F.length("tok") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if tokens_df is not None:
+        # caller-supplied (id, toks) projection (see tokens_projection) —
+        # usually persisted and shared with the bigram scorer; exploding
+        # from cached arrays is narrow and cheap, so no second persist
+        tok = tokens_df.select(F.col(id_col), F.explode("toks").alias("tok"))
+    else:
+        # Persisted (the tfidf convention, left to Spark's LRU): the
+        # explode + tokenize feeds BOTH the model aggregate and the scoring
+        # join — unpersisted it re-tokenized the whole corpus in each job
+        # (VERDICT r6 #2).
+        tok = (
+            ensure_min_parallelism(df)
+            .select(
+                F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+            )
+            .where(F.length("tok") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     # counts feeds two driver jobs (total, vocab top-k) — persisting the
     # O(vocab) result skips the second full wordcount shuffle over the cache
     counts = (
@@ -740,24 +771,27 @@ def unigram_logprob_scores(
     )
 
 
+def _pairs_of_tokens(tk: Column) -> Column:
+    """Adjacent pairs of an (already empty-filtered) token array; <2
+    tokens → empty array — guarded, since Spark's ``sequence(1, 0)``
+    counts DOWN rather than returning empty."""
+    return F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("prev"),
+                F.element_at(tk, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+
 def bigram_pairs_expr(text: Column | str) -> Column:
     """array<struct<prev,cur>> of adjacent token pairs (empty tokens
-    dropped; <2 tokens → empty array — guarded, since Spark's
-    ``sequence(1, 0)`` counts DOWN rather than returning empty)."""
+    dropped)."""
     tkf = F.filter(tokens_expr(text), lambda t: F.length(t) > 0)
-    return _let(
-        tkf,
-        lambda tk: F.when(
-            F.size(tk) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - 1),
-                lambda i: F.struct(
-                    F.element_at(tk, i).alias("prev"),
-                    F.element_at(tk, i + 1).alias("cur"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>")),
-    )
+    return _let(tkf, _pairs_of_tokens)
 
 
 def bigram_logprob_scores(
@@ -767,6 +801,7 @@ def bigram_logprob_scores(
     top_k: int = 200_000,
     top_k_uni: int = 50_000,
     backoff: float = 0.4,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc mean bigram CONDITIONAL log-probability with stupid
     backoff — the order-2 companion to ``unigram_logprob_scores`` (a much
@@ -792,19 +827,38 @@ def bigram_logprob_scores(
     histories) truncated to bounded broadcasts (count desc, pair asc —
     deterministic); scoring is two broadcast left joins + one
     groupBy(id). The pair table persists across the model/scoring jobs
-    (the unigram single-tokenize convention)."""
+    (the unigram single-tokenize convention). ``tokens_df``: a
+    caller-persisted ``tokens_projection`` shared with the unigram scorer
+    — skips this scorer's own tokenize+persist entirely (round 8,
+    VERDICT r7 #2)."""
     import math
 
     from pyspark import StorageLevel
 
     from dask_glm_spark.plans.layout import ensure_min_parallelism
 
-    bi = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col), F.explode(bigram_pairs_expr(text_col)).alias("p"))
-        .select(id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if tokens_df is not None:
+        # caller-supplied (id, toks) projection (see tokens_projection) —
+        # pair derivation from cached arrays is one narrow transform per
+        # consuming job, cheaper than persisting an exploded pair table
+        bi = tokens_df.select(
+            F.col(id_col), F.explode(_pairs_of_tokens(F.col("toks"))).alias("p")
+        ).select(
+            id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+        )
+        owns_cache = False
+    else:
+        bi = (
+            ensure_min_parallelism(df)
+            .select(
+                F.col(id_col), F.explode(bigram_pairs_expr(text_col)).alias("p")
+            )
+            .select(
+                id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        owns_cache = True
     pair_counts = (
         bi.groupBy("prev", "cur")
         .agg(F.count("*").alias("c"))
@@ -812,7 +866,8 @@ def bigram_logprob_scores(
     )
     total = pair_counts.agg(F.sum("c")).first()[0] or 0
     if total == 0:
-        bi.unpersist()
+        if owns_cache:
+            bi.unpersist()
         pair_counts.unpersist()
         return df.select(
             F.col(id_col),

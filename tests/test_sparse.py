@@ -112,6 +112,19 @@ def test_proximal_grad_sparse_matches_dense_fit(dense_df, sparse_df):
     np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-8, atol=1e-10)
 
 
+def test_fista_sparse_matches_dense_fit(dense_df, sparse_df):
+    """Round 8: the accelerated (FISTA) loop runs the same control flow
+    over both kernel surfaces — sparse must equal dense bit-tight."""
+    kw = dict(regularizer="l1", lamduh=0.01, max_iter=40, fit_intercept=False)
+    dense_lr = LogisticRegression(solver="proximal_grad", **kw).fit(
+        dense_df, normalize=False, accelerate=True
+    )
+    sparse_lr = LogisticRegression(solver="proximal_grad", **kw).fit(
+        sparse_df, p=P, accelerate=True
+    )
+    np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-8, atol=1e-10)
+
+
 def test_gradient_descent_sparse_matches_dense_fit(dense_df, sparse_df):
     kw = dict(max_iter=25, fit_intercept=False)
     dense_lr = LogisticRegression(solver="gradient_descent", **kw).fit(
