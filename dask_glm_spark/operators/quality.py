@@ -518,8 +518,14 @@ def select_to_token_budget(
     text_col: str = "text",
     id_col: str = "doc_id",
     default_budget: int = 0,
+    count_expr: Column | None = None,
 ) -> DataFrame:
     """Greedy per-group selection under a token budget.
+
+    ``count_expr`` overrides the per-row token count (default: whitespace
+    ``token_count_expr(text_col)``) — e.g. ``bpe_token_count_expr(text,
+    merges)`` to budget in TRAINED subword tokens (round 8), or a
+    precomputed column.
 
     Rows are ordered inside each ``by`` group by ``priority`` (descending;
     default: quality-free deterministic doc order by ``id_col``) and kept
@@ -560,7 +566,7 @@ def select_to_token_budget(
             ),
             F.lit(int(default_budget)),
         )
-    n_tok = token_count_expr(text_col)
+    n_tok = count_expr if count_expr is not None else token_count_expr(text_col)
     prior = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
     return (
         df.withColumn("_prior_tokens", prior)

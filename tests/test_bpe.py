@@ -1,0 +1,180 @@
+"""BPE tokenizer tests (round 8): hand-verified merge sequence on the
+reference paper's corpus, layout determinism, and bit-parity of the
+three encode paths (python twin / Arrow mapInPandas / pure-Column
+replace chain)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _word_corpus(spark, counts: dict[str, int]):
+    rows = [(i, w) for i, w in enumerate(
+        w for w, c in sorted(counts.items()) for _ in range(c)
+    )]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTrain:
+    def test_sennrich_corpus_merge_sequence(self, spark):
+        """The paper's example vocabulary {low:5, lower:2, newest:6,
+        widest:3} with the </w> marker. The first merges are forced by
+        the counts; ties (equal counts) break on the lexicographically
+        smallest pair — our documented deterministic rule — giving this
+        exact hand-derived sequence."""
+        from dask_glm_spark.operators.bpe import bpe_train
+
+        df = _word_corpus(
+            spark, {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        )
+        merges = bpe_train(df, 9, end_of_word="</w>", min_pair_count=1)
+        assert merges == [
+            ("e", "s"),          # 9 (newest+widest); ties (s,t),(t,</w>)
+            ("es", "t"),         # 9
+            ("est", "</w>"),     # 9
+            ("l", "o"),          # 7 (low+lower); tie (o,w)
+            ("lo", "w"),         # 7
+            ("e", "w"),          # 6; ties (n,e),(w,est</w>) — 'e' smallest
+            ("ew", "est</w>"),   # 6; tie (n,ew)
+            ("n", "ewest</w>"),  # 6
+            ("low", "</w>"),     # 5
+        ]
+
+    def test_train_deterministic_across_layouts(self, spark):
+        from dask_glm_spark.operators.bpe import bpe_train
+        from dask_glm_spark.sources.glm_source import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = bpe_train(docs, 40)
+        b = bpe_train(docs.repartition(13), 40)
+        assert a == b and len(a) == 40
+
+    def test_min_pair_count_stops_early(self, spark):
+        from dask_glm_spark.operators.bpe import bpe_train
+
+        df = _word_corpus(spark, {"ab": 1, "cd": 1})
+        assert bpe_train(df, 10, min_pair_count=2) == []
+        assert len(bpe_train(df, 10, min_pair_count=1)) > 0
+
+
+class TestEncodeParity:
+    WORDS = [
+        "the", "theme", "anthem", "standing", "x", "", "that",
+        "interesting", "chesterton", "aaaa", "thethethe", "a-b.c",
+        "ingesting", "northern", "12345", "resting",
+    ]
+
+    def _merges(self, spark):
+        from dask_glm_spark.operators.bpe import bpe_train
+        from dask_glm_spark.sources.glm_source import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        return bpe_train(docs, 60)
+
+    def test_expr_matches_python_twin(self, spark):
+        from dask_glm_spark.operators.bpe import (
+            bpe_encode_word,
+            bpe_split_expr,
+        )
+
+        merges = self._merges(spark)
+        df = spark.createDataFrame(
+            [(w,) for w in self.WORDS], "w string"
+        ).select(bpe_split_expr("w", merges).alias("toks"))
+        got = [tuple(r["toks"]) for r in df.collect()]
+        want = [bpe_encode_word(w, merges) for w in self.WORDS]
+        assert got == want
+
+    def test_arrow_matches_python_twin(self, spark):
+        from dask_glm_spark.operators.bpe import bpe_encode, bpe_encode_word
+
+        merges = self._merges(spark)
+        texts = [
+            "the theme standing anthem",
+            "interesting resting x",
+            "",
+            "   ",
+            "aaaa thethethe 12345",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: list(r["bpe_tokens"])
+            for r in bpe_encode(df, merges).collect()
+        }
+        for i, t in enumerate(texts):
+            want = []
+            for w in t.lower().split():
+                want.extend(bpe_encode_word(w, merges))
+            assert out[i] == want, f"doc {i}"
+
+    def test_fixed_table_count_expr_matches_python(self, spark):
+        from dask_glm_spark.operators.bpe import (
+            FIXED_MERGES_EN,
+            bpe_encode_word,
+            bpe_token_count_expr,
+        )
+        from dask_glm_spark.sources.glm_source import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        got = {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id",
+                bpe_token_count_expr("text", FIXED_MERGES_EN).alias("n"),
+            ).collect()
+        }
+        pdf = docs.select("doc_id", "text").toPandas()
+        for _, row in pdf.head(200).iterrows():
+            want = sum(
+                len(bpe_encode_word(w, FIXED_MERGES_EN))
+                for w in str(row["text"]).lower().split()
+            )
+            assert got[row["doc_id"]] == want, row["doc_id"]
+
+    def test_roundtrip_concat(self, spark):
+        """No end_of_word: concatenating a word's subwords reproduces the
+        word — merges only ever concatenate."""
+        from dask_glm_spark.operators.bpe import bpe_encode_word
+
+        merges = self._merges(spark)
+        for w in self.WORDS:
+            assert "".join(bpe_encode_word(w, merges)) == w.replace("\x1f", "")
+
+    def test_greedy_leftmost_same_pair(self, spark):
+        from dask_glm_spark.operators.bpe import (
+            bpe_encode_word,
+            bpe_split_expr,
+        )
+
+        merges = [("a", "a")]
+        assert bpe_encode_word("aaa", merges) == ("aa", "a")
+        assert bpe_encode_word("aaaa", merges) == ("aa", "aa")
+        df = spark.createDataFrame([("aaa",), ("aaaa",)], "w string")
+        got = [
+            tuple(r["t"])
+            for r in df.select(bpe_split_expr("w", merges).alias("t")).collect()
+        ]
+        assert got == [("aa", "a"), ("aa", "aa")]
+
+
+class TestBudgetIntegration:
+    def test_select_to_token_budget_under_bpe_counts(self, spark):
+        from dask_glm_spark.operators.bpe import (
+            FIXED_MERGES_EN,
+            bpe_token_count_expr,
+        )
+        from dask_glm_spark.operators.quality import select_to_token_budget
+
+        rows = [(i, "src", "the theme standing " * 4) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        cnt = bpe_token_count_expr("text", FIXED_MERGES_EN)
+        per_doc = df.select(cnt.alias("n")).first()["n"]
+        kept = select_to_token_budget(
+            df, int(per_doc * 3), by="source", count_expr=cnt
+        ).count()
+        # greedy-fill: kept while PRIOR count < budget -> docs 0,1,2
+        assert kept == 3
