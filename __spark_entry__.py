@@ -1025,7 +1025,7 @@ SELECT d.doc_id,
         text || ' contact user' || CAST(d.doc_id AS VARCHAR)
              || '@mail.example.com via https://ex.example/'
              || CAST(d.doc_id AS VARCHAR) || ' ref '
-             || CAST(d.doc_id * d.doc_id + 1234567 AS VARCHAR),
+             || CAST((d.doc_id % 1000003) * (d.doc_id % 1000003) + 1234567 AS VARCHAR),
         '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
       '(?i)https?://[^\s]+', '<URL>', 'g'),
     '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
@@ -1752,7 +1752,14 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("@mail.example.com via https://ex.example/"),
         F.col("doc_id").cast("string"),
         F.lit(" ref "),
-        (F.col("doc_id") * F.col("doc_id") + F.lit(1234567)).cast("string"),
+        # mod before squaring: raw doc_id^2 overflows long once ids leave
+        # the small gate-SF range (found by the round-8 10x full-gate run,
+        # which remaps ids by +k*10^12 per copy)
+        (
+            F.pmod(F.col("doc_id"), F.lit(1000003))
+            * F.pmod(F.col("doc_id"), F.lit(1000003))
+            + F.lit(1234567)
+        ).cast("string"),
     )
     pdd = paragraph_dedup(
         docs.select(
