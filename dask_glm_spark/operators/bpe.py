@@ -258,6 +258,51 @@ def bpe_token_count_expr(
     )
 
 
+def save_merges(
+    merges: list[tuple[str, str]], path: str, end_of_word: str | None = None
+) -> None:
+    """Persist a trained merge table as human-readable JSON (the
+    `save_model` convention: params + content round-trip exactly, no
+    pickle) — a tokenizer trained once on the corpus is reused by every
+    downstream budget/packing/encode job and across rounds."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "format": "bpe_merges",
+                "version": 1,
+                "end_of_word": end_of_word,
+                "merges": [list(m) for m in merges],
+            },
+            fh,
+        )
+
+
+def load_merges(path: str) -> tuple[list[tuple[str, str]], str | None]:
+    """Load a merge table written by ``save_merges``; returns
+    ``(merges, end_of_word)``."""
+    import json
+
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("format") != "bpe_merges":
+        raise ValueError(f"{path}: not a bpe_merges file")
+    return [tuple(m) for m in obj["merges"]], obj.get("end_of_word")
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], base: set[str] | None = None
+) -> set[str]:
+    """The token vocabulary a merge table can emit: every merge product
+    (plus the caller's base symbol set, if given). Encoded tokens are
+    always either single input characters, the end-of-word symbol, or
+    members of this set."""
+    out = set(base or ())
+    out.update(left + right for left, right in merges)
+    return out
+
+
 # Fixed, data-independent demonstration table (common-English digraph
 # chains) — the q16 gate applies THIS table so the DuckDB oracle can
 # re-derive counts at every SF with the identical literal replace chain.

@@ -161,6 +161,46 @@ class TestEncodeParity:
         assert got == [("aa", "a"), ("aa", "aa")]
 
 
+class TestPersistence:
+    def test_merges_round_trip(self, spark, tmp_path):
+        from dask_glm_spark.operators.bpe import (
+            bpe_encode_word,
+            bpe_train,
+            bpe_vocab,
+            load_merges,
+            save_merges,
+        )
+
+        df = _word_corpus(
+            spark, {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        )
+        merges = bpe_train(df, 9, end_of_word="</w>", min_pair_count=1)
+        p = str(tmp_path / "merges.json")
+        save_merges(merges, p, end_of_word="</w>")
+        loaded, eow = load_merges(p)
+        assert loaded == merges and eow == "</w>"
+        # loaded table encodes identically
+        assert bpe_encode_word("lowest", loaded, eow) == bpe_encode_word(
+            "lowest", merges, "</w>"
+        )
+        # every non-char emitted token is a merge product
+        vocab = bpe_vocab(merges)
+        for tok in bpe_encode_word("lowest", merges, "</w>"):
+            assert len(tok) == 1 or tok == "</w>" or tok in vocab
+
+    def test_load_rejects_foreign_json(self, tmp_path):
+        import json
+
+        import pytest
+
+        from dask_glm_spark.operators.bpe import load_merges
+
+        p = str(tmp_path / "other.json")
+        json.dump({"params": {}}, open(p, "w"))
+        with pytest.raises(ValueError, match="not a bpe_merges"):
+            load_merges(p)
+
+
 class TestBudgetIntegration:
     def test_select_to_token_budget_under_bpe_counts(self, spark):
         from dask_glm_spark.operators.bpe import (
