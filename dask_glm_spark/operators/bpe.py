@@ -245,14 +245,25 @@ def bpe_token_count_expr(
     pure Column expression (the q16 gate column; any SQL engine mirrors
     it with the same replace chain). Sum over words of (SEP count)/2 of
     the encoded word — each symbol carries exactly two separators."""
+    from dask_glm_spark.functions.exprs import let as _let
+
     toks = F.filter(tokens_expr(text), lambda t: F.length(t) > 0)
-    per_word = lambda w: (
-        (
-            F.length(_word_split_expr(w, merges))
-            - F.length(F.replace(_word_split_expr(w, merges), F.lit(SEP), F.lit("")))
+
+    def per_word(w):
+        # let-bind the encoded word: it feeds both length() calls, and
+        # Catalyst would otherwise inline (and EXECUTE) the whole replace
+        # chain twice per word
+        return _let(
+            _word_split_expr(w, merges),
+            lambda s: (
+                (
+                    F.length(s)
+                    - F.length(F.replace(s, F.lit(SEP), F.lit("")))
+                )
+                / 2
+            ).cast("long"),
         )
-        / 2
-    ).cast("long")
+
     return F.aggregate(
         F.transform(toks, per_word), F.lit(0).cast("long"), lambda a, x: a + x
     )
