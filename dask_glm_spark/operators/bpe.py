@@ -180,6 +180,8 @@ def bpe_encode(
 
     from dask_glm_spark.operators.text import _tokenize_py
 
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists on the input")
     fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
     schema = f"{fields}, `{out_col}` array<string>"
     mlist = [tuple(m) for m in merges]
