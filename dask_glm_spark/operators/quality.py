@@ -846,6 +846,7 @@ def corpus_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str | None = None,
+    count_expr: Column | None = None,
 ) -> dict:
     """One-stop corpus health report — the numbers every curation run
     logs between stages: document/token volume, length distribution,
@@ -856,13 +857,17 @@ def corpus_report(
     ONE aggregate job over ONE scan (plus a tiny groupBy when lang_col is
     given) — cheap enough to run after every stage; all estimates are
     clearly suffixed ``_est``. Returns a plain dict (driver-side, the
-    manifest convention)."""
+    manifest convention).
+
+    ``count_expr`` overrides the per-doc token count (default whitespace
+    ``token_count_expr``) — e.g. ``bpe_token_count_expr(text, merges)``
+    so every volume stat reports TRAINED subword tokens (round 8)."""
     from dask_glm_spark.operators.text import (
         fingerprint_fast_expr,
         token_count_expr,
     )
 
-    ntok = token_count_expr(text_col)
+    ntok = count_expr if count_expr is not None else token_count_expr(text_col)
     empty = F.trim(F.col(text_col)) == ""
     row = df.agg(
         F.count("*").cast("long").alias("n_docs"),

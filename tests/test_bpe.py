@@ -202,6 +202,26 @@ class TestPersistence:
 
 
 class TestBudgetIntegration:
+    def test_corpus_report_under_bpe_counts(self, spark):
+        from dask_glm_spark.operators.bpe import (
+            FIXED_MERGES_EN,
+            bpe_encode_word,
+            bpe_token_count_expr,
+        )
+        from dask_glm_spark.operators.quality import corpus_report
+
+        rows = [(1, "the theme"), (2, "standing anthem chest")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = corpus_report(
+            df, count_expr=bpe_token_count_expr("text", FIXED_MERGES_EN)
+        )
+        want = sum(
+            len(bpe_encode_word(w, FIXED_MERGES_EN))
+            for _, t in rows
+            for w in t.split()
+        )
+        assert rep["total_tokens"] == want and rep["n_docs"] == 2
+
     def test_select_to_token_budget_under_bpe_counts(self, spark):
         from dask_glm_spark.operators.bpe import (
             FIXED_MERGES_EN,
