@@ -161,6 +161,37 @@ class TestEncodeParity:
         assert got == [("aa", "a"), ("aa", "aa")]
 
 
+class TestFuzzParity:
+    def test_seeded_fuzz_expr_equals_python(self, spark):
+        """200 seeded random words over a merge-heavy alphabet (letters
+        the fixed table merges, repeats, punctuation, non-ASCII): the
+        Column replace-chain path must equal the python twin on every
+        word, and concatenation must reproduce the word."""
+        import numpy as np
+
+        from dask_glm_spark.operators.bpe import (
+            FIXED_MERGES_EN,
+            bpe_encode_word,
+            bpe_split_expr,
+        )
+
+        rng = np.random.RandomState(80)
+        alphabet = list("theanristoud") + ["t", "h", "e", ".", "-", "é", "ß"]
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+            for _ in range(200)
+        ]
+        # adversarial fixtures: runs of mergeable pairs, full merges
+        words += ["thththth", "ananan", "eeee", "thethethe", "ing" * 4]
+        df = spark.createDataFrame([(w,) for w in words], "w string").select(
+            "w", bpe_split_expr("w", FIXED_MERGES_EN).alias("toks")
+        )
+        for r in df.collect():
+            want = bpe_encode_word(r["w"], FIXED_MERGES_EN)
+            assert tuple(r["toks"]) == want, r["w"]
+            assert "".join(want) == r["w"]
+
+
 class TestPersistence:
     def test_merges_round_trip(self, spark, tmp_path):
         from dask_glm_spark.operators.bpe import (

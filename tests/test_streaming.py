@@ -210,6 +210,34 @@ def test_quality_exprs_streamable(spark, tmp_path_factory):
     assert got == want
 
 
+def test_bpe_encode_streamable(spark, tmp_path_factory):
+    """bpe_encode is a stateless mapInPandas transform (the merge table
+    rides the closure), so it composes with readStream unchanged —
+    tokenize-on-ingest for a continuously arriving corpus: stream output
+    == batch output row-for-row."""
+    from dask_glm_spark.operators.bpe import FIXED_MERGES_EN, bpe_encode
+
+    d = str(tmp_path_factory.mktemp("bdocs"))
+    rows = [
+        (1, "the theme standing"),
+        (2, "interesting anthem chest"),
+        (3, ""),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.write.mode("overwrite").parquet(d)
+    sel = lambda df: bpe_encode(df, FIXED_MERGES_EN).select(  # noqa: E731
+        "doc_id", "bpe_tokens"
+    )
+    want = {(r["doc_id"], tuple(r["bpe_tokens"])) for r in sel(batch).collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    SC.run_stream_to_memory(sel(stream), "bpe_stream_test", mode="append")
+    got = {
+        (r["doc_id"], tuple(r["bpe_tokens"]))
+        for r in spark.table("bpe_stream_test").collect()
+    }
+    assert got == want
+
+
 def test_sessionize_stream_late_event_within_gap(spark, tmp_path_factory):
     """Review r5: a cross-microbatch late event INSIDE the gap must merge
     without moving the session end backwards (previously `last = ts`
