@@ -1017,6 +1017,21 @@ wreb AS (
     ON wbad.doc_id = wpos.doc_id AND wbad.p = wpos.p
   WHERE wbad.p IS NULL
   GROUP BY wpos.doc_id
+),
+-- round 8: strip_boilerplate_lines over the same '|' paragraphs —
+-- trimmed-line portable polyhash, document-frequency >= 3 threshold,
+-- every occurrence of a common line dropped, order-preserving rebuild
+bcommon AS (
+  SELECT __PH__ AS fp
+  FROM pp WHERE length(trim(par)) >= 1
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+),
+breb AS (
+  SELECT doc_id, string_agg(par, '|' ORDER BY pos) AS bp_text
+  FROM pp
+  WHERE NOT (length(trim(par)) >= 1
+             AND __PH__ IN (SELECT fp FROM bcommon))
+  GROUP BY doc_id
 )
 SELECT d.doc_id,
   regexp_replace(
@@ -1030,11 +1045,13 @@ SELECT d.doc_id,
       '(?i)https?://[^\s]+', '<URL>', 'g'),
     '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
   coalesce(reb.par_dedup_text, '') AS par_dedup_text,
-  coalesce(wreb.wspan_text, '') AS wspan_text
+  coalesce(wreb.wspan_text, '') AS wspan_text,
+  coalesce(breb.bp_text, '') AS bp_text
 FROM documents d
 LEFT JOIN reb ON reb.doc_id = d.doc_id
 LEFT JOIN wreb ON wreb.doc_id = d.doc_id
-ORDER BY d.doc_id""",
+LEFT JOIN breb ON breb.doc_id = d.doc_id
+ORDER BY d.doc_id""".replace("__PH__", _duck_polyhash("trim(par)")),
     # Benchmark decontamination: docs sharing any word 5-gram with the
     # benchmark slice (doc_id % 31 = 0) are contaminated.
     "q43_decontam": f"""WITH toks AS (
@@ -1741,6 +1758,7 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.operators.quality import (
         paragraph_dedup,
         scrub_expr,
+        strip_boilerplate_lines,
         strip_duplicated_spans,
     )
 
@@ -1785,10 +1803,25 @@ def _pq_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="wtext",
         out_col="wspan_text",
     ).select("doc_id", "wspan_text")
+    # round 8: + bp_text — strip_boilerplate_lines over the same '|'
+    # paragraphs (document-frequency >= 3): every occurrence of a common
+    # line goes, unlike par_dedup's keep-first; the oracle re-derives
+    # the trimmed-line polyhash DF threshold and the rebuild
+    bpd = strip_boilerplate_lines(
+        docs.select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), "merge", "|").alias("btext"),
+        ),
+        text_col="btext",
+        sep="|",
+        min_docs=3,
+        out_col="bp_text",
+    ).select("doc_id", "bp_text")
     return (
         docs.select("doc_id", scrub_expr(synth).alias("scrubbed"))
         .join(pdd, "doc_id")
         .join(wdd, "doc_id")
+        .join(bpd, "doc_id")
         .orderBy("doc_id")
     )
 

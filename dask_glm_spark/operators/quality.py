@@ -35,10 +35,14 @@ subset common to Java and RE2 dialects.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dask_glm_spark.operators.text import token_count_expr, tokens_expr
+
+_log = logging.getLogger(__name__)
 
 # Portable regex subset: no backrefs, no lookaround (Java regex and
 # DuckDB's RE2 agree on these); applied to the raw (not lowercased) text
@@ -778,6 +782,92 @@ def strip_duplicated_spans(
     return out.select(
         *(df.columns if out_col in df.columns else [*df.columns, out_col])
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    sep: str = "\n",
+    out_col: str | None = None,
+    max_common: int = 10_000,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level BOILERPLATE removal: strip every occurrence of any
+    line appearing in >= ``min_docs`` DISTINCT documents (cookie banners,
+    nav menus, share buttons — the lines `paragraph_dedup` would keep
+    once but a training corpus wants gone entirely). Complements
+    `paragraph_dedup` (first-occurrence-wins) and
+    `strip_duplicated_spans` (window-granularity): here the unit is the
+    line and the rule is a document-frequency threshold.
+
+    Scale shape: ONE corpus aggregate + ONE narrow rebuild —
+    1. explode lines, fingerprint the TRIMMED line with the
+       engine-portable polyhash (leading/trailing-whitespace variants of
+       a banner collapse), count DISTINCT docs per fingerprint
+       (map-side-combinable two-phase distinct);
+    2. the common set (df >= min_docs) is collected to the driver —
+       boilerplate is by definition FEW distinct lines — deterministic
+       top-``max_common`` by (doc_count desc, fp asc) with a logged,
+       observable truncation if the cap binds;
+    3. rebuild is a PURE NARROW MAP: the fp set ships as ONE
+       constant-foldable literal (the ``bloom_words_lit`` plan-node
+       discipline) and each doc filters its own line array against it —
+       no second shuffle, text never leaves its partition.
+
+    Lines with trimmed length < ``min_line_chars`` are never counted or
+    stripped (empty lines are document structure). Returns the input
+    columns with ``out_col`` (default: ``text_col``, replaced in place).
+    """
+    import json as _json
+    import re
+
+    from dask_glm_spark.functions.exprs import let as _let
+    from dask_glm_spark.operators.text import polyhash_expr
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    out_col = out_col or text_col
+    esc = re.escape(sep)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), esc)).alias("_ln"),
+    )
+    common_rows = (
+        lines.where(F.length(F.trim("_ln")) >= min_line_chars)
+        .select("_id", polyhash_expr(F.trim(F.col("_ln"))).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .orderBy(F.desc("_nd"), F.asc("_fp"))
+        .limit(int(max_common) + 1)
+        .collect()
+    )
+    if len(common_rows) > max_common:
+        _log.warning(
+            "strip_boilerplate_lines: common-line set exceeds max_common=%d; "
+            "keeping the %d highest-document-frequency lines (deterministic). "
+            "Raise max_common or min_docs to cover the tail.",
+            max_common, max_common,
+        )
+        common_rows = common_rows[:max_common]
+    fps = [int(r["_fp"]) for r in common_rows]
+    if not fps:
+        return df.withColumn(out_col, F.col(text_col))
+    arr = F.from_json(F.lit(_json.dumps(fps)), "array<bigint>")
+
+    def keep(ln):
+        return ~(
+            (F.length(F.trim(ln)) >= min_line_chars)
+            & F.array_contains(arr, polyhash_expr(F.trim(ln)))
+        )
+
+    rebuilt = _let(
+        F.split(F.col(text_col), esc),
+        lambda ls: F.array_join(F.filter(ls, keep), sep),
+    )
+    return df.withColumn(out_col, rebuilt)
 
 
 def domain_expr(url: Column | str) -> Column:

@@ -659,3 +659,97 @@ def test_corpus_report(spark):
     assert rep["lang_mix"] == {"en": 2, "de": 2, "fr": 1}
     # no lang col requested -> key absent
     assert "lang_mix" not in corpus_report(df)
+
+
+class TestStripBoilerplateLines:
+    def _docs(self, spark):
+        banner = "accept our cookies"
+        rows = [
+            (1, f"{banner}\nunique one\nnav menu"),
+            (2, f"{banner}\nunique two\nnav menu"),
+            (3, f"  {banner}  \nunique three"),   # whitespace variant collapses
+            (4, "unique four\nnav menu"),
+            (5, "unique five"),
+            (6, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_strips_common_lines_everywhere(self, spark):
+        from dask_glm_spark.operators.quality import strip_boilerplate_lines
+
+        out = {
+            r["doc_id"]: r["text"]
+            for r in strip_boilerplate_lines(self._docs(spark), min_docs=3).collect()
+        }
+        # banner (3 docs incl. whitespace variant) and nav menu (3 docs) gone
+        assert out[1] == "unique one"
+        assert out[2] == "unique two"
+        assert out[3] == "unique three"
+        assert out[4] == "unique four"
+        assert out[5] == "unique five"
+        assert out[6] == ""
+
+    def test_threshold_and_structure_preserved(self, spark):
+        from dask_glm_spark.operators.quality import strip_boilerplate_lines
+
+        out = {
+            r["doc_id"]: r["bp"]
+            for r in strip_boilerplate_lines(
+                self._docs(spark), min_docs=4, out_col="bp"
+            ).collect()
+        }
+        # nothing reaches 4 docs -> text unchanged (whitespace variant kept)
+        assert out[3] == "  accept our cookies  \nunique three"
+        assert out[1] == "accept our cookies\nunique one\nnav menu"
+
+    def test_empty_lines_never_counted_or_stripped(self, spark):
+        from dask_glm_spark.operators.quality import strip_boilerplate_lines
+
+        rows = [(i, "a b c\n\nkeep me " + str(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = strip_boilerplate_lines(df, min_docs=3).collect()
+        for r in out:
+            # 'a b c' stripped (5 docs); the EMPTY line survives
+            assert r["text"] == "\nkeep me " + str(r["doc_id"])
+
+    def test_max_common_cap_is_deterministic(self, spark):
+        from dask_glm_spark.operators.quality import strip_boilerplate_lines
+
+        # 6 lines each in 3 docs; cap at 2 -> the 2 smallest fps win,
+        # same result on any layout
+        rows = [
+            (d * 10 + i, "\n".join(f"common line {j}" for j in range(6)))
+            for d in range(3)
+            for i in range(1)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            (r["doc_id"], r["text"])
+            for r in strip_boilerplate_lines(df, min_docs=3, max_common=2).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["text"])
+            for r in strip_boilerplate_lines(
+                df.repartition(5), min_docs=3, max_common=2
+            ).collect()
+        )
+        assert a == b
+        # exactly 4 of 6 lines survive under the cap
+        assert all(t.count("common line") == 4 for _, t in a)
+
+    def test_rebuild_is_narrow(self, spark):
+        """The rebuild pass (after the one driver aggregate) must be a
+        pure narrow map — no second exchange over the text."""
+        from dask_glm_spark.operators.quality import strip_boilerplate_lines
+        from dask_glm_spark.plans import audit
+
+        out = strip_boilerplate_lines(self._docs(spark), min_docs=3)
+        audit.assert_narrow(out)
+
+    def test_min_docs_validation(self, spark):
+        import pytest
+
+        from dask_glm_spark.operators.quality import strip_boilerplate_lines
+
+        with pytest.raises(ValueError, match="min_docs"):
+            strip_boilerplate_lines(self._docs(spark), min_docs=1)
