@@ -85,9 +85,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     clean = Q.decontaminate_two_phase(survivors, bench, n=5)
     n3 = clean.count()
 
-    # 4. token-budget mixture per source, then scrub
+    # 4. train a BPE tokenizer ON the cleaned corpus (one word-count
+    # scan + driver merge loop), then budget per source in TRAINED
+    # subword tokens — the unit a training run actually pays — and scrub
+    from dask_glm_spark.operators.bpe import bpe_token_count_expr, bpe_train
+
+    merges = bpe_train(clean, n_merges=64)
     selected = Q.select_to_token_budget(
-        clean, 50_000, by="source", priority="quality"
+        clean, 80_000, by="source", priority="quality",
+        count_expr=bpe_token_count_expr("text", merges),
     ).withColumn("text", Q.scrub_expr("text"))
     n4 = selected.count()
 
