@@ -266,8 +266,15 @@ def bpe_token_count_expr(
             ).cast("long"),
         )
 
-    return F.aggregate(
-        F.transform(toks, per_word), F.lit(0).cast("long"), lambda a, x: a + x
+    # coalesce: NULL text propagates a NULL array through the whole chain
+    # in both engines; report 0 tokens (the DuckDB twin coalesces too)
+    return F.coalesce(
+        F.aggregate(
+            F.transform(toks, per_word),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+        F.lit(0).cast("long"),
     )
 
 

@@ -135,6 +135,24 @@ class TestEncodeParity:
             )
             assert got[row["doc_id"]] == want, row["doc_id"]
 
+    def test_count_expr_null_text_is_zero(self, spark):
+        from dask_glm_spark.operators.bpe import (
+            FIXED_MERGES_EN,
+            bpe_token_count_expr,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "the")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id",
+                bpe_token_count_expr("text", FIXED_MERGES_EN).alias("n"),
+            ).collect()
+        }
+        assert got == {1: 0, 2: 0, 3: 1}
+
     def test_roundtrip_concat(self, spark):
         """No end_of_word: concatenating a word's subwords reproduces the
         word — merges only ever concatenate."""
