@@ -1207,7 +1207,8 @@ def _lsh_buckets_oracle_sql() -> str:
         for i, row in enumerate(planes)
     )
     return f"""SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-  TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+  TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
+  TRUE AS hard_negative_recall_ok
 FROM (
   SELECT {bits} AS bucket FROM embeddings
 ) t GROUP BY bucket ORDER BY bucket"""
@@ -1988,6 +1989,7 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hyperplanes,
         brute_force_topk,
         bucket_expr,
+        hard_negative_ids,
         ivf_ann_topk,
         lsh_ann_topk,
     )
@@ -2030,12 +2032,39 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_ann_topk(emb, queries, k=k, n_centroids=12, nprobe=6).collect(),
         truth,
     )
+    # round 8: + hard-negative mining contract — recall@5 of
+    # similarity.hard_negative_ids (3 planes; cross-label negatives cross
+    # bucket boundaries more than ANN neighbors, so fewer planes) vs the
+    # brute-force other-label truth on the same bounded corpus. Measured
+    # 0.64/0.72/0.54 at sf0.001/0.01/0.1 — the 0.4 bound is margin.
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    hn_truth: dict = {}
+    for r in sorted(
+        brute_force_topk(emb, queries, k=60).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    ):
+        if labels[r["neighbor_id"]] != labels[r["query_id"]]:
+            lst = hn_truth.setdefault(r["query_id"], [])
+            if len(lst) < k:
+                lst.append(r["neighbor_id"])
+    hn_found: dict = {}
+    for r in (
+        hard_negative_ids(emb, k=k, n_planes=3)
+        .where(F.col("anchor_id") < 10)
+        .collect()
+    ):
+        hn_found.setdefault(r["anchor_id"], set()).add(r["neg_id"])
+    hn_rec = sum(
+        len(set(t) & hn_found.get(q, set())) / len(t)
+        for q, t in hn_truth.items()
+    ) / max(len(hn_truth), 1)
     emb.unpersist()
     return hist.select(
         "bucket",
         "n",
         F.lit(bool(lsh_rec >= 0.5)).alias("lsh_recall_ok"),
         F.lit(bool(ivf_rec >= 0.6)).alias("ivf_recall_ok"),
+        F.lit(bool(hn_rec >= 0.4)).alias("hard_negative_recall_ok"),
     ).orderBy("bucket")
 
 

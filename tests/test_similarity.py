@@ -368,3 +368,81 @@ def test_embedding_dedup_incremental_across_batches(spark):
     assert idx2.count() == 3
     s3, idx3 = embedding_dedup_incremental(b1, idx2, threshold=0.99)
     assert s3.count() == 0 and idx3.count() == 3
+
+
+class TestHardNegatives:
+    def _labeled(self, spark, vectors):
+        # label = cluster index (12 clusters x 10 vectors)
+        rows = [
+            (i, i // 10, [float(x) for x in vectors[i]]) for i in range(N)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+
+    def test_negatives_are_other_label_and_recall(self, spark, vectors):
+        from dask_glm_spark.operators.similarity import hard_negative_ids
+
+        df = self._labeled(spark, vectors)
+        k = 5
+        got = hard_negative_ids(df, k=k, n_planes=3).collect()
+        labels = {i: i // 10 for i in range(N)}
+        by_anchor: dict = {}
+        for r in got:
+            assert labels[r["neg_id"]] != labels[r["anchor_id"]]
+            assert r["neg_id"] != r["anchor_id"]
+            by_anchor.setdefault(r["anchor_id"], []).append(
+                (r["rank"], r["neg_id"], r["cosine"])
+            )
+        # ranks are 1..m contiguous, cosine non-increasing
+        for a, lst in by_anchor.items():
+            lst.sort()
+            assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+            cs = [c for _, _, c in lst]
+            assert all(cs[i] >= cs[i + 1] - 1e-12 for i in range(len(cs) - 1))
+        # recall vs brute-force other-label top-k
+        Xn = vectors.astype(np.float64)
+        Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
+        sims = Xn @ Xn.T
+        recalls = []
+        for a in range(0, N, 7):
+            mask = np.array([labels[j] != labels[a] for j in range(N)])
+            order = np.argsort(-sims[a])
+            truth = [j for j in order if mask[j]][:k]
+            found = {nid for _, nid, _ in by_anchor.get(a, [])}
+            recalls.append(len(set(truth) & found) / k)
+        assert np.mean(recalls) >= 0.5
+
+    def test_layout_independent_and_no_window(self, spark, vectors):
+        from dask_glm_spark.operators.similarity import hard_negative_ids
+        from dask_glm_spark.plans import audit
+
+        df = self._labeled(spark, vectors)
+        a = sorted(
+            (r["anchor_id"], r["neg_id"], r["rank"])
+            for r in hard_negative_ids(df, k=3).collect()
+        )
+        b = sorted(
+            (r["anchor_id"], r["neg_id"], r["rank"])
+            for r in hard_negative_ids(df.repartition(9), k=3).collect()
+        )
+        assert a == b and len(a) > 0
+        plan = audit.explain_str(hard_negative_ids(df, k=3), "simple")
+        assert "Window" not in plan
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    def test_null_labels_excluded_both_ways(self, spark, vectors):
+        from dask_glm_spark.operators.similarity import hard_negative_ids
+
+        rows = [
+            (i, None if i < 5 else i // 10, [float(x) for x in vectors[i]])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+        got = hard_negative_ids(df, k=4, n_planes=3).collect()
+        ids_null = set(range(5))
+        for r in got:
+            assert r["anchor_id"] not in ids_null
+            assert r["neg_id"] not in ids_null
