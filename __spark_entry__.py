@@ -2048,11 +2048,9 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(lst) < k:
                 lst.append(r["neighbor_id"])
     hn_found: dict = {}
-    for r in (
-        hard_negative_ids(emb, k=k, n_planes=3)
-        .where(F.col("anchor_id") < 10)
-        .collect()
-    ):
+    for r in hard_negative_ids(
+        emb, k=k, n_planes=3, anchors=queries
+    ).collect():
         hn_found.setdefault(r["anchor_id"], set()).add(r["neg_id"])
     hn_rec = sum(
         len(set(t) & hn_found.get(q, set())) / len(t)

@@ -619,6 +619,7 @@ def hard_negative_ids(
     dim: int | None = None,
     multiprobe: bool = True,
     max_per_bucket: int | None = None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Contrastive HARD-negative mining: for each anchor, the ``k``
     most-cosine-similar vectors with a DIFFERENT ``label_col`` — the
@@ -626,6 +627,11 @@ def hard_negative_ids(
     (random negatives are trivially separable; the hard ones sit just
     across the decision boundary). Complements the random
     ``sampling.negative_sample_ids``.
+
+    ``anchors`` (default: ``df`` itself — mine negatives for every row)
+    restricts the anchor side to a different frame with the same
+    (id, label, vec) columns: mining for a query batch against the full
+    pool costs only the batch's bucket probes, not a pool-sized top-k.
 
     Physical shape is ``lsh_ann_join``'s, 100 TB-ready: shared-hyperplane
     LSH buckets on both sides (the anchor side multiprobes Hamming-1 by
@@ -654,7 +660,7 @@ def hard_negative_ids(
         F.col(vec_col).alias("cvec"),
         bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
-    qb = df.select(
+    qb = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("_alab"),
         F.col(vec_col).alias("qvec"),

@@ -431,6 +431,26 @@ class TestHardNegatives:
         assert "Window" not in plan
         assert "Cartesian" not in plan and "NestedLoop" not in plan
 
+    def test_anchor_batch_equals_full_slice(self, spark, vectors):
+        """anchors= restricts the mining to a query batch; results equal
+        the full-corpus run sliced to those anchors."""
+        from pyspark.sql import functions as F
+
+        from dask_glm_spark.operators.similarity import hard_negative_ids
+
+        df = self._labeled(spark, vectors)
+        batch = df.where(F.col("vec_id") < 15)
+        a = sorted(
+            (r["anchor_id"], r["neg_id"], r["rank"])
+            for r in hard_negative_ids(df, k=3, anchors=batch).collect()
+        )
+        b = sorted(
+            (r["anchor_id"], r["neg_id"], r["rank"])
+            for r in hard_negative_ids(df, k=3).collect()
+            if r["anchor_id"] < 15
+        )
+        assert a == b and len(a) > 0
+
     def test_null_labels_excluded_both_ways(self, spark, vectors):
         from dask_glm_spark.operators.similarity import hard_negative_ids
 
