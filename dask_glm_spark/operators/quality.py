@@ -857,10 +857,61 @@ def strip_boilerplate_lines(
         return df.withColumn(out_col, F.col(text_col))
     arr = F.from_json(F.lit(_json.dumps(fps)), "array<bigint>")
 
+    if len(fps) > 256:
+        # Large common set: array_contains is a linear scan per LINE, so a
+        # 10k-entry set costs 10k comparisons per line of the corpus. A
+        # Bloom pre-gate makes the common (non-boilerplate) case
+        # constant-time, and the exact array_contains re-check runs only
+        # on Bloom hits (codegen And short-circuits) — two-phase, output
+        # EXACTLY equal to the plain scan (the decontaminate_two_phase
+        # contract). Positions are computed via one tiny Spark job over
+        # the already-collected fps (same xxhash64 family as
+        # build_ngram_bloom — the driver never re-implements the hash).
+        n_bits = min(1 << max(14, (8 * len(fps)).bit_length()), BLOOM_MAX_BITS)
+        n_hashes = 4
+        salt = "bplines"
+        fp_df = df.sparkSession.createDataFrame([(f,) for f in fps], "fp long")
+        pos_rows = (
+            fp_df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            _bloom_pos_expr(F.col("fp"), n_bits, salt, j)
+                            for j in range(n_hashes)
+                        ]
+                    )
+                ).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        words = [0] * ((n_bits + 63) // 64)
+        for r in pos_rows:
+            p = int(r["p"])
+            words[p >> 6] |= 1 << (p & 63)
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        warr = bloom_words_lit(words)
+
+        def member(fp):
+            return bloom_contains_expr(
+                fp, warr, n_bits, n_hashes, salt
+            ) & F.array_contains(arr, fp)
+
+    else:
+
+        def member(fp):
+            return F.array_contains(arr, fp)
+
+    from dask_glm_spark.functions.exprs import let as _let_bp
+
     def keep(ln):
-        return ~(
-            (F.length(F.trim(ln)) >= min_line_chars)
-            & F.array_contains(arr, polyhash_expr(F.trim(ln)))
+        # let-bind trim and the fp: the fp feeds every Bloom row plus the
+        # exact check, and Catalyst re-inlines the per-char polyhash fold
+        # at each reference otherwise
+        return ~_let_bp(
+            F.trim(ln),
+            lambda t: (F.length(t) >= min_line_chars)
+            & _let_bp(polyhash_expr(t), member),
         )
 
     rebuilt = _let(

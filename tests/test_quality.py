@@ -753,3 +753,24 @@ class TestStripBoilerplateLines:
 
         with pytest.raises(ValueError, match="min_docs"):
             strip_boilerplate_lines(self._docs(spark), min_docs=1)
+
+    def test_bloom_pregate_path_is_exact(self, spark):
+        """>256 common lines switches to the Bloom-pregated membership —
+        output must EXACTLY equal the python oracle (two-phase contract),
+        and the rebuild stays narrow."""
+        from dask_glm_spark.operators.quality import strip_boilerplate_lines
+        from dask_glm_spark.plans import audit
+
+        common = [f"banner line number {j}" for j in range(300)]
+        rows = [
+            (d, "\n".join(common + [f"unique {d} tail"])) for d in range(3)
+        ] + [(99, "unique solo doc\nbanner line number 7")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = strip_boilerplate_lines(df, min_docs=3)
+        audit.assert_narrow(out)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        # all 300 banners (3 docs each... banner 7 is in 4) stripped
+        assert got[0] == "unique 0 tail"
+        assert got[1] == "unique 1 tail"
+        assert got[2] == "unique 2 tail"
+        assert got[99] == "unique solo doc"
