@@ -69,6 +69,7 @@ def bpe_train(
     max_words: int = 200_000,
     min_pair_count: int = 2,
     end_of_word: str | None = None,
+    tokens_df: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the ordered
     merge list (the model — pass it to ``bpe_encode`` /
@@ -87,13 +88,23 @@ def bpe_train(
     Deterministic: ties in pair frequency break on the lexicographically
     smallest (left, right). Stops early when the best pair's count drops
     below ``min_pair_count`` (merging noise would overfit the head
-    truncation)."""
+    truncation).
+
+    ``tokens_df``: a caller-persisted ``text.tokens_projection`` (id,
+    toks) — the shared-projection convention: a pipeline that already
+    tokenized for LM scoring / sketches trains the tokenizer off the
+    same cache instead of re-tokenizing the corpus."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    tok = (
+        tokens_df.select(F.explode("toks").alias("w"))
+        if tokens_df is not None
+        else df.select(F.explode(tokens_expr(text_col)).alias("w")).where(
+            F.length("w") > 0
+        )
+    )
     wc = (
-        df.select(F.explode(tokens_expr(text_col)).alias("w"))
-        .where(F.length("w") > 0)
-        .select(F.replace(F.col("w"), F.lit(SEP), F.lit("")).alias("w"))
+        tok.select(F.replace(F.col("w"), F.lit(SEP), F.lit("")).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("c"))

@@ -215,6 +215,7 @@ def token_percentiles(
     by: str = "source",
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
     method: str = "disc",
+    count_expr: Column | None = None,
 ) -> DataFrame:
     """Per-group token-count distribution: n_docs, max, and the requested
     quantiles as p{q} columns.
@@ -230,6 +231,10 @@ def token_percentiles(
       (per-source/per-shard dashboards), wrong for huge groups.
     - ``approx``: ``approx_percentile`` — t-digest-style sketch, O(1)
       state per group, mergeable map-side: the 100 TB path.
+
+    ``count_expr`` overrides the per-doc token count (default whitespace
+    ``token_count_expr``) — e.g. ``bpe.bpe_token_count_expr`` for
+    percentiles in trained subword units (round 8).
     """
     if method not in ("disc", "cont", "approx"):
         raise ValueError(f"method must be disc|cont|approx, got {method!r}")
@@ -255,9 +260,8 @@ def token_percentiles(
         F.max("n_tokens").cast("long").alias("max_tokens"),
         *pcols,
     ]
-    d = df.select(
-        F.col(by), token_count_expr(text_col).cast("double").alias("n_tokens")
-    )
+    n_tok = count_expr if count_expr is not None else token_count_expr(text_col)
+    d = df.select(F.col(by), n_tok.cast("double").alias("n_tokens"))
     return d.groupBy(by).agg(*cols)
 
 

@@ -51,6 +51,18 @@ class TestTrain:
         b = bpe_train(docs.repartition(13), 40)
         assert a == b and len(a) == 40
 
+    def test_tokens_df_hook_matches_text_path(self, spark):
+        from dask_glm_spark.operators.bpe import bpe_train
+        from dask_glm_spark.operators.text import tokens_projection
+        from dask_glm_spark.sources.glm_source import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        tokd = tokens_projection(docs).persist()
+        try:
+            assert bpe_train(docs, 30, tokens_df=tokd) == bpe_train(docs, 30)
+        finally:
+            tokd.unpersist()
+
     def test_min_pair_count_stops_early(self, spark):
         from dask_glm_spark.operators.bpe import bpe_train
 
@@ -270,6 +282,26 @@ class TestBudgetIntegration:
             for w in t.split()
         )
         assert rep["total_tokens"] == want and rep["n_docs"] == 2
+
+    def test_token_percentiles_under_bpe_counts(self, spark):
+        from dask_glm_spark.operators.bpe import (
+            FIXED_MERGES_EN,
+            bpe_encode_word,
+            bpe_token_count_expr,
+        )
+        from dask_glm_spark.operators.text import token_percentiles
+
+        rows = [(i, "s", "the theme " * (i + 1)) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = token_percentiles(
+            df, by="source",
+            count_expr=bpe_token_count_expr("text", FIXED_MERGES_EN),
+        ).collect()[0]
+        per_rep = sum(
+            len(bpe_encode_word(w, FIXED_MERGES_EN)) for w in ["the", "theme"]
+        )
+        assert out["n_docs"] == 4 and out["max_tokens"] == 4 * per_rep
+        assert out["p50"] == 2 * per_rep  # percentile_disc(0.5) of {1,2,3,4}x
 
     def test_select_to_token_budget_under_bpe_counts(self, spark):
         from dask_glm_spark.operators.bpe import (
