@@ -911,8 +911,12 @@ FROM (
   CAST(round(quantile_disc(n_tokens, 0.25), 4) AS DOUBLE) AS p25,
   CAST(round(quantile_disc(n_tokens, 0.5), 4) AS DOUBLE) AS p50,
   CAST(round(quantile_disc(n_tokens, 0.9), 4) AS DOUBLE) AS p90,
-  CAST(round(quantile_disc(n_tokens, 0.99), 4) AS DOUBLE) AS p99
-FROM (SELECT source, len({_DUCK_TOKENS_CASED}) * 1.0 AS n_tokens FROM documents) t
+  CAST(round(quantile_disc(n_tokens, 0.99), 4) AS DOUBLE) AS p99,
+  CAST(round(quantile_disc(n_bpe, 0.5), 4) AS DOUBLE) AS bpe_p50,
+  CAST(max(n_bpe) AS BIGINT) AS bpe_max_tokens
+FROM (SELECT source, len({_DUCK_TOKENS_CASED}) * 1.0 AS n_tokens,
+        CAST({_duck_bpe_count(_DUCK_TOKENS)} AS DOUBLE) AS n_bpe
+      FROM documents) t
 GROUP BY source ORDER BY source""",
     # Gopher-style repetition measures: line stats (trivial on the single-
     # line synthetic corpus but part of the published rule set), top-bigram
@@ -1732,11 +1736,29 @@ def _pq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token percentiles + (round 8) the same distribution in
+    FIXED-table BPE subword units via the count_expr hook — the oracle
+    re-derives both counts per doc and both quantile_disc aggregates."""
+    from pyspark.sql import functions as F
+
     from dask_glm_spark.operators import text as T
+    from dask_glm_spark.operators.bpe import (
+        FIXED_MERGES_EN,
+        bpe_token_count_expr,
+    )
     from dask_glm_spark.sources.glm_source import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return T.token_percentiles(docs, by="source").orderBy("source")
+    base = T.token_percentiles(docs, by="source")
+    bpe = T.token_percentiles(
+        docs, by="source", quantiles=(0.5,),
+        count_expr=bpe_token_count_expr("text", FIXED_MERGES_EN),
+    ).select(
+        "source",
+        F.col("p50").alias("bpe_p50"),
+        F.col("max_tokens").alias("bpe_max_tokens"),
+    )
+    return base.join(bpe, "source").orderBy("source")
 
 
 def _pq_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
