@@ -303,6 +303,32 @@ class TestBudgetIntegration:
         assert out["n_docs"] == 4 and out["max_tokens"] == 4 * per_rep
         assert out["p50"] == 2 * per_rep  # percentile_disc(0.5) of {1,2,3,4}x
 
+    def test_greedy_pack_under_bpe_counts(self, spark):
+        """Sequence packing in trained-subword units: bins respect the
+        budget measured in BPE tokens, not whitespace words."""
+        from pyspark.sql import functions as F
+
+        from dask_glm_spark.operators.bpe import (
+            FIXED_MERGES_EN,
+            bpe_token_count_expr,
+        )
+        from dask_glm_spark.operators.packing import greedy_pack
+
+        rows = [(i, i % 2, "the theme " * (1 + i % 3)) for i in range(12)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, bucket int, text string"
+        ).withColumn("n_bpe", bpe_token_count_expr("text", FIXED_MERGES_EN))
+        budget = 20  # every doc (4/8/12 BPE tokens) fits alone
+        packed = greedy_pack(df, "n_bpe", budget=budget)
+        per_seq = (
+            packed.groupBy("bucket", "seq_id")
+            .agg(F.sum("n_bpe").alias("s"))
+            .collect()
+        )
+        assert len(per_seq) > 0
+        for r in per_seq:
+            assert r["s"] <= budget
+
     def test_select_to_token_budget_under_bpe_counts(self, spark):
         from dask_glm_spark.operators.bpe import (
             FIXED_MERGES_EN,
