@@ -2044,9 +2044,20 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 5
     queries = emb.where(F.col("vec_id") < 10)
+    # ONE brute-force pass (k=60) serves BOTH ground truths: the ANN
+    # truth is its first k rows per query, the hard-negative truth its
+    # first k OTHER-label rows (top-k is a prefix of top-60 by the same
+    # total order) — round 8, was two separate eager passes
+    bf_rows = sorted(
+        brute_force_topk(emb, queries, k=60).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
     truth: dict = {}
-    for r in brute_force_topk(emb, queries, k=k).collect():
-        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in bf_rows:
+        s = truth.setdefault(r["query_id"], [])
+        if len(s) < k:
+            s.append(r["neighbor_id"])
+    truth = {q: set(v) for q, v in truth.items()}
     lsh_rec = _recall(
         lsh_ann_topk(emb, queries, k=k, n_planes=3).collect(), truth
     )
@@ -2061,10 +2072,7 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.64/0.72/0.54 at sf0.001/0.01/0.1 — the 0.4 bound is margin.
     labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
     hn_truth: dict = {}
-    for r in sorted(
-        brute_force_topk(emb, queries, k=60).collect(),
-        key=lambda r: (r["query_id"], r["rank"]),
-    ):
+    for r in bf_rows:  # same single brute-force pass as the ANN truth
         if labels[r["neighbor_id"]] != labels[r["query_id"]]:
             lst = hn_truth.setdefault(r["query_id"], [])
             if len(lst) < k:
