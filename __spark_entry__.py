@@ -1281,8 +1281,12 @@ def _pq_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 8 (VERDICT r7 #2): ONE tokenized projection feeds BOTH LM
     # scorers — tokenization is the expensive regex over the full text,
     # and the two scorers previously each ran (and persisted) their own
-    # pass. Persisted, LRU-managed (the scorers' own convention).
-    tokd = T.tokens_projection(docs).persist()
+    # pass. Round 9 (ADVICE r8): localCheckpoint instead of a bare
+    # .persist() — the returned frame is lazy, so an unmatched persist
+    # would squat a corpus-sized cache for the rest of the 50-query gate
+    # session; checkpoint blocks are released by the ContextCleaner when
+    # the frame is GC'd (the q51 aggregated-side pattern).
+    tokd = T.tokens_projection(docs).localCheckpoint()
     lm = T.unigram_logprob_scores(docs, tokens_df=tokd).select(
         "doc_id", F.col("mean_logp").alias("mean_logp")
     )
@@ -2077,6 +2081,23 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             lst = hn_truth.setdefault(r["query_id"], [])
             if len(lst) < k:
                 lst.append(r["neighbor_id"])
+    # Round 9 (ADVICE r8): the prefix-of-top-60 construction is only the
+    # TRUE other-label top-k while every query's nearest 60 include >= k
+    # cross-label rows. Fail LOUDLY if the ground truth would silently
+    # degrade (e.g. same-label clusters dominating a query's top-60 at a
+    # larger SF) instead of gating against a weaker truth.
+    hn_short = {
+        q: len(hn_truth.get(q, []))
+        for q in truth
+        if len(hn_truth.get(q, [])) < k
+    }
+    if hn_short:
+        raise AssertionError(
+            "q45 hard-negative ground truth incomplete: queries "
+            f"{sorted(hn_short)} have only {hn_short} other-label rows in "
+            f"their brute-force top-60 (need {k}); widen the brute-force "
+            "k or compute a label-filtered truth pass"
+        )
     hn_found: dict = {}
     for r in hard_negative_ids(
         emb, k=k, n_planes=3, anchors=queries

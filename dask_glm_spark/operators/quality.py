@@ -793,6 +793,7 @@ def strip_boilerplate_lines(
     out_col: str | None = None,
     max_common: int = 10_000,
     min_line_chars: int = 1,
+    fingerprint: str = "poly",
 ) -> DataFrame:
     """Corpus-level BOILERPLATE removal: strip every occurrence of any
     line appearing in >= ``min_docs`` DISTINCT documents (cookie banners,
@@ -819,6 +820,17 @@ def strip_boilerplate_lines(
     Lines with trimmed length < ``min_line_chars`` are never counted or
     stripped (empty lines are document structure). Returns the input
     columns with ``out_col`` (default: ``text_col``, replaced in place).
+
+    Fingerprint collision tradeoff (review r8): membership keys on the
+    line FINGERPRINT, not the line itself. The default ``fingerprint=
+    "poly"`` is the 31-base polyhash mod 1e9+7 (chosen because the DuckDB
+    oracle re-derives it in SQL) — at real corpus scale (millions of
+    distinct trimmed lines) birthday collisions against a 10k common set
+    are expected at roughly ``n_distinct * len(fps) / 1e9+7`` lines, each
+    of which would be silently stripped everywhere. For production (non-
+    oracle) pipelines pass ``fingerprint="xxhash64"``: the full 64-bit
+    space makes a collision against a 10k set negligible (~5e-9 even at
+    1e8 distinct lines). Both paths share the same two-phase plan shape.
     """
     import json as _json
     import re
@@ -828,6 +840,14 @@ def strip_boilerplate_lines(
 
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if fingerprint == "poly":
+        _fp_expr = polyhash_expr
+    elif fingerprint == "xxhash64":
+        _fp_expr = F.xxhash64
+    else:
+        raise ValueError(
+            f"fingerprint must be 'poly' or 'xxhash64', got {fingerprint!r}"
+        )
     out_col = out_col or text_col
     esc = re.escape(sep)
     lines = df.select(
@@ -836,7 +856,7 @@ def strip_boilerplate_lines(
     )
     common_rows = (
         lines.where(F.length(F.trim("_ln")) >= min_line_chars)
-        .select("_id", polyhash_expr(F.trim(F.col("_ln"))).alias("_fp"))
+        .select("_id", _fp_expr(F.trim(F.col("_ln"))).alias("_fp"))
         .groupBy("_fp")
         .agg(F.count_distinct("_id").alias("_nd"))
         .where(F.col("_nd") >= min_docs)
@@ -911,7 +931,7 @@ def strip_boilerplate_lines(
         return ~_let_bp(
             F.trim(ln),
             lambda t: (F.length(t) >= min_line_chars)
-            & _let_bp(polyhash_expr(t), member),
+            & _let_bp(_fp_expr(t), member),
         )
 
     rebuilt = _let(

@@ -774,3 +774,39 @@ class TestStripBoilerplateLines:
         assert got[1] == "unique 1 tail"
         assert got[2] == "unique 2 tail"
         assert got[99] == "unique solo doc"
+
+    def test_xxhash64_fingerprint_matches_poly(self, spark):
+        """Round 9 (ADVICE r8): the 64-bit production fingerprint option
+        produces the same output as the oracle-portable polyhash on a
+        collision-free corpus, on BOTH the small-set and Bloom-pregated
+        paths; unknown names raise."""
+        import pytest
+
+        from dask_glm_spark.operators.quality import strip_boilerplate_lines
+
+        small = self._docs(spark)
+        a = sorted(
+            (r["doc_id"], r["text"])
+            for r in strip_boilerplate_lines(small, min_docs=3).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["text"])
+            for r in strip_boilerplate_lines(
+                small, min_docs=3, fingerprint="xxhash64"
+            ).collect()
+        )
+        assert a == b
+        common = [f"banner line number {j}" for j in range(300)]
+        rows = [
+            (d, "\n".join(common + [f"unique {d} tail"])) for d in range(3)
+        ]
+        big = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in strip_boilerplate_lines(
+                big, min_docs=3, fingerprint="xxhash64"
+            ).collect()
+        }
+        assert got == {0: "unique 0 tail", 1: "unique 1 tail", 2: "unique 2 tail"}
+        with pytest.raises(ValueError, match="fingerprint"):
+            strip_boilerplate_lines(small, fingerprint="md5")

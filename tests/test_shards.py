@@ -163,7 +163,6 @@ def test_tar_member_name_over_ustar_limit_raises(spark, tmp_path_factory):
     force PAX extension headers that silently shift every subsequent .idx
     offset — the sink now raises loudly instead."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     from dask_glm_spark.sources.shards import write_tar_shards
 
