@@ -15,6 +15,7 @@ plus text/embedding pipeline operators. Configs chosen for that shape:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -30,6 +31,12 @@ def get_spark(
     cpus = int(DEFAULT_CPUS)
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # Pin worker Python to the driver's interpreter unless the user chose
+    # one: a venv-installed driver (pip install -e .) otherwise spawns
+    # workers with whatever system python Spark defaults to, which cannot
+    # see the venv's site-packages — the pandas-UDF kernels then fail with
+    # ModuleNotFoundError: dask_glm_spark on every executor.
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
