@@ -221,6 +221,58 @@ def bpe_encode(
     return df.mapInPandas(op, schema=schema)
 
 
+def bpe_token_count_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe",
+    end_of_word: str | None = None,
+) -> DataFrame:
+    """Append ``out_col: long`` — the whole-text BPE token count — via ONE
+    Arrow ``mapInPandas`` pass with a per-batch distinct-word count cache
+    (the ``bpe_encode`` machinery, summing subword counts instead of
+    materializing the token stream). Bit-identical to
+    ``bpe_token_count_expr`` (same ``bpe_encode_word`` semantics; NULL
+    text counts 0 — the expr path's coalesce) but the per-word cost is a
+    cached python encode instead of an interpreted per-row replace chain,
+    so this is the production path for large merge tables / large corpora
+    (VERDICT r8 #3: the q40 gate columns moved here; the expression chain
+    remains the DuckDB-oracle form)."""
+    import pandas as pd
+
+    from dask_glm_spark.operators.text import _tokenize_py
+
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists on the input")
+    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+    schema = f"{fields}, `{out_col}` long"
+    mlist = [tuple(m) for m in merges]
+    eow = end_of_word
+
+    def op(batches):
+        cache: dict[str, int] = {}
+
+        def count_text(text):
+            n = 0
+            for w in _tokenize_py(text):
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = len(bpe_encode_word(w, mlist, eow))
+                n += got
+            return n
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(
+                [count_text(t) for t in pdf[text_col]],
+                index=pdf.index,
+                dtype="int64",
+            )
+            yield pdf
+
+    return df.mapInPandas(op, schema=schema)
+
+
 def _word_split_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     """Wrapped-symbol replace chain over ONE word column: returns the
     encoded word as ``SEP sym SEP SEP sym SEP ...``."""

@@ -165,6 +165,39 @@ class TestEncodeParity:
         }
         assert got == {1: 0, 2: 0, 3: 1}
 
+    def test_count_arrow_matches_count_expr(self, spark):
+        """Round 9 (VERDICT r8 #3): the Arrow cached-word count path that
+        now serves q40's gate columns must be bit-identical to the
+        expression replace chain (the DuckDB-oracle form), including NULL
+        and empty text."""
+        from dask_glm_spark.operators.bpe import (
+            FIXED_MERGES_EN,
+            bpe_token_count_arrow,
+            bpe_token_count_expr,
+        )
+        from dask_glm_spark.sources.glm_source import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        edge = spark.createDataFrame(
+            [(100001, None, "x"), (100002, "", "x"), (100003, "THE and", "x")],
+            "doc_id long, text string, source string",
+        )
+        both = docs.select("doc_id", "text").unionByName(
+            edge.select("doc_id", "text")
+        )
+        want = {
+            r["doc_id"]: r["n"]
+            for r in both.select(
+                "doc_id",
+                bpe_token_count_expr("text", FIXED_MERGES_EN).alias("n"),
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["n_bpe"]
+            for r in bpe_token_count_arrow(both, FIXED_MERGES_EN).collect()
+        }
+        assert got == want
+
     def test_roundtrip_concat(self, spark):
         """No end_of_word: concatenating a word's subwords reproduces the
         word — merges only ever concatenate."""
