@@ -1212,7 +1212,7 @@ def _lsh_buckets_oracle_sql() -> str:
     )
     return f"""SELECT bucket, CAST(count(*) AS BIGINT) AS n,
   TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok,
-  TRUE AS hard_negative_recall_ok
+  TRUE AS hard_negative_recall_ok, TRUE AS pq_recall_ok
 FROM (
   SELECT {bits} AS bucket FROM embeddings
 ) t GROUP BY bucket ORDER BY bucket"""
@@ -2005,7 +2005,8 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's re-derived sign patterns; two appended booleans assert
     recall@5 vs the brute-force ground truth on the first 10 query
     vectors: multiprobe LSH (3 planes -> 4/8 of bucket space probed) must
-    reach >= 0.5 and IVF (12 cells, nprobe 6) >= 0.6. The recall corpus
+    reach >= 0.5, IVF (12 cells, nprobe 6) >= 0.6, and (round 9) IVF-PQ
+    with exact refine (m=16, ksub=256, refine=30) >= 0.6. The recall corpus
     is BOUNDED at the first 2048 vectors (contract-as-canary: its cost
     must not scale with the table — at 100 TB a full-corpus brute force
     inside a correctness query would be a job, not a check; at the gate
@@ -2024,7 +2025,11 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_expr,
         hard_negative_ids,
         ivf_ann_topk,
+        ivf_pq_ann_topk,
         lsh_ann_topk,
+        pq_train,
+        sample_vectors,
+        train_ivf_centroids,
     )
     from dask_glm_spark.sources.glm_source import load_table
 
@@ -2072,8 +2077,26 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_rec = _recall(
         lsh_ann_topk(emb, queries, k=k, n_planes=3).collect(), truth
     )
+    sv = sample_vectors(emb, "embedding")  # ONE sample trains IVF + PQ
+    cent = train_ivf_centroids(emb, 12, sample=sv)
     ivf_rec = _recall(
-        ivf_ann_topk(emb, queries, k=k, n_centroids=12, nprobe=6).collect(),
+        ivf_ann_topk(
+            emb, queries, k=k, n_centroids=12, nprobe=6, centroids=cent
+        ).collect(),
+        truth,
+    )
+    # round 9 (VERDICT r8 #5): IVF-PQ + exact-refine recall contract —
+    # the compressed-index memory path (16 bytes/vector of code payload
+    # vs 256 of float32) must rank like IVF-flat once the refine stage
+    # absorbs quantization error. Measured 0.80/0.80/0.84 at
+    # sf0.001/0.01/0.1 — identical to ivf_flat, so the 0.6 bound is the
+    # same SF-robustness margin as the IVF contract.
+    cb = pq_train(emb, m=16, ksub=256, sample=sv)
+    pq_rec = _recall(
+        ivf_pq_ann_topk(
+            emb, queries, k=k, n_centroids=12, nprobe=6,
+            centroids=cent, codebooks=cb, refine=30,
+        ).collect(),
         truth,
     )
     # round 8: + hard-negative mining contract — recall@5 of
@@ -2121,6 +2144,7 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(lsh_rec >= 0.5)).alias("lsh_recall_ok"),
         F.lit(bool(ivf_rec >= 0.6)).alias("ivf_recall_ok"),
         F.lit(bool(hn_rec >= 0.4)).alias("hard_negative_recall_ok"),
+        F.lit(bool(pq_rec >= 0.6)).alias("pq_recall_ok"),
     ).orderBy("bucket")
 
 

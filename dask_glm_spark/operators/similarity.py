@@ -276,10 +276,19 @@ def _kmeans_np(X: np.ndarray, k: int, iters: int = 10, seed: int = IVF_SEED) -> 
             + (cent * cent).sum(1)[None, :]
         )
         assign = d.argmin(1)
-        for j in range(len(cent)):
-            members = X[assign == j]
-            if len(members):
-                cent[j] = members.mean(0)
+        # vectorized update (round 9: the per-cluster boolean-mask loop
+        # cost O(k·n) per iter — at PQ's k=256 x m=16 subspaces it was
+        # ~2 s of driver time; bincount-per-dim beats np.add.at's
+        # unbuffered fancy indexing ~4x); empty clusters keep their
+        # centroid
+        counts = np.bincount(assign, minlength=len(cent))
+        sums = np.empty_like(cent)
+        for t in range(X.shape[1]):
+            sums[:, t] = np.bincount(
+                assign, weights=X[:, t], minlength=len(cent)
+            )
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz][:, None]
     return cent
 
 
@@ -300,25 +309,22 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     seed: int = IVF_SEED,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Coarse quantizer from a bounded driver-side sample (at 100 TB the
     sample is still IVF_SAMPLE_ROWS rows — training cost is corpus-size
-    independent; only the narrow assignment map touches every row)."""
-    return _kmeans_np(sample_vectors(corpus, vec_col), n_centroids, seed=seed)
+    independent; only the narrow assignment map touches every row).
+    ``sample`` skips the sampling job when the caller already holds a
+    ``sample_vectors`` result — e.g. training IVF and PQ off ONE scan."""
+    if sample is None:
+        sample = sample_vectors(corpus, vec_col)
+    return _kmeans_np(sample, n_centroids, seed=seed)
 
 
-def _ivf_sides(corpus, queries, id_col, vec_col, nprobe, centroids):
-    """(corpus-with-cell, query-with-probe-cells) — the IVF candidate
-    generation shared by ivf_ann_topk and ivf_ann_join. Centroids fold in
-    as codegen literals; both sides assign with a narrow map."""
+def _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids):
+    """Query side of the IVF candidate generation: each query exploded to
+    its ``nprobe`` best cells (sims as codegen literals, narrow map)."""
     sims = _centroid_sims_expr(F.col(vec_col), centroids)
-    # nearest cell: 1-based position of the max similarity
-    cell = F.array_position(sims, F.array_max(sims)).cast("long")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        cell.alias("cell"),
-    )
     # query side: nprobe best cells via sort of (sim, idx) structs
     idx = F.sequence(F.lit(1), F.lit(len(centroids)))
     # struct key (s, -i): reverse(array_sort) then orders by sim DESC and
@@ -334,11 +340,26 @@ def _ivf_sides(corpus, queries, id_col, vec_col, nprobe, centroids):
     probes = F.transform(
         F.slice(ranked, 1, nprobe), lambda st: (-st["ni"]).cast("long")
     )
-    qb = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.explode(probes).alias("cell"),
     )
+
+
+def _ivf_sides(corpus, queries, id_col, vec_col, nprobe, centroids):
+    """(corpus-with-cell, query-with-probe-cells) — the IVF candidate
+    generation shared by ivf_ann_topk and ivf_ann_join. Centroids fold in
+    as codegen literals; both sides assign with a narrow map."""
+    sims = _centroid_sims_expr(F.col(vec_col), centroids)
+    # nearest cell: 1-based position of the max similarity
+    cell = F.array_position(sims, F.array_max(sims)).cast("long")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        cell.alias("cell"),
+    )
+    qb = _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids)
     return c, qb
 
 
@@ -383,6 +404,275 @@ def ivf_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed vector index + ADC scoring
+#
+# Public algorithm: Jégou, Douze & Schmid 2011, "Product Quantization for
+# Nearest Neighbor Search" (IEEE TPAMI). At 100 TB the IVF-flat index's
+# full float vectors dominate executor memory (a 768-dim float corpus is
+# 3 KB/vector); PQ stores m sub-codebook indices instead (m bytes at
+# ksub<=256) and scores candidates by Asymmetric Distance Computation —
+# one (m x ksub) lookup table per query, built from the UNCOMPRESSED
+# query vector, then a table-gather per candidate code.
+# ---------------------------------------------------------------------------
+PQ_SEED = 777
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    sample_limit: int | None = None,
+    iters: int = 10,
+    seed: int = PQ_SEED,
+    sample: np.ndarray | None = None,
+) -> np.ndarray:
+    """Train PQ codebooks: split the dim into ``m`` contiguous subspaces
+    and run k-means(``ksub``) independently in each, over ONE bounded
+    driver-side sample (the ``sample_vectors`` convention — training cost
+    is corpus-size independent; only encode/score touch every row).
+    Returns ``(m, ksub', dsub)`` float64 (``ksub' = min(ksub, sample
+    rows)``). Requires ``dim % m == 0``. ``sample`` reuses a caller-held
+    ``sample_vectors`` result (one scan trains IVF + PQ)."""
+    X = sample if sample is not None else sample_vectors(corpus, vec_col, sample_limit)
+    dim = X.shape[1]
+    if dim % int(m):
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // int(m)
+    return np.stack(
+        [
+            _kmeans_np(X[:, j * dsub : (j + 1) * dsub], int(ksub),
+                       iters=iters, seed=seed + j)
+            for j in range(int(m))
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Append ``out_col: array<int>`` — per-subspace nearest-codeword
+    indices (0-based) — and DROP the float vector (the point of the index
+    is memory; ``keep_vec=True`` keeps it for parity tests). One narrow
+    Arrow ``mapInPandas`` pass, codebooks ride the closure; per batch the
+    assignment is one vectorized argmin per subspace (``||x||² - 2x·c +
+    ||c||²`` — the ``_kmeans_np`` identity), never a per-row loop."""
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists on the input")
+    keep_cols = [c for c in df.columns if keep_vec or c != vec_col]
+    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c in keep_cols)
+    schema = f"{fields}, `{out_col}` array<int>"
+    cnorm2 = (cb * cb).sum(2)  # (m, ksub)
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                d = cnorm2[j][None, :] - 2.0 * (Xj @ cb[j].T)
+                codes[:, j] = d.argmin(1)
+            out = pdf[keep_cols].copy()
+            out[out_col] = pd.Series(list(codes), index=pdf.index, dtype=object)
+            yield out
+
+    return df.mapInPandas(op, schema=schema)
+
+
+def pq_reconstruct_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Decode PQ codes back to approximate vectors (numpy, test/driver
+    utility): concatenate each subspace's codeword."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    codes = np.asarray(codes)
+    return np.concatenate(
+        [cb[j][codes[:, j]] for j in range(cb.shape[0])], axis=1
+    )
+
+
+def ivf_pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: ``ivf_ann_topk``'s probe join with the
+    corpus side COMPRESSED to PQ codes and candidates scored by ADC.
+
+    Physical shape (the 100 TB memory path):
+
+    1. corpus → ``(neighbor_id, cell, pq_code)`` — ONE narrow map (cell
+       argmax + per-subspace argmin, vectorized Arrow); the float vectors
+       never enter the index or the join. Persist THIS frame to reuse the
+       index across query batches: m bytes/vector of payload vs 4·dim.
+    2. queries probe their ``nprobe`` best cells (codegen-literal sims,
+       identical to ``ivf_ann_topk``) and broadcast into the cell join.
+    3. ADC scoring: per (query, batch) an ``(m, ksub')`` inner-product
+       lookup table from the UNCOMPRESSED query vector, then scores are
+       table-gathers per candidate code; approximate cosine uses the
+       reconstruction norm from a second (query-independent) table.
+
+    Returned cosine is the ADC APPROXIMATION (quantization error ~ the
+    per-subspace k-means residual); ranking quality is what the recall
+    contract (q45 ``pq_recall_ok``) and the parity pytest pin.
+
+    ``refine=R`` adds the standard exact re-rank stage (FAISS's
+    IVFPQ+refine): the ADC pass keeps a top-``R`` shortlist per query
+    (R >> k absorbs quantization mis-ranking), the shortlist equi-joins
+    BACK to the raw corpus vectors by id — queries x R rows, not the
+    candidate set — and exact cosine picks the final top-k. With R large
+    enough the only remaining miss is the IVF probe miss; returned
+    cosines are then exact. Costs one extra equi-join over an
+    id-shortlist; the scan side of that join prunes to (id, vec)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(corpus, m=m, ksub=ksub, vec_col=vec_col)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, _, dsub = cb.shape
+    cnorm2 = (cb * cb).sum(2)  # (m, ksub') — reconstruction-norm table
+
+    # Index build: ONE fused Arrow pass assigns the coarse cell AND the PQ
+    # code per batch (both vectorized numpy; centroids/codebooks ride the
+    # closure). The expression-literal cell path (_centroid_sims_expr) is
+    # kept for the query side, where the frame is small — on the corpus
+    # side it would put n_centroids x dim literal nodes in the hot plan
+    # for no benefit over the same argmin inside the already-needed
+    # encode pass.
+    cent = np.asarray(centroids, dtype=np.float64)
+    centn2 = 0.5 * (cent * cent).sum(1)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def build_index(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # same tie-break as array_position(max): lowest index wins
+            cells = (X @ cent.T - centn2[None, :]).argmax(1) + 1
+            codes = np.empty((len(pdf), mm), dtype=np.int32)
+            for j in range(mm):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                d = (cb[j] * cb[j]).sum(1)[None, :] - 2.0 * (Xj @ cb[j].T)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int64),
+                    "pq_code": list(codes),
+                }
+            )
+
+    index = corpus.select(id_col, vec_col).mapInPandas(
+        build_index, f"neighbor_id {id_type}, cell long, pq_code array<int>"
+    )
+    qb = _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids)
+
+    cand = index.join(F.broadcast(qb), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    kk = int(refine) if refine is not None else int(k)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                qv = np.asarray(grp["qvec"].iloc[0], dtype=np.float64)
+                qn = float(np.linalg.norm(qv))
+                # (m, ksub') dot-product LUT for THIS query
+                lut = np.stack(
+                    [cb[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(mm)]
+                )
+                codes = np.stack(grp["pq_code"].to_numpy()).astype(np.int64)
+                ar = np.arange(mm)
+                dots = lut[ar, codes].sum(1)
+                rnorm = np.sqrt(cnorm2[ar, codes].sum(1))
+                denom = qn * rnorm
+                cos = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+                g = pd.DataFrame(
+                    {
+                        "query_id": grp["query_id"].to_numpy(),
+                        "neighbor_id": grp["neighbor_id"].to_numpy(),
+                        "cosine": cos,
+                    }
+                )
+                # narrow per-batch truncation (brute_force_topk's pruning
+                # contract): top-k is truncation-stable, so only k rows
+                # per (query, batch) cross the exchange
+                outs.append(
+                    g.sort_values(
+                        ["cosine", "neighbor_id"], ascending=[False, True]
+                    ).head(kk)
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    pruned = cand.select("query_id", "qvec", "neighbor_id", "pq_code").mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    )
+
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    out = grouped_topk(
+        pruned.withColumn("_negcos", -F.col("cosine")),
+        "query_id", ["_negcos", "neighbor_id"], kk,
+        carry_cols=["cosine"], rank_col="rank",
+    )
+    if refine is None:
+        return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+    # exact re-rank: the queries x refine shortlist joins back to the raw
+    # vectors by id (the corpus scan prunes to (id, vec)); final top-k by
+    # TRUE cosine via the same Window-free two-level aggregate
+    shortlist = out.select("query_id", "neighbor_id")
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    exact = (
+        shortlist.join(raw, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+        .withColumn("_negcos", -F.col("cosine"))
+    )
+    out2 = grouped_topk(
+        exact, "query_id", ["_negcos", "neighbor_id"], int(k),
+        carry_cols=["cosine"], rank_col="rank",
+    )
+    return out2.select("query_id", "neighbor_id", "cosine", "rank")
 
 
 # ---------------------------------------------------------------------------

