@@ -15,6 +15,18 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark):
+    # Stale-location hygiene (round 9): DROP TABLE IF EXISTS is a no-op on
+    # a fresh in-memory catalog, so a warehouse dir leaked by a killed
+    # prior run makes saveAsTable fail LOCATION_ALREADY_EXISTS forever.
+    # Remove both catalog entry AND location before writing.
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
     J.write_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=8,
