@@ -975,27 +975,41 @@ def _admm_consensus_driver_state(
     data = blocks.map(
         lambda b: (b[0], b[1], b[2]), preservesPartitioning=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    pids = sorted(data.map(lambda b: b[0]).collect())
-    nchunks = len(pids)
-    if nchunks == 0:
-        raise ValueError("empty input DataFrame")
 
     z = np.zeros(p)
-    betas = {pid: np.ones(p) for pid in pids}  # block-build init parity
-    us = {pid: np.zeros(p) for pid in pids}
+    # Lazy state init (round 9): the pid set used to come from a separate
+    # `data.map(pid).collect()` job whose only real effect was forcing the
+    # cache materialization — one full job of pure floor at bench scale.
+    # Round 1 now materializes the cache itself and returns the pids in
+    # its stats; unknown pids default to the same block-build init
+    # (beta=ones, u=zeros), so the math is bit-identical.
+    betas: dict = {}
+    us: dict = {}
+    nchunks = 0
 
     for it in range(max_iter):
         st_bc = sc.broadcast((z, betas, us))
 
-        def run(block, _st=st_bc):
+        def run(block, _st=st_bc, _p=p):
             pid, X, y = block
             zv, bs, uss = _st.value
-            new_beta = _admm_local_update(X, y, bs[pid], zv, uss[pid], rho, fam)
+            b0 = bs.get(pid)
+            u0 = uss.get(pid)
+            if b0 is None:
+                b0 = np.ones(_p)  # block-build init parity
+            if u0 is None:
+                u0 = np.zeros(_p)
+            new_beta = _admm_local_update(X, y, b0, zv, u0, rho, fam)
             beta_hat = over_relax * new_beta + (1 - over_relax) * zv
             return (pid, new_beta, beta_hat)
 
         stats = data.map(run, preservesPartitioning=True).collect()
         st_bc.unpersist(False)
+        if not stats:
+            raise ValueError("empty input DataFrame")
+        if not nchunks:
+            nchunks = len(stats)
+            us = {t[0]: np.zeros(p) for t in stats}
 
         stats.sort(key=lambda t: t[0])  # deterministic reduction order
         new_betas = np.array([t[1] for t in stats])
@@ -1018,7 +1032,7 @@ def _admm_consensus_driver_state(
             np.linalg.norm(new_betas), np.sqrt(nchunks) * np.linalg.norm(z)
         )
         eps_dual = np.sqrt(p * nchunks) * abstol + reltol * np.linalg.norm(
-            rho * np.array([us[pid] for pid in pids])
+            rho * np.array([us[pid] for pid in sorted(us)])
         )
         if primal_res < eps_pri and dual_res < eps_dual:
             _log.info("admm (driver-state) converged after %d rounds", it + 1)
