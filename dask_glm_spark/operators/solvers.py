@@ -756,6 +756,7 @@ def admm(
     fam = family
     sc = df.sparkSession.sparkContext
 
+    cur = df.rdd.getNumPartitions()
     if nblocks is None:
         # row count threaded from @normalize's fused moments pass when
         # present; a direct admm() call pays one cached-scan count
@@ -767,7 +768,13 @@ def admm(
         # (tasks queue; consensus still sees every block each round)
         # instead of building multi-GB partitions.
         nblocks = max(nblocks, n_rows // MAX_ADMM_BLOCK_ROWS)
-    cur = df.rdd.getNumPartitions()
+        # Round-9 A/B note: keeping an already-right-sized input layout to
+        # skip the repartition exchange was tried and MEASURED SLOWER
+        # (interleaved in-process A/B at sf0.1: 3-split input kept = 6.2 s
+        # min vs repartition-to-6 = 4.4 s min). The exchange costs ~0.8 s
+        # once, but the first-round cache materialization (parquet read +
+        # standardize + numpy block build, the fit's most CPU-heavy pass)
+        # parallelizes nblocks-wide and dominates — don't "fix" this again.
     if nblocks and cur != nblocks:
         if nblocks < cur:
             # contiguous merge, NO shuffle — each block is a union of
