@@ -544,6 +544,49 @@ def ivf_pq_ann_topk(
     enough the only remaining miss is the IVF probe miss; returned
     cosines are then exact. Costs one extra equi-join over an
     id-shortlist; the scan side of that join prunes to (id, vec)."""
+    return _ivf_pq_ann(
+        corpus, queries, k, id_col, vec_col, n_centroids, nprobe,
+        centroids, codebooks, m, ksub, refine,
+        broadcast_queries=True, max_per_cell=None,
+    )
+
+
+def ivf_pq_ann_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int | None = None,
+    max_per_cell: int | None = None,
+) -> DataFrame:
+    """IVF-PQ twin of ``ivf_ann_join``: two corpus-sized sides through the
+    COMPRESSED index — the cell match is a plain hash equi-join (no
+    query-side broadcast; AQE still broadcasts a small side), ADC scoring
+    and the optional exact ``refine`` re-rank are identical to
+    ``ivf_pq_ann_topk``, and the per-query top-k is the Window-free
+    two-level aggregate throughout. ``max_per_cell`` bounds a degenerate
+    hot cell exactly like ``ivf_ann_join``'s (deterministic
+    smallest-xxhash64 thinning of the INDEX side). This is the shape for
+    joining a new crawl snapshot against a 100 TB indexed corpus where
+    neither side fits memory uncompressed."""
+    return _ivf_pq_ann(
+        corpus, queries, k, id_col, vec_col, n_centroids, nprobe,
+        centroids, codebooks, m, ksub, refine,
+        broadcast_queries=False, max_per_cell=max_per_cell,
+    )
+
+
+def _ivf_pq_ann(
+    corpus, queries, k, id_col, vec_col, n_centroids, nprobe,
+    centroids, codebooks, m, ksub, refine, broadcast_queries, max_per_cell,
+) -> DataFrame:
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_centroids, vec_col)
     if codebooks is None:
@@ -588,11 +631,19 @@ def ivf_pq_ann_topk(
     index = corpus.select(id_col, vec_col).mapInPandas(
         build_index, f"neighbor_id {id_type}, cell long, pq_code array<int>"
     )
+    if max_per_cell is not None:
+        from dask_glm_spark.operators.topk import grouped_topk as _gt
+
+        index = _gt(
+            index.withColumn("_h", F.xxhash64("neighbor_id")),
+            "cell", ["_h", "neighbor_id"], max_per_cell,
+            carry_cols=["pq_code"],
+        ).drop("_h")
     qb = _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids)
 
-    cand = index.join(F.broadcast(qb), "cell").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    cand = index.join(
+        F.broadcast(qb) if broadcast_queries else qb, "cell"
+    ).where(F.col("neighbor_id") != F.col("query_id"))
     kk = int(refine) if refine is not None else int(k)
 
     def score(batches):
@@ -653,11 +704,11 @@ def ivf_pq_ann_topk(
     raw = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
-    qv = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
+    if broadcast_queries:
+        qv = F.broadcast(qv)  # join variant: plain equi-join, AQE decides
     exact = (
         shortlist.join(raw, "neighbor_id")
         .join(qv, "query_id")

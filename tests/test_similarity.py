@@ -419,6 +419,48 @@ def test_ivf_ann_join_matches_topk(spark):
     assert a == b and len(b) > 0
 
 
+def test_ivf_pq_ann_join_matches_topk(spark):
+    """Round 9: the no-broadcast two-corpus PQ join must produce the
+    identical result set as the broadcast topk variant (shared
+    quantizer + codebooks pin the candidate generation and scoring),
+    with and without the exact refine stage."""
+    from dask_glm_spark.operators.similarity import (
+        ivf_pq_ann_join,
+        ivf_pq_ann_topk,
+        pq_train,
+        train_ivf_centroids,
+    )
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.orderBy("vec_id").limit(12)
+    cent = train_ivf_centroids(emb, 8)
+    cb = pq_train(emb, m=8, ksub=32)
+    for refine in (None, 16):
+        a = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_pq_ann_topk(
+                emb, queries, k=4, n_centroids=8,
+                centroids=cent, codebooks=cb, refine=refine,
+            ).collect()
+        }
+        b = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_pq_ann_join(
+                emb, queries, k=4, n_centroids=8,
+                centroids=cent, codebooks=cb, refine=refine,
+            ).collect()
+        }
+        assert a == b and len(b) > 0
+    # hot-cell cap: output is a subset of the uncapped candidate ids
+    capped = ivf_pq_ann_join(
+        emb, queries, k=4, n_centroids=8,
+        centroids=cent, codebooks=cb, max_per_cell=50,
+    ).collect()
+    assert len(capped) > 0
+    assert all(1 <= r["rank"] <= 4 for r in capped)
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
