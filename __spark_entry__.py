@@ -447,10 +447,13 @@ sh AS (
 p AS (
   SELECT a.source AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
     round({inter} * 1.0 /
-      (len(a.shingles) + len(b.shingles) - {inter}), 6) AS jaccard
+      (len(a.shingles) + len(b.shingles) - {inter}), 6) AS jaccard,
+    round({inter} * 1.0 /
+      least(len(a.shingles), len(b.shingles)), 6) AS containment
   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 )
-SELECT blk, id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard FROM p
+SELECT blk, id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard,
+  CAST(containment AS DOUBLE) AS containment FROM p
 WHERE jaccard >= {threshold} ORDER BY blk, id_a, id_b"""
 
 
@@ -1526,8 +1529,12 @@ def _pq_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src6", "src7")
     )
     pairs = D.ngram_jaccard_pairs(docs, "source", threshold=0.5, path="arrow")
+    # round 9: + the overlap coefficient (asymmetric containment) under
+    # the same hash gate — the oracle re-derives |A∩B|/min(|A|,|B|)
     return pairs.select(
-        "blk", "id_a", "id_b", F.col("jaccard").cast("double").alias("jaccard")
+        "blk", "id_a", "id_b",
+        F.col("jaccard").cast("double").alias("jaccard"),
+        F.col("containment").cast("double").alias("containment"),
     ).orderBy("blk", "id_a", "id_b")
 
 

@@ -744,8 +744,26 @@ def ngram_jaccard_pairs(
         / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
         6,
     )
+    # Overlap coefficient |A∩B| / min(|A|,|B|) (round 9): the ASYMMETRIC
+    # near-dup signal — a short doc fully quoted inside a long one scores
+    # containment 1.0 while its Jaccard (|A∩B|/|A∪B|) stays near
+    # |B|/|A| and slips under any symmetric threshold. Training-corpus
+    # dedup wants both: Jaccard for same-size near-dups, containment for
+    # subset/quotation structure. Emitted as a column (falls out of the
+    # same count aggregate for free); the row filter remains Jaccard —
+    # filter on containment caller-side (the size-ratio prune above is
+    # only sound for the Jaccard threshold, so a containment-threshold
+    # variant must pass threshold=0.0).
+    cont = F.round(
+        F.col("common").cast("double")
+        / F.least("n_a", "n_b").cast("double"),
+        6,
+    )
     return (
-        common.select("blk", "id_a", "id_b", jac.alias("jaccard"))
+        common.select(
+            "blk", "id_a", "id_b", jac.alias("jaccard"),
+            cont.alias("containment"),
+        )
         .where(F.col("jaccard") >= threshold)
     )
 

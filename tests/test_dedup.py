@@ -227,7 +227,8 @@ def test_ngram_jaccard_paths_agree(spark):
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     key = lambda rows: sorted(
-        (r["blk"], r["id_a"], r["id_b"], r["jaccard"]) for r in rows
+        (r["blk"], r["id_a"], r["id_b"], r["jaccard"], r["containment"])
+        for r in rows
     )
     a = key(D.ngram_jaccard_pairs(docs, "source", threshold=0.5).collect())
     b = key(
@@ -236,6 +237,35 @@ def test_ngram_jaccard_paths_agree(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_ngram_containment_catches_subset_docs(spark):
+    """Round 9: the overlap coefficient flags a short doc fully quoted
+    inside a long one (containment 1.0) even when Jaccard is far below
+    any symmetric threshold; values match a python set oracle."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, "b", long), (2, "b", short), (3, "b", "unrelated text entirely here")],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["containment"])
+        for r in D.ngram_jaccard_pairs(df, "source", threshold=0.0).collect()
+    }
+    jac, cont = out[(1, 2)]
+    assert cont == 1.0               # every short-doc shingle is inside long
+    assert jac < 0.5                 # symmetric metric misses the relation
+
+    def sh(text, k=D.SHINGLE_K):
+        t = text.lower().split()
+        if len(t) < k:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    A, B = sh(long), sh(short)
+    assert jac == round(len(A & B) / len(A | B), 6)
+    assert cont == round(len(A & B) / min(len(A), len(B)), 6)
 
 
 def test_simhash_arrow_bit_identical_and_pairs_agree(spark):
