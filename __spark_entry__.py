@@ -740,9 +740,38 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id
 LEFT JOIN lm2 ON lm2.doc_id = d.doc_id ORDER BY d.doc_id""",
     "q17_langid": _langid_oracle_sql(),
-    "q19_fingerprint": f"""SELECT doc_id,
-  CAST({_duck_polyhash("lower(text)")} AS BIGINT) AS fp
-FROM documents ORDER BY doc_id""",
+    # round 9: + dsir — the DSIR hashed-unigram importance log-weight
+    # (target = lang='en', source = all docs, nf=512, add-1 smoothing),
+    # fully re-derived: both count aggregates, the log-ratio vector, and
+    # the per-doc token-bucket sum
+    "q19_fingerprint": f"""WITH toks AS (
+  SELECT doc_id, lang,
+    list_filter({_DUCK_TOKENS}, t -> length(t) > 0) AS T
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, lang,
+    unnest(list_transform(T, t -> {_duck_polyhash("t")} % 512)) AS b
+  FROM toks
+),
+tgt AS (SELECT b, count(*) AS c FROM tb WHERE lang = 'en' GROUP BY b),
+src AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS tt,
+               (SELECT coalesce(sum(c), 0) FROM src) AS st),
+w AS (
+  SELECT g.b,
+    ln((coalesce(tgt.c, 0) + 1.0) / (tot.tt + 512.0))
+      - ln((coalesce(src.c, 0) + 1.0) / (tot.st + 512.0)) AS w
+  FROM generate_series(0, 511) g(b)
+  LEFT JOIN tgt ON tgt.b = g.b LEFT JOIN src ON src.b = g.b, tot
+),
+ds AS (SELECT tb.doc_id, sum(w.w) AS s FROM tb JOIN w ON w.b = tb.b
+       GROUP BY tb.doc_id)
+SELECT d.doc_id,
+  CAST({_duck_polyhash("lower(text)")} AS BIGINT) AS fp,
+  CAST(round(coalesce(ds.s, 0.0), 6) AS DOUBLE) AS dsir
+FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id
+ORDER BY d.doc_id""",
     # round 7: + inc_b0/inc_b1 — exact_dedup_incremental replayed over a
     # doc_id-parity two-batch split (first batch wins per fingerprint);
     # survivor counts re-derived as count(distinct fp) per batch with
@@ -1322,11 +1351,26 @@ def _pq_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprint + (round 9) the DSIR importance log-weight
+    under the hashed-unigram models fit on (target = lang='en' docs,
+    source = full corpus) — the oracle re-derives BOTH count aggregates,
+    the smoothed log-ratio vector, and every doc's token-bucket sum."""
+    from pyspark.sql import functions as F
+
     from dask_glm_spark.operators import text as T
+    from dask_glm_spark.operators.sampling import (
+        dsir_logratio_vector,
+        dsir_score_expr,
+    )
 
     docs = _docs_spread(spark, sf_dir)
+    w = dsir_logratio_vector(
+        docs.where(F.col("lang") == "en"), docs, nf=512
+    )
     return docs.select(
-        "doc_id", T.fingerprint_expr("text").cast("long").alias("fp")
+        "doc_id",
+        T.fingerprint_expr("text").cast("long").alias("fp"),
+        F.round(dsir_score_expr("text", w), 6).cast("double").alias("dsir"),
     ).orderBy("doc_id")
 
 

@@ -506,3 +506,98 @@ def negative_sample_ids(
         F.col(key_col), F.posexplode(F.array(*draws)).alias("neg_idx", "neg_key")
     )
     return out.where(F.col("neg_key").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting for data SELECTION
+# (public algorithm: Xie et al. 2023, "Data Selection for Language Models
+# via Importance Resampling", NeurIPS — hashed n-gram generative models)
+# ---------------------------------------------------------------------------
+def dsir_logratio_vector(
+    target_df: DataFrame,
+    source_df: DataFrame,
+    text_col: str = "text",
+    nf: int = 4096,
+    alpha: float = 1.0,
+):
+    """Hashed-unigram importance log-ratios: ``w[b] = log p̂_target(b) −
+    log p̂_source(b)`` over ``nf`` hash buckets, add-``alpha`` smoothed.
+
+    The DSIR recipe's first half: fit two bag-of-hashed-ngrams
+    generative models (one on the small in-domain TARGET corpus, one on
+    the raw SOURCE pool) and keep only their per-bucket log-ratio — the
+    sufficient statistic for the importance weight of any document.
+
+    Scale shape: TWO map-side-combinable count aggregates, each with
+    output ≤ ``nf`` rows regardless of corpus size; the returned vector
+    is ``nf`` doubles on the driver (bounded — the ``sample_vectors``
+    convention). Bucketing is ``polyhash(token) % nf`` — the
+    engine-portable hash, so a DuckDB oracle re-derives the identical
+    vector from the same corpora."""
+    import numpy as np
+
+    from dask_glm_spark.operators.text import tokens_expr
+
+    if nf <= 0:
+        raise ValueError(f"nf must be positive, got {nf}")
+
+    def counts(df):
+        rows = (
+            df.select(
+                F.explode(
+                    F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
+                ).alias("t")
+            )
+            .select(F.pmod(polyhash_expr(F.col("t")), F.lit(nf)).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        v = np.zeros(nf, dtype=np.float64)
+        for r in rows:
+            v[int(r["b"])] = float(r["c"])
+        return v
+
+    tc, sc = counts(target_df), counts(source_df)
+    a = float(alpha)
+    return np.log((tc + a) / (tc.sum() + a * nf)) - np.log(
+        (sc + a) / (sc.sum() + a * nf)
+    )
+
+
+def dsir_score_expr(text: Column | str, w) -> Column:
+    """Per-document importance log-weight: ``Σ_tokens w[bucket(token)]``
+    (the log of the DSIR importance ratio under the two hashed-unigram
+    models; higher = more target-like). PURE narrow expression: ``w``
+    ships as ONE ``from_json`` literal (the ``bloom_words_lit`` plan-size
+    discipline — never ``F.lit(list)``), each token folds through the
+    portable polyhash, empty/NULL text scores 0.0.
+
+    Selection composes with the existing machinery: resample
+    proportionally with ``weighted_sample_k(df.withColumn("w",
+    F.exp(dsir_score_expr(...))), ...)`` or threshold-select the top
+    quantile band (``quantile_band_select``)."""
+    import json as _json
+
+    from dask_glm_spark.operators.text import tokens_expr
+
+    nf = len(w)
+    warr = F.from_json(
+        F.lit(_json.dumps([float(x) for x in w])), "array<double>"
+    )
+    toks = F.filter(
+        tokens_expr(text), lambda t: F.length(t) > 0
+    )
+    return F.coalesce(
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.element_at(
+                    warr, (F.pmod(polyhash_expr(t), F.lit(nf)) + 1).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0.0),
+    )

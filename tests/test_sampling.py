@@ -551,3 +551,94 @@ def test_hash_sample_frac_subpercent(spark):
 
     with _pt.raises(ValueError, match="rate"):
         hash_sample_frac(df, "doc_id", 1.5)
+
+
+class TestDSIR:
+    """Round 9: DSIR hashed-unigram importance weighting (Xie et al.
+    2023) — log-ratio vector + per-doc score expression."""
+
+    def _corpora(self, spark):
+        en = [
+            (i, "en", "the quick brown fox and the lazy dog again " * 3)
+            for i in range(10)
+        ]
+        de = [
+            (100 + i, "de", "der schnelle braune fuchs und der faule hund " * 3)
+            for i in range(10)
+        ]
+        return spark.createDataFrame(
+            en + de, "doc_id long, lang string, text string"
+        )
+
+    def test_scores_rank_target_like_docs_higher(self, spark):
+        from pyspark.sql import functions as F
+
+        from dask_glm_spark.operators.sampling import (
+            dsir_logratio_vector,
+            dsir_score_expr,
+        )
+
+        docs = self._corpora(spark)
+        w = dsir_logratio_vector(
+            docs.where(F.col("lang") == "en"), docs, nf=256
+        )
+        got = {
+            r["doc_id"]: r["s"]
+            for r in docs.select(
+                "doc_id", dsir_score_expr("text", w).alias("s")
+            ).collect()
+        }
+        # every English doc outranks every German doc under the en target
+        assert min(got[i] for i in range(10)) > max(
+            got[100 + i] for i in range(10)
+        )
+
+    def test_score_matches_python_twin_and_empty_is_zero(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from dask_glm_spark.operators.sampling import (
+            dsir_logratio_vector,
+            dsir_score_expr,
+        )
+
+        docs = self._corpora(spark)
+        nf = 128
+        w = dsir_logratio_vector(
+            docs.where(F.col("lang") == "en"), docs, nf=nf
+        )
+        extra = spark.createDataFrame(
+            [(900, "x", None), (901, "x", ""), (902, "x", "the fox")],
+            "doc_id long, lang string, text string",
+        )
+        got = {
+            r["doc_id"]: r["s"]
+            for r in extra.select(
+                "doc_id", dsir_score_expr("text", w).alias("s")
+            ).collect()
+        }
+        assert got[900] == 0.0 and got[901] == 0.0
+
+        def phash(t):
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % 1_000_000_007
+            return h
+
+        want = sum(w[phash(t) % nf] for t in "the fox".split())
+        assert got[902] == pytest.approx(want, abs=1e-12)
+
+    def test_logratio_vector_properties(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from dask_glm_spark.operators.sampling import dsir_logratio_vector
+
+        docs = self._corpora(spark)
+        w = dsir_logratio_vector(docs.where(F.col("lang") == "en"), docs, nf=64)
+        assert w.shape == (64,) and np.isfinite(w).all()
+        # target == source -> identically zero log-ratios
+        w0 = dsir_logratio_vector(docs, docs, nf=64)
+        assert np.allclose(w0, 0.0)
+        with pytest.raises(ValueError, match="nf"):
+            dsir_logratio_vector(docs, docs, nf=0)
