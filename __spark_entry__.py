@@ -1364,8 +1364,9 @@ def _pq_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_spread(spark, sf_dir)
+    # fused one-pass form: target is a labeled subset of the pool
     w = dsir_logratio_vector(
-        docs.where(F.col("lang") == "en"), docs, nf=512
+        docs, nf=512, target_cond=(F.col("lang") == "en")
     )
     return docs.select(
         "doc_id",

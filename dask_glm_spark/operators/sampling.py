@@ -515,10 +515,11 @@ def negative_sample_ids(
 # ---------------------------------------------------------------------------
 def dsir_logratio_vector(
     target_df: DataFrame,
-    source_df: DataFrame,
+    source_df: DataFrame | None = None,
     text_col: str = "text",
     nf: int = 4096,
     alpha: float = 1.0,
+    target_cond: Column | None = None,
 ):
     """Hashed-unigram importance log-ratios: ``w[b] = log p̂_target(b) −
     log p̂_source(b)`` over ``nf`` hash buckets, add-``alpha`` smoothed.
@@ -528,37 +529,67 @@ def dsir_logratio_vector(
     the raw SOURCE pool) and keep only their per-bucket log-ratio — the
     sufficient statistic for the importance weight of any document.
 
-    Scale shape: TWO map-side-combinable count aggregates, each with
-    output ≤ ``nf`` rows regardless of corpus size; the returned vector
-    is ``nf`` doubles on the driver (bounded — the ``sample_vectors``
-    convention). Bucketing is ``polyhash(token) % nf`` — the
-    engine-portable hash, so a DuckDB oracle re-derives the identical
-    vector from the same corpora."""
+    Scale shape: map-side-combinable count aggregates with output ≤
+    ``nf`` rows regardless of corpus size; the returned vector is ``nf``
+    doubles on the driver (bounded — the ``sample_vectors`` convention).
+    Bucketing is ``polyhash(token) % nf`` — the engine-portable hash, so
+    a DuckDB oracle re-derives the identical vector from the same
+    corpora.
+
+    Two call forms:
+    - ``(target_df, source_df)`` — general two-corpus form, two passes;
+    - ``(pool_df, target_cond=<Column>)`` — the common "target is a
+      labeled subset of the pool" case, ONE fused pass (count(*) and a
+      conditional count per bucket — halves the corpus scans)."""
     import numpy as np
 
     from dask_glm_spark.operators.text import tokens_expr
 
     if nf <= 0:
         raise ValueError(f"nf must be positive, got {nf}")
+    if (source_df is None) == (target_cond is None):
+        raise ValueError("pass exactly one of source_df or target_cond")
 
-    def counts(df):
-        rows = (
-            df.select(
-                F.explode(
-                    F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
-                ).alias("t")
-            )
-            .select(F.pmod(polyhash_expr(F.col("t")), F.lit(nf)).alias("b"))
-            .groupBy("b")
-            .agg(F.count("*").alias("c"))
-            .collect()
-        )
+    def to_vec(rows, key):
         v = np.zeros(nf, dtype=np.float64)
         for r in rows:
-            v[int(r["b"])] = float(r["c"])
+            v[int(r["b"])] = float(r[key])
         return v
 
-    tc, sc = counts(target_df), counts(source_df)
+    if target_cond is not None:
+        rows = (
+            target_df.select(
+                target_cond.cast("long").alias("_tgt"),
+                F.explode(
+                    F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
+                ).alias("t"),
+            )
+            .select("_tgt", F.pmod(polyhash_expr(F.col("t")), F.lit(nf)).alias("b"))
+            .groupBy("b")
+            .agg(
+                F.count("*").alias("sc"),
+                F.coalesce(F.sum("_tgt"), F.lit(0)).alias("tc"),
+            )
+            .collect()
+        )
+        sc, tc = to_vec(rows, "sc"), to_vec(rows, "tc")
+    else:
+
+        def counts(df):
+            rows = (
+                df.select(
+                    F.explode(
+                        F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
+                    ).alias("t")
+                )
+                .select(F.pmod(polyhash_expr(F.col("t")), F.lit(nf)).alias("b"))
+                .groupBy("b")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            return to_vec(rows, "c")
+
+        tc, sc = counts(target_df), counts(source_df)
     a = float(alpha)
     return np.log((tc + a) / (tc.sum() + a * nf)) - np.log(
         (sc + a) / (sc.sum() + a * nf)

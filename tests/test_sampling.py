@@ -642,3 +642,22 @@ class TestDSIR:
         assert np.allclose(w0, 0.0)
         with pytest.raises(ValueError, match="nf"):
             dsir_logratio_vector(docs, docs, nf=0)
+
+    def test_fused_cond_form_equals_two_pass(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from dask_glm_spark.operators.sampling import dsir_logratio_vector
+
+        docs = self._corpora(spark)
+        two = dsir_logratio_vector(
+            docs.where(F.col("lang") == "en"), docs, nf=64
+        )
+        one = dsir_logratio_vector(
+            docs, nf=64, target_cond=(F.col("lang") == "en")
+        )
+        assert np.array_equal(two, one)  # integer counts -> bit-equal
+        with pytest.raises(ValueError, match="exactly one"):
+            dsir_logratio_vector(docs, docs, nf=64, target_cond=F.lit(True))
+        with pytest.raises(ValueError, match="exactly one"):
+            dsir_logratio_vector(docs, nf=64)
