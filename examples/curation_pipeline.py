@@ -85,6 +85,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     clean = Q.decontaminate_two_phase(survivors, bench, n=5)
     n3 = clean.count()
 
+    # 3b. (round 9) DSIR data selection: score every doc's importance
+    # under hashed-unigram models — target = the src0 slice as the
+    # in-domain seed, source = the pool itself (ONE fused count
+    # aggregate) — and keep the top 60% by CCNet-style quantile band.
+    # The score is a pure narrow expression (log-ratio vector ships as
+    # one constant-folded literal); the keep decision stays the
+    # deterministic hash filter.
+    from dask_glm_spark.operators.sampling import (
+        dsir_logratio_vector,
+        dsir_score_expr,
+    )
+
+    w = dsir_logratio_vector(
+        clean, nf=512, target_cond=(F.col("source") == "src0")
+    )
+    clean = stratified_sample_by_quantile(
+        clean.withColumn("dsir", dsir_score_expr("text", w)),
+        "dsir",
+        edges=[0.4],
+        rates_pct={"b0": 0, "b1": 100},
+        salt="dsirgate",
+    ).drop("dsir")
+    n3b = clean.count()
+
     # 4. train a BPE tokenizer ON the cleaned corpus (one word-count
     # scan + driver merge loop), then budget per source in TRAINED
     # subword tokens — the unit a training run actually pays — and scrub
@@ -141,13 +165,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         "quality_gated": n1,
         "deduped": n2,
         "decontaminated": n3,
+        "dsir_selected": n3b,
         "in_budget": n4,
         "fit_accuracy": round(float(acc), 4),
         "sharded": n5,
         "shards": len(manifest),
     }
     print(out)
-    assert n0 >= n1 >= n2 >= n3 >= n4 >= n5 > 0
+    assert n0 >= n1 >= n2 >= n3 >= n3b >= n4 >= n5 > 0
     assert n_back == n5  # every sharded doc reads back
     return out
 
