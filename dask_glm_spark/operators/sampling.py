@@ -513,6 +513,19 @@ def negative_sample_ids(
 # (public algorithm: Xie et al. 2023, "Data Selection for Language Models
 # via Importance Resampling", NeurIPS — hashed n-gram generative models)
 # ---------------------------------------------------------------------------
+def _dsir_bucket_expr(tok: Column, nf: int, hash: str) -> Column:
+    """Token -> bucket. ``hash="poly"`` is the engine-portable polyhash
+    (the DuckDB-oracle form; an interpreted per-char fold); ``"xx"`` is
+    JVM-native xxhash64 — ~10x faster per byte, the production path, NOT
+    oracle-portable (the ``fingerprint_fast_expr`` convention). Vector
+    and scores must use the SAME hash."""
+    if hash == "poly":
+        return F.pmod(polyhash_expr(tok), F.lit(nf))
+    if hash == "xx":
+        return F.pmod(F.xxhash64(F.lit("dsir"), tok), F.lit(nf))
+    raise ValueError(f"hash must be poly|xx, got {hash!r}")
+
+
 def dsir_logratio_vector(
     target_df: DataFrame,
     source_df: DataFrame | None = None,
@@ -520,6 +533,7 @@ def dsir_logratio_vector(
     nf: int = 4096,
     alpha: float = 1.0,
     target_cond: Column | None = None,
+    hash: str = "poly",
 ):
     """Hashed-unigram importance log-ratios: ``w[b] = log p̂_target(b) −
     log p̂_source(b)`` over ``nf`` hash buckets, add-``alpha`` smoothed.
@@ -564,7 +578,7 @@ def dsir_logratio_vector(
                     F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
                 ).alias("t"),
             )
-            .select("_tgt", F.pmod(polyhash_expr(F.col("t")), F.lit(nf)).alias("b"))
+            .select("_tgt", _dsir_bucket_expr(F.col("t"), nf, hash).alias("b"))
             .groupBy("b")
             .agg(
                 F.count("*").alias("sc"),
@@ -582,7 +596,7 @@ def dsir_logratio_vector(
                         F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
                     ).alias("t")
                 )
-                .select(F.pmod(polyhash_expr(F.col("t")), F.lit(nf)).alias("b"))
+                .select(_dsir_bucket_expr(F.col("t"), nf, hash).alias("b"))
                 .groupBy("b")
                 .agg(F.count("*").alias("c"))
                 .collect()
@@ -596,7 +610,7 @@ def dsir_logratio_vector(
     )
 
 
-def dsir_score_expr(text: Column | str, w) -> Column:
+def dsir_score_expr(text: Column | str, w, hash: str = "poly") -> Column:
     """Per-document importance log-weight: ``Σ_tokens w[bucket(token)]``
     (the log of the DSIR importance ratio under the two hashed-unigram
     models; higher = more target-like). PURE narrow expression: ``w``
@@ -624,7 +638,7 @@ def dsir_score_expr(text: Column | str, w) -> Column:
             F.transform(
                 toks,
                 lambda t: F.element_at(
-                    warr, (F.pmod(polyhash_expr(t), F.lit(nf)) + 1).cast("int")
+                    warr, (_dsir_bucket_expr(t, nf, hash) + 1).cast("int")
                 ),
             ),
             F.lit(0.0),

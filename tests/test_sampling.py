@@ -661,3 +661,33 @@ class TestDSIR:
             dsir_logratio_vector(docs, docs, nf=64, target_cond=F.lit(True))
         with pytest.raises(ValueError, match="exactly one"):
             dsir_logratio_vector(docs, nf=64)
+
+    def test_xx_hash_path(self, spark):
+        """Production hash='xx' (JVM xxhash64 buckets): vector + score
+        agree with each other; mixing hashes raises no error but scores
+        differ (documented: same hash on both sides), and unknown names
+        raise."""
+        from pyspark.sql import functions as F
+
+        from dask_glm_spark.operators.sampling import (
+            dsir_logratio_vector,
+            dsir_score_expr,
+        )
+
+        docs = self._corpora(spark)
+        w = dsir_logratio_vector(
+            docs, nf=64, target_cond=(F.col("lang") == "en"), hash="xx"
+        )
+        got = {
+            r["doc_id"]: r["s"]
+            for r in docs.select(
+                "doc_id", dsir_score_expr("text", w, hash="xx").alias("s")
+            ).collect()
+        }
+        assert min(got[i] for i in range(10)) > max(
+            got[100 + i] for i in range(10)
+        )
+        with pytest.raises(ValueError, match="hash"):
+            dsir_logratio_vector(
+                docs, nf=64, target_cond=F.lit(True), hash="md5"
+            )
