@@ -515,6 +515,7 @@ def ivf_pq_ann_topk(
     m: int = 8,
     ksub: int = 256,
     refine: int | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: ``ivf_ann_topk``'s probe join with the
     corpus side COMPRESSED to PQ codes and candidates scored by ADC.
@@ -543,11 +544,23 @@ def ivf_pq_ann_topk(
     candidate set — and exact cosine picks the final top-k. With R large
     enough the only remaining miss is the IVF probe miss; returned
     cosines are then exact. Costs one extra equi-join over an
-    id-shortlist; the scan side of that join prunes to (id, vec)."""
+    id-shortlist; the scan side of that join prunes to (id, vec).
+
+    ``by_residual=True`` quantizes ``x − centroid(cell(x))`` instead of
+    ``x`` (FAISS's IVFPQ default): residuals concentrate near zero on
+    clustered corpora, so the same code budget spends its precision on
+    the within-cell structure — plain-ADC ranking improves materially
+    where the coarse quantizer captures real clusters (pytest-measured
+    on the clustered fixture). The ADC gains a per-(cell, subspace,
+    code) cross-term table (n_centroids·m·ksub doubles, closure-shipped)
+    and a per-(query, cell) centroid dot; candidate rows carry their
+    cell through the scoring pass. ``codebooks`` passed explicitly must
+    then be RESIDUAL codebooks (train via ``pq_train(...,
+    sample=residual_sample)``)."""
     return _ivf_pq_ann(
         corpus, queries, k, id_col, vec_col, n_centroids, nprobe,
         centroids, codebooks, m, ksub, refine,
-        broadcast_queries=True, max_per_cell=None,
+        broadcast_queries=True, max_per_cell=None, by_residual=by_residual,
     )
 
 
@@ -565,6 +578,7 @@ def ivf_pq_ann_join(
     ksub: int = 256,
     refine: int | None = None,
     max_per_cell: int | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ twin of ``ivf_ann_join``: two corpus-sized sides through the
     COMPRESSED index — the cell match is a plain hash equi-join (no
@@ -580,20 +594,41 @@ def ivf_pq_ann_join(
         corpus, queries, k, id_col, vec_col, n_centroids, nprobe,
         centroids, codebooks, m, ksub, refine,
         broadcast_queries=False, max_per_cell=max_per_cell,
+        by_residual=by_residual,
     )
 
 
 def _ivf_pq_ann(
     corpus, queries, k, id_col, vec_col, n_centroids, nprobe,
     centroids, codebooks, m, ksub, refine, broadcast_queries, max_per_cell,
+    by_residual=False,
 ) -> DataFrame:
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_centroids, vec_col)
+    cent = np.asarray(centroids, dtype=np.float64)
     if codebooks is None:
-        codebooks = pq_train(corpus, m=m, ksub=ksub, vec_col=vec_col)
+        if by_residual:
+            # residual codebooks: assign the SAME bounded sample to its
+            # nearest coarse centroid and train per-subspace k-means on
+            # the differences (the classic IVFPQ training split)
+            sm = sample_vectors(corpus, vec_col)
+            a = (sm @ cent.T - 0.5 * (cent * cent).sum(1)[None, :]).argmax(1)
+            codebooks = pq_train(
+                corpus, m=m, ksub=ksub, vec_col=vec_col, sample=sm - cent[a]
+            )
+        else:
+            codebooks = pq_train(corpus, m=m, ksub=ksub, vec_col=vec_col)
     cb = np.asarray(codebooks, dtype=np.float64)
     mm, _, dsub = cb.shape
     cnorm2 = (cb * cb).sum(2)  # (m, ksub') — reconstruction-norm table
+    if by_residual:
+        # cross[cell, j, code] = centroid_cell[subspace j] · codeword —
+        # the 2·c·r term of |recon|²; (n_centroids, m, ksub') doubles in
+        # the closure (e.g. 16x16x256 = 64k — bounded by the quantizer
+        # config, never the corpus)
+        cent_sub = cent.reshape(len(cent), mm, dsub)  # (C, m, dsub)
+        cross = np.einsum("cjd,jkd->cjk", cent_sub, cb)
+        centn2_full = (cent * cent).sum(1)  # (C,)
 
     # Index build: ONE fused Arrow pass assigns the coarse cell AND the PQ
     # code per batch (both vectorized numpy; centroids/codebooks ride the
@@ -602,7 +637,6 @@ def _ivf_pq_ann(
     # side it would put n_centroids x dim literal nodes in the hot plan
     # for no benefit over the same argmin inside the already-needed
     # encode pass.
-    cent = np.asarray(centroids, dtype=np.float64)
     centn2 = 0.5 * (cent * cent).sum(1)
     id_type = corpus.schema[id_col].dataType.simpleString()
 
@@ -615,6 +649,8 @@ def _ivf_pq_ann(
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             # same tie-break as array_position(max): lowest index wins
             cells = (X @ cent.T - centn2[None, :]).argmax(1) + 1
+            if by_residual:
+                X = X - cent[cells - 1]
             codes = np.empty((len(pdf), mm), dtype=np.int32)
             for j in range(mm):
                 Xj = X[:, j * dsub : (j + 1) * dsub]
@@ -663,7 +699,19 @@ def _ivf_pq_ann(
                 codes = np.stack(grp["pq_code"].to_numpy()).astype(np.int64)
                 ar = np.arange(mm)
                 dots = lut[ar, codes].sum(1)
-                rnorm = np.sqrt(cnorm2[ar, codes].sum(1))
+                rn2 = cnorm2[ar, codes].sum(1)
+                if by_residual:
+                    # recon = c_cell + r: q·recon gains the per-(query,
+                    # cell) centroid dot; |recon|² gains |c|² + 2·c·r
+                    # from the precomputed cross table
+                    cells0 = grp["cell"].to_numpy().astype(np.int64) - 1
+                    dots = dots + (cent @ qv)[cells0]
+                    rn2 = (
+                        rn2
+                        + centn2_full[cells0]
+                        + 2.0 * cross[cells0[:, None], ar[None, :], codes].sum(1)
+                    )
+                rnorm = np.sqrt(np.maximum(rn2, 0.0))
                 denom = qn * rnorm
                 cos = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
                 g = pd.DataFrame(
@@ -683,7 +731,10 @@ def _ivf_pq_ann(
                 )
             yield pd.concat(outs, ignore_index=True)
 
-    pruned = cand.select("query_id", "qvec", "neighbor_id", "pq_code").mapInPandas(
+    score_cols = ["query_id", "qvec", "neighbor_id", "pq_code"] + (
+        ["cell"] if by_residual else []
+    )
+    pruned = cand.select(*score_cols).mapInPandas(
         score, f"query_id {id_type}, neighbor_id {id_type}, cosine double"
     )
 

@@ -211,6 +211,99 @@ class TestProductQuantization:
         with pytest.raises(ValueError, match="divisible"):
             S.pq_train(emb_df, m=5)
 
+    def test_residual_adc_matches_numpy_reconstruction(self, spark, vectors, emb_df):
+        """by_residual=True: ADC cosine must equal cos(q, centroid_cell +
+        decode(code)) computed in numpy — pins the cross-term table and
+        the per-(query, cell) centroid dot."""
+        cent = S.train_ivf_centroids(emb_df, 12)
+        sm = S.sample_vectors(emb_df, "embedding")
+        a = (sm @ cent.T - 0.5 * (cent * cent).sum(1)[None, :]).argmax(1)
+        cb = S.pq_train(emb_df, m=4, ksub=64, sample=sm - cent[a])
+        queries = emb_df.where(F.col("vec_id") < 3)
+        got = S.ivf_pq_ann_topk(
+            emb_df, queries, k=5, n_centroids=12, nprobe=12,
+            centroids=cent, codebooks=cb, by_residual=True,
+        ).collect()
+        # reproduce the index driver-side
+        Xd = vectors.astype(np.float64)
+        centn2 = 0.5 * (cent * cent).sum(1)
+        cells = (Xd @ cent.T - centn2[None, :]).argmax(1)
+        R = Xd - cent[cells]
+        dsub = DIM // 4
+        codes = np.stack(
+            [
+                ((cb[j] * cb[j]).sum(1)[None, :] - 2.0 * (R[:, j*dsub:(j+1)*dsub] @ cb[j].T)).argmin(1)
+                for j in range(4)
+            ],
+            axis=1,
+        )
+        for r in got:
+            nid = r["neighbor_id"]
+            recon = cent[cells[nid]] + np.concatenate(
+                [cb[j][codes[nid, j]] for j in range(4)]
+            )
+            q = Xd[r["query_id"]]
+            want = float(q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon)))
+            assert r["cosine"] == pytest.approx(want, abs=1e-12)
+
+    def test_residual_beats_plain_adc_on_clustered_data(self, spark, vectors, emb_df):
+        """On clustered data the residual encoding spends the code budget
+        on within-cell structure: plain-ADC (no refine) recall must be at
+        least as good as raw-vector PQ at the same (m, ksub), and
+        absolutely decent."""
+        k = 5
+        queries = emb_df.where(F.col("vec_id") < 10)
+        exact = S.brute_force_topk(emb_df, queries, k=k).collect()
+        truth: dict[int, set] = {}
+        for r in exact:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+        def recall(rows):
+            found: dict[int, set] = {}
+            for r in rows:
+                found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return float(
+                np.mean([len(truth[q] & found.get(q, set())) / k for q in truth])
+            )
+
+        cent = S.train_ivf_centroids(emb_df, 12)
+        plain = recall(
+            S.ivf_pq_ann_topk(
+                emb_df, queries, k=k, n_centroids=12, nprobe=12,
+                centroids=cent, m=4, ksub=16,
+            ).collect()
+        )
+        resid = recall(
+            S.ivf_pq_ann_topk(
+                emb_df, queries, k=k, n_centroids=12, nprobe=12,
+                centroids=cent, m=4, ksub=16, by_residual=True,
+            ).collect()
+        )
+        assert resid >= plain
+        assert resid >= 0.5
+
+    def test_residual_join_matches_topk(self, spark, emb_df):
+        cent = S.train_ivf_centroids(emb_df, 12)
+        sm = S.sample_vectors(emb_df, "embedding")
+        a = (sm @ cent.T - 0.5 * (cent * cent).sum(1)[None, :]).argmax(1)
+        cb = S.pq_train(emb_df, m=4, ksub=32, sample=sm - cent[a])
+        queries = emb_df.where(F.col("vec_id") < 8)
+        x = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.ivf_pq_ann_topk(
+                emb_df, queries, k=4, n_centroids=12, nprobe=4,
+                centroids=cent, codebooks=cb, by_residual=True, refine=16,
+            ).collect()
+        }
+        y = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.ivf_pq_ann_join(
+                emb_df, queries, k=4, n_centroids=12, nprobe=4,
+                centroids=cent, codebooks=cb, by_residual=True, refine=16,
+            ).collect()
+        }
+        assert x == y and len(y) > 0
+
 
 def test_ivf_assignment_is_narrow_and_broadcast(spark, emb_df):
     """Plan shape: corpus-side cell assignment adds no shuffle; the probe
