@@ -492,6 +492,51 @@ def pq_encode(
     return df.mapInPandas(op, schema=schema)
 
 
+def save_pq(
+    path: str,
+    codebooks: np.ndarray,
+    centroids: np.ndarray | None = None,
+    by_residual: bool = False,
+) -> None:
+    """Persist a trained PQ model (codebooks + optional coarse quantizer
+    + the residual flag) as format-tagged JSON — the ``bpe.save_merges``
+    convention: params and content round-trip exactly, no pickle. An
+    index built once on the corpus is reused by every query batch and
+    across sessions; the model is what makes old codes decodable."""
+    import json
+
+    obj = {
+        "format": "pq_model",
+        "version": 1,
+        "by_residual": bool(by_residual),
+        "codebooks": np.asarray(codebooks, dtype=np.float64).tolist(),
+        "centroids": (
+            np.asarray(centroids, dtype=np.float64).tolist()
+            if centroids is not None
+            else None
+        ),
+    }
+    with open(path, "w") as fh:
+        json.dump(obj, fh)
+
+
+def load_pq(path: str):
+    """Load a model written by ``save_pq``; returns
+    ``(codebooks, centroids | None, by_residual)``."""
+    import json
+
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("format") != "pq_model":
+        raise ValueError(f"{path}: not a pq_model file")
+    cents = obj.get("centroids")
+    return (
+        np.asarray(obj["codebooks"], dtype=np.float64),
+        np.asarray(cents, dtype=np.float64) if cents is not None else None,
+        bool(obj.get("by_residual", False)),
+    )
+
+
 def pq_reconstruct_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Decode PQ codes back to approximate vectors (numpy, test/driver
     utility): concatenate each subspace's codeword."""

@@ -282,6 +282,28 @@ class TestProductQuantization:
         assert resid >= plain
         assert resid >= 0.5
 
+    def test_pq_model_round_trip(self, spark, emb_df, tmp_path):
+        """save_pq/load_pq: bit-exact round trip (float64 via JSON repr),
+        format tag enforced, encoding with the reloaded model equals the
+        original."""
+        import json
+
+        cent = S.train_ivf_centroids(emb_df, 12)
+        cb = S.pq_train(emb_df, m=4, ksub=32)
+        p = str(tmp_path / "pq.json")
+        S.save_pq(p, cb, centroids=cent, by_residual=True)
+        cb2, cent2, br = S.load_pq(p)
+        assert br is True
+        assert np.array_equal(cb, cb2) and np.array_equal(cent, cent2)
+        a = {r["vec_id"]: list(r["pq_code"]) for r in S.pq_encode(emb_df, cb).collect()}
+        b = {r["vec_id"]: list(r["pq_code"]) for r in S.pq_encode(emb_df, cb2).collect()}
+        assert a == b
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as fh:
+            json.dump({"format": "other"}, fh)
+        with pytest.raises(ValueError, match="pq_model"):
+            S.load_pq(bad)
+
     def test_residual_join_matches_topk(self, spark, emb_df):
         cent = S.train_ivf_centroids(emb_df, 12)
         sm = S.sample_vectors(emb_df, "embedding")
