@@ -537,6 +537,62 @@ def load_pq(path: str):
     )
 
 
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by_residual: bool = False,
+) -> DataFrame:
+    """Build the IVF-PQ index frame ``(neighbor_id, cell, pq_code)`` —
+    ONE fused Arrow pass assigns the coarse cell AND the PQ code per
+    batch (both vectorized numpy; quantizers ride the closure; the
+    expression-literal cell path is deliberately NOT used here — it
+    would put n_centroids × dim literal nodes in the corpus-side hot
+    plan for no benefit over the same argmin inside the already-needed
+    encode pass). ``by_residual`` encodes ``x − centroid(cell)``.
+
+    THIS is the frame to land in parquet (bucketed by ``cell`` at scale)
+    and reuse across query batches/sessions with ``save_pq``'d models —
+    the only corpus-wide pass of the whole serving path; m bytes/vector
+    of payload. ``ivf_pq_ann_topk``/``_join`` build it internally when
+    handed raw vectors."""
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, _, dsub = cb.shape
+    centn2 = 0.5 * (cent * cent).sum(1)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def build_index(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # same tie-break as array_position(max): lowest index wins
+            cells = (X @ cent.T - centn2[None, :]).argmax(1) + 1
+            if by_residual:
+                X = X - cent[cells - 1]
+            codes = np.empty((len(pdf), mm), dtype=np.int32)
+            for j in range(mm):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                d = (cb[j] * cb[j]).sum(1)[None, :] - 2.0 * (Xj @ cb[j].T)
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int64),
+                    "pq_code": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        build_index, f"neighbor_id {id_type}, cell long, pq_code array<int>"
+    )
+
+
 def pq_reconstruct_np(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Decode PQ codes back to approximate vectors (numpy, test/driver
     utility): concatenate each subspace's codeword."""
@@ -675,43 +731,11 @@ def _ivf_pq_ann(
         cross = np.einsum("cjd,jkd->cjk", cent_sub, cb)
         centn2_full = (cent * cent).sum(1)  # (C,)
 
-    # Index build: ONE fused Arrow pass assigns the coarse cell AND the PQ
-    # code per batch (both vectorized numpy; centroids/codebooks ride the
-    # closure). The expression-literal cell path (_centroid_sims_expr) is
-    # kept for the query side, where the frame is small — on the corpus
-    # side it would put n_centroids x dim literal nodes in the hot plan
-    # for no benefit over the same argmin inside the already-needed
-    # encode pass.
-    centn2 = 0.5 * (cent * cent).sum(1)
-    id_type = corpus.schema[id_col].dataType.simpleString()
-
-    def build_index(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            # same tie-break as array_position(max): lowest index wins
-            cells = (X @ cent.T - centn2[None, :]).argmax(1) + 1
-            if by_residual:
-                X = X - cent[cells - 1]
-            codes = np.empty((len(pdf), mm), dtype=np.int32)
-            for j in range(mm):
-                Xj = X[:, j * dsub : (j + 1) * dsub]
-                d = (cb[j] * cb[j]).sum(1)[None, :] - 2.0 * (Xj @ cb[j].T)
-                codes[:, j] = d.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "cell": cells.astype(np.int64),
-                    "pq_code": list(codes),
-                }
-            )
-
-    index = corpus.select(id_col, vec_col).mapInPandas(
-        build_index, f"neighbor_id {id_type}, cell long, pq_code array<int>"
+    index = ivf_pq_index(
+        corpus, cent, cb, id_col=id_col, vec_col=vec_col,
+        by_residual=by_residual,
     )
+    id_type = corpus.schema[id_col].dataType.simpleString()
     if max_per_cell is not None:
         from dask_glm_spark.operators.topk import grouped_topk as _gt
 

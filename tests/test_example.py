@@ -53,3 +53,19 @@ def test_continuous_ingestion_example():
     assert out["total_kept"] >= out["day1_kept"] > 0
     assert out["sharded"] == out["total_kept"]
     assert out["seek_sample_ok"]
+
+
+def test_ann_index_example():
+    spec = importlib.util.spec_from_file_location(
+        "ann_index",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "ann_index.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.main("/root/testdata/sf0.001")
+    assert out["indexed"] > 0
+    assert out["recall_at_5"] >= 0.6
+    assert out["code_bytes_per_vector"] == 16
