@@ -469,6 +469,22 @@ def test_lsh_ann_join_plan_no_window(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
+def test_ivf_pq_ann_join_plan_no_window(spark):
+    """The PQ join path must keep the lsh/ivf join contracts: Window-free
+    top-k and no cartesian/nested-loop anywhere (including the refine
+    join-back)."""
+    from dask_glm_spark.operators.similarity import ivf_pq_ann_join
+    from dask_glm_spark.plans import audit
+    from dask_glm_spark.sources.glm_source import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = audit.explain_str(
+        ivf_pq_ann_join(emb, emb, k=3, n_centroids=8, refine=10), "simple"
+    )
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
 def test_grouped_topk_rank_and_bounds(spark):
     from pyspark.sql import functions as F
 
