@@ -492,6 +492,160 @@ def pq_encode(
     return df.mapInPandas(op, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the codebook-free compressed path
+# ---------------------------------------------------------------------------
+def sq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    sample_limit: int | None = None,
+    margin: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) ranges for uint8 scalar quantization
+    (FAISS's SQ8) from ONE bounded driver sample — training cost is
+    corpus-size independent, like every quantizer here. Values outside
+    the sampled range CLIP at encode time (the standard SQ contract);
+    ``margin`` widens each range by that fraction to absorb sample
+    under-coverage. Returns float64 ``(vmin, vmax)`` of shape (dim,)."""
+    X = sample_vectors(corpus, vec_col, sample_limit)
+    vmin, vmax = X.min(0), X.max(0)
+    if margin:
+        pad = margin * (vmax - vmin)
+        vmin, vmax = vmin - pad, vmax + pad
+    # degenerate constant dims: keep a nonzero span so encode/decode are
+    # well-defined (code 0, exact reconstruction at vmin)
+    span = vmax - vmin
+    vmax = np.where(span > 0, vmax, vmin + 1.0)
+    return vmin, vmax
+
+
+def sq_encode(
+    df: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Append ``out_col: binary`` — EXACTLY dim bytes per vector (one
+    uint8 per dimension: ``round((x − vmin)/(vmax − vmin) · 255)``,
+    clipped) — and drop the float column unless ``keep_vec``. The
+    codebook-free sibling of ``pq_encode``: 4× smaller than float32 with
+    near-lossless cosine (PQ reaches 16-48× but needs codebook training
+    and ADC). One vectorized Arrow pass."""
+    import pandas as pd
+
+    lo = np.asarray(vmin, dtype=np.float64)
+    hi = np.asarray(vmax, dtype=np.float64)
+    scale = 255.0 / (hi - lo)
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists on the input")
+    keep_cols = [c for c in df.columns if keep_vec or c != vec_col]
+    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c in keep_cols)
+    schema = f"{fields}, `{out_col}` binary"
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.clip(np.rint((X - lo) * scale), 0, 255).astype(np.uint8)
+            out = pdf[keep_cols].copy()
+            out[out_col] = pd.Series(
+                [r.tobytes() for r in q], index=pdf.index, dtype=object
+            )
+            yield out
+
+    return df.mapInPandas(op, schema=schema)
+
+
+def sq_reconstruct_np(
+    codes: list | np.ndarray, vmin: np.ndarray, vmax: np.ndarray
+) -> np.ndarray:
+    """Decode SQ8 byte strings back to approximate float64 vectors
+    (numpy, test/driver utility)."""
+    lo = np.asarray(vmin, dtype=np.float64)
+    hi = np.asarray(vmax, dtype=np.float64)
+    Q = np.stack([np.frombuffer(c, dtype=np.uint8) for c in codes]).astype(
+        np.float64
+    )
+    return lo + Q * ((hi - lo) / 255.0)
+
+
+def sq_brute_force_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """Exhaustive cosine top-k over an SQ8-compressed index
+    (``sq_encode`` output: ``(id, sq_code)``): asymmetric scoring — the
+    UNCOMPRESSED query against batch-decoded corpus vectors, one BLAS
+    GEMM per (batch, query) — with ``brute_force_topk``'s narrow
+    per-batch truncation and Window-free final top-k. The corpus scan
+    reads dim BYTES per row instead of 4·dim; compute is still O(n·q)
+    by definition — pair with IVF cells (filter the index by cell)
+    when exhaustive is too much."""
+    import pandas as pd
+
+    lo = np.asarray(vmin, dtype=np.float64)
+    hi = np.asarray(vmax, dtype=np.float64)
+    dec = (hi - lo) / 255.0
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    qids = [r["query_id"] for r in qrows]
+    Q = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    kk = int(k)
+    id_type = index.schema[id_col].dataType.simpleString() if id_col in index.columns else "long"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = lo + np.stack(
+                [np.frombuffer(c, dtype=np.uint8) for c in pdf[code_col]]
+            ).astype(np.float64) * dec
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S_ = Xn @ Qn.T  # (n_batch, n_queries)
+            outs = []
+            for qi, qid in enumerate(qids):
+                cos = S_[:, qi]
+                keep = ids != qid
+                g = pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[keep],
+                        "cosine": cos[keep],
+                    }
+                )
+                outs.append(
+                    g.sort_values(
+                        ["cosine", "neighbor_id"], ascending=[False, True]
+                    ).head(kk)
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    pruned = index.select(id_col, code_col).mapInPandas(
+        score, f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    )
+
+    from dask_glm_spark.operators.topk import grouped_topk
+
+    out = grouped_topk(
+        pruned.withColumn("_negcos", -F.col("cosine")),
+        "query_id", ["_negcos", "neighbor_id"], kk,
+        carry_cols=["cosine"], rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def save_pq(
     path: str,
     codebooks: np.ndarray,

@@ -327,6 +327,55 @@ class TestProductQuantization:
         assert x == y and len(y) > 0
 
 
+class TestScalarQuantization:
+    """Round 9: SQ8 — the codebook-free compressed path."""
+
+    def test_encode_decode_error_bound(self, spark, vectors, emb_df):
+        vmin, vmax = S.sq_train(emb_df)
+        enc = S.sq_encode(emb_df, vmin, vmax)
+        assert "embedding" not in enc.columns
+        rows = sorted(enc.collect(), key=lambda r: r["vec_id"])
+        codes = [bytes(r["sq_code"]) for r in rows]
+        assert all(len(c) == DIM for c in codes)  # exactly dim bytes
+        recon = S.sq_reconstruct_np(codes, vmin, vmax)
+        # per-dim error <= half a quantization step (+fp slack)
+        step = (vmax - vmin) / 255.0
+        err = np.abs(recon - vectors.astype(np.float64))
+        assert (err <= step / 2 + 1e-12).all()
+
+    def test_topk_recall_near_exact(self, spark, emb_df):
+        """8-bit scalar quantization is near-lossless for cosine ranking:
+        recall@5 vs exact must be high on the clustered fixture."""
+        queries = emb_df.where(F.col("vec_id") < 10)
+        exact = S.brute_force_topk(emb_df, queries, k=5).collect()
+        truth: dict[int, set] = {}
+        for r in exact:
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        vmin, vmax = S.sq_train(emb_df)
+        idx = S.sq_encode(emb_df, vmin, vmax)
+        got = S.sq_brute_force_topk(idx, queries, vmin, vmax, k=5).collect()
+        found: dict[int, set] = {}
+        for r in got:
+            found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [len(truth[q] & found.get(q, set())) / 5 for q in truth]
+        assert np.mean(recalls) >= 0.9
+
+    def test_constant_dim_and_clip(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 5.0]), (1, [1.0, 7.0])],
+            "vec_id long, embedding array<float>",
+        )
+        vmin, vmax = S.sq_train(df)
+        assert vmax[0] > vmin[0]  # constant dim keeps a nonzero span
+        # out-of-range value clips instead of wrapping
+        wild = spark.createDataFrame(
+            [(9, [1.0, 99.0])], "vec_id long, embedding array<float>"
+        )
+        r = S.sq_encode(wild, vmin, vmax).collect()[0]
+        recon = S.sq_reconstruct_np([bytes(r["sq_code"])], vmin, vmax)[0]
+        assert recon[1] == pytest.approx(vmax[1])
+
+
 def test_ivf_assignment_is_narrow_and_broadcast(spark, emb_df):
     """Plan shape: corpus-side cell assignment adds no shuffle; the probe
     join broadcasts the query side."""
