@@ -492,6 +492,113 @@ def pq_encode(
     return df.mapInPandas(op, schema=schema)
 
 
+def opq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    kmeans_iters: int = 4,
+    sample_limit: int | None = None,
+    seed: int = PQ_SEED,
+    sample: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (public algorithm: Ge, He, Ke &
+    Sun 2013, "Optimized Product Quantization for Approximate Nearest
+    Neighbor Search", CVPR — the non-parametric variant): learn an
+    ORTHOGONAL rotation R that redistributes variance/correlation across
+    the m subspaces before PQ, alternating
+
+      1. fix R: train per-subspace codebooks on the rotated sample and
+         encode it (reconstructions Y);
+      2. fix codes: R ← argmin_R ||X·R − Y||² — the orthogonal
+         Procrustes solution U·Vᵀ from the SVD of Xᵀ·Y.
+
+    Driver-side over ONE bounded sample (the quantizer convention);
+    returns ``(R, codebooks)`` with codebooks living in ROTATED space.
+    Rotation preserves inner products and norms, so searching entirely
+    in rotated space is exact-equivalent: compose as
+
+        R, cb = opq_train(corpus, m, ksub)
+        rot   = rotate_vectors(corpus,  R)
+        rotq  = rotate_vectors(queries, R)
+        ivf_pq_ann_topk(rot, rotq, codebooks=cb, ...)
+
+    Plain PQ is the R = I special case; OPQ wins when dimensions are
+    correlated ACROSS the contiguous subspace splits (pytest constructs
+    exactly that and pins the reconstruction-error improvement)."""
+    X = sample if sample is not None else sample_vectors(corpus, vec_col, sample_limit)
+    X = np.asarray(X, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % int(m):
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // int(m)
+    R = np.eye(dim)
+    cb = None
+    for _ in range(int(iters)):
+        Xr = X @ R
+        cb = np.stack(
+            [
+                _kmeans_np(Xr[:, j * dsub : (j + 1) * dsub], int(ksub),
+                           iters=kmeans_iters, seed=seed + j)
+                for j in range(int(m))
+            ]
+        )
+        # encode the rotated sample and rebuild reconstructions
+        Y = np.empty_like(Xr)
+        for j in range(int(m)):
+            Xj = Xr[:, j * dsub : (j + 1) * dsub]
+            d = (cb[j] * cb[j]).sum(1)[None, :] - 2.0 * (Xj @ cb[j].T)
+            Y[:, j * dsub : (j + 1) * dsub] = cb[j][d.argmin(1)]
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    # final codebooks under the final R
+    Xr = X @ R
+    cb = np.stack(
+        [
+            _kmeans_np(Xr[:, j * dsub : (j + 1) * dsub], int(ksub),
+                       iters=kmeans_iters, seed=seed + j)
+            for j in range(int(m))
+        ]
+    )
+    return R, cb
+
+
+def rotate_vectors(
+    df: DataFrame,
+    R: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply an orthogonal rotation to a vector column — ONE vectorized
+    Arrow pass (one GEMM per batch, R rides the closure). Cosine/L2 are
+    rotation-invariant, so downstream exact scores are unchanged; this
+    exists to put vectors in OPQ's rotated space before encode/search."""
+    import pandas as pd
+
+    Rm = np.asarray(R, dtype=np.float64)
+    out_col = out_col or vec_col
+    fields = ", ".join(
+        f"`{c}` {'array<double>' if c == out_col else t}"
+        for c, t in df.dtypes
+        if c != out_col or c in df.columns
+    )
+    if out_col not in df.columns:
+        fields = fields + f", `{out_col}` array<double>"
+    cols = list(df.columns) if out_col in df.columns else list(df.columns) + [out_col]
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) @ Rm
+            out = pdf.copy()
+            out[out_col] = pd.Series(list(X), index=pdf.index, dtype=object)
+            yield out[cols]
+
+    return df.mapInPandas(op, schema=fields)
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (SQ8): the codebook-free compressed path
 # ---------------------------------------------------------------------------

@@ -327,6 +327,84 @@ class TestProductQuantization:
         assert x == y and len(y) > 0
 
 
+class TestOPQ:
+    """Round 9: OPQ (Ge et al. 2013) — learned rotation before PQ."""
+
+    def _correlated_df(self, spark):
+        # data whose variance concentrates in a rotated 2D structure that
+        # the CONTIGUOUS subspace split chops badly: plain PQ must pay,
+        # the learned rotation must recover it
+        rng = np.random.RandomState(3)
+        n, dim = 400, 8
+        Z = rng.standard_normal((n, dim)) * np.array(
+            [8.0, 7.0, 0.2, 0.2, 0.2, 0.2, 0.2, 0.2]
+        )
+        Qr, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+        X = (Z @ Qr).astype(np.float64)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        return df, X
+
+    def test_opq_reduces_reconstruction_error(self, spark):
+        df, X = self._correlated_df(spark)
+        sv = S.sample_vectors(df, "embedding")
+        cb_plain = S.pq_train(df, m=4, ksub=16, sample=sv)
+        codes = []
+        dsub = 2
+        for j in range(4):
+            Xj = sv[:, j * dsub : (j + 1) * dsub]
+            d = (cb_plain[j] * cb_plain[j]).sum(1)[None, :] - 2.0 * (Xj @ cb_plain[j].T)
+            codes.append(d.argmin(1))
+        recon_plain = np.concatenate(
+            [cb_plain[j][codes[j]] for j in range(4)], axis=1
+        )
+        err_plain = float(((sv - recon_plain) ** 2).sum())
+
+        R, cb = S.opq_train(df, m=4, ksub=16, sample=sv)
+        assert np.allclose(R @ R.T, np.eye(8), atol=1e-10)  # orthogonal
+        Xr = sv @ R
+        recon = np.empty_like(Xr)
+        for j in range(4):
+            Xj = Xr[:, j * dsub : (j + 1) * dsub]
+            d = (cb[j] * cb[j]).sum(1)[None, :] - 2.0 * (Xj @ cb[j].T)
+            recon[:, j * dsub : (j + 1) * dsub] = cb[j][d.argmin(1)]
+        err_opq = float(((Xr - recon) ** 2).sum())
+        assert err_opq < 0.7 * err_plain  # material, not marginal
+
+    def test_rotation_composes_with_pq_search(self, spark):
+        """End-to-end: rotate both sides, search with the OPQ codebooks
+        (refine gives exact cosines — rotation-invariant, so they match
+        the unrotated brute force)."""
+        df, X = self._correlated_df(spark)
+        R, cb = S.opq_train(df, m=4, ksub=16)
+        rot = S.rotate_vectors(df, R)
+        queries = rot.where(F.col("vec_id") < 5)
+        got = S.ivf_pq_ann_topk(
+            rot, queries, k=3, n_centroids=8, nprobe=8,
+            codebooks=cb, refine=20,
+        ).collect()
+        exact = S.brute_force_topk(
+            df, df.where(F.col("vec_id") < 5), k=3
+        ).collect()
+        ex = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact
+        }
+        hits = 0
+        for r in got:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in ex:
+                hits += 1
+                # refine cosines are exact; rotation preserves them
+                assert r["cosine"] == pytest.approx(ex[key], abs=1e-9)
+        assert hits / len(ex) >= 0.8
+
+    def test_opq_validates_dim(self, spark, emb_df):
+        with pytest.raises(ValueError, match="divisible"):
+            S.opq_train(emb_df, m=5)
+
+
 class TestScalarQuantization:
     """Round 9: SQ8 — the codebook-free compressed path."""
 
