@@ -753,6 +753,38 @@ def sq_brute_force_topk(
     return out.select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def save_sq(path: str, vmin: np.ndarray, vmax: np.ndarray) -> None:
+    """Persist SQ8 ranges as format-tagged JSON (the ``save_pq``
+    convention) — codes are only decodable with the ranges that made
+    them."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "format": "sq_model",
+                "version": 1,
+                "vmin": np.asarray(vmin, dtype=np.float64).tolist(),
+                "vmax": np.asarray(vmax, dtype=np.float64).tolist(),
+            },
+            fh,
+        )
+
+
+def load_sq(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load ranges written by ``save_sq``; returns ``(vmin, vmax)``."""
+    import json
+
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("format") != "sq_model":
+        raise ValueError(f"{path}: not a sq_model file")
+    return (
+        np.asarray(obj["vmin"], dtype=np.float64),
+        np.asarray(obj["vmax"], dtype=np.float64),
+    )
+
+
 def save_pq(
     path: str,
     codebooks: np.ndarray,

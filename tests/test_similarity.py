@@ -438,6 +438,20 @@ class TestScalarQuantization:
         recalls = [len(truth[q] & found.get(q, set())) / 5 for q in truth]
         assert np.mean(recalls) >= 0.9
 
+    def test_sq_model_round_trip(self, spark, emb_df, tmp_path):
+        import json
+
+        vmin, vmax = S.sq_train(emb_df)
+        p = str(tmp_path / "sq.json")
+        S.save_sq(p, vmin, vmax)
+        v2min, v2max = S.load_sq(p)
+        assert np.array_equal(vmin, v2min) and np.array_equal(vmax, v2max)
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as fh:
+            json.dump({"format": "other"}, fh)
+        with pytest.raises(ValueError, match="sq_model"):
+            S.load_sq(bad)
+
     def test_constant_dim_and_clip(self, spark):
         df = spark.createDataFrame(
             [(0, [1.0, 5.0]), (1, [1.0, 7.0])],
