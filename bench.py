@@ -81,8 +81,9 @@ def main() -> int:
     # slower than the same fit's steady state in a clean session (in-process
     # A/B: consecutive fits reach 4.1-4.4 s; post-query retimes read 5.3+).
     # The reference's 57.7 s baseline is a warm FRESH notebook session, so
-    # back-to-back samples here are the like-for-like measurement. The
-    # end-of-run retime still applies on top (min only ever improves).
+    # back-to-back samples here are the like-for-like measurement.
+    # End-of-run samples are reported separately as fit_admm_l2_retime
+    # (v7, ADVICE r9) — they never fold into this number.
     for _ in range(2):
         prior_best = timings.get("fit_admm_l2", -1.0)
         if prior_best <= 0:
@@ -171,6 +172,7 @@ def main() -> int:
     # state the reference baseline (a warm notebook) published, exactly as
     # every declared query is already measured.
     RETIME_SEC, BUDGET_SEC = 2.5, 300.0
+    retime_extra: dict[str, float] = {}
     for name in sorted(timings, key=lambda n: -timings.get(n, 0.0)):
         if timings.get(name, 0.0) <= RETIME_SEC:
             break
@@ -178,22 +180,36 @@ def main() -> int:
             break
         first = timings[name]
         timed(name, runners[name])
-        timings[name] = min(first, timings[name]) if timings[name] > 0 else first
+        second = timings[name]
+        if name == "fit_admm_l2":
+            # v7 (ADVICE r9): the headline stays the UP-FRONT min-of-3 in
+            # the still-clean session (like-for-like with the reference's
+            # fresh warm notebook); this polluted-session sample is a
+            # DIFFERENT measurement condition, so it is reported as its
+            # own metric below instead of being folded into a one-sided
+            # min that could only ever lower the headline.
+            timings[name] = first
+            if second > 0:
+                retime_extra["fit_admm_l2_retime"] = second
+        else:
+            timings[name] = min(first, second) if second > 0 else first
         spark.catalog.clearCache()
 
-    # The HEADLINE gets one extra retime (min-of-3): it is the single
-    # number the round is graded on, and same-day host-weather drift on
-    # this box swings solo fit timings ±20-30% — a third sample costs ~5 s
-    # and reliably lands one measurement in a quiet window.
+    # One guaranteed end-of-run headline sample (the v6 min-of-3's third
+    # run, kept as data): min-of-2 with any budget-loop sample above,
+    # recorded under fit_admm_l2_retime.
     if timings.get("fit_admm_l2", -1.0) > 0:
-        prior_best = timings["fit_admm_l2"]
+        upfront = timings["fit_admm_l2"]
         timed("fit_admm_l2", runners["fit_admm_l2"])
-        timings["fit_admm_l2"] = (
-            min(prior_best, timings["fit_admm_l2"])
-            if timings["fit_admm_l2"] > 0
-            else prior_best
-        )
+        sample = timings["fit_admm_l2"]
+        timings["fit_admm_l2"] = upfront
+        if sample > 0:
+            prior = retime_extra.get("fit_admm_l2_retime")
+            retime_extra["fit_admm_l2_retime"] = (
+                min(sample, prior) if prior else sample
+            )
         spark.catalog.clearCache()
+    timings.update(retime_extra)
 
     # -- regression diff vs the latest recorded round (stderr only) --------
     try:
@@ -238,7 +254,11 @@ def main() -> int:
                 # UP FRONT in the still-clean session (the baseline is a
                 # fresh warm notebook; end-of-run retimes measured the fit
                 # ~1 s slower under 50 queries of session heap pollution).
-                "bench_methodology": "v6-warm-min2-all-noop31-headline3x-upfront",
+                # v7 (r10, ADVICE r9): the end-of-run headline retimes are
+                # reported as the separate fit_admm_l2_retime metric —
+                # fit_admm_l2 is PURELY the up-front min-of-3, no longer a
+                # one-sided min over two different session conditions.
+                "bench_methodology": "v7-warm-min2-all-noop31-headline3x-upfront-retime-split",
             }
         )
     )

@@ -471,8 +471,12 @@ def pq_encode(
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists on the input")
     keep_cols = [c for c in df.columns if keep_vec or c != vec_col]
-    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c in keep_cols)
-    schema = f"{fields}, `{out_col}` array<int>"
+    # joined as one list so keep_cols == [] (a codes-only projection)
+    # yields a valid single-field schema, not a leading comma
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes if c in keep_cols]
+        + [f"`{out_col}` array<int>"]
+    )
     cnorm2 = (cb * cb).sum(2)  # (m, ksub)
 
     def op(batches):
@@ -579,9 +583,7 @@ def rotate_vectors(
     Rm = np.asarray(R, dtype=np.float64)
     out_col = out_col or vec_col
     fields = ", ".join(
-        f"`{c}` {'array<double>' if c == out_col else t}"
-        for c, t in df.dtypes
-        if c != out_col or c in df.columns
+        f"`{c}` {'array<double>' if c == out_col else t}" for c, t in df.dtypes
     )
     if out_col not in df.columns:
         fields = fields + f", `{out_col}` array<double>"
@@ -607,14 +609,17 @@ def sq_train(
     vec_col: str = "embedding",
     sample_limit: int | None = None,
     margin: float = 0.0,
+    sample: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-dimension (min, max) ranges for uint8 scalar quantization
     (FAISS's SQ8) from ONE bounded driver sample — training cost is
     corpus-size independent, like every quantizer here. Values outside
     the sampled range CLIP at encode time (the standard SQ contract);
     ``margin`` widens each range by that fraction to absorb sample
-    under-coverage. Returns float64 ``(vmin, vmax)`` of shape (dim,)."""
-    X = sample_vectors(corpus, vec_col, sample_limit)
+    under-coverage. Returns float64 ``(vmin, vmax)`` of shape (dim,).
+    ``sample`` reuses a caller-held ``sample_vectors`` result (one scan
+    trains IVF + PQ + SQ, the pq_train convention)."""
+    X = sample if sample is not None else sample_vectors(corpus, vec_col, sample_limit)
     vmin, vmax = X.min(0), X.max(0)
     if margin:
         pad = margin * (vmax - vmin)
@@ -644,12 +649,19 @@ def sq_encode(
 
     lo = np.asarray(vmin, dtype=np.float64)
     hi = np.asarray(vmax, dtype=np.float64)
+    # same degenerate-span guard as sq_train: a caller-supplied range
+    # with a constant dimension must not yield inf/NaN scales that cast
+    # to garbage uint8 (code 0, exact reconstruction at vmin instead)
+    hi = np.where(hi - lo > 0, hi, lo + 1.0)
     scale = 255.0 / (hi - lo)
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists on the input")
     keep_cols = [c for c in df.columns if keep_vec or c != vec_col]
-    fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes if c in keep_cols)
-    schema = f"{fields}, `{out_col}` binary"
+    # one joined list: valid schema even when keep_cols is empty
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in df.dtypes if c in keep_cols]
+        + [f"`{out_col}` binary"]
+    )
 
     def op(batches):
         for pdf in batches:
