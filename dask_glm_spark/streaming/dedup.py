@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def dedup_stream(
@@ -99,6 +98,72 @@ def dedup_stream_incremental(
     return writer.start()
 
 
+def simhash_stream_incremental(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming SimHash near-dedup with an unbounded horizon — the
+    foreachBatch face of ``operators/dedup.simhash_dedup_incremental``
+    (round 10, VERDICT r9 #7: the third and last incremental dedup
+    variant to get a streaming face; exact and MinHash are
+    ``dedup_stream_incremental`` / ``neardup_stream_incremental``).
+
+    Same epoch-addressed exactly-once discipline: survivors land in
+    ``out_dir/epoch-N``, index ADDITIONS in ``state_dir/epoch-N``, and
+    the batch anti-joins only epochs < N, so a replayed epoch re-derives
+    the identical survivor set and ``mode="overwrite"`` republishes it.
+
+    Index schema (pinned): ``(doc_id, simhash bigint)`` — ONE long per
+    kept doc, the cheapest near-dup state of the three variants. The
+    cross-batch check is EXACT hamming (the simhash IS the similarity
+    state), candidates from the pigeonhole band equi-join. At 100 TB the
+    state table is 16 bytes/doc; compact epoch files offline when file
+    counts grow."""
+    from dask_glm_spark.operators.dedup import simhash_dedup_incremental
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        eid = int(epoch_id)
+        prior = sorted(
+            os.path.join(state_dir, d)
+            for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            if d.startswith("epoch-") and int(d.split("-")[1]) < eid
+        )
+        seen = spark.read.parquet(*prior) if prior else None
+        survivors, updated = simhash_dedup_incremental(
+            batch_df, seen, max_hamming=max_hamming,
+            text_col=text_col, id_col=id_col,
+        )
+        survivors = survivors.localCheckpoint()  # one derivation, two reads
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch-{eid:06d}")
+        )
+        # full-row anti-join, not a doc_id semi-join (ADVICE r9 — see
+        # neardup_stream_incremental): additions are exactly this
+        # epoch's new (doc_id, simhash) rows even under id reuse
+        additions = (
+            updated
+            if seen is None
+            else updated.join(seen, list(updated.columns), "left_anti")
+        )
+        additions.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch-{eid:06d}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def neardup_stream_incremental(
     stream_df: DataFrame,
     out_dir: str,
@@ -151,12 +216,18 @@ def neardup_stream_incremental(
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"epoch-{eid:06d}")
         )
-        # state additions only: the updated index minus the prior epochs'
-        # rows == the rows keyed by this epoch's survivors
-        additions = updated.join(
-            survivors.select(F.col(id_col).alias("doc_id")),
-            "doc_id",
-            "left_semi",
+        # State additions = the updated index MINUS the prior epochs'
+        # rows, anti-joined on ALL columns (ADVICE r9): a doc_id-only
+        # semi-join against this epoch's survivors re-wrote the PRIOR
+        # epoch's index row whenever an id was reused across epochs and
+        # survived again (duplicating signatures in state forever). The
+        # full-row anti-join emits exactly this epoch's new signature
+        # rows — id reuse with a changed doc adds its new signature and
+        # leaves the old epoch's row where it already lives.
+        additions = (
+            updated
+            if seen is None
+            else updated.join(seen, list(updated.columns), "left_anti")
         )
         additions.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"epoch-{eid:06d}")

@@ -621,3 +621,102 @@ def test_neardup_stream_incremental_unbounded_horizon(spark, tmp_path_factory):
         spark.read.parquet(os.path.join(state, "epoch-*")).columns
     )
     assert idx_cols == {"doc_id", "sig", "bands"}
+
+
+def test_simhash_stream_incremental_unbounded_horizon(spark, tmp_path_factory):
+    """Round 10 (VERDICT r9 #7): the SimHash companion — two availableNow
+    runs over a growing source dir equal the sequential batch
+    simhash_dedup_incremental replay; late cross-batch near-dups are
+    suppressed via the (doc_id, simhash) index and the state schema is
+    pinned to one long per kept doc."""
+    import os
+
+    from dask_glm_spark.operators.dedup import simhash_dedup_incremental
+    from dask_glm_spark.streaming.dedup import simhash_stream_incremental
+
+    root = tmp_path_factory.mktemp("simhash_stream")
+    src = os.path.join(str(root), "src")
+    out = os.path.join(str(root), "out")
+    state = os.path.join(str(root), "state")
+    ckpt = os.path.join(str(root), "ckpt")
+
+    base_a = " ".join(f"alpha{i} token" for i in range(20))
+    base_b = " ".join(f"beta{i} word" for i in range(20))
+    base_c = " ".join(f"gamma{i} item" for i in range(20))
+    near = lambda t: t.replace("5 ", "5x ", 1)  # noqa: E731 - one-word edit
+
+    b1 = spark.createDataFrame(
+        [(1, base_a), (2, base_b), (3, near(base_a))],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, near(base_a)), (11, base_c), (12, near(base_c)),
+         (13, near(base_b))],
+        "doc_id long, text string",
+    )
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = simhash_stream_incremental(stream, out, state, ckpt)
+    q.awaitTermination(120)
+
+    b2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q2 = simhash_stream_incremental(stream2, out, state, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "epoch-*")).collect()
+    }
+    # sequential batch replay as the oracle
+    s1, idx = simhash_dedup_incremental(b1, None)
+    s2, _ = simhash_dedup_incremental(b2, idx)
+    want = {r["doc_id"] for r in s1.collect()} | {
+        r["doc_id"] for r in s2.collect()
+    }
+    assert got == want
+    assert 2 in got                       # distinct batch-1 doc kept
+    # the persisted index is (doc_id, simhash), never text
+    st = spark.read.parquet(os.path.join(state, "epoch-*"))
+    assert set(st.columns) == {"doc_id", "simhash"}
+    # one state row per kept doc, no duplicated signatures
+    assert st.count() == st.select("doc_id").distinct().count() == len(want)
+
+
+def test_neardup_stream_additions_under_doc_id_reuse(spark, tmp_path_factory):
+    """ADVICE r9: a doc_id REUSED in a later epoch by a changed doc that
+    survives must add exactly one new index row — the old derivation
+    (semi-join on doc_id against this epoch's survivors) re-wrote the
+    prior epoch's signature row into the new epoch's state, duplicating
+    it in every future read."""
+    import os
+
+    from dask_glm_spark.streaming.dedup import neardup_stream_incremental
+
+    root = tmp_path_factory.mktemp("neardup_reuse")
+    src = os.path.join(str(root), "src")
+    out = os.path.join(str(root), "out")
+    state = os.path.join(str(root), "state")
+    ckpt = os.path.join(str(root), "ckpt")
+
+    base_a = " ".join(f"alpha{i} token" for i in range(20))
+    base_b = " ".join(f"beta{i} word" for i in range(20))
+
+    b1 = spark.createDataFrame([(1, base_a)], "doc_id long, text string")
+    # doc_id 1 REUSED for an unrelated doc (survives the near-dup check)
+    b2 = spark.createDataFrame([(1, base_b)], "doc_id long, text string")
+
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    neardup_stream_incremental(stream, out, state, ckpt).awaitTermination(120)
+    b2.write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    neardup_stream_incremental(stream2, out, state, ckpt).awaitTermination(120)
+
+    st = spark.read.parquet(os.path.join(state, "epoch-*"))
+    rows = st.collect()
+    # both docs' signatures present exactly once — no prior-epoch row
+    # duplicated into the later epoch's directory
+    assert len(rows) == 2
+    sigs = {tuple(r["sig"]) for r in rows}
+    assert len(sigs) == 2
