@@ -43,26 +43,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     assign = (sv @ cent.T - 0.5 * (cent * cent).sum(1)[None, :]).argmax(1)
     cb = S.pq_train(emb, m=16, ksub=64, sample=sv - cent[assign])
 
-    # 2. persist the model (JSON, no pickle) — old codes stay decodable
-    model_path = os.path.join(root, "pq_model.json")
-    S.save_pq(model_path, cb, centroids=cent, by_residual=True)
+    # 2+3. build the compressed index (the only corpus-wide pass — the
+    # frame the query path uses: id, cell, residual code, m bytes/vector)
+    # and persist index + quantizers as ONE artifact (round 10: the FAISS
+    # write_index analogue — model.json + index/ parquet under one root;
+    # bucket the index by cell at real scale)
+    art_path = os.path.join(root, "ivfpq_artifact")
+    S.save_ivf_pq_index(
+        art_path, S.ivf_pq_index(emb, cent, cb, by_residual=True),
+        cent, cb, by_residual=True,
+    )
 
-    # 3. build + land the compressed index: the only corpus-wide pass —
-    # exactly the frame the query path uses (id, cell, residual code),
-    # m bytes/vector of payload; bucket by cell at real scale
-    idx_path = os.path.join(root, "index")
-    S.ivf_pq_index(emb, cent, cb, by_residual=True).write.mode(
-        "overwrite"
-    ).parquet(idx_path)
-    idx_rows = spark.read.parquet(idx_path).count()
-
-    # 4. "later session": reload the model and serve a query batch
-    cb2, cent2, by_residual = S.load_pq(model_path)
+    # 4. "later session": reload the artifact and serve a query batch
+    # without touching the float corpus (corpus= is only for the exact
+    # refine re-rank, which reads just the queries x refine shortlist)
+    index2, cent2, cb2, by_residual = S.load_ivf_pq_index(spark, art_path)
     assert by_residual and np.array_equal(cb, cb2)
+    idx_rows = index2.count()
     queries = emb.where(F.col("vec_id") < 10)
-    approx = S.ivf_pq_ann_topk(
-        emb, queries, k=5, n_centroids=12, nprobe=6,
-        centroids=cent2, codebooks=cb2, by_residual=True, refine=30,
+    approx = S.ivf_pq_probe(
+        index2, queries, cent2, cb2, k=5, nprobe=6,
+        by_residual=by_residual, refine=30, corpus=emb,
     ).collect()
 
     # 5. accuracy check vs brute force on the same corpus
