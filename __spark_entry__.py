@@ -31,7 +31,8 @@ SIG = f"(1/(1+exp(-{XB})))"
 # glm derivation — identical text in Spark SQL and DuckDB (FIXTURES.md §A).
 GLM = """glm AS (
   SELECT
-    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag) AS BIGINT) AS id,
+    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
+    l_extendedprice, l_discount, l_tax, l_returnflag) AS BIGINT) AS id,
     l_quantity * 1.0        AS f1,
     l_extendedprice / 1e4   AS f2,
     l_discount * 10.0       AS f3,
@@ -111,10 +112,12 @@ SELECT id, CAST(round({SIG}, 6) AS DOUBLE) AS sig FROM glm ORDER BY id LIMIT 100
 t AS (SELECT round({SIG}, 6) AS s, CAST(label > 0.5 AS DOUBLE) AS y FROM glm),
 g AS (SELECT s, sum(y) AS pos, count(*) - sum(y) AS neg FROM t GROUP BY s),
 o AS (SELECT pos, neg,
-        coalesce(sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        coalesce(sum(neg) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
       FROM g)
 SELECT
-  CAST(round((SELECT avg(CASE WHEN (s > 0.5) = (y > 0.5) THEN 1.0 ELSE 0.0 END) FROM t), 6) AS DOUBLE) AS acc,
+  CAST(round((SELECT avg(CASE WHEN (s > 0.5) = (y > 0.5) THEN 1.0 ELSE 0.0 END)
+    FROM t), 6) AS DOUBLE) AS acc,
   CAST(round(sum(pos * (cumneg + neg / 2.0))
              / ((SELECT sum(y) FROM t) * (SELECT count(*) - sum(y) FROM t)), 6) AS DOUBLE) AS auc
 FROM o""",
@@ -137,7 +140,8 @@ SELECT id, f1, f2, f3, f4, CAST(1.0 AS DOUBLE) AS icpt FROM glm ORDER BY id LIMI
     # O1 standardization rewrite (utils.py:31) — scale/center by moments
     "q15_standardize": f"""WITH {GLM},
 stats AS (SELECT avg(f1) m1, avg(f2) m2, avg(f3) m3, avg(f4) m4,
-                 stddev_pop(f1) s1, stddev_pop(f2) s2, stddev_pop(f3) s3, stddev_pop(f4) s4 FROM glm)
+                 stddev_pop(f1) s1, stddev_pop(f2) s2,
+                 stddev_pop(f3) s3, stddev_pop(f4) s4 FROM glm)
 SELECT id,
   CAST(round((f1-m1)/s1, 6) AS DOUBLE) AS z1,
   CAST(round((f2-m2)/s2, 6) AS DOUBLE) AS z2,
@@ -387,7 +391,8 @@ sh AS (
       ELSE [array_to_string(T, ' ')] END AS shingles
   FROM toks
 ),
-hs AS (SELECT doc_id, shingles, list_transform(shingles, s -> {_duck_polyhash("s")}) AS sh_hashes FROM sh),
+hs AS (SELECT doc_id, shingles,
+  list_transform(shingles, s -> {_duck_polyhash("s")}) AS sh_hashes FROM sh),
 sigs AS (SELECT doc_id, {sig_exprs} FROM hs),
 bands AS (SELECT doc_id, unnest([{", ".join(band_keys)}]) AS band_key FROM sigs),
 cands AS (
@@ -397,7 +402,8 @@ cands AS (
 j AS (
   SELECT id_a, id_b,
     round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+      (len(sa.shingles) + len(sb.shingles)
+       - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
   FROM cands
   JOIN sh sa ON sa.doc_id = id_a
   JOIN sh sb ON sb.doc_id = id_b
@@ -731,8 +737,10 @@ lm2 AS (
 )
 SELECT d.doc_id,
   CAST(len({_DUCK_TOKENS_CASED}) AS BIGINT) AS n_tokens,
-  CAST(round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len({_DUCK_TOKENS_CASED}), 4) AS DOUBLE) AS avg_token_len,
-  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
+  CAST(round(length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+    / len({_DUCK_TOKENS_CASED}), 4) AS DOUBLE) AS avg_token_len,
+  CAST(len(regexp_extract_all(lower(text),
+    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
   CAST({_duck_quality_expr()} AS DOUBLE) AS quality,
   CAST({_duck_bpe_count(_DUCK_TOKENS)} AS BIGINT) AS n_bpe24,
   lm.mean_logp AS mean_logp,
@@ -796,7 +804,8 @@ FROM (SELECT text, count(*) AS c FROM documents GROUP BY text HAVING count(*) > 
     "q21_minhash_dedup": _minhash_oracle_sql(0.5),
     "q22_simhash": _simhash_oracle_sql(),
     "q23_embedding_neardup": """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS DOUBLE) AS cosine
+  CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+    b.embedding::DOUBLE[]), 6) AS DOUBLE) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
 ORDER BY id_a, id_b""",
@@ -856,7 +865,8 @@ grid AS (
   generate_series(0, 63) b(i)
 )
 SELECT grid.doc_id, CAST(grid.bucket AS BIGINT) AS bucket,
-  CAST(round(coalesce(tf.tf, 0.0) * ln((n.n_docs + 1.0) / (coalesce(dfreq.dfb, 0.0) + 1.0)), 6) AS DOUBLE) AS tfidf
+  CAST(round(coalesce(tf.tf, 0.0)
+    * ln((n.n_docs + 1.0) / (coalesce(dfreq.dfb, 0.0) + 1.0)), 6) AS DOUBLE) AS tfidf
 FROM grid
 CROSS JOIN n
 LEFT JOIN tf ON tf.doc_id = grid.doc_id AND tf.bucket = grid.bucket
@@ -1135,7 +1145,8 @@ SELECT doc_id,
   CAST(len(smp) AS BIGINT) AS n_samples,
   -- coalesce: zero-sample payloads report 0.0 like the engine, not NULL
   CAST(round(coalesce(list_avg(smp), 0.0), 4) AS DOUBLE) AS mean,
-  CAST(round(coalesce(sqrt(list_avg(list_transform(smp, x -> x * x * 1.0))), 0.0), 4) AS DOUBLE) AS rms,
+  CAST(round(coalesce(sqrt(list_avg(
+    list_transform(smp, x -> x * x * 1.0))), 0.0), 4) AS DOUBLE) AS rms,
   CAST(0 AS BIGINT) AS zero_crossings
 FROM s ORDER BY doc_id"""
 
@@ -2075,7 +2086,8 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SFs the bound is a no-op). All paths are seeded/deterministic —
     measured lsh 0.62/0.70/0.56, ivf 0.80/0.80/0.84, opq-pq
     0.80/0.80/0.82 and sq 1.00/1.00/0.96 at sf0.001/0.01/0.1, so the
-    bounds are SF-robustness margin, not flakiness slack. The oracle emits TRUE literals (the q46/q53
+    bounds are SF-robustness margin, not flakiness slack. The oracle
+    emits TRUE literals (the q46/q53
     accuracy-contract pattern)."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F

@@ -215,7 +215,8 @@ def main() -> int:
     try:
         import glob
 
-        prior_files = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        here = os.path.dirname(os.path.abspath(__file__))
+        prior_files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
         prev = {}
         for pf in reversed(prior_files):
             with open(pf) as fh:
@@ -228,7 +229,10 @@ def main() -> int:
             now = timings[name]
             was = prev.get(name)
             if was and was > 0 and now > 0:
-                print(f"{name:28s} {was:8.2f}s -> {now:8.2f}s  ({now / was:5.2f}x)", file=sys.stderr)
+                print(
+                    f"{name:28s} {was:8.2f}s -> {now:8.2f}s  ({now / was:5.2f}x)",
+                    file=sys.stderr,
+                )
             elif now > 0:
                 print(f"{name:28s}     new  -> {now:8.2f}s", file=sys.stderr)
     except Exception:

@@ -1116,10 +1116,13 @@ def admm_sparse(
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], type=pa.int64()),
-                pa.array([np.ascontiguousarray(np.concatenate(idxs)).tobytes()], type=pa.large_binary()),
-                pa.array([np.ascontiguousarray(np.concatenate(vals)).tobytes()], type=pa.large_binary()),
+                pa.array([np.ascontiguousarray(np.concatenate(idxs)).tobytes()],
+                         type=pa.large_binary()),
+                pa.array([np.ascontiguousarray(np.concatenate(vals)).tobytes()],
+                         type=pa.large_binary()),
                 pa.array([np.ascontiguousarray(row_ids).tobytes()], type=pa.large_binary()),
-                pa.array([np.ascontiguousarray(np.concatenate(ys)).tobytes()], type=pa.large_binary()),
+                pa.array([np.ascontiguousarray(np.concatenate(ys)).tobytes()],
+                         type=pa.large_binary()),
             ],
             names=["pid", "ib", "vb", "rb", "yb"],
         )

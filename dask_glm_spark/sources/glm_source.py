@@ -41,7 +41,8 @@ GLM_ID_ORDER = [
 # (FIXTURES.md §A). Keep engine-portable: ANSI expressions only.
 GLM_VIEW_SQL = """
 SELECT
-  CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag) AS BIGINT) AS id,
+  CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
+    l_extendedprice, l_discount, l_tax, l_returnflag) AS BIGINT) AS id,
   l_quantity * 1.0        AS f1,
   l_extendedprice / 1e4   AS f2,
   l_discount * 10.0       AS f3,

@@ -273,9 +273,11 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
     ev10 = spark.read.parquet(ev10_path)
     for tag, ev in (("1x", ev1), ("10x", ev10)):
         clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-        errors = ev.where(F.col("event_type") == "error").select("user_id", "ts", F.col("event_id").alias("eid"))
+        errors = ev.where(F.col("event_type") == "error").select(
+            "user_id", "ts", F.col("event_id").alias("eid"))
         t0 = time.perf_counter()
-        asof_join(clicks, errors, time_col="ts", by="user_id", value_cols=["eid"]).write.format("noop").mode("overwrite").save()
+        asof_join(clicks, errors, time_col="ts", by="user_id",
+                  value_cols=["eid"]).write.format("noop").mode("overwrite").save()
         out[f"asof_{tag}"] = round(time.perf_counter() - t0, 3)
         # skew-safe two-pass form (round 6): same result, big window on
         # (user, day-bucket) — the shape that holds when one key is hot
@@ -285,13 +287,15 @@ def pipeline_probe(spark, sf_dir: str, workdir: str):
             value_cols=["eid"], bucket_seconds=86400,
         ).write.format("noop").mode("overwrite").save()
         out[f"asof_bkt_{tag}"] = round(time.perf_counter() - t0, 3)
-        sess = sessionize_batch(ev, gap_minutes=30).select("user_id", "session_start", "session_end")
+        sess = sessionize_batch(ev, gap_minutes=30).select(
+            "user_id", "session_start", "session_end")
         pts = ev.where(F.col("event_type") == "error").select("user_id", "ts")
         t0 = time.perf_counter()
         range_join(pts, sess).write.format("noop").mode("overwrite").save()
         out[f"range_{tag}"] = round(time.perf_counter() - t0, 3)
 
-    for k in ("tfidf", "repetition", "spans", "minhash", "components", "hub_components", "ann_join", "asof", "asof_bkt", "range"):
+    for k in ("tfidf", "repetition", "spans", "minhash", "components",
+              "hub_components", "ann_join", "asof", "asof_bkt", "range"):
         r = out[f"{k}_10x"] / max(out[f"{k}_1x"], 1e-9)
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
     print(

@@ -78,7 +78,8 @@ def test_exact_dedup_random_corpora_survivors_exist_in_input(spark):
             for i in range(30)
         ]
         df = spark.createDataFrame(rows, "doc_id long, source string, text string")
-        out = [(r["doc_id"], r["source"], r["text"]) for r in D.exact_dedup(df, ["text"], order_col="doc_id").collect()]
+        out = [(r["doc_id"], r["source"], r["text"])
+               for r in D.exact_dedup(df, ["text"], order_col="doc_id").collect()]
         assert len(out) == len({t for _, _, t in rows})
         assert set(out) <= set(rows)  # whole rows only
         # deterministic: min doc_id per text group
@@ -137,7 +138,8 @@ def test_lsh_candidates_far_below_all_pairs(spark, corpus):
 
 
 def test_minhash_dedup_pairs_verified(spark, corpus):
-    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.minhash_dedup_pairs(corpus, threshold=0.5).collect()}
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.minhash_dedup_pairs(corpus, threshold=0.5).collect()}
     assert out[(0, 2)] == 1.0
     assert (0, 1) in out and out[(0, 1)] >= 0.5
     assert all(j >= 0.5 for j in out.values())
@@ -152,13 +154,16 @@ def test_lsh_candidates_scale_shape(spark):
 
 
 def test_jaccard_expr_matches_python(spark):
-    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>"
+    )
     j = df.select(D.jaccard_expr(F.col("x"), F.col("y")).alias("j")).first()["j"]
     assert j == pytest.approx(2 / 4)
 
 
 def test_simhash_properties(spark, corpus):
-    sh = {r["doc_id"]: r["sh"] for r in corpus.select("doc_id", D.simhash_expr("text").alias("sh")).collect()}
+    sh = {r["doc_id"]: r["sh"] for r in
+          corpus.select("doc_id", D.simhash_expr("text").alias("sh")).collect()}
     assert sh[0] == sh[2]  # identical docs -> identical simhash
     df = spark.createDataFrame([(sh[0], sh[1]), (sh[0], sh[3])], "a long, b long")
     d_near, d_far = [
@@ -168,7 +173,8 @@ def test_simhash_properties(spark, corpus):
 
 
 def test_simhash_dedup_pairs(spark, corpus):
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_dedup_pairs(corpus, max_hamming=3).collect()}
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_dedup_pairs(corpus, max_hamming=3).collect()}
     assert pairs[(0, 2)] == 0
 
 

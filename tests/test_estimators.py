@@ -97,8 +97,10 @@ def test_dense_fit_intercept_scores_sparse_input(spark):
         dense, normalize=False
     )
     sp = V.to_sparse_columns(dense)
-    p_dense = [r["probability"] for r in lr.predict_proba(dense).orderBy(F.col("probability")).collect()]
-    p_sparse = [r["probability"] for r in lr.predict_proba(sp).orderBy(F.col("probability")).collect()]
+    p_dense = [r["probability"] for r in
+               lr.predict_proba(dense).orderBy(F.col("probability")).collect()]
+    p_sparse = [r["probability"] for r in
+                lr.predict_proba(sp).orderBy(F.col("probability")).collect()]
     np.testing.assert_allclose(p_sparse, p_dense, rtol=1e-12)
 
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 from dask_glm_spark.operators.graph import (
     component_stats,

@@ -232,7 +232,8 @@ class TestProductQuantization:
         dsub = DIM // 4
         codes = np.stack(
             [
-                ((cb[j] * cb[j]).sum(1)[None, :] - 2.0 * (R[:, j*dsub:(j+1)*dsub] @ cb[j].T)).argmin(1)
+                ((cb[j] * cb[j]).sum(1)[None, :]
+                 - 2.0 * (R[:, j*dsub:(j+1)*dsub] @ cb[j].T)).argmin(1)
                 for j in range(4)
             ],
             axis=1,

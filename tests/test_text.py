@@ -96,7 +96,8 @@ def test_hashing_tf_shape_and_counts(spark, tiny_corpus):
 
 
 def test_tfidf_downweights_common_tokens(spark, tiny_corpus):
-    out = {r["doc_id"]: r["features"] for r in T.tfidf_features(tiny_corpus, num_features=32).collect()}
+    out = {r["doc_id"]: r["features"] for r in
+           T.tfidf_features(tiny_corpus, num_features=32).collect()}
 
     def py_polyhash(s: str) -> int:
         h = 0
