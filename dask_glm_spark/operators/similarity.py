@@ -323,27 +323,43 @@ def train_ivf_centroids(
 
 def _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids):
     """Query side of the IVF candidate generation: each query exploded to
-    its ``nprobe`` best cells (sims as codegen literals, narrow map)."""
-    sims = _centroid_sims_expr(F.col(vec_col), centroids)
-    # query side: nprobe best cells via sort of (sim, idx) structs
-    idx = F.sequence(F.lit(1), F.lit(len(centroids)))
-    # struct key (s, -i): reverse(array_sort) then orders by sim DESC and
-    # index ASC — the same lowest-index tie-break as the corpus side's
-    # array_position assignment (duplicate centroids otherwise sent all
-    # corpus rows to the first duplicate while queries probed the last,
-    # an empty cell — review r5)
-    ranked = F.reverse(
-        F.array_sort(
-            F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni")))
-        )
-    )
-    probes = F.transform(
-        F.slice(ranked, 1, nprobe), lambda st: (-st["ni"]).cast("long")
-    )
-    return queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(probes).alias("cell"),
+    its ``nprobe`` best cells. ONE vectorized Arrow pass — the centroids
+    ride the closure as a (C, dim) matrix and each batch scores with a
+    single GEMM (round 10; previously an n_centroids x dim LITERAL
+    expression, whose whole-stage-codegen source changed with every
+    distinct centroid set and so paid a fresh Janino compile per trained
+    quantizer — ~1-2 s of latency per probe plan that no amount of plan
+    warming could amortize, and a plan-size liability at larger C).
+    Tie-break parity with the corpus side's ``array_position(max)``
+    assignment is preserved exactly: stable argsort of -sims orders by
+    sim DESC then index ASC, so duplicate centroids send queries to the
+    same lowest-index cell the corpus rows land in (review r5)."""
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    half = 0.5 * (cent * cent).sum(1)
+    npb = int(nprobe)
+    id_type = queries.schema[id_col].dataType.simpleString()
+    vec_type = dict(queries.dtypes)[vec_col]
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = X @ cent.T - half[None, :]
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
+            eff = order.shape[1]  # nprobe > n_centroids truncates
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].to_numpy().repeat(eff),
+                    "qvec": pdf[vec_col].to_numpy().repeat(eff),
+                    "cell": (order + 1).astype(np.int64).ravel(),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        probe, f"query_id {id_type}, qvec {vec_type}, cell long"
     )
 
 
