@@ -365,15 +365,35 @@ def _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids):
 
 def _ivf_sides(corpus, queries, id_col, vec_col, nprobe, centroids):
     """(corpus-with-cell, query-with-probe-cells) — the IVF candidate
-    generation shared by ivf_ann_topk and ivf_ann_join. Centroids fold in
-    as codegen literals; both sides assign with a narrow map."""
-    sims = _centroid_sims_expr(F.col(vec_col), centroids)
-    # nearest cell: 1-based position of the max similarity
-    cell = F.array_position(sims, F.array_max(sims)).cast("long")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        cell.alias("cell"),
+    generation shared by ivf_ann_topk and ivf_ann_join. Both sides are
+    narrow Arrow maps with the centroids riding the closure (round 10 —
+    one BLAS GEMM per batch; previously codegen literals, which paid a
+    Janino recompile per trained quantizer and looped scalar array ops
+    instead of a GEMM). argmax tie-break (lowest index on duplicate
+    centroids) matches ivf_pq_index and the probe side's stable sort."""
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    half = 0.5 * (cent * cent).sum(1)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    vec_type = dict(corpus.dtypes)[vec_col]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = (X @ cent.T - half[None, :]).argmax(1) + 1
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "cvec": pdf[vec_col].to_numpy(),
+                    "cell": cells.astype(np.int64),
+                }
+            )
+
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"neighbor_id {id_type}, cvec {vec_type}, cell long"
     )
     qb = _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids)
     return c, qb
