@@ -884,6 +884,7 @@ def save_ivf_pq_index(
     centroids: np.ndarray,
     codebooks: np.ndarray,
     by_residual: bool = False,
+    partition_by_cell: bool = False,
 ) -> None:
     """Persist a BUILT IVF-PQ index as one artifact (round 10, VERDICT
     r9 #8 — the FAISS ``write_index`` analogue): the ``ivf_pq_index``
@@ -892,9 +893,14 @@ def save_ivf_pq_index(
     old codes are only decodable with) as ``save_pq`` JSON at
     ``path/model.json``. Build ONCE — the only corpus-wide pass — and
     probe many times across sessions via ``load_ivf_pq_index`` +
-    ``ivf_pq_probe``. At 100 TB, repartition the index by ``cell``
-    before saving (or bucket it with ``joins.write_bucketed``) so cell
-    probes prune files."""
+    ``ivf_pq_probe``.
+
+    ``partition_by_cell=True`` lands the index as hive-partitioned
+    parquet (``index/cell=N/``) — THE 100 TB layout: a probe touching
+    ``nprobe`` of C cells then reads nprobe/C of the index bytes via
+    partition pruning (``ivf_pq_probe(prune_cells=True)``) instead of
+    scanning everything into the join. Cost at write time: one shuffle
+    by cell (repartition before the write keeps one file per cell)."""
     import os
 
     os.makedirs(path, exist_ok=True)
@@ -902,12 +908,20 @@ def save_ivf_pq_index(
         os.path.join(path, "model.json"),
         codebooks, centroids=centroids, by_residual=by_residual,
     )
-    index.write.mode("overwrite").parquet(os.path.join(path, "index"))
+    w = index
+    if partition_by_cell:
+        w = w.repartition("cell")
+    writer = w.write.mode("overwrite")
+    if partition_by_cell:
+        writer = writer.partitionBy("cell")
+    writer.parquet(os.path.join(path, "index"))
 
 
 def load_ivf_pq_index(spark, path: str):
     """Reload a ``save_ivf_pq_index`` artifact; returns ``(index_df,
-    centroids, codebooks, by_residual)`` ready for ``ivf_pq_probe``."""
+    centroids, codebooks, by_residual)`` ready for ``ivf_pq_probe``.
+    Handles both flat and cell-partitioned layouts (the partition
+    column comes back cast to the index's pinned ``cell: long``)."""
     import os
 
     cb, cent, by_residual = load_pq(os.path.join(path, "model.json"))
@@ -915,6 +929,10 @@ def load_ivf_pq_index(spark, path: str):
         raise ValueError(f"{path}/model.json has no centroids — not an "
                          "ivf_pq_index artifact")
     index = spark.read.parquet(os.path.join(path, "index"))
+    if dict(index.dtypes).get("cell") != "bigint":
+        # hive partition-column type inference reads small cell ids as
+        # int — pin the schema contract back to long
+        index = index.withColumn("cell", F.col("cell").cast("long"))
     return index, cent, cb, by_residual
 
 
@@ -931,6 +949,7 @@ def ivf_pq_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_per_cell: int | None = None,
+    prune_cells: bool = False,
 ) -> DataFrame:
     """Serve a query batch from a PREBUILT IVF-PQ index frame (the
     ``load_ivf_pq_index`` / FAISS ``read_index`` serving path): identical
@@ -939,12 +958,17 @@ def ivf_pq_probe(
     ``refine`` re-ranks against ``corpus`` (the raw (id, vec) table,
     required only when refining). Results are bit-identical to the
     in-session ``ivf_pq_ann_topk`` under the same quantizers (pytest
-    pins the round trip)."""
+    pins the round trip).
+
+    ``prune_cells=True`` pre-filters the index scan to the union of the
+    batch's probed cells (an O(n_centroids)-bounded driver set) — with
+    a cell-partitioned artifact the filter prunes whole partitions, so
+    the scan reads only the probed nprobe/C slice of the index."""
     return _ivf_pq_ann(
         corpus, queries, k, id_col, vec_col, len(np.asarray(centroids)),
         nprobe, centroids, codebooks, None, None, refine,
         broadcast_queries=True, max_per_cell=max_per_cell,
-        by_residual=by_residual, index=index,
+        by_residual=by_residual, index=index, prune_cells=prune_cells,
     )
 
 
@@ -1113,7 +1137,7 @@ def ivf_pq_ann_join(
 def _ivf_pq_ann(
     corpus, queries, k, id_col, vec_col, n_centroids, nprobe,
     centroids, codebooks, m, ksub, refine, broadcast_queries, max_per_cell,
-    by_residual=False, index=None,
+    by_residual=False, index=None, prune_cells=False,
 ) -> DataFrame:
     if index is not None and (centroids is None or codebooks is None):
         raise ValueError(
@@ -1168,6 +1192,16 @@ def _ivf_pq_ann(
             carry_cols=["pq_code"],
         ).drop("_h")
     qb = _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids)
+    if prune_cells:
+        # distinct probed cells: bounded by n_centroids (config, never
+        # the corpus), so this collect is O(C) longs. The IN filter
+        # becomes a PARTITION filter on a cell-partitioned index layout
+        # (save_ivf_pq_index(partition_by_cell=True)) — the scan then
+        # reads nprobe/C of the index bytes, the point of IVF at 100 TB.
+        probed = sorted(
+            r["cell"] for r in qb.select("cell").distinct().collect()
+        )
+        index = index.where(F.col("cell").isin(probed))
 
     cand = index.join(
         F.broadcast(qb) if broadcast_queries else qb, "cell"

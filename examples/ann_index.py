@@ -52,6 +52,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     S.save_ivf_pq_index(
         art_path, S.ivf_pq_index(emb, cent, cb, by_residual=True),
         cent, cb, by_residual=True,
+        # hive-partition by cell: probes then PRUNE the scan to their
+        # nprobe/C slice of the index (the 100 TB read path)
+        partition_by_cell=True,
     )
 
     # 4. "later session": reload the artifact and serve a query batch
@@ -64,6 +67,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     approx = S.ivf_pq_probe(
         index2, queries, cent2, cb2, k=5, nprobe=6,
         by_residual=by_residual, refine=30, corpus=emb,
+        prune_cells=True,  # partition-pruned scan over the cell layout
     ).collect()
 
     # 5. accuracy check vs brute force on the same corpus

@@ -985,3 +985,39 @@ class TestIndexPersistence:
             ).collect()
         }
         assert got == want
+
+    def test_partitioned_index_prunes_cells(self, spark, emb_df, tmp_path):
+        """Round 10: cell-partitioned artifact + prune_cells probing —
+        identical top-k to the unpartitioned/unpruned path, and the
+        index scan's plan carries a cell partition filter so a probe
+        reads nprobe/C of the index bytes at scale."""
+        from dask_glm_spark.plans import audit
+
+        cent = S.train_ivf_centroids(emb_df, 12)
+        cb = S.pq_train(emb_df, m=4, ksub=32)
+        idx = S.ivf_pq_index(emb_df, cent, cb)
+        root = str(tmp_path / "ivfpq_part")
+        S.save_ivf_pq_index(root, idx, cent, cb, partition_by_cell=True)
+        idx2, cent2, cb2, br = S.load_ivf_pq_index(spark, root)
+        assert dict(idx2.dtypes)["cell"] == "bigint"  # pinned after hive inference
+
+        queries = emb_df.where(F.col("vec_id") < 8)
+        want = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.ivf_pq_ann_topk(
+                emb_df, queries, k=5, n_centroids=12, nprobe=3,
+                centroids=cent, codebooks=cb,
+            ).collect()
+        }
+        pruned = S.ivf_pq_probe(
+            idx2, queries, cent2, cb2, k=5, nprobe=3, prune_cells=True
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in pruned.collect()
+        }
+        assert got == want
+        # the scan must carry the cell filter down to the partitioned
+        # source (PartitionFilters on the parquet relation)
+        plan = audit.explain_str(pruned)
+        assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
