@@ -936,6 +936,46 @@ def load_ivf_pq_index(spark, path: str):
     return index, cent, cb, by_residual
 
 
+def append_to_ivf_pq_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a ``save_ivf_pq_index`` artifact — the
+    FAISS ``add()`` analogue for the incremental-corpus lifecycle (a new
+    crawl snapshot lands; re-encoding 100 TB of already-indexed vectors
+    to admit it would defeat the artifact). The saved quantizers encode
+    ONLY the new rows (quantizers are frozen at train time — the
+    standard IVF contract; retrain + rebuild when drift matters), and
+    the new code rows land with ``mode("append")`` in whichever layout
+    the artifact uses (flat or cell-partitioned — detected from the
+    ``cell=`` directories on disk). Appends are NOT idempotent: the
+    caller dedups/coordinates replays (the streaming epoch-addressed
+    sinks are the managed alternative)."""
+    import os
+
+    cb, cent, by_residual = load_pq(os.path.join(path, "model.json"))
+    if cent is None:
+        raise ValueError(f"{path}/model.json has no centroids — not an "
+                         "ivf_pq_index artifact")
+    idx_dir = os.path.join(path, "index")
+    partitioned = any(
+        d.startswith("cell=") for d in os.listdir(idx_dir)
+    ) if os.path.isdir(idx_dir) else False
+    rows = ivf_pq_index(
+        new_corpus, cent, cb, id_col=id_col, vec_col=vec_col,
+        by_residual=by_residual,
+    )
+    if partitioned:
+        rows.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(idx_dir)
+    else:
+        rows.write.mode("append").parquet(idx_dir)
+
+
 def ivf_pq_probe(
     index: DataFrame,
     queries: DataFrame,

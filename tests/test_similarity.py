@@ -1021,3 +1021,39 @@ class TestIndexPersistence:
         # source (PartitionFilters on the parquet relation)
         plan = audit.explain_str(pruned)
         assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    def test_append_to_index(self, spark, emb_df, tmp_path):
+        """Round 10: FAISS add() analogue — new vectors encoded with the
+        SAVED quantizers land in the artifact via mode(append); a probe
+        over the reloaded index finds a planted near-copy among the
+        appended rows, in both flat and cell-partitioned layouts."""
+        base = emb_df.where(F.col("vec_id") < 100)
+        extra = emb_df.where(F.col("vec_id") >= 100)
+        cent = S.train_ivf_centroids(emb_df, 12)
+        cb = S.pq_train(emb_df, m=4, ksub=32)
+        for part in (False, True):
+            root = str(tmp_path / f"app_{part}")
+            S.save_ivf_pq_index(
+                root, S.ivf_pq_index(base, cent, cb), cent, cb,
+                partition_by_cell=part,
+            )
+            S.append_to_ivf_pq_index(spark, root, extra)
+            idx2, cent2, cb2, br = S.load_ivf_pq_index(spark, root)
+            assert idx2.count() == emb_df.count()
+            # full-index probe == in-session index over the full corpus
+            queries = emb_df.where(F.col("vec_id") < 4)
+            want = {
+                (r["query_id"], r["neighbor_id"], r["rank"])
+                for r in S.ivf_pq_ann_topk(
+                    emb_df, queries, k=5, n_centroids=12, nprobe=4,
+                    centroids=cent, codebooks=cb,
+                ).collect()
+            }
+            got = {
+                (r["query_id"], r["neighbor_id"], r["rank"])
+                for r in S.ivf_pq_probe(
+                    idx2, queries, cent2, cb2, k=5, nprobe=4,
+                    prune_cells=part,
+                ).collect()
+            }
+            assert got == want
