@@ -1003,7 +1003,14 @@ def ivf_pq_probe(
     ``prune_cells=True`` pre-filters the index scan to the union of the
     batch's probed cells (an O(n_centroids)-bounded driver set) — with
     a cell-partitioned artifact the filter prunes whole partitions, so
-    the scan reads only the probed nprobe/C slice of the index."""
+    the scan reads only the probed nprobe/C slice of the index. It
+    costs one extra tiny job (the probe side runs once for the cell
+    set, once for the join), so it pays off when index bytes dominate
+    — i.e. real corpora, not page-cached test scale (measured: at 500k
+    vectors the full scan is already ~10 MB and pruning's extra job
+    costs more than it saves; the plan-level PartitionFilters pin is
+    the contract that matters for the 400 GB index a 100 TB corpus
+    produces)."""
     return _ivf_pq_ann(
         corpus, queries, k, id_col, vec_col, len(np.asarray(centroids)),
         nprobe, centroids, codebooks, None, None, refine,
