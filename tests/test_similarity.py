@@ -1057,3 +1057,57 @@ class TestIndexPersistence:
                 ).collect()
             }
             assert got == want
+
+
+class TestAdviceR9Regressions:
+    def test_encode_with_only_vec_column(self, spark, emb_df):
+        """ADVICE r9: a codes-only projection (input holds just the
+        vector column, keep_vec=False) must yield a valid single-field
+        schema, not a leading-comma parse error."""
+        cb = S.pq_train(emb_df, m=4, ksub=16)
+        vec_only = emb_df.select("embedding")
+        codes = S.pq_encode(vec_only, cb).collect()
+        assert len(codes) == N and len(codes[0]["pq_code"]) == 4
+        lo, hi = S.sq_train(emb_df)
+        sq = S.sq_encode(vec_only, lo, hi).collect()
+        assert len(sq) == N and len(sq[0]["sq_code"]) == DIM
+
+    def test_sq_encode_guards_constant_dimension_range(self, spark, emb_df):
+        """ADVICE r9: caller-supplied ranges with a constant dimension
+        (hi == lo) must not produce inf/NaN scales silently cast to
+        garbage uint8 — the sq_train span guard now applies at encode
+        too (code 0, exact reconstruction at vmin)."""
+        rng = np.random.RandomState(11)
+        X = rng.standard_normal((6, 4))
+        X[:, 2] = 0.7  # constant dimension in the DATA
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        )
+        lo, hi = X.min(0), X.max(0)  # caller range: hi==lo on dim 2
+        rows = S.sq_encode(df.select("vec_id", "embedding"), lo, hi).collect()
+        codes = np.stack(
+            [np.frombuffer(r["sq_code"], dtype=np.uint8) for r in rows]
+        )
+        # guarded: no garbage from an inf/NaN scale — the constant dim
+        # encodes as code 0 (exact reconstruction at vmin)
+        assert (codes[:, 2] == 0).all()
+        dec = S.sq_reconstruct_np(
+            [r["sq_code"] for r in rows], lo, np.where(hi - lo > 0, hi, lo + 1.0)
+        )
+        assert np.allclose(dec[:, 2], 0.7)
+
+    def test_rotate_vectors_in_place_and_new_column(self, spark, emb_df):
+        """rotate_vectors: in-place overwrite keeps schema; out_col
+        appends array<double>; norms are rotation-invariant."""
+        rng = np.random.RandomState(3)
+        Q, _ = np.linalg.qr(rng.standard_normal((DIM, DIM)))
+        inplace = S.rotate_vectors(emb_df, Q)
+        assert inplace.columns == emb_df.columns
+        appended = S.rotate_vectors(emb_df, Q, out_col="rot")
+        assert appended.columns == emb_df.columns + ["rot"]
+        r = appended.where(F.col("vec_id") == 0).collect()[0]
+        a = np.asarray(r["embedding"], dtype=np.float64)
+        b = np.asarray(r["rot"])
+        assert np.isclose(np.linalg.norm(a), np.linalg.norm(b))
+        assert np.allclose(a @ Q, b)
