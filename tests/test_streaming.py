@@ -720,3 +720,76 @@ def test_neardup_stream_additions_under_doc_id_reuse(spark, tmp_path_factory):
     assert len(rows) == 2
     sigs = {tuple(r["sig"]) for r in rows}
     assert len(sigs) == 2
+
+
+def test_index_stream_incremental(spark, tmp_path_factory):
+    """Round 10: continuous ANN indexing — two availableNow runs over a
+    growing embedding source build an epoch-partitioned IVF-PQ artifact
+    whose probe results equal the in-session index over the full
+    corpus; a pre-existing batch (non-epoch) layout is rejected loudly."""
+    import os
+
+    import numpy as np
+
+    from dask_glm_spark.operators import similarity as S
+    from dask_glm_spark.streaming.indexing import index_stream_incremental
+
+    root = tmp_path_factory.mktemp("idx_stream")
+    src = os.path.join(str(root), "src")
+    art = os.path.join(str(root), "art")
+    ckpt = os.path.join(str(root), "ckpt")
+
+    rng = np.random.RandomState(21)
+    centers = rng.standard_normal((6, 8))
+    lab = rng.randint(0, 6, 80)
+    X = centers[lab] + 0.15 * rng.standard_normal((80, 8))
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(80)]
+    schema = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, schema)
+
+    # bootstrap: quantizers only (trained once), no index dir yet
+    cent = S.train_ivf_centroids(full, 6)
+    cb = S.pq_train(full, m=4, ksub=16)
+    os.makedirs(art, exist_ok=True)
+    S.save_pq(os.path.join(art, "model.json"), cb, centroids=cent)
+
+    spark.createDataFrame(rows[:50], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    index_stream_incremental(stream, art, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows[50:], schema).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    index_stream_incremental(stream2, art, ckpt).awaitTermination(120)
+
+    idx, cent2, cb2, br = S.load_ivf_pq_index(spark, art)
+    assert idx.count() == 80
+    assert dict(idx.dtypes)["cell"] == "bigint"
+    queries = full.where(F.col("vec_id") < 5)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_pq_ann_topk(
+            full, queries, k=3, n_centroids=6, nprobe=3,
+            centroids=cent, codebooks=cb,
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_pq_probe(
+            idx, queries, cent2, cb2, k=3, nprobe=3, prune_cells=True
+        ).collect()
+    }
+    assert got == want
+
+    # mixed-layout guard: batch artifact cannot be streamed into
+    art2 = os.path.join(str(root), "art2")
+    S.save_ivf_pq_index(
+        art2, S.ivf_pq_index(full, cent, cb), cent, cb,
+        partition_by_cell=True,
+    )
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    q3 = index_stream_incremental(
+        stream3, art2, os.path.join(str(root), "ckpt2")
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="non-epoch layout"):
+        q3.awaitTermination(120)
+        q3.stop()
