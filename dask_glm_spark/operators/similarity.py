@@ -976,6 +976,38 @@ def append_to_ivf_pq_index(
         rows.write.mode("append").parquet(idx_dir)
 
 
+def compact_ivf_pq_index(
+    spark, path: str, partition_by_cell: bool = True
+) -> None:
+    """Offline maintenance for an index artifact: rewrite whatever the
+    ``index/`` directory accreted — stream epochs
+    (``epoch=K/cell=N/``), append-accumulated small files — into the
+    compact batch layout (cell-partitioned, one file per cell, or flat).
+    One full read + one shuffled write; the swap is rename-based, so run
+    it OFFLINE (no concurrent probes mid-swap — the same discipline as
+    compacting the dedup state sinks). After compaction the artifact is
+    a plain ``save_ivf_pq_index`` layout again: batch appends and (into
+    a fresh artifact) streaming both compose."""
+    import os
+    import shutil
+
+    idx_dir = os.path.join(path, "index")
+    df = spark.read.parquet(idx_dir)
+    if "epoch" in df.columns:
+        df = df.drop("epoch")
+    if dict(df.dtypes).get("cell") != "bigint":
+        df = df.withColumn("cell", F.col("cell").cast("long"))
+    df = df.select("neighbor_id", "cell", "pq_code")
+    tmp = idx_dir + ".compact"
+    w = df.repartition("cell") if partition_by_cell else df
+    writer = w.write.mode("overwrite")
+    if partition_by_cell:
+        writer = writer.partitionBy("cell")
+    writer.parquet(tmp)
+    shutil.rmtree(idx_dir)
+    os.rename(tmp, idx_dir)
+
+
 def ivf_pq_probe(
     index: DataFrame,
     queries: DataFrame,

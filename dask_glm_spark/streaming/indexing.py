@@ -52,7 +52,8 @@ def index_stream_incremental(
             )
         idx_dir = os.path.join(artifact_path, "index")
         if os.path.isdir(idx_dir):
-            tops = [d for d in os.listdir(idx_dir) if not d.startswith("_")]
+            tops = [d for d in os.listdir(idx_dir)
+                    if not d.startswith(("_", "."))]  # skip _SUCCESS/.crc
             if tops and not all(d.startswith("epoch=") for d in tops):
                 raise ValueError(
                     f"{idx_dir} holds a non-epoch layout (batch "

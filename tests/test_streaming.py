@@ -793,3 +793,65 @@ def test_index_stream_incremental(spark, tmp_path_factory):
     with _pytest.raises(Exception, match="non-epoch layout"):
         q3.awaitTermination(120)
         q3.stop()
+
+
+def test_compact_index_epochs(spark, tmp_path_factory):
+    """Round 10: compacting a stream-built (epoch-partitioned) artifact
+    yields the plain cell-partitioned batch layout with identical probe
+    results; batch append composes afterwards."""
+    import os
+
+    import numpy as np
+
+    from dask_glm_spark.operators import similarity as S
+    from dask_glm_spark.streaming.indexing import index_stream_incremental
+
+    root = tmp_path_factory.mktemp("idx_compact")
+    src = os.path.join(str(root), "src")
+    art = os.path.join(str(root), "art")
+    ckpt = os.path.join(str(root), "ckpt")
+
+    rng = np.random.RandomState(31)
+    X = rng.standard_normal((60, 8))
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(60)]
+    schema = "vec_id long, embedding array<double>"
+    full = spark.createDataFrame(rows, schema)
+    cent = S.train_ivf_centroids(full, 5)
+    cb = S.pq_train(full, m=4, ksub=16)
+    os.makedirs(art, exist_ok=True)
+    S.save_pq(os.path.join(art, "model.json"), cb, centroids=cent)
+
+    spark.createDataFrame(rows[:30], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    index_stream_incremental(stream, art, ckpt).awaitTermination(120)
+    spark.createDataFrame(rows[30:50], schema).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    index_stream_incremental(stream2, art, ckpt).awaitTermination(120)
+
+    queries = full.where(F.col("vec_id") < 4)
+
+    def probe():
+        idx, c2, cb2, _ = S.load_ivf_pq_index(spark, art)
+        return idx, {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.ivf_pq_probe(
+                idx, queries, c2, cb2, k=3, nprobe=3, prune_cells=True
+            ).collect()
+        }
+
+    idx_before, before = probe()
+    assert idx_before.count() == 50
+    S.compact_ivf_pq_index(spark, art)
+    idx_after, after = probe()
+    assert after == before
+    assert idx_after.count() == 50
+    assert "epoch" not in idx_after.columns
+    tops = [d for d in os.listdir(os.path.join(art, "index"))
+            if not d.startswith(("_", "."))]
+    assert tops and all(d.startswith("cell=") for d in tops)
+    # batch append composes on the compacted layout
+    S.append_to_ivf_pq_index(
+        spark, art, spark.createDataFrame(rows[50:], schema)
+    )
+    idx_final, _ = probe()
+    assert idx_final.count() == 60
