@@ -342,8 +342,16 @@ def _ivf_probe_side(queries, id_col, vec_col, nprobe, centroids):
     id_type = queries.schema[id_col].dataType.simpleString()
     vec_type = dict(queries.dtypes)[vec_col]
 
+    dim = cent.shape[1]
+
     def probe(batches):
         for pdf in batches:
+            # parity with the former literal-expression path: a null or
+            # wrong-length vector produced a null cell and the row fell
+            # out of the candidate join — drop it, don't fail the job
+            pdf = pdf[pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim
+            )]
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -378,8 +386,15 @@ def _ivf_sides(corpus, queries, id_col, vec_col, nprobe, centroids):
     id_type = corpus.schema[id_col].dataType.simpleString()
     vec_type = dict(corpus.dtypes)[vec_col]
 
+    dim = cent.shape[1]
+
     def assign(batches):
         for pdf in batches:
+            # null/ragged rows drop (the former null-cell semantics),
+            # matching the probe side
+            pdf = pdf[pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim
+            )]
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -718,9 +733,13 @@ def sq_reconstruct_np(
     codes: list | np.ndarray, vmin: np.ndarray, vmax: np.ndarray
 ) -> np.ndarray:
     """Decode SQ8 byte strings back to approximate float64 vectors
-    (numpy, test/driver utility)."""
+    (numpy, test/driver utility). Applies the same degenerate-span
+    guard as sq_encode so encode/decode scales always agree — a
+    caller-supplied hi==lo dimension round-trips instead of collapsing
+    every code to lo."""
     lo = np.asarray(vmin, dtype=np.float64)
     hi = np.asarray(vmax, dtype=np.float64)
+    hi = np.where(hi - lo > 0, hi, lo + 1.0)
     Q = np.stack([np.frombuffer(c, dtype=np.uint8) for c in codes]).astype(
         np.float64
     )
@@ -749,6 +768,9 @@ def sq_brute_force_topk(
 
     lo = np.asarray(vmin, dtype=np.float64)
     hi = np.asarray(vmax, dtype=np.float64)
+    # the sq_encode degenerate-span guard, mirrored: decode scale must
+    # match the scale the codes were made with
+    hi = np.where(hi - lo > 0, hi, lo + 1.0)
     dec = (hi - lo) / 255.0
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -937,7 +959,6 @@ def load_ivf_pq_index(spark, path: str):
 
 
 def append_to_ivf_pq_index(
-    spark,
     path: str,
     new_corpus: DataFrame,
     id_col: str = "vec_id",
@@ -961,9 +982,19 @@ def append_to_ivf_pq_index(
         raise ValueError(f"{path}/model.json has no centroids — not an "
                          "ivf_pq_index artifact")
     idx_dir = os.path.join(path, "index")
-    partitioned = any(
-        d.startswith("cell=") for d in os.listdir(idx_dir)
-    ) if os.path.isdir(idx_dir) else False
+    tops = [
+        d for d in os.listdir(idx_dir) if not d.startswith(("_", "."))
+    ] if os.path.isdir(idx_dir) else []
+    if any(d.startswith("epoch=") for d in tops):
+        # the mirror of index_stream_incremental's layout guard: a flat
+        # append into an epoch-partitioned tree would mix partition
+        # depths and corrupt discovery on the next read
+        raise ValueError(
+            f"{idx_dir} is a stream-built (epoch=) layout — keep "
+            "streaming into it, or compact_ivf_pq_index first, then "
+            "append"
+        )
+    partitioned = any(d.startswith("cell=") for d in tops)
     rows = ivf_pq_index(
         new_corpus, cent, cb, id_col=id_col, vec_col=vec_col,
         by_residual=by_residual,
@@ -1004,8 +1035,15 @@ def compact_ivf_pq_index(
     if partition_by_cell:
         writer = writer.partitionBy("cell")
     writer.parquet(tmp)
-    shutil.rmtree(idx_dir)
+    # recoverable swap: the old tree is renamed ASIDE before the new one
+    # renames in, so a crash at any step leaves either the original or
+    # the finished compact tree discoverable (never no index at all)
+    old = idx_dir + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # leftover from a prior interrupted compact
+    os.rename(idx_dir, old)
     os.rename(tmp, idx_dir)
+    shutil.rmtree(old)
 
 
 def ivf_pq_probe(

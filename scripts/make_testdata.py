@@ -192,7 +192,7 @@ def make_sf(out_dir: str, sf: float) -> None:
     centers = rng.standard_normal((10, 64))
     lab = rng.randint(0, 10, n_emb)
     X = centers[lab] + 0.2 * rng.standard_normal((n_emb, 64))
-    # 15% label noise: guarantees every neighborhood contains
+    # 25% label noise: guarantees every neighborhood contains
     # other-label rows (the hard-negative ground truth needs them)
     noisy = rng.rand(n_emb) < 0.25
     lab[noisy] = rng.randint(0, 10, int(noisy.sum()))

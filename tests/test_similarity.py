@@ -1037,7 +1037,7 @@ class TestIndexPersistence:
                 root, S.ivf_pq_index(base, cent, cb), cent, cb,
                 partition_by_cell=part,
             )
-            S.append_to_ivf_pq_index(spark, root, extra)
+            S.append_to_ivf_pq_index(root, extra)
             idx2, cent2, cb2, br = S.load_ivf_pq_index(spark, root)
             assert idx2.count() == emb_df.count()
             # full-index probe == in-session index over the full corpus
@@ -1092,9 +1092,9 @@ class TestAdviceR9Regressions:
         # guarded: no garbage from an inf/NaN scale — the constant dim
         # encodes as code 0 (exact reconstruction at vmin)
         assert (codes[:, 2] == 0).all()
-        dec = S.sq_reconstruct_np(
-            [r["sq_code"] for r in rows], lo, np.where(hi - lo > 0, hi, lo + 1.0)
-        )
+        # decoders carry the SAME guard internally (review r10): raw
+        # degenerate ranges round-trip without caller-side patching
+        dec = S.sq_reconstruct_np([r["sq_code"] for r in rows], lo, hi)
         assert np.allclose(dec[:, 2], 0.7)
 
     def test_rotate_vectors_in_place_and_new_column(self, spark, emb_df):
@@ -1111,3 +1111,42 @@ class TestAdviceR9Regressions:
         b = np.asarray(r["rot"])
         assert np.isclose(np.linalg.norm(a), np.linalg.norm(b))
         assert np.allclose(a @ Q, b)
+
+    def test_ivf_drops_null_and_ragged_vectors(self, spark, emb_df):
+        """Review r10: the Arrow IVF paths keep the former literal-path
+        semantics — a null or wrong-length vector falls out of the
+        candidate join instead of failing the job."""
+        bad = spark.createDataFrame(
+            [(900, None), (901, [1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        corpus = emb_df.unionByName(bad)
+        queries = emb_df.where(F.col("vec_id") < 3)
+        # quantizer trained on the clean fixture (training-time sampling
+        # fails loudly on ragged data by design); the serving-path joins
+        # must skip the stragglers
+        cent = S.train_ivf_centroids(emb_df, 8)
+        out = S.ivf_ann_topk(
+            corpus, queries, k=3, n_centroids=8, nprobe=8, centroids=cent
+        ).collect()
+        ids = {r["neighbor_id"] for r in out}
+        assert out and 900 not in ids and 901 not in ids
+        # a null/ragged QUERY row drops silently too
+        out2 = S.ivf_ann_topk(
+            emb_df, queries.unionByName(bad), k=3, n_centroids=8,
+            nprobe=8, centroids=cent,
+        ).collect()
+        assert {r["query_id"] for r in out2} == {0, 1, 2}
+
+    def test_append_rejects_epoch_layout(self, spark, emb_df, tmp_path):
+        """Review r10: a flat append into a stream-built epoch tree would
+        mix partition depths and corrupt discovery — reject loudly."""
+        import os
+
+        cent = S.train_ivf_centroids(emb_df, 8)
+        cb = S.pq_train(emb_df, m=4, ksub=16)
+        art = str(tmp_path / "epoch_art")
+        os.makedirs(os.path.join(art, "index", "epoch=0"), exist_ok=True)
+        S.save_pq(os.path.join(art, "model.json"), cb, centroids=cent)
+        with pytest.raises(ValueError, match="stream-built"):
+            S.append_to_ivf_pq_index(art, emb_df)

@@ -851,7 +851,7 @@ def test_compact_index_epochs(spark, tmp_path_factory):
     assert tops and all(d.startswith("cell=") for d in tops)
     # batch append composes on the compacted layout
     S.append_to_ivf_pq_index(
-        spark, art, spark.createDataFrame(rows[50:], schema)
+        art, spark.createDataFrame(rows[50:], schema)
     )
     idx_final, _ = probe()
     assert idx_final.count() == 60
