@@ -60,6 +60,7 @@ class _GLM(BaseEstimator):
         reltol=1e-2,
         features_col="features",
         label_col="label",
+        warm_start=False,
     ):
         self.fit_intercept = fit_intercept
         self.solver = solver
@@ -73,6 +74,11 @@ class _GLM(BaseEstimator):
         self.reltol = reltol
         self.features_col = features_col
         self.label_col = label_col
+        # sklearn-style warm start (beyond-reference, round 10): when True,
+        # a second fit() resumes from the previous coefficients instead of
+        # the solver's cold init — refit-after-append / hyperparameter
+        # continuation at 100 TB costs a few rounds, not a full fit.
+        self.warm_start = warm_start
 
         self.coef_ = None
         self.intercept_ = None
@@ -96,7 +102,8 @@ class _GLM(BaseEstimator):
             k: getattr(self, k)
             for k in (
                 "fit_intercept solver regularizer max_iter tol lamduh rho "
-                "over_relax abstol reltol features_col label_col".split()
+                "over_relax abstol reltol features_col label_col "
+                "warm_start".split()
             )
         }
 
@@ -124,6 +131,10 @@ class _GLM(BaseEstimator):
         df_ = self._maybe_add_intercept(df)
         kw = self._routed_kwargs()
         kw.update(extra)
+        if self.warm_start and self._coef is not None:
+            # _coef lives in the intercept-extended original feature space —
+            # exactly the space the solver's init_beta contract expects
+            kw.setdefault("init_beta", self._coef)
         self._coef = np.asarray(
             solvers._solvers[self.solver](
                 df_,
@@ -177,6 +188,8 @@ class _GLM(BaseEstimator):
             if self.solver in ("lbfgs", "proximal_grad"):
                 kw.update(regularizer=self.regularizer, lamduh=self.lamduh)
         kw.update(extra)
+        if self.warm_start and self._coef is not None:
+            kw.setdefault("init_beta", self._coef)
         solver_fn = getattr(solvers, self._SPARSE_SOLVERS[self.solver])
         self._coef = np.asarray(
             solver_fn(df, family=self.family, label_col=self.label_col, **kw)
@@ -350,15 +363,25 @@ class MulticlassLogisticRegression(_GLM):
         if not df.is_cached:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             we_persisted = True
+        # per-class warm start only when the class set is unchanged —
+        # otherwise coefficient columns would pair with the wrong class
+        prev = (
+            self._coefs
+            if self.warm_start and getattr(self, "classes_", None) == classes
+            else None
+        )
         try:
             coefs = []
-            for c in classes:
+            for i, c in enumerate(classes):
                 sub = df.withColumn(
                     self.label_col,
                     (F.col(self.label_col) == F.lit(c)).cast("double"),
                 )
+                sub_extra = dict(extra)
+                if prev is not None:
+                    sub_extra.setdefault("init_beta", prev[i])
                 m = LogisticRegression(**self.get_params()).fit(
-                    sub, persist=False, **extra
+                    sub, persist=False, **sub_extra
                 )
                 coefs.append(np.asarray(m._coef))
         finally:
@@ -464,6 +487,8 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             ),
         )
         dfi = self._maybe_add_intercept(dfi)
+        if self.warm_start and getattr(self, "classes_", None) == classes:
+            extra.setdefault("init_beta", np.column_stack(self._coefs))
         B = solvers.softmax_lbfgs(
             dfi,
             k,
@@ -514,6 +539,8 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             ),
         )
         extra.pop("normalize", None)  # sparse path never standardizes
+        if self.warm_start and getattr(self, "classes_", None) == classes:
+            extra.setdefault("init_beta", np.column_stack(self._coefs))
         B = solvers.softmax_lbfgs_sparse(
             dfi,
             k,

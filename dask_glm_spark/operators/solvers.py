@@ -64,6 +64,14 @@ def normalize(algo):
     the first materialization, mirroring the reference's first compute at
     ``utils.py:19``), and the standardized view is lazy arithmetic over the
     cache — nothing standardized is ever materialized.
+
+    Warm start (beyond-reference, round 10): a caller-supplied
+    ``init_beta`` is in the ORIGINAL feature space (the same space as the
+    returned coefficients), so it is forward-transformed here into the
+    standardized space the wrapped solver optimizes in — the exact inverse
+    of the back-transform below (``out/std`` with the intercept
+    adjustment), so ``init_beta=previous_fit`` resumes at the previous
+    optimum regardless of standardization.
     """
 
     @wraps(algo)
@@ -99,6 +107,20 @@ def normalize(algo):
             std[intercept_idx] = 1
             if len(intercept_idx) == 0:
                 mean = np.zeros_like(mean)
+            ib = kwargs.get("init_beta")
+            if ib is not None:
+                # inverse of the back-transform: b -> b*std, then the
+                # intercept coordinate absorbs sum(b*mean) (mean is already
+                # zeroed at the intercept index, so the sum is over the
+                # non-constant columns only)
+                ib = np.asarray(ib, dtype=np.float64).ravel()
+                if ib.shape != std.shape:
+                    raise ValueError(
+                        f"init_beta must have shape {std.shape}, got {ib.shape}"
+                    )
+                ib_std = ib * std
+                ib_std[intercept_idx] += np.sum(ib * mean)
+                kwargs["init_beta"] = ib_std
             dfn = df.withColumn(
                 features_col, kernels.standardize_expr(mean, std, features_col)
             )
@@ -176,7 +198,19 @@ def _resolve_p(df, features_col, kwargs):
     return int(p) if p else kernels.infer_p(df, features_col)
 
 
-def _gd_loop(loss_grad, multi_loss_grad, p, max_iter, tol):
+def _init_vec(init_beta, p: int) -> np.ndarray:
+    """Resolve a solver's starting point: zeros (the reference's init) or a
+    caller-supplied warm start (beyond-reference, round 10 — refit after an
+    append, resume after a failure, or continue a standardized fit)."""
+    if init_beta is None:
+        return np.zeros(p)
+    beta0 = np.array(init_beta, dtype=np.float64).ravel()
+    if beta0.shape != (p,):
+        raise ValueError(f"init_beta must have shape ({p},), got {beta0.shape}")
+    return beta0
+
+
+def _gd_loop(loss_grad, multi_loss_grad, p, max_iter, tol, init_beta=None):
     """Gradient-descent control flow shared by the dense and sparse paths:
     ONE ``loss_grad(beta0)`` scan up front, then ~one fused probe scan per
     iteration — ``multi_loss_grad`` returns each candidate's gradient, and
@@ -189,7 +223,7 @@ def _gd_loop(loss_grad, multi_loss_grad, p, max_iter, tol):
     armijo_mult, step_growth = 0.1, 1.25
     step_size = 1.0
     backtrack_mult = first_backtrack
-    beta = np.zeros(p)
+    beta = _init_vec(init_beta, p)
 
     func, grad = loss_grad(beta)
     for _ in range(max_iter):
@@ -211,7 +245,10 @@ def _gd_loop(loss_grad, multi_loss_grad, p, max_iter, tol):
     return beta
 
 
-def _prox_loop(loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol):
+def _prox_loop(
+    loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol,
+    init_beta=None,
+):
     """Proximal-gradient / ISTA control flow shared by the dense and sparse
     paths (``algorithms.py:422-505``): ONE fused loss+gradient scan up
     front, then batched FUSED probe scans per iteration where each
@@ -224,7 +261,7 @@ def _prox_loop(loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol
     step_growth = 1.25
     step_size = 1.0
     backtrack_mult = first_backtrack
-    beta = np.zeros(p)
+    beta = _init_vec(init_beta, p)
     regularizer = Regularizer.get(regularizer)
 
     func, grad = loss_grad(beta)
@@ -264,7 +301,10 @@ def _prox_loop(loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol
     return beta
 
 
-def _fista_loop(loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol):
+def _fista_loop(
+    loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol,
+    init_beta=None,
+):
     """Accelerated proximal gradient (FISTA, Beck & Teboulle 2009) — the
     beyond-reference fast path behind ``proximal_grad(accelerate=True)``.
 
@@ -285,7 +325,7 @@ def _fista_loop(loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, to
     ``f(x) + lamduh*R(x)`` — the quantity the optimum actually minimizes."""
     step_size = 1.0
     regularizer = Regularizer.get(regularizer)
-    x = np.zeros(p)
+    x = _init_vec(init_beta, p)
     yk = x.copy()
     t = 1.0
     fobj_prev = None
@@ -401,6 +441,7 @@ def gradient_descent(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    init_beta=None,
     **kwargs,
 ):
     """Batch GD with Armijo backtracking (``algorithms.py:89-167``).
@@ -408,6 +449,8 @@ def gradient_descent(
     One fused loss+gradient scan per iteration (the reference's separate
     grad / Xgradient / line-search jobs collapse: loss and gradient share
     the xb subexpression — O4) plus batched line-search probes.
+    ``init_beta`` warm-starts the iteration (original feature space; the
+    ``@normalize`` wrapper owns the transform).
     """
     p = _resolve_p(df, features_col, kwargs)
     return _gd_loop(
@@ -417,7 +460,7 @@ def gradient_descent(
         lambda cands: kernels.multi_loss_gradient(
             df, family, cands, features_col, label_col, path
         ),
-        p, max_iter, tol,
+        p, max_iter, tol, init_beta,
     )
 
 
@@ -430,13 +473,14 @@ def newton(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    init_beta=None,
     **kwargs,
 ):
     """Full Newton (``algorithms.py:170-221``): one fused grad+Hessian scan
     per iteration; the p×p solve stays driver-side numpy (lstsq), exactly
-    like the reference."""
+    like the reference. ``init_beta`` warm-starts the iteration."""
     p = _resolve_p(df, features_col, kwargs)
-    beta = np.zeros(p)
+    beta = _init_vec(init_beta, p)
     iter_count = 0
     converged = False
     while not converged:
@@ -464,13 +508,15 @@ def lbfgs(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    init_beta=None,
     **kwargs,
 ):
     """scipy L-BFGS-B on the driver; each objective evaluation is ONE fused
     loss+gradient scan (``algorithms.py:351-419``; the reference's shared
     ``compute(loss_fn, gradient_fn)`` at :405 is the same single-scan idea).
     Architecturally identical to MLlib's LogisticRegression (breeze LBFGS +
-    treeAggregate), which doubles as an independent oracle in tests."""
+    treeAggregate), which doubles as an independent oracle in tests.
+    ``init_beta`` warm-starts the optimizer."""
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
     p = _resolve_p(df, features_col, kwargs)
@@ -490,7 +536,7 @@ def lbfgs(
 
     beta, _, _ = fmin_l_bfgs_b(
         compute_loss_grad,
-        np.zeros(p),
+        _init_vec(init_beta, p),
         fprime=None,
         iprint=(verbose > 0) - 1,
         pgtol=tol,
@@ -511,6 +557,7 @@ def proximal_grad(
     label_col: str = "label",
     path: str = "auto",
     accelerate: bool = False,
+    init_beta=None,
     **kwargs,
 ):
     """Proximal gradient / ISTA with backtracking (``algorithms.py:422-505``).
@@ -532,7 +579,7 @@ def proximal_grad(
         lambda cands: kernels.multi_loss_gradient(
             df, family, cands, features_col, label_col, path
         ),
-        p, regularizer, lamduh, max_iter, tol,
+        p, regularizer, lamduh, max_iter, tol, init_beta,
     )
 
 
@@ -547,6 +594,7 @@ def lbfgs_sparse(
     idx_col: str = "findices",
     val_col: str = "fvalues",
     label_col: str = "label",
+    init_beta=None,
     **kwargs,
 ):
     """L-BFGS over wide-sparse ``(indices, values)`` features.
@@ -578,7 +626,7 @@ def lbfgs_sparse(
 
         beta, _, _ = fmin_l_bfgs_b(
             compute_loss_grad,
-            np.zeros(pp),
+            _init_vec(init_beta, pp),
             fprime=None,
             pgtol=tol,
             maxiter=max_iter,
@@ -615,6 +663,7 @@ def gradient_descent_sparse(
     idx_col: str = "findices",
     val_col: str = "fvalues",
     label_col: str = "label",
+    init_beta=None,
     **kwargs,
 ):
     """Batch GD over wide-sparse ``(indices, values)`` features: the exact
@@ -633,7 +682,7 @@ def gradient_descent_sparse(
             lambda cands: kernels_sparse.multi_loss_gradient_sparse(
                 dfc, family, cands, pp, idx_col, val_col, label_col
             ),
-            pp, max_iter, tol,
+            pp, max_iter, tol, init_beta,
         ),
     )
 
@@ -650,6 +699,7 @@ def proximal_grad_sparse(
     val_col: str = "fvalues",
     label_col: str = "label",
     accelerate: bool = False,
+    init_beta=None,
     **kwargs,
 ):
     """Proximal gradient over wide-sparse features — L1 on hashed text is
@@ -668,7 +718,7 @@ def proximal_grad_sparse(
             lambda cands: kernels_sparse.multi_loss_gradient_sparse(
                 dfc, family, cands, pp, idx_col, val_col, label_col
             ),
-            pp, regularizer, lamduh, max_iter, tol,
+            pp, regularizer, lamduh, max_iter, tol, init_beta,
         ),
     )
 
@@ -710,10 +760,14 @@ def admm(
     features_col: str = "features",
     label_col: str = "label",
     nblocks: int | None = None,
+    init_beta=None,
     **kwargs,
 ):
     """Consensus ADMM (``algorithms.py:224-336``) with executor-resident
-    per-partition state.
+    per-partition state. ``init_beta`` warm-starts z AND every block's
+    local β_i at the supplied point (duals start at zero — the standard
+    ADMM restart); with ``init_beta=None`` the reference init (z=0,
+    β_i=1) is preserved bit-for-bit.
 
     ``nblocks`` controls the consensus block count (the reference's dask
     chunk count). Default: ``min(sc.defaultParallelism, rows // 100k)``
@@ -834,7 +888,7 @@ def admm(
     blocks = packed.rdd.map(unpack, preservesPartitioning=True)
     return _admm_consensus(
         blocks, p, regularizer, lamduh, rho, over_relax,
-        max_iter, abstol, reltol, fam, sc,
+        max_iter, abstol, reltol, fam, sc, init_beta=init_beta,
     )
 
 
@@ -845,7 +899,7 @@ MAX_DRIVER_STATE_BYTES = 64 * 1024 * 1024
 
 def _admm_consensus(
     blocks, p, regularizer, lamduh, rho, over_relax,
-    max_iter, abstol, reltol, fam, sc,
+    max_iter, abstol, reltol, fam, sc, init_beta=None,
 ):
     """The consensus rounds shared by the dense and sparse ADMM paths:
     blocks are (pid, X, y, beta_i, u_i, beta_hat_i) with X anything the
@@ -878,7 +932,7 @@ def _admm_consensus(
     if 2 * p * 8 * nparts <= MAX_DRIVER_STATE_BYTES:
         return _admm_consensus_driver_state(
             blocks, p, regularizer, lamduh, rho, over_relax,
-            max_iter, abstol, reltol, fam, sc,
+            max_iter, abstol, reltol, fam, sc, init_beta=init_beta,
         )
     # Immutable data (pid, X, y) cached ONCE; the per-block state rides a
     # SEPARATE tiny RDD zipped back each round (both are one-element-per-
@@ -892,13 +946,14 @@ def _admm_consensus(
     nchunks = data.count()  # empty partitions contribute no block
     if nchunks == 0:
         raise ValueError("empty input DataFrame")
+    b0 = np.ones(p) if init_beta is None else _init_vec(init_beta, p)
     state = data.map(
-        lambda b: (b[0], np.ones(p), np.zeros(p), None),
+        lambda b: (b[0], b0, np.zeros(p), None),
         preservesPartitioning=True,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     state.count()
 
-    z = np.zeros(p)
+    z = np.zeros(p) if init_beta is None else _init_vec(init_beta, p)
 
     def make_round(z_bc, first):
         def run(pair):
@@ -967,7 +1022,7 @@ def _admm_consensus(
 
 def _admm_consensus_driver_state(
     blocks, p, regularizer, lamduh, rho, over_relax,
-    max_iter, abstol, reltol, fam, sc,
+    max_iter, abstol, reltol, fam, sc, init_beta=None,
 ):
     """Driver-resident-state consensus rounds (see ``_admm_consensus``).
 
@@ -983,7 +1038,8 @@ def _admm_consensus_driver_state(
         lambda b: (b[0], b[1], b[2]), preservesPartitioning=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    z = np.zeros(p)
+    z = np.zeros(p) if init_beta is None else _init_vec(init_beta, p)
+    b0_default = None if init_beta is None else _init_vec(init_beta, p)
     # Lazy state init (round 9): the pid set used to come from a separate
     # `data.map(pid).collect()` job whose only real effect was forcing the
     # cache materialization — one full job of pure floor at bench scale.
@@ -997,13 +1053,15 @@ def _admm_consensus_driver_state(
     for it in range(max_iter):
         st_bc = sc.broadcast((z, betas, us))
 
-        def run(block, _st=st_bc, _p=p):
+        def run(block, _st=st_bc, _p=p, _b0=b0_default):
             pid, X, y = block
             zv, bs, uss = _st.value
             b0 = bs.get(pid)
             u0 = uss.get(pid)
             if b0 is None:
-                b0 = np.ones(_p)  # block-build init parity
+                # block-build init parity; warm start overrides the
+                # reference's ones-init with the supplied point
+                b0 = np.ones(_p) if _b0 is None else _b0
             if u0 is None:
                 u0 = np.zeros(_p)
             new_beta = _admm_local_update(X, y, b0, zv, u0, rho, fam)
@@ -1064,6 +1122,7 @@ def admm_sparse(
     val_col: str = "fvalues",
     label_col: str = "label",
     nblocks: int | None = None,
+    init_beta=None,
     **kwargs,
 ):
     """Consensus ADMM over wide-sparse ``(indices, values)`` features.
@@ -1147,7 +1206,7 @@ def admm_sparse(
     blocks = packed.rdd.map(unpack, preservesPartitioning=True)
     return _admm_consensus(
         blocks, p, regularizer, lamduh, rho, over_relax,
-        max_iter, abstol, reltol, fam, sc,
+        max_iter, abstol, reltol, fam, sc, init_beta=init_beta,
     )
 
 
@@ -1162,6 +1221,7 @@ def softmax_lbfgs(
     label_col: str = "label",
     normalize: bool = True,
     persist: bool = True,
+    init_beta=None,
 ) -> np.ndarray:
     """True multinomial (softmax) fit: L-BFGS on the driver over the
     flattened (p, k) coefficient matrix; each objective evaluation is ONE
@@ -1215,8 +1275,22 @@ def softmax_lbfgs(
                 grad = grad + lamduh * reg_grad(bflat).reshape(p, k)
             return loss, grad.ravel()
 
+        if init_beta is None:
+            b_start = np.zeros(p * k)
+        else:
+            B0 = np.array(init_beta, dtype=np.float64)
+            if B0.shape != (p, k):
+                raise ValueError(
+                    f"init_beta must have shape ({p}, {k}), got {B0.shape}"
+                )
+            if normalize:
+                # columnwise inverse of the back-transform below, per class
+                B0s = B0 * std[:, None]
+                B0s[intercept_idx, :] += (B0 * mean[:, None]).sum(axis=0)[None, :]
+                B0 = B0s
+            b_start = B0.ravel()
         bflat, _, _ = fmin_l_bfgs_b(
-            compute_loss_grad, np.zeros(p * k), pgtol=tol, maxiter=max_iter
+            compute_loss_grad, b_start, pgtol=tol, maxiter=max_iter
         )
         B = bflat.reshape(p, k)
         if normalize:
@@ -1240,6 +1314,7 @@ def softmax_lbfgs_sparse(
     idx_col: str = "findices",
     val_col: str = "fvalues",
     label_col: str = "label",
+    init_beta=None,
     **kwargs,
 ):
     """True multinomial fit over wide-sparse (indices, values) features:
@@ -1267,8 +1342,17 @@ def softmax_lbfgs_sparse(
                 grad = grad + lamduh * reg_grad(bflat).reshape(pp, k)
             return loss, grad.ravel()
 
+        if init_beta is None:
+            b_start = np.zeros(pp * k)
+        else:
+            B0 = np.array(init_beta, dtype=np.float64)
+            if B0.shape != (pp, k):
+                raise ValueError(
+                    f"init_beta must have shape ({pp}, {k}), got {B0.shape}"
+                )
+            b_start = B0.ravel()
         bflat, _, _ = fmin_l_bfgs_b(
-            compute_loss_grad, np.zeros(pp * k), pgtol=tol, maxiter=max_iter
+            compute_loss_grad, b_start, pgtol=tol, maxiter=max_iter
         )
         return bflat.reshape(pp, k)
 
