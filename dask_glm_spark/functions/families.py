@@ -69,6 +69,12 @@ class Logistic:
         return np.sum(Xbeta + np.log1p(np.exp(-Xbeta))) - np.dot(y, Xbeta)
 
     @staticmethod
+    def loglike_terms_np(Xbeta, y):
+        # per-row loss terms (the Column form's numpy twin) — the weighted
+        # kernels dot these with the sample-weight vector (round 10)
+        return Xbeta + np.log1p(np.exp(-Xbeta)) - y * Xbeta
+
+    @staticmethod
     def residual_np(Xbeta, y):
         return sigmoid_np(Xbeta) - y
 
@@ -112,6 +118,10 @@ class Normal:
         return np.sum((y - Xbeta) ** 2)
 
     @staticmethod
+    def loglike_terms_np(Xbeta, y):
+        return (y - Xbeta) ** 2
+
+    @staticmethod
     def residual_np(Xbeta, y):
         return 2.0 * (Xbeta - y)
 
@@ -148,6 +158,10 @@ class Poisson:
     @staticmethod
     def loglike_np(Xbeta, y):
         return np.sum(np.exp(Xbeta) - y * Xbeta)
+
+    @staticmethod
+    def loglike_terms_np(Xbeta, y):
+        return np.exp(Xbeta) - y * Xbeta
 
     @staticmethod
     def residual_np(Xbeta, y):

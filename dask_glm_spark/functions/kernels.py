@@ -191,13 +191,19 @@ def _arrow_partials(
     partial_fn,
     out_fields: str,
     tree_threshold: int | None = None,
+    weight_col: str | None = None,
 ) -> list:
-    """Dense-features wrapper: ``partial_fn(X, y) -> dict`` per batch."""
+    """Dense-features wrapper: ``partial_fn(X, y) -> dict`` per batch, or
+    ``partial_fn(X, y, w)`` when ``weight_col`` is set (weighted GLM,
+    round 10)."""
 
     def batch_partial(pdf: pd.DataFrame) -> dict:
         X = _features_matrix(pdf, features_col)
         y = pdf[label_col].to_numpy(dtype=np.float64)
-        return partial_fn(X, y)
+        if weight_col is None:
+            return partial_fn(X, y)
+        w = pdf[weight_col].to_numpy(dtype=np.float64)
+        return partial_fn(X, y, w)
 
     return _arrow_partials_generic(df, batch_partial, out_fields, tree_threshold)
 
@@ -214,6 +220,7 @@ def loss_gradient(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    weight_col: str | None = None,
 ) -> tuple[float, np.ndarray]:
     beta = np.asarray(beta, dtype=np.float64)
     p = p or len(beta)
@@ -224,21 +231,43 @@ def loss_gradient(
         y = F.col(label_col)
         r = family.residual(xb, y)
         fcol = F.col(features_col)
+        # weighted GLM (round 10): loss = sum(w*ll), grad = X^T (w*r) —
+        # same single scan, one extra multiply inside codegen
+        if weight_col is not None:
+            w = F.col(weight_col)
+            ll = w * family.loglike_terms(xb, y)
+            r = w * r
+        else:
+            ll = family.loglike_terms(xb, y)
         # coalesce: F.sum is NULL on empty input; the arrow path returns
         # 0.0/zeros — keep both physical paths consistent (ADVICE r1).
-        aggs = [F.coalesce(F.sum(family.loglike_terms(xb, y)), F.lit(0.0)).alias("loss")]
+        aggs = [F.coalesce(F.sum(ll), F.lit(0.0)).alias("loss")]
         aggs += [F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"g{j}") for j in range(p)]
         row = df.agg(*aggs).collect()[0]
         return float(row["loss"]), np.array([row[f"g{j}"] for j in range(p)])
 
-    def partial(X: np.ndarray, y: np.ndarray) -> dict:
-        xb = X @ beta
-        return {
-            "loss": family.loglike_np(xb, y),
-            "grad": X.T @ family.residual_np(xb, y),
-        }
+    if weight_col is not None:
 
-    rows = _arrow_partials(df, features_col, label_col, partial, "loss double, grad array<double>")
+        def partial(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> dict:
+            xb = X @ beta
+            return {
+                "loss": float(np.dot(w, family.loglike_terms_np(xb, y))),
+                "grad": X.T @ (w * family.residual_np(xb, y)),
+            }
+
+    else:
+
+        def partial(X: np.ndarray, y: np.ndarray) -> dict:
+            xb = X @ beta
+            return {
+                "loss": family.loglike_np(xb, y),
+                "grad": X.T @ family.residual_np(xb, y),
+            }
+
+    rows = _arrow_partials(
+        df, features_col, label_col, partial,
+        "loss double, grad array<double>", weight_col=weight_col,
+    )
     loss = 0.0
     grad = np.zeros(p)
     for r_ in rows:
@@ -262,6 +291,7 @@ def gradient_hessian(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    weight_col: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     beta = np.asarray(beta, dtype=np.float64)
     p = p or len(beta)
@@ -273,6 +303,10 @@ def gradient_hessian(
         y = F.col(label_col)
         r = family.residual(xb, y)
         w = family.hess_weight(xb)
+        if weight_col is not None:
+            sw = F.col(weight_col)
+            r = sw * r
+            w = sw * w
         fcol = F.col(features_col)
         aggs = [F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"g{j}") for j in range(p)]
         aggs += [
@@ -288,16 +322,29 @@ def gradient_hessian(
                 hess[i, j] = hess[j, i] = row[f"h{i}_{j}"]
         return grad, hess
 
-    def partial(X: np.ndarray, y: np.ndarray) -> dict:
-        xb = X @ beta
-        w = family.hess_weight_np(xb)
-        return {
-            "grad": X.T @ family.residual_np(xb, y),
-            "hess": (X.T @ (w[:, None] * X)).ravel(),
-        }
+    if weight_col is not None:
+
+        def partial(X: np.ndarray, y: np.ndarray, sw: np.ndarray) -> dict:
+            xb = X @ beta
+            w = sw * family.hess_weight_np(xb)
+            return {
+                "grad": X.T @ (sw * family.residual_np(xb, y)),
+                "hess": (X.T @ (w[:, None] * X)).ravel(),
+            }
+
+    else:
+
+        def partial(X: np.ndarray, y: np.ndarray) -> dict:
+            xb = X @ beta
+            w = family.hess_weight_np(xb)
+            return {
+                "grad": X.T @ family.residual_np(xb, y),
+                "hess": (X.T @ (w[:, None] * X)).ravel(),
+            }
 
     rows = _arrow_partials(
-        df, features_col, label_col, partial, "grad array<double>, hess array<double>"
+        df, features_col, label_col, partial,
+        "grad array<double>, hess array<double>", weight_col=weight_col,
     )
     grad = np.zeros(p)
     hess = np.zeros(p * p)
@@ -319,6 +366,7 @@ def multi_loss(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    weight_col: str | None = None,
 ) -> np.ndarray:
     k = len(betas)
     p = len(betas[0])
@@ -326,10 +374,13 @@ def multi_loss(
         path = "sql" if p * k <= 4 * UNROLL_MAX else "arrow"
     if path == "sql":
         y = F.col(label_col)
+
+        def _term(b):
+            t = family.loglike_terms(matvec_expr(b, features_col), y)
+            return F.col(weight_col) * t if weight_col is not None else t
+
         aggs = [
-            F.coalesce(
-                F.sum(family.loglike_terms(matvec_expr(b, features_col), y)), F.lit(0.0)
-            ).alias(f"s{i}")
+            F.coalesce(F.sum(_term(b)), F.lit(0.0)).alias(f"s{i}")
             for i, b in enumerate(betas)
         ]
         row = df.agg(*aggs).collect()[0]
@@ -337,12 +388,26 @@ def multi_loss(
 
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
 
-    def partial(X: np.ndarray, y: np.ndarray) -> dict:
-        XB = X @ B  # (n, k)
-        losses = np.array([family.loglike_np(XB[:, i], y) for i in range(k)])
-        return {"losses": losses}
+    if weight_col is not None:
 
-    rows = _arrow_partials(df, features_col, label_col, partial, "losses array<double>")
+        def partial(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> dict:
+            XB = X @ B  # (n, k)
+            losses = np.array(
+                [np.dot(w, family.loglike_terms_np(XB[:, i], y)) for i in range(k)]
+            )
+            return {"losses": losses}
+
+    else:
+
+        def partial(X: np.ndarray, y: np.ndarray) -> dict:
+            XB = X @ B  # (n, k)
+            losses = np.array([family.loglike_np(XB[:, i], y) for i in range(k)])
+            return {"losses": losses}
+
+    rows = _arrow_partials(
+        df, features_col, label_col, partial, "losses array<double>",
+        weight_col=weight_col,
+    )
     out = np.zeros(k)
     for r_ in rows:
         out += np.asarray(r_["losses"], dtype=np.float64)
@@ -356,6 +421,7 @@ def multi_loss_gradient(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    weight_col: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(losses (k,), grads (p, k)) for k candidate betas in ONE scan — the
     fused line-search probe (round 7): when the Armijo/ISTA probe also
@@ -391,24 +457,35 @@ def multi_loss_gradient(
         # despite the job savings). The stacked selects collapse into one
         # codegen stage evaluating k matvecs + k residuals per row.
         y = F.col(label_col)
+        wsel = (
+            [F.col(weight_col).alias("_w")] if weight_col is not None else []
+        )
         base = df.select(
             F.col(features_col).alias("_f"),
             y.alias("_y"),
+            *wsel,
             *[
                 matvec_expr(b, features_col).alias(f"_xb{i}")
                 for i, b in enumerate(betas)
             ],
         )
+        def _weighted(expr):
+            # keep the unweighted plan byte-identical (plan-stability
+            # discipline, SURVEY §13) — only weighted fits pay the multiply
+            return F.col("_w") * expr if weight_col is not None else expr
+
         base = base.select(
             "_f",
             *[
-                family.loglike_terms(F.col(f"_xb{i}"), F.col("_y")).alias(
-                    f"_ll{i}"
-                )
+                _weighted(
+                    family.loglike_terms(F.col(f"_xb{i}"), F.col("_y"))
+                ).alias(f"_ll{i}")
                 for i in range(k)
             ],
             *[
-                family.residual(F.col(f"_xb{i}"), F.col("_y")).alias(f"_r{i}")
+                _weighted(
+                    family.residual(F.col(f"_xb{i}"), F.col("_y"))
+                ).alias(f"_r{i}")
                 for i in range(k)
             ],
         )
@@ -434,22 +511,42 @@ def multi_loss_gradient(
 
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
 
-    def partial(X: np.ndarray, y: np.ndarray) -> dict:
-        # Extreme line-search candidates legitimately overflow exp (inf/nan
-        # losses reject themselves); silence the per-task warning spam.
-        with np.errstate(over="ignore", invalid="ignore"):
-            XB = X @ B  # (n, k)
-            losses = np.array(
-                [family.loglike_np(XB[:, i], y) for i in range(k)]
-            )
-            R = np.column_stack(
-                [family.residual_np(XB[:, i], y) for i in range(k)]
-            )
-            return {"losses": losses, "grads": (X.T @ R).ravel()}
+    if weight_col is not None:
+
+        def partial(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> dict:
+            with np.errstate(over="ignore", invalid="ignore"):
+                XB = X @ B  # (n, k)
+                losses = np.array(
+                    [
+                        np.dot(w, family.loglike_terms_np(XB[:, i], y))
+                        for i in range(k)
+                    ]
+                )
+                R = np.column_stack(
+                    [w * family.residual_np(XB[:, i], y) for i in range(k)]
+                )
+                return {"losses": losses, "grads": (X.T @ R).ravel()}
+
+    else:
+
+        def partial(X: np.ndarray, y: np.ndarray) -> dict:
+            # Extreme line-search candidates legitimately overflow exp
+            # (inf/nan losses reject themselves); silence the per-task
+            # warning spam.
+            with np.errstate(over="ignore", invalid="ignore"):
+                XB = X @ B  # (n, k)
+                losses = np.array(
+                    [family.loglike_np(XB[:, i], y) for i in range(k)]
+                )
+                R = np.column_stack(
+                    [family.residual_np(XB[:, i], y) for i in range(k)]
+                )
+                return {"losses": losses, "grads": (X.T @ R).ravel()}
 
     rows = _arrow_partials(
         df, features_col, label_col, partial,
         "losses array<double>, grads array<double>",
+        weight_col=weight_col,
     )
     losses = np.zeros(k)
     grads = np.zeros(p * k)

@@ -61,6 +61,7 @@ class _GLM(BaseEstimator):
         features_col="features",
         label_col="label",
         warm_start=False,
+        weight_col=None,
     ):
         self.fit_intercept = fit_intercept
         self.solver = solver
@@ -79,6 +80,10 @@ class _GLM(BaseEstimator):
         # the solver's cold init — refit-after-append / hyperparameter
         # continuation at 100 TB costs a few rounds, not a full fit.
         self.warm_start = warm_start
+        # per-row sample weights (MLlib weightCol analogue, round 10):
+        # supported by gradient_descent/newton/lbfgs/proximal_grad; admm
+        # and the sparse solvers raise loudly rather than ignore it.
+        self.weight_col = weight_col
 
         self.coef_ = None
         self.intercept_ = None
@@ -103,7 +108,7 @@ class _GLM(BaseEstimator):
             for k in (
                 "fit_intercept solver regularizer max_iter tol lamduh rho "
                 "over_relax abstol reltol features_col label_col "
-                "warm_start".split()
+                "warm_start weight_col".split()
             )
         }
 
@@ -135,6 +140,8 @@ class _GLM(BaseEstimator):
             # _coef lives in the intercept-extended original feature space —
             # exactly the space the solver's init_beta contract expects
             kw.setdefault("init_beta", self._coef)
+        if self.weight_col is not None:
+            kw.setdefault("weight_col", self.weight_col)
         self._coef = np.asarray(
             solvers._solvers[self.solver](
                 df_,
@@ -190,6 +197,10 @@ class _GLM(BaseEstimator):
         kw.update(extra)
         if self.warm_start and self._coef is not None:
             kw.setdefault("init_beta", self._coef)
+        if self.weight_col is not None:
+            # threads into the sparse solver, which raises loudly —
+            # weighted sparse fits are not supported
+            kw.setdefault("weight_col", self.weight_col)
         solver_fn = getattr(solvers, self._SPARSE_SOLVERS[self.solver])
         self._coef = np.asarray(
             solver_fn(df, family=self.family, label_col=self.label_col, **kw)
@@ -463,6 +474,13 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         if self.solver != "lbfgs":
             raise NotImplementedError(
                 f"SoftmaxRegression supports solver='lbfgs', got {self.solver!r}"
+            )
+        if self.weight_col is not None:
+            # the joint softmax objective has no weighted kernel yet; raise
+            # rather than silently fit unweighted (OvR supports weights)
+            raise NotImplementedError(
+                "SoftmaxRegression does not support weight_col; use "
+                "MulticlassLogisticRegression (OvR) for weighted multiclass"
             )
         if V.is_sparse_columns(df):
             return self._fit_softmax_sparse(df, **extra)

@@ -198,6 +198,17 @@ def _resolve_p(df, features_col, kwargs):
     return int(p) if p else kernels.infer_p(df, features_col)
 
 
+def _reject_weight_col(kwargs, solver_name: str) -> None:
+    """Loud failure for solvers without sample-weight support — their
+    ``**kwargs`` would otherwise silently swallow ``weight_col`` and return
+    an UNWEIGHTED fit."""
+    if kwargs.pop("weight_col", None) is not None:
+        raise NotImplementedError(
+            f"{solver_name} does not support weight_col; use "
+            "gradient_descent, newton, lbfgs, or proximal_grad"
+        )
+
+
 def _init_vec(init_beta, p: int) -> np.ndarray:
     """Resolve a solver's starting point: zeros (the reference's init) or a
     caller-supplied warm start (beyond-reference, round 10 — refit after an
@@ -450,15 +461,20 @@ def gradient_descent(
     grad / Xgradient / line-search jobs collapse: loss and gradient share
     the xb subexpression — O4) plus batched line-search probes.
     ``init_beta`` warm-starts the iteration (original feature space; the
-    ``@normalize`` wrapper owns the transform).
+    ``@normalize`` wrapper owns the transform). ``weight_col`` names a
+    per-row sample-weight column (weighted GLM, round 10): loss/gradient
+    become Σ w·ll and Xᵀ(w⊙r) — same scans, one extra multiply.
     """
     p = _resolve_p(df, features_col, kwargs)
+    weight_col = kwargs.pop("weight_col", None)
     return _gd_loop(
         lambda beta: kernels.loss_gradient(
-            df, family, beta, p, features_col, label_col, path
+            df, family, beta, p, features_col, label_col, path,
+            weight_col=weight_col,
         ),
         lambda cands: kernels.multi_loss_gradient(
-            df, family, cands, features_col, label_col, path
+            df, family, cands, features_col, label_col, path,
+            weight_col=weight_col,
         ),
         p, max_iter, tol, init_beta,
     )
@@ -478,14 +494,18 @@ def newton(
 ):
     """Full Newton (``algorithms.py:170-221``): one fused grad+Hessian scan
     per iteration; the p×p solve stays driver-side numpy (lstsq), exactly
-    like the reference. ``init_beta`` warm-starts the iteration."""
+    like the reference. ``init_beta`` warm-starts the iteration;
+    ``weight_col`` names a sample-weight column (weighted IRLS:
+    grad = Xᵀ(w⊙r), hess = Xᵀdiag(w⊙hw)X)."""
     p = _resolve_p(df, features_col, kwargs)
+    weight_col = kwargs.pop("weight_col", None)
     beta = _init_vec(init_beta, p)
     iter_count = 0
     converged = False
     while not converged:
         grad, hess = kernels.gradient_hessian(
-            df, family, beta, p, features_col, label_col, path
+            df, family, beta, p, features_col, label_col, path,
+            weight_col=weight_col,
         )
         step, *_ = np.linalg.lstsq(hess, grad, rcond=-1)
         beta_old = beta
@@ -520,6 +540,7 @@ def lbfgs(
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
     p = _resolve_p(df, features_col, kwargs)
+    weight_col = kwargs.pop("weight_col", None)
     reg_f = reg_grad = None
     if regularizer is not None:
         reg = Regularizer.get(regularizer)
@@ -527,7 +548,8 @@ def lbfgs(
 
     def compute_loss_grad(beta):
         loss, grad = kernels.loss_gradient(
-            df, family, beta, p, features_col, label_col, path
+            df, family, beta, p, features_col, label_col, path,
+            weight_col=weight_col,
         )
         if reg_f is not None:
             loss = loss + lamduh * reg_f(beta)
@@ -571,13 +593,16 @@ def proximal_grad(
     and a full-objective stopping rule; reaches the MLlib/OWL-QN optimum
     where the reference's step policy stalls (see ``_fista_loop``)."""
     p = _resolve_p(df, features_col, kwargs)
+    weight_col = kwargs.pop("weight_col", None)
     loop = _fista_loop if accelerate else _prox_loop
     return loop(
         lambda beta: kernels.loss_gradient(
-            df, family, beta, p, features_col, label_col, path
+            df, family, beta, p, features_col, label_col, path,
+            weight_col=weight_col,
         ),
         lambda cands: kernels.multi_loss_gradient(
-            df, family, cands, features_col, label_col, path
+            df, family, cands, features_col, label_col, path,
+            weight_col=weight_col,
         ),
         p, regularizer, lamduh, max_iter, tol, init_beta,
     )
@@ -608,6 +633,8 @@ def lbfgs_sparse(
     """
     from dask_glm_spark.functions import kernels_sparse
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
+
+    _reject_weight_col(kwargs, "lbfgs_sparse")
 
     reg_f = reg_grad = None
     if regularizer is not None:
@@ -673,6 +700,7 @@ def gradient_descent_sparse(
     reference auto-disables it, ``dask_glm/estimators.py:82-83``)."""
     from dask_glm_spark.functions import kernels_sparse
 
+    _reject_weight_col(kwargs, "gradient_descent_sparse")
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: _gd_loop(
@@ -709,6 +737,7 @@ def proximal_grad_sparse(
     ``accelerate=True`` swaps in the FISTA loop (see ``proximal_grad``)."""
     from dask_glm_spark.functions import kernels_sparse
 
+    _reject_weight_col(kwargs, "proximal_grad_sparse")
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: (_fista_loop if accelerate else _prox_loop)(
@@ -804,6 +833,7 @@ def admm(
     X converts Arrow->numpy ONCE at block build (vectorized buffer reshape,
     no per-row Python); rounds touch only numpy.
     """
+    _reject_weight_col(kwargs, "admm")
     regularizer = Regularizer.get(regularizer)
     p = _resolve_p(df, features_col, kwargs)
 
@@ -1140,6 +1170,7 @@ def admm_sparse(
     from dask_glm_spark.functions.kernels_sparse import CSRMatrix
     from dask_glm_spark.sources.vectors import sparse_p
 
+    _reject_weight_col(kwargs, "admm_sparse")
     fam = family
     regularizer = Regularizer.get(regularizer)
     sc = df.sparkSession.sparkContext
