@@ -32,6 +32,7 @@ from functools import wraps
 import numpy as np
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from dask_glm_spark.functions import kernels
 from dask_glm_spark.functions.families import Logistic
@@ -204,8 +205,8 @@ def _reject_weight_col(kwargs, solver_name: str) -> None:
     an UNWEIGHTED fit."""
     if kwargs.pop("weight_col", None) is not None:
         raise NotImplementedError(
-            f"{solver_name} does not support weight_col; use "
-            "gradient_descent, newton, lbfgs, or proximal_grad"
+            f"{solver_name} does not support weight_col; use a dense "
+            "solver (admm, gradient_descent, newton, lbfgs, proximal_grad)"
         )
 
 
@@ -752,6 +753,24 @@ def proximal_grad_sparse(
     )
 
 
+class _WeightedFamily:
+    """Sample-weighted view of a family for the ADMM local solves: the
+    block's ``y`` buffer carries ``vstack([y, w])`` (2, n) and the adapter
+    splits it — the consensus machinery stays weight-agnostic (round 10).
+    Module-level so block closures pickle."""
+
+    def __init__(self, fam):
+        self.fam = fam
+
+    def pointwise_loss(self, beta, X, yw):
+        xb = X.dot(np.ravel(beta))
+        return float(np.dot(yw[1], self.fam.loglike_terms_np(xb, yw[0])))
+
+    def pointwise_gradient(self, beta, X, yw):
+        xb = X.dot(np.ravel(beta))
+        return X.T.dot(yw[1] * self.fam.residual_np(xb, yw[0]))
+
+
 def _admm_local_update(X, y, beta, z, u, rho, family, solver=None):
     """Single-partition augmented-Lagrangian solve (``algorithms.py:339-348``,
     objective augmentation :263-283). Pure numpy — runs inside the Arrow
@@ -796,7 +815,10 @@ def admm(
     per-partition state. ``init_beta`` warm-starts z AND every block's
     local β_i at the supplied point (duals start at zero — the standard
     ADMM restart); with ``init_beta=None`` the reference init (z=0,
-    β_i=1) is preserved bit-for-bit.
+    β_i=1) is preserved bit-for-bit. ``weight_col`` names a sample-weight
+    column: the weights ride inside each cached block (stacked with y)
+    and only the local loss/gradient change (``_WeightedFamily``) — the
+    consensus rounds and their O(p) traffic are identical.
 
     ``nblocks`` controls the consensus block count (the reference's dask
     chunk count). Default: ``min(sc.defaultParallelism, rows // 100k)``
@@ -833,11 +855,11 @@ def admm(
     X converts Arrow->numpy ONCE at block build (vectorized buffer reshape,
     no per-row Python); rounds touch only numpy.
     """
-    _reject_weight_col(kwargs, "admm")
+    weight_col = kwargs.pop("weight_col", None)
     regularizer = Regularizer.get(regularizer)
     p = _resolve_p(df, features_col, kwargs)
 
-    fam = family
+    fam = family if weight_col is None else _WeightedFamily(family)
     sc = df.sparkSession.sparkContext
 
     cur = df.rdd.getNumPartitions()
@@ -879,12 +901,14 @@ def admm(
     # numpy via zero-copy buffer views, never a per-row Python loop over
     # pickled Rows. The tiny one-row-per-partition DataFrame then crosses
     # to the RDD layer, where np.frombuffer restores the blocks.
+    weighted = weight_col is not None
+
     def build_block_arrow(batches):
         import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        Xs, ys = [], []
+        Xs, ys, ws = [], [], []
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -892,10 +916,16 @@ def admm(
             flat = feats.flatten()  # list<double> -> values array
             Xs.append(flat.to_numpy(zero_copy_only=False).reshape(-1, p))
             ys.append(batch.column(1).to_numpy(zero_copy_only=False))
+            if weighted:
+                ws.append(batch.column(2).to_numpy(zero_copy_only=False))
         if not Xs:
             return
         X = np.ascontiguousarray(np.concatenate(Xs))
-        y = np.ascontiguousarray(np.concatenate(ys))
+        y = np.concatenate(ys)
+        if weighted:
+            # y-buffer carries vstack([y, w]); _WeightedFamily splits it
+            y = np.vstack([y, np.concatenate(ws)])
+        y = np.ascontiguousarray(y)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], type=pa.int64()),
@@ -905,13 +935,17 @@ def admm(
             names=["pid", "xb", "yb"],
         )
 
+    wsel = [F.col(weight_col).cast("double")] if weighted else []
     packed = df.select(
-        df[features_col].cast("array<double>"), df[label_col].cast("double")
+        df[features_col].cast("array<double>"), df[label_col].cast("double"),
+        *wsel,
     ).mapInArrow(build_block_arrow, schema="pid long, xb binary, yb binary")
 
     def unpack(row):
         X = np.frombuffer(row.xb, dtype=np.float64).reshape(-1, p)
         y = np.frombuffer(row.yb, dtype=np.float64)
+        if weighted:
+            y = y.reshape(2, -1)
         # state: (pid, X, y, beta_i, u_i, beta_hat_i or None)
         return (row.pid, X, y, np.ones(p), np.zeros(p), None)
 

@@ -181,12 +181,45 @@ def test_weighted_poisson_replication(spark):
         repl.unpersist()
 
 
+def test_weighted_admm_matches_weighted_lbfgs(wdata):
+    # both minimize sum(w*ll) + lamduh*||b||^2/2 — independent solvers,
+    # and admm's weights ride inside the blocks (_WeightedFamily)
+    df, repl, *_ = wdata
+    ba = solvers.admm(
+        df, regularizer="l2", lamduh=0.5, rho=5.0, max_iter=200,
+        abstol=1e-7, reltol=1e-5, weight_col="w",
+    )
+    bl = solvers.lbfgs(
+        df, regularizer="l2", lamduh=0.5, max_iter=300, tol=1e-10,
+        weight_col="w",
+    )
+    np.testing.assert_allclose(ba, bl, atol=1e-3, rtol=0)
+    # and the replication oracle holds for admm too
+    br = solvers.admm(
+        repl, regularizer="l2", lamduh=0.5, rho=5.0, max_iter=200,
+        abstol=1e-7, reltol=1e-5,
+    )
+    np.testing.assert_allclose(ba, br, atol=1e-3, rtol=0)
+
+
+def test_estimator_weighted_admm(wdata):
+    df, *_ = wdata
+    est = LogisticRegression(
+        solver="admm", regularizer="l2", lamduh=0.5, weight_col="w"
+    ).fit(df)
+    assert est.coef_.shape == (P,)
+    assert 0.5 <= est.score(df) <= 1.0
+
+
 def test_unsupported_paths_raise(wdata):
     df, *_ = wdata
+    from dask_glm_spark.sources import vectors as V
+
+    sp = V.to_sparse_columns(df.drop("w")).withColumn("w", F.lit(2.0))
     with pytest.raises(NotImplementedError, match="weight_col"):
-        solvers.admm(df, weight_col="w", max_iter=2)
+        solvers.admm_sparse(sp, weight_col="w", max_iter=2)
     with pytest.raises(NotImplementedError, match="weight_col"):
-        LogisticRegression(solver="admm", weight_col="w").fit(df)
+        solvers.lbfgs_sparse(sp, weight_col="w")
     with pytest.raises(NotImplementedError, match="weight_col"):
         SoftmaxRegression(solver="lbfgs", weight_col="w").fit(df)
 
