@@ -36,6 +36,5 @@ from dask_glm_spark.operators.estimators import (  # noqa: F401
     SoftmaxRegression,
 )
 from dask_glm_spark.operators.model_selection import (  # noqa: F401
-    cross_val_score,
     regularization_path,
 )

@@ -1,18 +1,13 @@
-"""regularization_path + hash-fold CV (round-10 extension)."""
+"""regularization_path (round-10 extension; CV + persistence are covered
+in test_estimators.py against the existing estimators-module utilities)."""
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
-from dask_glm_spark import LogisticRegression
 from dask_glm_spark.operators import solvers
-from dask_glm_spark.operators.model_selection import (
-    cross_val_score,
-    kfold_column,
-    regularization_path,
-)
+from dask_glm_spark.operators.model_selection import regularization_path
 from dask_glm_spark.sources.datasets import make_classification
 
 
@@ -73,41 +68,15 @@ def test_path_validation(data):
         regularization_path(data, [-1.0])
 
 
-def test_kfold_partition_and_determinism(data):
-    k = 4
-    counts = (
-        data.withColumn("_f", kfold_column("id", k))
-        .groupBy("_f").count().collect()
+def test_path_warm_equals_cold_sweep(data):
+    # warm=False is the A/B face: same answers, independent starts
+    lams = [1.0, 0.2]
+    a = regularization_path(
+        data, lams, solver="lbfgs", regularizer="l2", max_iter=300,
+        tol=1e-10,
     )
-    sizes = {int(r["_f"]): int(r["count"]) for r in counts}
-    assert set(sizes) == set(range(k))  # exhaustive
-    assert sum(sizes.values()) == 400   # disjoint partition
-    # deterministic: same expression, same assignment
-    a = data.withColumn("_f", kfold_column("id", k)).orderBy("id").collect()
-    b = data.withColumn("_f", kfold_column("id", k)).orderBy("id").collect()
-    assert [r["_f"] for r in a] == [r["_f"] for r in b]
-    with pytest.raises(ValueError, match="k must be"):
-        kfold_column("id", 1)
-
-
-def test_cross_val_score(data):
-    est = LogisticRegression(solver="lbfgs", regularizer=None, max_iter=100)
-    scores = cross_val_score(est, data, k=3, key_col="id")
-    assert scores.shape == (3,)
-    assert all(0.4 <= s <= 1.0 for s in scores)
-    # deterministic end to end
-    scores2 = cross_val_score(est, data, k=3, key_col="id")
-    np.testing.assert_array_equal(scores, scores2)
-    # the estimator instance passed in is never mutated
-    assert est.coef_ is None
-
-
-def test_cross_val_rows_never_leak(data):
-    # a fold's train+test views exactly tile the input
-    k = 3
-    dff = data.withColumn("_f", kfold_column("id", k))
-    n = data.count()
-    for i in range(k):
-        tr = dff.where(F.col("_f") != i).count()
-        te = dff.where(F.col("_f") == i).count()
-        assert tr + te == n
+    b = regularization_path(
+        data, lams, solver="lbfgs", regularizer="l2", max_iter=300,
+        tol=1e-10, warm=False,
+    )
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)
