@@ -88,6 +88,9 @@ class _GLM(BaseEstimator):
         self.coef_ = None
         self.intercept_ = None
         self._coef = None  # coef, maybe with intercept appended
+        # convergence diagnostics (round 10): filled by fit()
+        self.n_iter_ = None
+        self.converged_ = None
 
     def _routed_kwargs(self):
         # per-solver kwarg routing, reference estimators.py:67-77
@@ -142,6 +145,8 @@ class _GLM(BaseEstimator):
             kw.setdefault("init_beta", self._coef)
         if self.weight_col is not None:
             kw.setdefault("weight_col", self.weight_col)
+        info: dict = {}
+        kw.setdefault("fit_info", info)
         self._coef = np.asarray(
             solvers._solvers[self.solver](
                 df_,
@@ -151,6 +156,8 @@ class _GLM(BaseEstimator):
                 **kw,
             )
         )
+        self.n_iter_ = info.get("n_iter")
+        self.converged_ = info.get("converged")
         if self.fit_intercept:
             self.coef_ = self._coef[:-1]
             self.intercept_ = self._coef[-1]
@@ -201,10 +208,14 @@ class _GLM(BaseEstimator):
             # threads into the sparse solver, which raises loudly —
             # weighted sparse fits are not supported
             kw.setdefault("weight_col", self.weight_col)
+        info: dict = {}
+        kw.setdefault("fit_info", info)
         solver_fn = getattr(solvers, self._SPARSE_SOLVERS[self.solver])
         self._coef = np.asarray(
             solver_fn(df, family=self.family, label_col=self.label_col, **kw)
         )
+        self.n_iter_ = info.get("n_iter")
+        self.converged_ = info.get("converged")
         self.coef_ = self._coef
         return self
 
@@ -383,6 +394,8 @@ class MulticlassLogisticRegression(_GLM):
         )
         try:
             coefs = []
+            n_iters: list = []
+            convs: list = []
             for i, c in enumerate(classes):
                 sub = df.withColumn(
                     self.label_col,
@@ -395,10 +408,17 @@ class MulticlassLogisticRegression(_GLM):
                     sub, persist=False, **sub_extra
                 )
                 coefs.append(np.asarray(m._coef))
+                n_iters.append(m.n_iter_)
+                convs.append(m.converged_)
         finally:
             if we_persisted:
                 df.unpersist()
         self.classes_ = classes
+        # per-class diagnostics (list, sklearn OvR convention)
+        self.n_iter_ = n_iters
+        self.converged_ = (
+            all(convs) if all(c is not None for c in convs) else None
+        )
         self._coefs = coefs  # per-class, intercept still appended
         if self.fit_intercept:
             self.coefs_ = np.stack([b[:-1] for b in coefs])
@@ -507,6 +527,8 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         dfi = self._maybe_add_intercept(dfi)
         if self.warm_start and getattr(self, "classes_", None) == classes:
             extra.setdefault("init_beta", np.column_stack(self._coefs))
+        info: dict = {}
+        extra.setdefault("fit_info", info)
         B = solvers.softmax_lbfgs(
             dfi,
             k,
@@ -519,6 +541,8 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             **extra,
         )
         self.classes_ = classes
+        self.n_iter_ = info.get("n_iter")
+        self.converged_ = info.get("converged")
         self._coefs = [np.asarray(B[:, c]) for c in range(k)]
         if self.fit_intercept:
             self.coefs_ = np.stack([b[:-1] for b in self._coefs])
@@ -559,6 +583,8 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         extra.pop("normalize", None)  # sparse path never standardizes
         if self.warm_start and getattr(self, "classes_", None) == classes:
             extra.setdefault("init_beta", np.column_stack(self._coefs))
+        info: dict = {}
+        extra.setdefault("fit_info", info)
         B = solvers.softmax_lbfgs_sparse(
             dfi,
             k,
@@ -570,6 +596,8 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             **extra,
         )
         self.classes_ = classes
+        self.n_iter_ = info.get("n_iter")
+        self.converged_ = info.get("converged")
         self._coefs = [np.asarray(B[:, c]) for c in range(k)]
         self.coefs_ = np.stack(self._coefs)
         self.intercepts_ = np.zeros(k)

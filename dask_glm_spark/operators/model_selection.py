@@ -86,3 +86,29 @@ def regularization_path(
     finally:
         if we_persisted:
             df.unpersist()
+
+
+def lamduh_max(
+    df: DataFrame,
+    family=Logistic,
+    features_col: str = "features",
+    label_col: str = "label",
+    weight_col: str | None = None,
+) -> float:
+    """Smallest λ whose L1 solution is exactly zero: ``||∇L(0)||_∞`` (the
+    sklearn/glmnet ``alpha_max`` convention) — one fused loss+gradient
+    scan at β=0.
+
+    Computed on the features AS GIVEN: pair it with ``normalize=False``
+    fits (the raw-space penalty, matching MLlib's
+    ``standardization=False``), or standardize the features yourself
+    first — the default standardized fits penalize in a different space.
+    """
+    from dask_glm_spark.functions import kernels
+
+    p = kernels.infer_p(df, features_col)
+    _, grad = kernels.loss_gradient(
+        df, family, np.zeros(p), p, features_col, label_col,
+        weight_col=weight_col,
+    )
+    return float(np.max(np.abs(grad)))

@@ -222,7 +222,21 @@ def _init_vec(init_beta, p: int) -> np.ndarray:
     return beta0
 
 
-def _gd_loop(loss_grad, multi_loss_grad, p, max_iter, tol, init_beta=None):
+def _fill_info(fit_info, n_iter: int, converged: bool, **extra) -> None:
+    """Record convergence diagnostics into the caller-supplied ``fit_info``
+    dict (round 10): every solver fills ``n_iter`` (iterations executed)
+    and ``converged`` (tolerance-based stop fired, vs budget exhausted or
+    step underflow). No-op when the caller passed none."""
+    if fit_info is not None:
+        fit_info["n_iter"] = int(n_iter)
+        fit_info["converged"] = bool(converged)
+        fit_info.update(extra)
+
+
+def _gd_loop(
+    loss_grad, multi_loss_grad, p, max_iter, tol, init_beta=None,
+    fit_info=None,
+):
     """Gradient-descent control flow shared by the dense and sparse paths:
     ONE ``loss_grad(beta0)`` scan up front, then ~one fused probe scan per
     iteration — ``multi_loss_grad`` returns each candidate's gradient, and
@@ -237,8 +251,10 @@ def _gd_loop(loss_grad, multi_loss_grad, p, max_iter, tol, init_beta=None):
     backtrack_mult = first_backtrack
     beta = _init_vec(init_beta, p)
 
+    converged = False
+    it = 0
     func, grad = loss_grad(beta)
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         steplen = float(np.sum(grad**2))
         lf = func
         step_size, func, ngrad = _armijo_probe(
@@ -250,16 +266,18 @@ def _gd_loop(loss_grad, multi_loss_grad, p, max_iter, tol, init_beta=None):
             break
         df_rel = (lf - func) / max(func, lf)
         if df_rel < tol:
+            converged = True
             break
         step_size *= step_growth
         backtrack_mult = next_backtrack
         grad = ngrad
+    _fill_info(fit_info, it, converged)
     return beta
 
 
 def _prox_loop(
     loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol,
-    init_beta=None,
+    init_beta=None, fit_info=None,
 ):
     """Proximal-gradient / ISTA control flow shared by the dense and sparse
     paths (``algorithms.py:422-505``): ONE fused loss+gradient scan up
@@ -276,8 +294,10 @@ def _prox_loop(
     beta = _init_vec(init_beta, p)
     regularizer = Regularizer.get(regularizer)
 
+    converged = False
+    it = 0
     func, grad = loss_grad(beta)
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         obeta = beta
         lf = func
         ngrad = grad
@@ -306,16 +326,18 @@ def _prox_loop(
             break
         df_rel = (lf - func) / max(func, lf)
         if df_rel < tol:
+            converged = True
             break
         step_size *= step_growth
         backtrack_mult = next_backtrack
         grad = ngrad
+    _fill_info(fit_info, it, converged)
     return beta
 
 
 def _fista_loop(
     loss_grad, multi_loss_grad, p, regularizer, lamduh, max_iter, tol,
-    init_beta=None,
+    init_beta=None, fit_info=None,
 ):
     """Accelerated proximal gradient (FISTA, Beck & Teboulle 2009) — the
     beyond-reference fast path behind ``proximal_grad(accelerate=True)``.
@@ -341,7 +363,9 @@ def _fista_loop(
     yk = x.copy()
     t = 1.0
     fobj_prev = None
-    for _ in range(max_iter):
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
         fy, gy = loss_grad(yk)
         accepted = False
         fx = fy
@@ -373,9 +397,11 @@ def _fista_loop(
         if fobj_prev is not None and abs(fobj_prev - fobj) / max(
             abs(fobj), abs(fobj_prev), 1.0
         ) < tol:
+            converged = True
             break
         fobj_prev = fobj
         step_size *= 1.25  # mild growth: re-probe larger steps next round
+    _fill_info(fit_info, it, converged)
     return x
 
 
@@ -477,7 +503,7 @@ def gradient_descent(
             df, family, cands, features_col, label_col, path,
             weight_col=weight_col,
         ),
-        p, max_iter, tol, init_beta,
+        p, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
     )
 
 
@@ -500,6 +526,7 @@ def newton(
     grad = Xᵀ(w⊙r), hess = Xᵀdiag(w⊙hw)X)."""
     p = _resolve_p(df, features_col, kwargs)
     weight_col = kwargs.pop("weight_col", None)
+    fit_info = kwargs.pop("fit_info", None)
     beta = _init_vec(init_beta, p)
     iter_count = 0
     converged = False
@@ -514,6 +541,7 @@ def newton(
         iter_count += 1
         coef_change = np.absolute(beta_old - beta)
         converged = (not np.any(coef_change > tol)) or (iter_count > max_iter)
+    _fill_info(fit_info, iter_count, iter_count <= max_iter)
     return beta
 
 
@@ -542,6 +570,7 @@ def lbfgs(
 
     p = _resolve_p(df, features_col, kwargs)
     weight_col = kwargs.pop("weight_col", None)
+    fit_info = kwargs.pop("fit_info", None)
     reg_f = reg_grad = None
     if regularizer is not None:
         reg = Regularizer.get(regularizer)
@@ -557,13 +586,17 @@ def lbfgs(
             grad = grad + lamduh * reg_grad(beta)
         return loss, grad
 
-    beta, _, _ = fmin_l_bfgs_b(
+    beta, _, d = fmin_l_bfgs_b(
         compute_loss_grad,
         _init_vec(init_beta, p),
         fprime=None,
         iprint=(verbose > 0) - 1,
         pgtol=tol,
         maxiter=max_iter,
+    )
+    _fill_info(
+        fit_info, d.get("nit", 0), d.get("warnflag", 1) == 0,
+        funcalls=int(d.get("funcalls", 0)),
     )
     return beta
 
@@ -606,6 +639,7 @@ def proximal_grad(
             weight_col=weight_col,
         ),
         p, regularizer, lamduh, max_iter, tol, init_beta,
+        kwargs.pop("fit_info", None),
     )
 
 
@@ -636,6 +670,7 @@ def lbfgs_sparse(
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
     _reject_weight_col(kwargs, "lbfgs_sparse")
+    fit_info = kwargs.pop("fit_info", None)
 
     reg_f = reg_grad = None
     if regularizer is not None:
@@ -652,12 +687,16 @@ def lbfgs_sparse(
                 grad = grad + lamduh * reg_grad(beta)
             return loss, grad
 
-        beta, _, _ = fmin_l_bfgs_b(
+        beta, _, d = fmin_l_bfgs_b(
             compute_loss_grad,
             _init_vec(init_beta, pp),
             fprime=None,
             pgtol=tol,
             maxiter=max_iter,
+        )
+        _fill_info(
+            fit_info, d.get("nit", 0), d.get("warnflag", 1) == 0,
+            funcalls=int(d.get("funcalls", 0)),
         )
         return beta
 
@@ -711,7 +750,7 @@ def gradient_descent_sparse(
             lambda cands: kernels_sparse.multi_loss_gradient_sparse(
                 dfc, family, cands, pp, idx_col, val_col, label_col
             ),
-            pp, max_iter, tol, init_beta,
+            pp, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
         ),
     )
 
@@ -749,6 +788,7 @@ def proximal_grad_sparse(
                 dfc, family, cands, pp, idx_col, val_col, label_col
             ),
             pp, regularizer, lamduh, max_iter, tol, init_beta,
+            kwargs.pop("fit_info", None),
         ),
     )
 
@@ -856,6 +896,7 @@ def admm(
     no per-row Python); rounds touch only numpy.
     """
     weight_col = kwargs.pop("weight_col", None)
+    fit_info = kwargs.pop("fit_info", None)
     regularizer = Regularizer.get(regularizer)
     p = _resolve_p(df, features_col, kwargs)
 
@@ -953,6 +994,7 @@ def admm(
     return _admm_consensus(
         blocks, p, regularizer, lamduh, rho, over_relax,
         max_iter, abstol, reltol, fam, sc, init_beta=init_beta,
+        fit_info=fit_info,
     )
 
 
@@ -963,7 +1005,7 @@ MAX_DRIVER_STATE_BYTES = 64 * 1024 * 1024
 
 def _admm_consensus(
     blocks, p, regularizer, lamduh, rho, over_relax,
-    max_iter, abstol, reltol, fam, sc, init_beta=None,
+    max_iter, abstol, reltol, fam, sc, init_beta=None, fit_info=None,
 ):
     """The consensus rounds shared by the dense and sparse ADMM paths:
     blocks are (pid, X, y, beta_i, u_i, beta_hat_i) with X anything the
@@ -997,6 +1039,7 @@ def _admm_consensus(
         return _admm_consensus_driver_state(
             blocks, p, regularizer, lamduh, rho, over_relax,
             max_iter, abstol, reltol, fam, sc, init_beta=init_beta,
+            fit_info=fit_info,
         )
     # Immutable data (pid, X, y) cached ONCE; the per-block state rides a
     # SEPARATE tiny RDD zipped back each round (both are one-element-per-
@@ -1075,7 +1118,10 @@ def _admm_consensus(
         )
         if primal_res < eps_pri and dual_res < eps_dual:
             _log.info("admm (executor-state) converged after %d rounds", it + 1)
+            _fill_info(fit_info, it + 1, True)
             break
+    else:
+        _fill_info(fit_info, max_iter, False)
 
     data.unpersist(False)
     state.unpersist(False)
@@ -1086,7 +1132,7 @@ def _admm_consensus(
 
 def _admm_consensus_driver_state(
     blocks, p, regularizer, lamduh, rho, over_relax,
-    max_iter, abstol, reltol, fam, sc, init_beta=None,
+    max_iter, abstol, reltol, fam, sc, init_beta=None, fit_info=None,
 ):
     """Driver-resident-state consensus rounds (see ``_admm_consensus``).
 
@@ -1165,7 +1211,10 @@ def _admm_consensus_driver_state(
         )
         if primal_res < eps_pri and dual_res < eps_dual:
             _log.info("admm (driver-state) converged after %d rounds", it + 1)
+            _fill_info(fit_info, it + 1, True)
             break
+    else:
+        _fill_info(fit_info, max_iter, False)
 
     data.unpersist(False)
     return z
@@ -1205,6 +1254,7 @@ def admm_sparse(
     from dask_glm_spark.sources.vectors import sparse_p
 
     _reject_weight_col(kwargs, "admm_sparse")
+    fit_info = kwargs.pop("fit_info", None)
     fam = family
     regularizer = Regularizer.get(regularizer)
     sc = df.sparkSession.sparkContext
@@ -1272,6 +1322,7 @@ def admm_sparse(
     return _admm_consensus(
         blocks, p, regularizer, lamduh, rho, over_relax,
         max_iter, abstol, reltol, fam, sc, init_beta=init_beta,
+        fit_info=fit_info,
     )
 
 
@@ -1287,6 +1338,7 @@ def softmax_lbfgs(
     normalize: bool = True,
     persist: bool = True,
     init_beta=None,
+    fit_info=None,
 ) -> np.ndarray:
     """True multinomial (softmax) fit: L-BFGS on the driver over the
     flattened (p, k) coefficient matrix; each objective evaluation is ONE
@@ -1354,8 +1406,12 @@ def softmax_lbfgs(
                 B0s[intercept_idx, :] += (B0 * mean[:, None]).sum(axis=0)[None, :]
                 B0 = B0s
             b_start = B0.ravel()
-        bflat, _, _ = fmin_l_bfgs_b(
+        bflat, _, d = fmin_l_bfgs_b(
             compute_loss_grad, b_start, pgtol=tol, maxiter=max_iter
+        )
+        _fill_info(
+            fit_info, d.get("nit", 0), d.get("warnflag", 1) == 0,
+            funcalls=int(d.get("funcalls", 0)),
         )
         B = bflat.reshape(p, k)
         if normalize:
@@ -1380,6 +1436,7 @@ def softmax_lbfgs_sparse(
     val_col: str = "fvalues",
     label_col: str = "label",
     init_beta=None,
+    fit_info=None,
     **kwargs,
 ):
     """True multinomial fit over wide-sparse (indices, values) features:
@@ -1416,8 +1473,12 @@ def softmax_lbfgs_sparse(
                     f"init_beta must have shape ({pp}, {k}), got {B0.shape}"
                 )
             b_start = B0.ravel()
-        bflat, _, _ = fmin_l_bfgs_b(
+        bflat, _, d = fmin_l_bfgs_b(
             compute_loss_grad, b_start, pgtol=tol, maxiter=max_iter
+        )
+        _fill_info(
+            fit_info, d.get("nit", 0), d.get("warnflag", 1) == 0,
+            funcalls=int(d.get("funcalls", 0)),
         )
         return bflat.reshape(pp, k)
 

@@ -1,0 +1,100 @@
+"""Convergence diagnostics (``fit_info`` / ``n_iter_``) and λ_max —
+round-10 extension."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dask_glm_spark import (
+    LogisticRegression,
+    MulticlassLogisticRegression,
+    SoftmaxRegression,
+)
+from dask_glm_spark.operators import solvers
+from dask_glm_spark.operators.model_selection import lamduh_max
+from dask_glm_spark.sources.datasets import make_classification
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    df, X, y = make_classification(
+        spark, n_samples=400, n_features=3, seed=606, npartitions=4
+    )
+    df = df.persist()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("gradient_descent", dict(max_iter=50)),
+        ("newton", dict(max_iter=50)),
+        ("lbfgs", dict(regularizer=None, max_iter=200)),
+        ("proximal_grad", dict(regularizer="l2", lamduh=0.1, max_iter=200)),
+        (
+            "proximal_grad",
+            dict(regularizer="l2", lamduh=0.1, max_iter=200, accelerate=True),
+        ),
+        ("admm", dict(regularizer="l2", lamduh=0.1, max_iter=100)),
+    ],
+)
+def test_solver_fit_info(data, name, kw):
+    info: dict = {}
+    getattr(solvers, name)(data, fit_info=info, **kw)
+    assert info["converged"] is True
+    assert 1 <= info["n_iter"] <= kw["max_iter"]
+
+
+def test_budget_exhausted_reports_not_converged(data):
+    info: dict = {}
+    solvers.newton(data, max_iter=1, tol=1e-14, fit_info=info)
+    assert info["converged"] is False
+    info = {}
+    solvers.admm(data, regularizer="l2", max_iter=1, abstol=1e-12,
+                 reltol=1e-12, fit_info=info)
+    assert info == {"n_iter": 1, "converged": False}
+
+
+def test_estimator_diagnostics(data):
+    est = LogisticRegression(solver="lbfgs", regularizer=None,
+                             max_iter=200).fit(data)
+    assert est.converged_ is True
+    assert isinstance(est.n_iter_, int) and est.n_iter_ >= 1
+    est = LogisticRegression(solver="admm", max_iter=100).fit(data)
+    assert est.converged_ is True and est.n_iter_ >= 1
+
+
+def test_multiclass_diagnostics(spark):
+    df, *_ = make_classification(
+        spark, n_samples=300, n_features=3, seed=99, npartitions=3
+    )
+    df = df.persist()
+    try:
+        ovr = MulticlassLogisticRegression(
+            solver="lbfgs", regularizer=None, max_iter=200
+        ).fit(df)
+        assert len(ovr.n_iter_) == len(ovr.classes_)
+        assert ovr.converged_ is True
+        sm = SoftmaxRegression(
+            solver="lbfgs", regularizer=None, max_iter=200
+        ).fit(df)
+        assert sm.converged_ is True and sm.n_iter_ >= 1
+    finally:
+        df.unpersist()
+
+
+def test_lamduh_max_kills_all_coefficients(data):
+    lmax = lamduh_max(data)
+    assert lmax > 0
+    beta = solvers.proximal_grad(
+        data, regularizer="l1", lamduh=lmax * 1.001, max_iter=100,
+        normalize=False,
+    )
+    assert np.all(beta == 0.0)
+    beta = solvers.proximal_grad(
+        data, regularizer="l1", lamduh=lmax * 0.5, max_iter=200,
+        normalize=False,
+    )
+    assert np.any(np.abs(beta) > 1e-10)
