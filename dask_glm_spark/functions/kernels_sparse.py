@@ -99,8 +99,11 @@ def loss_gradient_sparse(
     idx_col: str = "findices",
     val_col: str = "fvalues",
     label_col: str = "label",
+    weight_col: str | None = None,
 ) -> tuple[float, np.ndarray]:
-    """Fused loss + gradient (O(nnz) per batch, O(p) per partition out)."""
+    """Fused loss + gradient (O(nnz) per batch, O(p) per partition out).
+    ``weight_col`` applies per-row sample weights (round 10): loss
+    Σ w·ll, gradient scatter of (w⊙r) — same O(nnz) scan."""
     beta = np.asarray(beta, dtype=np.float64)
 
     def batch_partial(pdf: pd.DataFrame) -> dict:
@@ -108,8 +111,14 @@ def loss_gradient_sparse(
         y = pdf[label_col].to_numpy(dtype=np.float64)
         xb = np.bincount(row_ids, weights=flat_val * beta[flat_idx], minlength=n)
         r = family.residual_np(xb, y)
+        if weight_col is not None:
+            w = pdf[weight_col].to_numpy(dtype=np.float64)
+            loss = float(np.dot(w, family.loglike_terms_np(xb, y)))
+            r = w * r
+        else:
+            loss = family.loglike_np(xb, y)
         grad = np.bincount(flat_idx, weights=r[row_ids] * flat_val, minlength=p)
-        return {"loss": family.loglike_np(xb, y), "grad": grad}
+        return {"loss": loss, "grad": grad}
 
     rows = _arrow_partials_generic(
         df, batch_partial, "loss double, grad array<double>"
@@ -165,6 +174,7 @@ def multi_loss_gradient_sparse(
     idx_col: str = "findices",
     val_col: str = "fvalues",
     label_col: str = "label",
+    weight_col: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(losses (k,), grads (p, k)) for k candidates in one O(k·nnz) scan —
     the sparse twin of ``kernels.multi_loss_gradient`` (fused line-search
@@ -176,6 +186,11 @@ def multi_loss_gradient_sparse(
     def batch_partial(pdf: pd.DataFrame) -> dict:
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
         y = pdf[label_col].to_numpy(dtype=np.float64)
+        w = (
+            pdf[weight_col].to_numpy(dtype=np.float64)
+            if weight_col is not None
+            else None
+        )
         losses = np.empty(k)
         grads = np.empty((p, k))
         # extreme candidates overflow exp by design — no warning spam
@@ -184,8 +199,12 @@ def multi_loss_gradient_sparse(
                 xb = np.bincount(
                     row_ids, weights=flat_val * B[flat_idx, i], minlength=n
                 )
-                losses[i] = family.loglike_np(xb, y)
                 r = family.residual_np(xb, y)
+                if w is None:
+                    losses[i] = family.loglike_np(xb, y)
+                else:
+                    losses[i] = np.dot(w, family.loglike_terms_np(xb, y))
+                    r = w * r
                 grads[:, i] = np.bincount(
                     flat_idx, weights=r[row_ids] * flat_val, minlength=p
                 )

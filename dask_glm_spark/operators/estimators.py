@@ -81,8 +81,8 @@ class _GLM(BaseEstimator):
         # continuation at 100 TB costs a few rounds, not a full fit.
         self.warm_start = warm_start
         # per-row sample weights (MLlib weightCol analogue, round 10):
-        # supported by gradient_descent/newton/lbfgs/proximal_grad; admm
-        # and the sparse solvers raise loudly rather than ignore it.
+        # supported by every solver, dense and wide-sparse (the joint
+        # softmax raises loudly rather than ignore it).
         self.weight_col = weight_col
 
         self.coef_ = None
@@ -205,8 +205,6 @@ class _GLM(BaseEstimator):
         if self.warm_start and self._coef is not None:
             kw.setdefault("init_beta", self._coef)
         if self.weight_col is not None:
-            # threads into the sparse solver, which raises loudly —
-            # weighted sparse fits are not supported
             kw.setdefault("weight_col", self.weight_col)
         info: dict = {}
         kw.setdefault("fit_info", info)

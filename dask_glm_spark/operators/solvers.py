@@ -202,11 +202,13 @@ def _resolve_p(df, features_col, kwargs):
 def _reject_weight_col(kwargs, solver_name: str) -> None:
     """Loud failure for solvers without sample-weight support — their
     ``**kwargs`` would otherwise silently swallow ``weight_col`` and return
-    an UNWEIGHTED fit."""
+    an UNWEIGHTED fit. (Round-10 extension: every binary solver, dense and
+    sparse, now supports weights — only the joint-softmax objectives
+    remain guarded.)"""
     if kwargs.pop("weight_col", None) is not None:
         raise NotImplementedError(
-            f"{solver_name} does not support weight_col; use a dense "
-            "solver (admm, gradient_descent, newton, lbfgs, proximal_grad)"
+            f"{solver_name} does not support weight_col; fit weighted "
+            "per-class binary models (OvR) instead"
         )
 
 
@@ -669,7 +671,7 @@ def lbfgs_sparse(
     from dask_glm_spark.functions import kernels_sparse
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
-    _reject_weight_col(kwargs, "lbfgs_sparse")
+    weight_col = kwargs.pop("weight_col", None)
     fit_info = kwargs.pop("fit_info", None)
 
     reg_f = reg_grad = None
@@ -680,7 +682,8 @@ def lbfgs_sparse(
     def body(dfc, pp):
         def compute_loss_grad(beta):
             loss, grad = kernels_sparse.loss_gradient_sparse(
-                dfc, family, beta, pp, idx_col, val_col, label_col
+                dfc, family, beta, pp, idx_col, val_col, label_col,
+                weight_col=weight_col,
             )
             if reg_f is not None:
                 loss = loss + lamduh * reg_f(beta)
@@ -740,15 +743,17 @@ def gradient_descent_sparse(
     reference auto-disables it, ``dask_glm/estimators.py:82-83``)."""
     from dask_glm_spark.functions import kernels_sparse
 
-    _reject_weight_col(kwargs, "gradient_descent_sparse")
+    weight_col = kwargs.pop("weight_col", None)
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: _gd_loop(
             lambda beta: kernels_sparse.loss_gradient_sparse(
-                dfc, family, beta, pp, idx_col, val_col, label_col
+                dfc, family, beta, pp, idx_col, val_col, label_col,
+                weight_col=weight_col,
             ),
             lambda cands: kernels_sparse.multi_loss_gradient_sparse(
-                dfc, family, cands, pp, idx_col, val_col, label_col
+                dfc, family, cands, pp, idx_col, val_col, label_col,
+                weight_col=weight_col,
             ),
             pp, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
         ),
@@ -777,15 +782,17 @@ def proximal_grad_sparse(
     ``accelerate=True`` swaps in the FISTA loop (see ``proximal_grad``)."""
     from dask_glm_spark.functions import kernels_sparse
 
-    _reject_weight_col(kwargs, "proximal_grad_sparse")
+    weight_col = kwargs.pop("weight_col", None)
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: (_fista_loop if accelerate else _prox_loop)(
             lambda beta: kernels_sparse.loss_gradient_sparse(
-                dfc, family, beta, pp, idx_col, val_col, label_col
+                dfc, family, beta, pp, idx_col, val_col, label_col,
+                weight_col=weight_col,
             ),
             lambda cands: kernels_sparse.multi_loss_gradient_sparse(
-                dfc, family, cands, pp, idx_col, val_col, label_col
+                dfc, family, cands, pp, idx_col, val_col, label_col,
+                weight_col=weight_col,
             ),
             pp, regularizer, lamduh, max_iter, tol, init_beta,
             kwargs.pop("fit_info", None),
@@ -1253,9 +1260,10 @@ def admm_sparse(
     from dask_glm_spark.functions.kernels_sparse import CSRMatrix
     from dask_glm_spark.sources.vectors import sparse_p
 
-    _reject_weight_col(kwargs, "admm_sparse")
+    weight_col = kwargs.pop("weight_col", None)
+    weighted = weight_col is not None
     fit_info = kwargs.pop("fit_info", None)
-    fam = family
+    fam = family if weight_col is None else _WeightedFamily(family)
     regularizer = Regularizer.get(regularizer)
     sc = df.sparkSession.sparkContext
     p = p or sparse_p(df, idx_col)
@@ -1274,7 +1282,7 @@ def admm_sparse(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        idxs, vals, lens, ys = [], [], [], []
+        idxs, vals, lens, ys, ws = [], [], [], [], []
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -1283,10 +1291,17 @@ def admm_sparse(
             lens.append(il.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64))
             vals.append(batch.column(1).flatten().to_numpy(zero_copy_only=False))
             ys.append(batch.column(2).to_numpy(zero_copy_only=False))
+            if weighted:
+                ws.append(batch.column(3).to_numpy(zero_copy_only=False))
         if not ys:
             return
         lens_all = np.concatenate(lens)
         row_ids = np.repeat(np.arange(len(lens_all), dtype=np.int64), lens_all)
+        y = np.concatenate(ys)
+        if weighted:
+            # same convention as the dense path: the y-buffer carries
+            # vstack([y, w]) and _WeightedFamily splits it
+            y = np.vstack([y, np.concatenate(ws)])
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], type=pa.int64()),
@@ -1295,26 +1310,30 @@ def admm_sparse(
                 pa.array([np.ascontiguousarray(np.concatenate(vals)).tobytes()],
                          type=pa.large_binary()),
                 pa.array([np.ascontiguousarray(row_ids).tobytes()], type=pa.large_binary()),
-                pa.array([np.ascontiguousarray(np.concatenate(ys)).tobytes()],
+                pa.array([np.ascontiguousarray(y).tobytes()],
                          type=pa.large_binary()),
             ],
             names=["pid", "ib", "vb", "rb", "yb"],
         )
 
+    wsel = [F.col(weight_col).cast("double")] if weighted else []
     packed = df.select(
         df[idx_col].cast("array<long>"), df[val_col].cast("array<double>"),
-        df[label_col].cast("double"),
+        df[label_col].cast("double"), *wsel,
     ).mapInArrow(
         build_block_arrow, schema="pid long, ib binary, vb binary, rb binary, yb binary"
     )
 
     def unpack(row):
         y = np.frombuffer(row.yb, dtype=np.float64)
+        if weighted:
+            y = y.reshape(2, -1)
+        n_rows_blk = y.shape[-1]
         X = CSRMatrix(
             np.frombuffer(row.ib, dtype=np.int64),
             np.frombuffer(row.vb, dtype=np.float64),
             np.frombuffer(row.rb, dtype=np.int64),
-            (len(y), p),
+            (n_rows_blk, p),
         )
         return (row.pid, X, y, np.ones(p), np.zeros(p), None)
 
@@ -1447,6 +1466,8 @@ def softmax_lbfgs_sparse(
     ``dask_glm/estimators.py:82-83``). Returns (p, k)."""
     from dask_glm_spark.functions import kernels_sparse
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
+
+    _reject_weight_col(kwargs, "softmax_lbfgs_sparse")
 
     reg_f = reg_grad = None
     if regularizer is not None:

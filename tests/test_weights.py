@@ -211,17 +211,40 @@ def test_estimator_weighted_admm(wdata):
     assert 0.5 <= est.score(df) <= 1.0
 
 
-def test_unsupported_paths_raise(wdata):
+def test_weighted_sparse_matches_weighted_dense(wdata):
+    # sparse kernels (O(nnz) scatter) vs dense kernels on identical data
     df, *_ = wdata
     from dask_glm_spark.sources import vectors as V
 
-    sp = V.to_sparse_columns(df.drop("w")).withColumn("w", F.lit(2.0))
-    with pytest.raises(NotImplementedError, match="weight_col"):
-        solvers.admm_sparse(sp, weight_col="w", max_iter=2)
-    with pytest.raises(NotImplementedError, match="weight_col"):
-        solvers.lbfgs_sparse(sp, weight_col="w")
+    sp = V.to_sparse_columns(df).persist()
+    try:
+        dense = solvers.lbfgs(
+            df, regularizer=None, max_iter=300, tol=1e-10, weight_col="w",
+            normalize=False,
+        )
+        sparse = solvers.lbfgs_sparse(
+            sp, regularizer=None, max_iter=300, tol=1e-10, weight_col="w"
+        )
+        np.testing.assert_allclose(sparse, dense, atol=1e-6, rtol=0)
+        sparse_admm = solvers.admm_sparse(
+            sp, regularizer="l2", lamduh=0.5, rho=5.0, max_iter=200,
+            abstol=1e-7, reltol=1e-5, weight_col="w",
+        )
+        dense_admm = solvers.admm(
+            df, regularizer="l2", lamduh=0.5, rho=5.0, max_iter=200,
+            abstol=1e-7, reltol=1e-5, weight_col="w", normalize=False,
+        )
+        np.testing.assert_allclose(sparse_admm, dense_admm, atol=1e-3, rtol=0)
+    finally:
+        sp.unpersist()
+
+
+def test_unsupported_paths_raise(wdata):
+    df, *_ = wdata
     with pytest.raises(NotImplementedError, match="weight_col"):
         SoftmaxRegression(solver="lbfgs", weight_col="w").fit(df)
+    with pytest.raises(NotImplementedError, match="weight_col"):
+        solvers.softmax_lbfgs_sparse(df, 2, weight_col="w")
 
 
 def test_estimator_params_roundtrip():
