@@ -192,18 +192,22 @@ def _arrow_partials(
     out_fields: str,
     tree_threshold: int | None = None,
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ) -> list:
-    """Dense-features wrapper: ``partial_fn(X, y) -> dict`` per batch, or
-    ``partial_fn(X, y, w)`` when ``weight_col`` is set (weighted GLM,
-    round 10)."""
+    """Dense-features wrapper: ``partial_fn(X, y) -> dict`` per batch;
+    ``weight_col`` appends a positional w argument (weighted GLM) and
+    ``offset_col`` a keyword ``o=`` offset vector (both round 10)."""
 
     def batch_partial(pdf: pd.DataFrame) -> dict:
         X = _features_matrix(pdf, features_col)
         y = pdf[label_col].to_numpy(dtype=np.float64)
-        if weight_col is None:
-            return partial_fn(X, y)
-        w = pdf[weight_col].to_numpy(dtype=np.float64)
-        return partial_fn(X, y, w)
+        args = [X, y]
+        if weight_col is not None:
+            args.append(pdf[weight_col].to_numpy(dtype=np.float64))
+        kw = {}
+        if offset_col is not None:
+            kw["o"] = pdf[offset_col].to_numpy(dtype=np.float64)
+        return partial_fn(*args, **kw)
 
     return _arrow_partials_generic(df, batch_partial, out_fields, tree_threshold)
 
@@ -221,6 +225,7 @@ def loss_gradient(
     label_col: str = "label",
     path: str = "auto",
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ) -> tuple[float, np.ndarray]:
     beta = np.asarray(beta, dtype=np.float64)
     p = p or len(beta)
@@ -228,6 +233,10 @@ def loss_gradient(
         path = "sql" if p <= UNROLL_MAX else "arrow"
     if path == "sql":
         xb = matvec_expr(beta, features_col)
+        # offset/exposure (round 10, MLlib offsetCol): the linear predictor
+        # becomes xb + offset — a fixed per-row term with no coefficient
+        if offset_col is not None:
+            xb = xb + F.col(offset_col)
         y = F.col(label_col)
         r = family.residual(xb, y)
         fcol = F.col(features_col)
@@ -248,8 +257,8 @@ def loss_gradient(
 
     if weight_col is not None:
 
-        def partial(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> dict:
-            xb = X @ beta
+        def partial(X, y, w, o=None):
+            xb = X @ beta if o is None else X @ beta + o
             return {
                 "loss": float(np.dot(w, family.loglike_terms_np(xb, y))),
                 "grad": X.T @ (w * family.residual_np(xb, y)),
@@ -257,8 +266,8 @@ def loss_gradient(
 
     else:
 
-        def partial(X: np.ndarray, y: np.ndarray) -> dict:
-            xb = X @ beta
+        def partial(X, y, o=None):
+            xb = X @ beta if o is None else X @ beta + o
             return {
                 "loss": family.loglike_np(xb, y),
                 "grad": X.T @ family.residual_np(xb, y),
@@ -267,6 +276,7 @@ def loss_gradient(
     rows = _arrow_partials(
         df, features_col, label_col, partial,
         "loss double, grad array<double>", weight_col=weight_col,
+        offset_col=offset_col,
     )
     loss = 0.0
     grad = np.zeros(p)
@@ -292,6 +302,7 @@ def gradient_hessian(
     label_col: str = "label",
     path: str = "auto",
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     beta = np.asarray(beta, dtype=np.float64)
     p = p or len(beta)
@@ -300,6 +311,8 @@ def gradient_hessian(
         path = "sql" if p <= 16 else "arrow"
     if path == "sql":
         xb = matvec_expr(beta, features_col)
+        if offset_col is not None:
+            xb = xb + F.col(offset_col)
         y = F.col(label_col)
         r = family.residual(xb, y)
         w = family.hess_weight(xb)
@@ -324,8 +337,8 @@ def gradient_hessian(
 
     if weight_col is not None:
 
-        def partial(X: np.ndarray, y: np.ndarray, sw: np.ndarray) -> dict:
-            xb = X @ beta
+        def partial(X, y, sw, o=None):
+            xb = X @ beta if o is None else X @ beta + o
             w = sw * family.hess_weight_np(xb)
             return {
                 "grad": X.T @ (sw * family.residual_np(xb, y)),
@@ -334,8 +347,8 @@ def gradient_hessian(
 
     else:
 
-        def partial(X: np.ndarray, y: np.ndarray) -> dict:
-            xb = X @ beta
+        def partial(X, y, o=None):
+            xb = X @ beta if o is None else X @ beta + o
             w = family.hess_weight_np(xb)
             return {
                 "grad": X.T @ family.residual_np(xb, y),
@@ -345,6 +358,7 @@ def gradient_hessian(
     rows = _arrow_partials(
         df, features_col, label_col, partial,
         "grad array<double>, hess array<double>", weight_col=weight_col,
+        offset_col=offset_col,
     )
     grad = np.zeros(p)
     hess = np.zeros(p * p)
@@ -367,6 +381,7 @@ def multi_loss(
     label_col: str = "label",
     path: str = "auto",
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ) -> np.ndarray:
     k = len(betas)
     p = len(betas[0])
@@ -376,7 +391,10 @@ def multi_loss(
         y = F.col(label_col)
 
         def _term(b):
-            t = family.loglike_terms(matvec_expr(b, features_col), y)
+            xb = matvec_expr(b, features_col)
+            if offset_col is not None:
+                xb = xb + F.col(offset_col)
+            t = family.loglike_terms(xb, y)
             return F.col(weight_col) * t if weight_col is not None else t
 
         aggs = [
@@ -390,8 +408,10 @@ def multi_loss(
 
     if weight_col is not None:
 
-        def partial(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> dict:
+        def partial(X, y, w, o=None):
             XB = X @ B  # (n, k)
+            if o is not None:
+                XB = XB + o[:, None]
             losses = np.array(
                 [np.dot(w, family.loglike_terms_np(XB[:, i], y)) for i in range(k)]
             )
@@ -399,14 +419,16 @@ def multi_loss(
 
     else:
 
-        def partial(X: np.ndarray, y: np.ndarray) -> dict:
+        def partial(X, y, o=None):
             XB = X @ B  # (n, k)
+            if o is not None:
+                XB = XB + o[:, None]
             losses = np.array([family.loglike_np(XB[:, i], y) for i in range(k)])
             return {"losses": losses}
 
     rows = _arrow_partials(
         df, features_col, label_col, partial, "losses array<double>",
-        weight_col=weight_col,
+        weight_col=weight_col, offset_col=offset_col,
     )
     out = np.zeros(k)
     for r_ in rows:
@@ -422,6 +444,7 @@ def multi_loss_gradient(
     label_col: str = "label",
     path: str = "auto",
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(losses (k,), grads (p, k)) for k candidate betas in ONE scan — the
     fused line-search probe (round 7): when the Armijo/ISTA probe also
@@ -460,14 +483,16 @@ def multi_loss_gradient(
         wsel = (
             [F.col(weight_col).alias("_w")] if weight_col is not None else []
         )
+
+        def _xb(b):
+            e = matvec_expr(b, features_col)
+            return e + F.col(offset_col) if offset_col is not None else e
+
         base = df.select(
             F.col(features_col).alias("_f"),
             y.alias("_y"),
             *wsel,
-            *[
-                matvec_expr(b, features_col).alias(f"_xb{i}")
-                for i, b in enumerate(betas)
-            ],
+            *[_xb(b).alias(f"_xb{i}") for i, b in enumerate(betas)],
         )
         def _weighted(expr):
             # keep the unweighted plan byte-identical (plan-stability
@@ -513,9 +538,11 @@ def multi_loss_gradient(
 
     if weight_col is not None:
 
-        def partial(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> dict:
+        def partial(X, y, w, o=None):
             with np.errstate(over="ignore", invalid="ignore"):
                 XB = X @ B  # (n, k)
+                if o is not None:
+                    XB = XB + o[:, None]
                 losses = np.array(
                     [
                         np.dot(w, family.loglike_terms_np(XB[:, i], y))
@@ -529,12 +556,14 @@ def multi_loss_gradient(
 
     else:
 
-        def partial(X: np.ndarray, y: np.ndarray) -> dict:
+        def partial(X, y, o=None):
             # Extreme line-search candidates legitimately overflow exp
             # (inf/nan losses reject themselves); silence the per-task
             # warning spam.
             with np.errstate(over="ignore", invalid="ignore"):
                 XB = X @ B  # (n, k)
+                if o is not None:
+                    XB = XB + o[:, None]
                 losses = np.array(
                     [family.loglike_np(XB[:, i], y) for i in range(k)]
                 )
@@ -546,7 +575,7 @@ def multi_loss_gradient(
     rows = _arrow_partials(
         df, features_col, label_col, partial,
         "losses array<double>, grads array<double>",
-        weight_col=weight_col,
+        weight_col=weight_col, offset_col=offset_col,
     )
     losses = np.zeros(k)
     grads = np.zeros(p * k)

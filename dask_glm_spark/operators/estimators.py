@@ -62,6 +62,7 @@ class _GLM(BaseEstimator):
         label_col="label",
         warm_start=False,
         weight_col=None,
+        offset_col=None,
     ):
         self.fit_intercept = fit_intercept
         self.solver = solver
@@ -84,6 +85,11 @@ class _GLM(BaseEstimator):
         # supported by every solver, dense and wide-sparse (the joint
         # softmax raises loudly rather than ignore it).
         self.weight_col = weight_col
+        # per-row offset/exposure (MLlib offsetCol analogue, round 10):
+        # a fixed additive term in the linear predictor — log-exposure in
+        # Poisson rate models. Dense gd/newton/lbfgs/prox only; others
+        # raise loudly. predict()/score() add it back automatically.
+        self.offset_col = offset_col
 
         self.coef_ = None
         self.intercept_ = None
@@ -111,7 +117,7 @@ class _GLM(BaseEstimator):
             for k in (
                 "fit_intercept solver regularizer max_iter tol lamduh rho "
                 "over_relax abstol reltol features_col label_col "
-                "warm_start weight_col".split()
+                "warm_start weight_col offset_col".split()
             )
         }
 
@@ -145,6 +151,8 @@ class _GLM(BaseEstimator):
             kw.setdefault("init_beta", self._coef)
         if self.weight_col is not None:
             kw.setdefault("weight_col", self.weight_col)
+        if self.offset_col is not None:
+            kw.setdefault("offset_col", self.offset_col)
         info: dict = {}
         kw.setdefault("fit_info", info)
         self._coef = np.asarray(
@@ -206,6 +214,8 @@ class _GLM(BaseEstimator):
             kw.setdefault("init_beta", self._coef)
         if self.weight_col is not None:
             kw.setdefault("weight_col", self.weight_col)
+        if self.offset_col is not None:
+            kw.setdefault("offset_col", self.offset_col)
         info: dict = {}
         kw.setdefault("fit_info", info)
         solver_fn = getattr(solvers, self._SPARSE_SOLVERS[self.solver])
@@ -232,7 +242,12 @@ class _GLM(BaseEstimator):
         if V.is_sparse_columns(df):
             return self._sparse_xb(df, col_name)
         df_ = self._maybe_add_intercept(df)
-        return df_.withColumn(col_name, self._linear_expr())
+        xb = self._linear_expr()
+        if self.offset_col is not None and self.offset_col in df.columns:
+            # prediction at the row's own exposure (MLlib offsetCol
+            # semantics): the offset re-enters the linear predictor
+            xb = xb + F.col(self.offset_col)
+        return df_.withColumn(col_name, xb)
 
     def _sparse_xb(self, df: DataFrame, col_name: str) -> DataFrame:
         from dask_glm_spark.functions.kernels_sparse import _batch_csr
@@ -370,6 +385,12 @@ class MulticlassLogisticRegression(_GLM):
                 "MulticlassLogisticRegression supports dense array features; "
                 "fit per-class binary models explicitly for sparse input"
             )
+        if self.offset_col is not None:
+            # sub-fits would honor the offset but the k-class argmax/score
+            # projection would not — raise rather than predict wrong
+            raise NotImplementedError(
+                "multiclass estimators do not support offset_col"
+            )
         classes = [
             r[0]
             for r in df.select(self.label_col)
@@ -499,6 +520,10 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             raise NotImplementedError(
                 "SoftmaxRegression does not support weight_col; use "
                 "MulticlassLogisticRegression (OvR) for weighted multiclass"
+            )
+        if self.offset_col is not None:
+            raise NotImplementedError(
+                "SoftmaxRegression does not support offset_col"
             )
         if V.is_sparse_columns(df):
             return self._fit_softmax_sparse(df, **extra)

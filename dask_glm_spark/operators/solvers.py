@@ -212,6 +212,17 @@ def _reject_weight_col(kwargs, solver_name: str) -> None:
         )
 
 
+def _reject_offset_col(kwargs, solver_name: str) -> None:
+    """Loud failure for solvers without offset/exposure support — their
+    ``**kwargs`` would otherwise silently swallow ``offset_col`` and fit
+    with NO offset."""
+    if kwargs.pop("offset_col", None) is not None:
+        raise NotImplementedError(
+            f"{solver_name} does not support offset_col; use "
+            "gradient_descent, newton, lbfgs, or proximal_grad"
+        )
+
+
 def _init_vec(init_beta, p: int) -> np.ndarray:
     """Resolve a solver's starting point: zeros (the reference's init) or a
     caller-supplied warm start (beyond-reference, round 10 — refit after an
@@ -496,14 +507,15 @@ def gradient_descent(
     """
     p = _resolve_p(df, features_col, kwargs)
     weight_col = kwargs.pop("weight_col", None)
+    offset_col = kwargs.pop("offset_col", None)
     return _gd_loop(
         lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path,
-            weight_col=weight_col,
+            weight_col=weight_col, offset_col=offset_col,
         ),
         lambda cands: kernels.multi_loss_gradient(
             df, family, cands, features_col, label_col, path,
-            weight_col=weight_col,
+            weight_col=weight_col, offset_col=offset_col,
         ),
         p, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
     )
@@ -528,6 +540,7 @@ def newton(
     grad = Xᵀ(w⊙r), hess = Xᵀdiag(w⊙hw)X)."""
     p = _resolve_p(df, features_col, kwargs)
     weight_col = kwargs.pop("weight_col", None)
+    offset_col = kwargs.pop("offset_col", None)
     fit_info = kwargs.pop("fit_info", None)
     beta = _init_vec(init_beta, p)
     iter_count = 0
@@ -535,7 +548,7 @@ def newton(
     while not converged:
         grad, hess = kernels.gradient_hessian(
             df, family, beta, p, features_col, label_col, path,
-            weight_col=weight_col,
+            weight_col=weight_col, offset_col=offset_col,
         )
         step, *_ = np.linalg.lstsq(hess, grad, rcond=-1)
         beta_old = beta
@@ -572,6 +585,7 @@ def lbfgs(
 
     p = _resolve_p(df, features_col, kwargs)
     weight_col = kwargs.pop("weight_col", None)
+    offset_col = kwargs.pop("offset_col", None)
     fit_info = kwargs.pop("fit_info", None)
     reg_f = reg_grad = None
     if regularizer is not None:
@@ -581,7 +595,7 @@ def lbfgs(
     def compute_loss_grad(beta):
         loss, grad = kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path,
-            weight_col=weight_col,
+            weight_col=weight_col, offset_col=offset_col,
         )
         if reg_f is not None:
             loss = loss + lamduh * reg_f(beta)
@@ -630,15 +644,16 @@ def proximal_grad(
     where the reference's step policy stalls (see ``_fista_loop``)."""
     p = _resolve_p(df, features_col, kwargs)
     weight_col = kwargs.pop("weight_col", None)
+    offset_col = kwargs.pop("offset_col", None)
     loop = _fista_loop if accelerate else _prox_loop
     return loop(
         lambda beta: kernels.loss_gradient(
             df, family, beta, p, features_col, label_col, path,
-            weight_col=weight_col,
+            weight_col=weight_col, offset_col=offset_col,
         ),
         lambda cands: kernels.multi_loss_gradient(
             df, family, cands, features_col, label_col, path,
-            weight_col=weight_col,
+            weight_col=weight_col, offset_col=offset_col,
         ),
         p, regularizer, lamduh, max_iter, tol, init_beta,
         kwargs.pop("fit_info", None),
@@ -672,6 +687,7 @@ def lbfgs_sparse(
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
     weight_col = kwargs.pop("weight_col", None)
+    _reject_offset_col(kwargs, "lbfgs_sparse")
     fit_info = kwargs.pop("fit_info", None)
 
     reg_f = reg_grad = None
@@ -744,6 +760,7 @@ def gradient_descent_sparse(
     from dask_glm_spark.functions import kernels_sparse
 
     weight_col = kwargs.pop("weight_col", None)
+    _reject_offset_col(kwargs, "gradient_descent_sparse")
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: _gd_loop(
@@ -783,6 +800,7 @@ def proximal_grad_sparse(
     from dask_glm_spark.functions import kernels_sparse
 
     weight_col = kwargs.pop("weight_col", None)
+    _reject_offset_col(kwargs, "proximal_grad_sparse")
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: (_fista_loop if accelerate else _prox_loop)(
@@ -903,6 +921,7 @@ def admm(
     no per-row Python); rounds touch only numpy.
     """
     weight_col = kwargs.pop("weight_col", None)
+    _reject_offset_col(kwargs, "admm")
     fit_info = kwargs.pop("fit_info", None)
     regularizer = Regularizer.get(regularizer)
     p = _resolve_p(df, features_col, kwargs)
@@ -1262,6 +1281,7 @@ def admm_sparse(
 
     weight_col = kwargs.pop("weight_col", None)
     weighted = weight_col is not None
+    _reject_offset_col(kwargs, "admm_sparse")
     fit_info = kwargs.pop("fit_info", None)
     fam = family if weight_col is None else _WeightedFamily(family)
     regularizer = Regularizer.get(regularizer)
@@ -1468,6 +1488,7 @@ def softmax_lbfgs_sparse(
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
     _reject_weight_col(kwargs, "softmax_lbfgs_sparse")
+    _reject_offset_col(kwargs, "softmax_lbfgs_sparse")
 
     reg_f = reg_grad = None
     if regularizer is not None:
