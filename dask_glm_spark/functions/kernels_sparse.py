@@ -100,16 +100,20 @@ def loss_gradient_sparse(
     val_col: str = "fvalues",
     label_col: str = "label",
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ) -> tuple[float, np.ndarray]:
     """Fused loss + gradient (O(nnz) per batch, O(p) per partition out).
     ``weight_col`` applies per-row sample weights (round 10): loss
-    Σ w·ll, gradient scatter of (w⊙r) — same O(nnz) scan."""
+    Σ w·ll, gradient scatter of (w⊙r); ``offset_col`` adds a fixed
+    per-row term to xb — same O(nnz) scan either way."""
     beta = np.asarray(beta, dtype=np.float64)
 
     def batch_partial(pdf: pd.DataFrame) -> dict:
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
         y = pdf[label_col].to_numpy(dtype=np.float64)
         xb = np.bincount(row_ids, weights=flat_val * beta[flat_idx], minlength=n)
+        if offset_col is not None:
+            xb = xb + pdf[offset_col].to_numpy(dtype=np.float64)
         r = family.residual_np(xb, y)
         if weight_col is not None:
             w = pdf[weight_col].to_numpy(dtype=np.float64)
@@ -175,6 +179,7 @@ def multi_loss_gradient_sparse(
     val_col: str = "fvalues",
     label_col: str = "label",
     weight_col: str | None = None,
+    offset_col: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(losses (k,), grads (p, k)) for k candidates in one O(k·nnz) scan —
     the sparse twin of ``kernels.multi_loss_gradient`` (fused line-search
@@ -191,6 +196,11 @@ def multi_loss_gradient_sparse(
             if weight_col is not None
             else None
         )
+        o = (
+            pdf[offset_col].to_numpy(dtype=np.float64)
+            if offset_col is not None
+            else None
+        )
         losses = np.empty(k)
         grads = np.empty((p, k))
         # extreme candidates overflow exp by design — no warning spam
@@ -199,6 +209,8 @@ def multi_loss_gradient_sparse(
                 xb = np.bincount(
                     row_ids, weights=flat_val * B[flat_idx, i], minlength=n
                 )
+                if o is not None:
+                    xb = xb + o
                 r = family.residual_np(xb, y)
                 if w is None:
                     losses[i] = family.loglike_np(xb, y)

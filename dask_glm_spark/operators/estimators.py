@@ -87,8 +87,8 @@ class _GLM(BaseEstimator):
         self.weight_col = weight_col
         # per-row offset/exposure (MLlib offsetCol analogue, round 10):
         # a fixed additive term in the linear predictor — log-exposure in
-        # Poisson rate models. Dense gd/newton/lbfgs/prox only; others
-        # raise loudly. predict()/score() add it back automatically.
+        # Poisson rate models. Every binary solver, dense and wide-sparse
+        # (multiclass raises loudly). predict() adds it back.
         self.offset_col = offset_col
 
         self.coef_ = None

@@ -215,11 +215,11 @@ def _reject_weight_col(kwargs, solver_name: str) -> None:
 def _reject_offset_col(kwargs, solver_name: str) -> None:
     """Loud failure for solvers without offset/exposure support — their
     ``**kwargs`` would otherwise silently swallow ``offset_col`` and fit
-    with NO offset."""
+    with NO offset. (Only the joint-softmax objectives remain guarded.)"""
     if kwargs.pop("offset_col", None) is not None:
         raise NotImplementedError(
-            f"{solver_name} does not support offset_col; use "
-            "gradient_descent, newton, lbfgs, or proximal_grad"
+            f"{solver_name} does not support offset_col; fit per-class "
+            "binary models (OvR) instead"
         )
 
 
@@ -687,7 +687,7 @@ def lbfgs_sparse(
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
     weight_col = kwargs.pop("weight_col", None)
-    _reject_offset_col(kwargs, "lbfgs_sparse")
+    offset_col = kwargs.pop("offset_col", None)
     fit_info = kwargs.pop("fit_info", None)
 
     reg_f = reg_grad = None
@@ -699,7 +699,7 @@ def lbfgs_sparse(
         def compute_loss_grad(beta):
             loss, grad = kernels_sparse.loss_gradient_sparse(
                 dfc, family, beta, pp, idx_col, val_col, label_col,
-                weight_col=weight_col,
+                weight_col=weight_col, offset_col=offset_col,
             )
             if reg_f is not None:
                 loss = loss + lamduh * reg_f(beta)
@@ -760,17 +760,17 @@ def gradient_descent_sparse(
     from dask_glm_spark.functions import kernels_sparse
 
     weight_col = kwargs.pop("weight_col", None)
-    _reject_offset_col(kwargs, "gradient_descent_sparse")
+    offset_col = kwargs.pop("offset_col", None)
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: _gd_loop(
             lambda beta: kernels_sparse.loss_gradient_sparse(
                 dfc, family, beta, pp, idx_col, val_col, label_col,
-                weight_col=weight_col,
+                weight_col=weight_col, offset_col=offset_col,
             ),
             lambda cands: kernels_sparse.multi_loss_gradient_sparse(
                 dfc, family, cands, pp, idx_col, val_col, label_col,
-                weight_col=weight_col,
+                weight_col=weight_col, offset_col=offset_col,
             ),
             pp, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
         ),
@@ -800,17 +800,17 @@ def proximal_grad_sparse(
     from dask_glm_spark.functions import kernels_sparse
 
     weight_col = kwargs.pop("weight_col", None)
-    _reject_offset_col(kwargs, "proximal_grad_sparse")
+    offset_col = kwargs.pop("offset_col", None)
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: (_fista_loop if accelerate else _prox_loop)(
             lambda beta: kernels_sparse.loss_gradient_sparse(
                 dfc, family, beta, pp, idx_col, val_col, label_col,
-                weight_col=weight_col,
+                weight_col=weight_col, offset_col=offset_col,
             ),
             lambda cands: kernels_sparse.multi_loss_gradient_sparse(
                 dfc, family, cands, pp, idx_col, val_col, label_col,
-                weight_col=weight_col,
+                weight_col=weight_col, offset_col=offset_col,
             ),
             pp, regularizer, lamduh, max_iter, tol, init_beta,
             kwargs.pop("fit_info", None),
@@ -818,22 +818,45 @@ def proximal_grad_sparse(
     )
 
 
-class _WeightedFamily:
-    """Sample-weighted view of a family for the ADMM local solves: the
-    block's ``y`` buffer carries ``vstack([y, w])`` (2, n) and the adapter
-    splits it — the consensus machinery stays weight-agnostic (round 10).
-    Module-level so block closures pickle."""
+class _AugmentedFamily:
+    """Weighted and/or offset view of a family for the ADMM local solves:
+    the block's ``y`` buffer carries ``vstack([y][, w][, o])`` (rows in
+    that fixed order) and the adapter splits it — the consensus machinery
+    stays weight/offset-agnostic (round 10). Module-level so block
+    closures pickle."""
 
-    def __init__(self, fam):
+    def __init__(self, fam, weighted: bool, offset: bool):
         self.fam = fam
+        self.weighted = weighted
+        self.offset = offset
 
-    def pointwise_loss(self, beta, X, yw):
-        xb = X.dot(np.ravel(beta))
-        return float(np.dot(yw[1], self.fam.loglike_terms_np(xb, yw[0])))
+    def _split(self, Y):
+        y = Y[0]
+        i = 1
+        w = None
+        o = None
+        if self.weighted:
+            w = Y[i]
+            i += 1
+        if self.offset:
+            o = Y[i]
+        return y, w, o
 
-    def pointwise_gradient(self, beta, X, yw):
+    def pointwise_loss(self, beta, X, Y):
+        y, w, o = self._split(Y)
         xb = X.dot(np.ravel(beta))
-        return X.T.dot(yw[1] * self.fam.residual_np(xb, yw[0]))
+        if o is not None:
+            xb = xb + o
+        terms = self.fam.loglike_terms_np(xb, y)
+        return float(np.dot(w, terms)) if w is not None else float(np.sum(terms))
+
+    def pointwise_gradient(self, beta, X, Y):
+        y, w, o = self._split(Y)
+        xb = X.dot(np.ravel(beta))
+        if o is not None:
+            xb = xb + o
+        r = self.fam.residual_np(xb, y)
+        return X.T.dot(w * r if w is not None else r)
 
 
 def _admm_local_update(X, y, beta, z, u, rho, family, solver=None):
@@ -880,10 +903,11 @@ def admm(
     per-partition state. ``init_beta`` warm-starts z AND every block's
     local β_i at the supplied point (duals start at zero — the standard
     ADMM restart); with ``init_beta=None`` the reference init (z=0,
-    β_i=1) is preserved bit-for-bit. ``weight_col`` names a sample-weight
-    column: the weights ride inside each cached block (stacked with y)
-    and only the local loss/gradient change (``_WeightedFamily``) — the
-    consensus rounds and their O(p) traffic are identical.
+    β_i=1) is preserved bit-for-bit. ``weight_col`` (sample weights) and
+    ``offset_col`` (fixed linear-predictor offset, e.g. log-exposure)
+    ride inside each cached block (stacked with y) and only the local
+    loss/gradient change (``_AugmentedFamily``) — the consensus rounds
+    and their O(p) traffic are identical.
 
     ``nblocks`` controls the consensus block count (the reference's dask
     chunk count). Default: ``min(sc.defaultParallelism, rows // 100k)``
@@ -921,12 +945,17 @@ def admm(
     no per-row Python); rounds touch only numpy.
     """
     weight_col = kwargs.pop("weight_col", None)
-    _reject_offset_col(kwargs, "admm")
+    offset_col = kwargs.pop("offset_col", None)
     fit_info = kwargs.pop("fit_info", None)
     regularizer = Regularizer.get(regularizer)
     p = _resolve_p(df, features_col, kwargs)
 
-    fam = family if weight_col is None else _WeightedFamily(family)
+    augmented = weight_col is not None or offset_col is not None
+    fam = (
+        _AugmentedFamily(family, weight_col is not None, offset_col is not None)
+        if augmented
+        else family
+    )
     sc = df.sparkSession.sparkContext
 
     cur = df.rdd.getNumPartitions()
@@ -968,14 +997,16 @@ def admm(
     # numpy via zero-copy buffer views, never a per-row Python loop over
     # pickled Rows. The tiny one-row-per-partition DataFrame then crosses
     # to the RDD layer, where np.frombuffer restores the blocks.
-    weighted = weight_col is not None
+    aux_cols = [c for c in (weight_col, offset_col) if c is not None]
+    n_yrows = 1 + len(aux_cols)
 
     def build_block_arrow(batches):
         import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        Xs, ys, ws = [], [], []
+        Xs, ys = [], []
+        auxs = [[] for _ in aux_cols]
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -983,15 +1014,18 @@ def admm(
             flat = feats.flatten()  # list<double> -> values array
             Xs.append(flat.to_numpy(zero_copy_only=False).reshape(-1, p))
             ys.append(batch.column(1).to_numpy(zero_copy_only=False))
-            if weighted:
-                ws.append(batch.column(2).to_numpy(zero_copy_only=False))
+            for j in range(len(aux_cols)):
+                auxs[j].append(
+                    batch.column(2 + j).to_numpy(zero_copy_only=False)
+                )
         if not Xs:
             return
         X = np.ascontiguousarray(np.concatenate(Xs))
         y = np.concatenate(ys)
-        if weighted:
-            # y-buffer carries vstack([y, w]); _WeightedFamily splits it
-            y = np.vstack([y, np.concatenate(ws)])
+        if aux_cols:
+            # y-buffer carries vstack([y][, w][, o]); _AugmentedFamily
+            # splits it in the local solves
+            y = np.vstack([y] + [np.concatenate(a) for a in auxs])
         y = np.ascontiguousarray(y)
         yield pa.RecordBatch.from_arrays(
             [
@@ -1002,17 +1036,16 @@ def admm(
             names=["pid", "xb", "yb"],
         )
 
-    wsel = [F.col(weight_col).cast("double")] if weighted else []
     packed = df.select(
         df[features_col].cast("array<double>"), df[label_col].cast("double"),
-        *wsel,
+        *[F.col(c).cast("double") for c in aux_cols],
     ).mapInArrow(build_block_arrow, schema="pid long, xb binary, yb binary")
 
     def unpack(row):
         X = np.frombuffer(row.xb, dtype=np.float64).reshape(-1, p)
         y = np.frombuffer(row.yb, dtype=np.float64)
-        if weighted:
-            y = y.reshape(2, -1)
+        if n_yrows > 1:
+            y = y.reshape(n_yrows, -1)
         # state: (pid, X, y, beta_i, u_i, beta_hat_i or None)
         return (row.pid, X, y, np.ones(p), np.zeros(p), None)
 
@@ -1280,10 +1313,14 @@ def admm_sparse(
     from dask_glm_spark.sources.vectors import sparse_p
 
     weight_col = kwargs.pop("weight_col", None)
-    weighted = weight_col is not None
-    _reject_offset_col(kwargs, "admm_sparse")
+    offset_col = kwargs.pop("offset_col", None)
     fit_info = kwargs.pop("fit_info", None)
-    fam = family if weight_col is None else _WeightedFamily(family)
+    augmented = weight_col is not None or offset_col is not None
+    fam = (
+        _AugmentedFamily(family, weight_col is not None, offset_col is not None)
+        if augmented
+        else family
+    )
     regularizer = Regularizer.get(regularizer)
     sc = df.sparkSession.sparkContext
     p = p or sparse_p(df, idx_col)
@@ -1297,12 +1334,16 @@ def admm_sparse(
         # when partitions must be split
         df = df.coalesce(nblocks) if nblocks < cur else df.repartition(nblocks)
 
+    aux_cols = [c for c in (weight_col, offset_col) if c is not None]
+    n_yrows = 1 + len(aux_cols)
+
     def build_block_arrow(batches):
         import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        idxs, vals, lens, ys, ws = [], [], [], [], []
+        idxs, vals, lens, ys = [], [], [], []
+        auxs = [[] for _ in aux_cols]
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -1311,17 +1352,19 @@ def admm_sparse(
             lens.append(il.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64))
             vals.append(batch.column(1).flatten().to_numpy(zero_copy_only=False))
             ys.append(batch.column(2).to_numpy(zero_copy_only=False))
-            if weighted:
-                ws.append(batch.column(3).to_numpy(zero_copy_only=False))
+            for j in range(len(aux_cols)):
+                auxs[j].append(
+                    batch.column(3 + j).to_numpy(zero_copy_only=False)
+                )
         if not ys:
             return
         lens_all = np.concatenate(lens)
         row_ids = np.repeat(np.arange(len(lens_all), dtype=np.int64), lens_all)
         y = np.concatenate(ys)
-        if weighted:
+        if aux_cols:
             # same convention as the dense path: the y-buffer carries
-            # vstack([y, w]) and _WeightedFamily splits it
-            y = np.vstack([y, np.concatenate(ws)])
+            # vstack([y][, w][, o]) and _AugmentedFamily splits it
+            y = np.vstack([y] + [np.concatenate(a) for a in auxs])
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], type=pa.int64()),
@@ -1336,18 +1379,18 @@ def admm_sparse(
             names=["pid", "ib", "vb", "rb", "yb"],
         )
 
-    wsel = [F.col(weight_col).cast("double")] if weighted else []
     packed = df.select(
         df[idx_col].cast("array<long>"), df[val_col].cast("array<double>"),
-        df[label_col].cast("double"), *wsel,
+        df[label_col].cast("double"),
+        *[F.col(c).cast("double") for c in aux_cols],
     ).mapInArrow(
         build_block_arrow, schema="pid long, ib binary, vb binary, rb binary, yb binary"
     )
 
     def unpack(row):
         y = np.frombuffer(row.yb, dtype=np.float64)
-        if weighted:
-            y = y.reshape(2, -1)
+        if n_yrows > 1:
+            y = y.reshape(n_yrows, -1)
         n_rows_blk = y.shape[-1]
         X = CSRMatrix(
             np.frombuffer(row.ib, dtype=np.int64),

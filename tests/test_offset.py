@@ -151,14 +151,58 @@ def test_weighted_and_offset_compose(pdata):
     np.testing.assert_allclose(b, ref, atol=1e-5, rtol=0)
 
 
+def test_admm_offset_matches_lbfgs(pdata):
+    # offset rides inside the blocks (_AugmentedFamily) — same L2
+    # objective solved by two independent paths
+    df, *_ = pdata
+    ba = solvers.admm(
+        df, family=Poisson, regularizer="l2", lamduh=0.5, rho=5.0,
+        max_iter=200, abstol=1e-7, reltol=1e-5, offset_col="off",
+    )
+    bl = solvers.lbfgs(
+        df, family=Poisson, regularizer="l2", lamduh=0.5, max_iter=300,
+        tol=1e-10, offset_col="off",
+    )
+    np.testing.assert_allclose(ba, bl, atol=1e-3, rtol=0)
+
+
+def test_sparse_offset_matches_dense(pdata):
+    df, *_ = pdata
+    from dask_glm_spark.sources import vectors as V
+
+    sp = V.to_sparse_columns(df).persist()
+    try:
+        dense = solvers.lbfgs(
+            df, family=Poisson, regularizer=None, max_iter=300, tol=1e-10,
+            offset_col="off", normalize=False,
+        )
+        sparse = solvers.lbfgs_sparse(
+            sp, family=Poisson, regularizer=None, max_iter=300, tol=1e-10,
+            offset_col="off",
+        )
+        np.testing.assert_allclose(sparse, dense, atol=1e-6, rtol=0)
+        sp_admm = solvers.admm_sparse(
+            sp, family=Poisson, regularizer="l2", lamduh=0.5, rho=5.0,
+            max_iter=200, abstol=1e-7, reltol=1e-5, offset_col="off",
+        )
+        d_admm = solvers.admm(
+            df, family=Poisson, regularizer="l2", lamduh=0.5, rho=5.0,
+            max_iter=200, abstol=1e-7, reltol=1e-5, offset_col="off",
+            normalize=False,
+        )
+        np.testing.assert_allclose(sp_admm, d_admm, atol=1e-3, rtol=0)
+    finally:
+        sp.unpersist()
+
+
 def test_unsupported_paths_raise(pdata):
     df, *_ = pdata
-    with pytest.raises(NotImplementedError, match="offset_col"):
-        solvers.admm(df, offset_col="off", max_iter=2)
     from dask_glm_spark import MulticlassLogisticRegression
 
     with pytest.raises(NotImplementedError, match="offset_col"):
         MulticlassLogisticRegression(offset_col="off").fit(df)
+    with pytest.raises(NotImplementedError, match="offset_col"):
+        solvers.softmax_lbfgs_sparse(df, 2, offset_col="off")
 
 
 def test_params_roundtrip():
