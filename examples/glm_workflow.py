@@ -1,0 +1,101 @@
+"""End-to-end tour of the round-10 GLM workflow surface:
+
+weighted fit → convergence diagnostics → warm-started refit →
+λ_max + regularization path → cross-validation → offset (exposure)
+Poisson model → JSON persistence round-trip.
+
+Run: python examples/glm_workflow.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dask_glm_spark import (  # noqa: E402
+    LogisticRegression,
+    PoissonRegression,
+    regularization_path,
+)
+from dask_glm_spark.operators.estimators import (  # noqa: E402
+    cross_val_score,
+    load_model,
+    save_model,
+)
+from dask_glm_spark.operators.model_selection import lamduh_max  # noqa: E402
+from dask_glm_spark.session import get_spark  # noqa: E402
+from dask_glm_spark.sources.glm_source import load_glm_fast  # noqa: E402
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark(app_name="glm_workflow", shuffle_partitions=8)
+    df = load_glm_fast(spark, sf_dir).repartition(5)
+
+    # 1. weighted fit + diagnostics: upweight the positive class 2x
+    dfw = df.withColumn(
+        "w", F.when(F.col("label") > 0, 2.0).otherwise(1.0)
+    ).persist()
+    lr = LogisticRegression(
+        solver="lbfgs", regularizer=None, weight_col="w", warm_start=True,
+        max_iter=200,
+    ).fit(dfw)
+    print(
+        f"[1] weighted fit: acc={lr.score(dfw):.3f} "
+        f"n_iter={lr.n_iter_} converged={lr.converged_}"
+    )
+
+    # 2. warm-started refit (same data stands in for refit-after-append):
+    # resumes at the optimum, so very few iterations
+    lr.max_iter = 5
+    lr.fit(dfw)
+    print(f"[2] warm refit: n_iter={lr.n_iter_} converged={lr.converged_}")
+
+    # 3. λ_max and a warm-started L1 path over one shared cache
+    lmax = lamduh_max(dfw)
+    lams = [lmax, lmax / 10, lmax / 100]
+    path = regularization_path(
+        dfw, lams, solver="proximal_grad", regularizer="l1",
+        accelerate=True, max_iter=200, normalize=False,
+    )
+    nnz = [(np.abs(b) > 1e-8).sum() for b in path]
+    print(f"[3] L1 path at λ={['%.3g' % v for v in lams]}: nnz={nnz}")
+    assert nnz[0] == 0, "λ_max must kill every coefficient"
+
+    # 4. deterministic 3-fold CV (content-hash folds — layout-independent)
+    scores = cross_val_score(
+        lambda: LogisticRegression(solver="lbfgs", regularizer=None),
+        df, n_folds=3,
+    )
+    print(f"[4] 3-fold CV accuracy: {[round(s, 3) for s in scores]}")
+
+    # 5. Poisson with an exposure offset: y ~ Poisson(T·exp(Xβ))
+    dfe = df.withColumn(
+        "off", F.log(F.lit(1.0) + (F.abs(F.hash("label")) % 4).cast("double"))
+    ).withColumn("label", F.round(F.exp("label")).cast("double"))
+    pr = PoissonRegression(
+        solver="newton", offset_col="off", max_iter=60
+    ).fit(dfe)
+    print(
+        f"[5] Poisson+offset: deviance={pr.get_deviance(dfe):.2f} "
+        f"n_iter={pr.n_iter_}"
+    )
+
+    # 6. persistence round-trip (human-readable JSON, no pickle)
+    with tempfile.TemporaryDirectory() as td:
+        path_json = os.path.join(td, "model.json")
+        save_model(lr, path_json)
+        acc2 = load_model(path_json).score(dfw)
+        print(f"[6] save/load round-trip: acc={acc2:.3f}")
+
+    dfw.unpersist()
+    print("workflow complete")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
