@@ -34,6 +34,7 @@ from dask_glm_spark.operators.estimators import (  # noqa: F401
     MulticlassLogisticRegression,
     PoissonRegression,
     SoftmaxRegression,
+    TweedieRegression,
 )
 from dask_glm_spark.operators.model_selection import (  # noqa: F401
     regularization_path,

@@ -180,4 +180,74 @@ class Poisson:
         return X.T.dot(Poisson.residual_np(X.dot(np.ravel(beta)), np.ravel(y)))
 
 
+class Tweedie:
+    """Compound-Poisson Tweedie family with log link — beyond-reference
+    (round 10; MLlib GLR ``family="tweedie"`` is the public contract).
+
+    Variance function V(μ) = μ^q with ``var_power`` q ∈ (1, 2): the
+    Poisson–gamma compound — nonnegative data with an exact point mass
+    at zero plus a continuous tail (insurance claims, rainfall,
+    per-document spend). q→1 recovers Poisson, q→2 gamma.
+
+    Quasi-log-likelihood terms under the log link (μ = exp(xb)):
+
+        ll(xb, y) = μ^(2-q)/(2-q) − y·μ^(1-q)/(1-q)
+        r(xb, y)  = dll/dxb = μ^(2-q) − y·μ^(1-q)
+        w(xb)     = E[d²ll/dxb²] = μ^(2-q)     (Fisher scoring weight —
+                    the log link is non-canonical, so newton() runs IRLS/
+                    Fisher scoring; same stationary point as the exact
+                    Hessian, the standard GLM choice and what MLlib does)
+
+    Instances act exactly like the class-as-namespace families above —
+    every solver takes ``family=Tweedie(1.5)`` unchanged, dense or
+    sparse, with weights/offsets composing.
+    """
+
+    def __init__(self, var_power: float = 1.5):
+        if not 1.0 < var_power < 2.0:
+            raise ValueError(
+                "var_power must be in (1, 2) — use Poisson for 1, a gamma "
+                f"family for 2; got {var_power}"
+            )
+        self.var_power = float(var_power)
+        self.name = f"tweedie[{self.var_power}]"
+
+    # --- Spark Column form ------------------------------------------------
+    def loglike_terms(self, xb: Column, y: Column) -> Column:
+        q = self.var_power
+        return F.exp(xb * (2.0 - q)) / (2.0 - q) - y * F.exp(
+            xb * (1.0 - q)
+        ) / (1.0 - q)
+
+    def residual(self, xb: Column, y: Column) -> Column:
+        q = self.var_power
+        return F.exp(xb * (2.0 - q)) - y * F.exp(xb * (1.0 - q))
+
+    def hess_weight(self, xb: Column) -> Column:
+        return F.exp(xb * (2.0 - self.var_power))
+
+    # --- numpy form -------------------------------------------------------
+    def loglike_terms_np(self, Xbeta, y):
+        q = self.var_power
+        return np.exp(Xbeta * (2.0 - q)) / (2.0 - q) - y * np.exp(
+            Xbeta * (1.0 - q)
+        ) / (1.0 - q)
+
+    def loglike_np(self, Xbeta, y):
+        return float(np.sum(self.loglike_terms_np(Xbeta, y)))
+
+    def residual_np(self, Xbeta, y):
+        q = self.var_power
+        return np.exp(Xbeta * (2.0 - q)) - y * np.exp(Xbeta * (1.0 - q))
+
+    def hess_weight_np(self, Xbeta):
+        return np.exp(Xbeta * (2.0 - self.var_power))
+
+    def pointwise_loss(self, beta, X, y):
+        return self.loglike_np(X.dot(np.ravel(beta)), np.ravel(y))
+
+    def pointwise_gradient(self, beta, X, y):
+        return X.T.dot(self.residual_np(X.dot(np.ravel(beta)), np.ravel(y)))
+
+
 FAMILIES = {f.name: f for f in (Logistic, Normal, Poisson)}

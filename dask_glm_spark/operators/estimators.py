@@ -348,6 +348,59 @@ class PoissonRegression(_GLM):
         return metrics.poisson_deviance(pred, self.label_col, "prediction")
 
 
+class TweedieRegression(_GLM):
+    """Tweedie (compound-Poisson) regression, log link — beyond-reference
+    (MLlib GLR ``family="tweedie"`` contract). ``var_power`` q ∈ (1, 2)
+    selects the variance function V(μ)=μ^q: nonnegative responses with a
+    point mass at zero plus a continuous tail. Every binary solver works
+    (dense or wide-sparse; weights/offsets compose); ``score`` is the
+    MEAN unit deviance (lower is better — the GLM-regression convention
+    this package's LinearRegression also follows with MSE)."""
+
+    def __init__(self, var_power: float = 1.5, **kwargs):
+        super().__init__(**kwargs)
+        self.var_power = var_power
+        self.family = families.Tweedie(var_power)
+
+    def get_params(self, deep=True):
+        return {**super().get_params(deep), "var_power": self.var_power}
+
+    def set_params(self, **params):
+        super().set_params(**params)
+        # keep the family object in sync when var_power changes
+        self.family = families.Tweedie(self.var_power)
+        return self
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        return (
+            self._with_xb(df, "_xb")
+            .withColumn("prediction", F.exp(F.col("_xb")))
+            .drop("_xb")
+        )
+
+    def get_deviance(self, df: DataFrame) -> float:
+        """Mean Tweedie unit deviance at the fitted means:
+        d(y, μ) = 2·[ y^(2−q)/((1−q)(2−q)) − y·μ^(1−q)/(1−q)
+        + μ^(2−q)/(2−q) ] (the y-only term is 0 at y=0)."""
+        q = self.var_power
+        pred = self.predict(df)
+        y = F.col(self.label_col)
+        mu = F.col("prediction")
+        d = F.lit(2.0) * (
+            F.when(
+                y > 0,
+                F.pow(y, F.lit(2.0 - q)) / ((1.0 - q) * (2.0 - q)),
+            ).otherwise(F.lit(0.0))
+            - y * F.pow(mu, F.lit(1.0 - q)) / (1.0 - q)
+            + F.pow(mu, F.lit(2.0 - q)) / (2.0 - q)
+        )
+        row = pred.agg(F.avg(d).alias("dev")).collect()[0]
+        return float(row["dev"])
+
+    def score(self, df: DataFrame) -> float:
+        return self.get_deviance(df)
+
+
 class MulticlassLogisticRegression(_GLM):
     """One-vs-rest multiclass logistic regression — beyond-reference.
 
@@ -800,6 +853,7 @@ for _cls in (
     LogisticRegression,
     LinearRegression,
     PoissonRegression,
+    TweedieRegression,
     MulticlassLogisticRegression,
     SoftmaxRegression,
 ):

@@ -1,0 +1,157 @@
+"""Tweedie family (compound-Poisson, log link) — round-10 extension.
+
+MLlib GLR ``family="tweedie"`` is the oracle: zero shared code (JVM
+IRLS vs our kernels), same quasi-likelihood stationary point for any
+variance power q ∈ (1, 2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dask_glm_spark import TweedieRegression
+from dask_glm_spark.functions import kernels
+from dask_glm_spark.functions.families import Poisson, Tweedie
+from dask_glm_spark.operators import solvers
+
+
+@pytest.fixture(scope="module")
+def tdata(spark):
+    """Tweedie-ish data: exact zeros with probability ~exp(-λ), gamma
+    tail otherwise — the shape the family exists for."""
+    rng = np.random.RandomState(17)
+    n = 500
+    X = rng.standard_normal((n, 2)) * 0.4
+    mu = np.exp(X @ np.array([0.6, -0.4]) + 0.3)
+    lam = mu / 1.2
+    ncl = rng.poisson(lam)
+    y = np.where(ncl > 0, rng.gamma(ncl + 1e-12, 1.2), 0.0)
+    rows = [([float(a) for a in X[i]], float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "features array<double>, label double"
+    ).repartition(4).persist()
+    yield df, X, y
+    df.unpersist()
+
+
+def test_var_power_validation():
+    with pytest.raises(ValueError, match="var_power"):
+        Tweedie(1.0)
+    with pytest.raises(ValueError, match="var_power"):
+        Tweedie(2.0)
+    assert Tweedie(1.5).name == "tweedie[1.5]"
+
+
+@pytest.mark.parametrize("path", ["sql", "arrow"])
+def test_kernel_numpy_twin(tdata, path):
+    df, X, y = tdata
+    fam = Tweedie(1.4)
+    beta = np.array([0.2, -0.1])
+    loss, grad = kernels.loss_gradient(df, fam, beta, path=path)
+    xb = X @ beta
+    np.testing.assert_allclose(
+        loss, float(np.sum(fam.loglike_terms_np(xb, y))), rtol=1e-12
+    )
+    np.testing.assert_allclose(grad, X.T @ fam.residual_np(xb, y), rtol=1e-10)
+    g, h = kernels.gradient_hessian(df, fam, beta, path=path)
+    hw = fam.hess_weight_np(xb)
+    np.testing.assert_allclose(h, X.T @ (hw[:, None] * X), rtol=1e-10)
+
+
+@pytest.mark.parametrize("vp", [1.2, 1.5, 1.8])
+def test_mllib_tweedie_oracle(tdata, vp):
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    df, *_ = tdata
+    est = TweedieRegression(
+        var_power=vp, solver="newton", fit_intercept=True, max_iter=100,
+        tol=1e-10,
+    ).fit(df)
+    mdf = df.select(array_to_vector("features").alias("features"), "label")
+    theirs = GeneralizedLinearRegression(
+        family="tweedie", variancePower=vp, linkPower=0.0, regParam=0.0,
+        fitIntercept=True, tol=1e-12, maxIter=200,
+    ).fit(mdf)
+    np.testing.assert_allclose(
+        np.asarray(est.coef_),
+        np.array(theirs.coefficients.toArray()),
+        atol=1e-4, rtol=0,
+    )
+    np.testing.assert_allclose(
+        est.intercept_, theirs.intercept, atol=1e-4, rtol=0
+    )
+
+
+def test_solvers_agree(tdata):
+    df, *_ = tdata
+    fam = Tweedie(1.5)
+    bn = solvers.newton(df, family=fam, max_iter=100)
+    bl = solvers.lbfgs(df, family=fam, regularizer=None, max_iter=300,
+                       tol=1e-10)
+    np.testing.assert_allclose(bn, bl, atol=1e-5, rtol=0)
+
+
+def test_var_power_near_one_approaches_poisson(tdata):
+    df, *_ = tdata
+    bt = solvers.newton(df, family=Tweedie(1.001), max_iter=100)
+    bp = solvers.newton(df, family=Poisson, max_iter=100)
+    np.testing.assert_allclose(bt, bp, atol=5e-3, rtol=0)
+
+
+def test_estimator_predict_score_persist(tdata):
+    import os
+    import tempfile
+
+    from dask_glm_spark.operators.estimators import load_model, save_model
+
+    df, *_ = tdata
+    est = TweedieRegression(var_power=1.5, solver="newton",
+                            max_iter=100).fit(df)
+    assert est.converged_ is True
+    pred = est.predict(df).select("prediction").collect()
+    assert all(r["prediction"] > 0 for r in pred)
+    dev = est.get_deviance(df)
+    assert np.isfinite(dev) and dev >= 0
+    assert est.score(df) == dev
+
+    params = est.get_params()
+    assert params["var_power"] == 1.5
+    clone = TweedieRegression(**params)
+    assert clone.family.var_power == 1.5
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "m.json")
+        save_model(est, p)
+        m2 = load_model(p)
+        assert isinstance(m2, TweedieRegression)
+        np.testing.assert_allclose(m2.coef_, est.coef_)
+        assert m2.get_deviance(df) == pytest.approx(dev)
+
+
+def test_weights_and_offset_compose(tdata):
+    from pyspark.sql import functions as F
+
+    df, X, y = tdata
+    dfa = df.withColumn("w", (F.col("label") > 0).cast("double") + 1.0)
+    dfa = dfa.withColumn("off", F.lit(0.3))
+    fam = Tweedie(1.5)
+    b = solvers.lbfgs(
+        dfa, family=fam, regularizer=None, max_iter=300, tol=1e-10,
+        weight_col="w", offset_col="off", normalize=False,
+    )
+    w = (y > 0).astype(np.float64) + 1.0
+
+    def obj_grad(beta):
+        xb = X @ beta + 0.3
+        return (
+            float(np.dot(w, fam.loglike_terms_np(xb, y))),
+            X.T @ (w * fam.residual_np(xb, y)),
+        )
+
+    from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
+
+    ref, _, _ = fmin_l_bfgs_b(obj_grad, np.zeros(2), pgtol=1e-12,
+                              maxiter=500)
+    np.testing.assert_allclose(b, ref, atol=1e-5, rtol=0)
