@@ -29,6 +29,7 @@ architecture and survives a 1000-executor scale-up by construction.
 __version__ = "0.1.0"
 
 from dask_glm_spark.operators.estimators import (  # noqa: F401
+    GammaRegression,
     LinearRegression,
     LogisticRegression,
     MulticlassLogisticRegression,

@@ -180,6 +180,60 @@ class Poisson:
         return X.T.dot(Poisson.residual_np(X.dot(np.ravel(beta)), np.ravel(y)))
 
 
+class Gamma:
+    """Gamma family with log link — beyond-reference (round 10; MLlib GLR
+    ``family="gamma", link="log"`` is the public contract). Strictly
+    positive continuous responses with constant coefficient of variation
+    (V(μ)=μ²) — durations, claim sizes, cost-per-unit.
+
+    The β-MLE is dispersion-free, so the loss is the unit-dispersion
+    negative log-likelihood up to constants:
+
+        ll(xb, y) = xb + y·exp(−xb)        (μ = exp(xb))
+        r(xb, y)  = 1 − y·exp(−xb)
+        w(xb)     = 1   (Fisher weight: (dμ/dη)²/V(μ) = μ²/μ² — the log
+                    link is non-canonical for gamma; newton() is IRLS)
+    """
+
+    name = "gamma"
+
+    @staticmethod
+    def loglike_terms(xb: Column, y: Column) -> Column:
+        return xb + y * F.exp(-xb)
+
+    @staticmethod
+    def residual(xb: Column, y: Column) -> Column:
+        return F.lit(1.0) - y * F.exp(-xb)
+
+    @staticmethod
+    def hess_weight(xb: Column) -> Column:
+        return F.lit(1.0)
+
+    @staticmethod
+    def loglike_np(Xbeta, y):
+        return float(np.sum(Xbeta + y * np.exp(-Xbeta)))
+
+    @staticmethod
+    def loglike_terms_np(Xbeta, y):
+        return Xbeta + y * np.exp(-Xbeta)
+
+    @staticmethod
+    def residual_np(Xbeta, y):
+        return 1.0 - y * np.exp(-Xbeta)
+
+    @staticmethod
+    def hess_weight_np(Xbeta):
+        return np.ones_like(Xbeta)
+
+    @staticmethod
+    def pointwise_loss(beta, X, y):
+        return Gamma.loglike_np(X.dot(np.ravel(beta)), np.ravel(y))
+
+    @staticmethod
+    def pointwise_gradient(beta, X, y):
+        return X.T.dot(Gamma.residual_np(X.dot(np.ravel(beta)), np.ravel(y)))
+
+
 class Tweedie:
     """Compound-Poisson Tweedie family with log link — beyond-reference
     (round 10; MLlib GLR ``family="tweedie"`` is the public contract).
@@ -250,4 +304,4 @@ class Tweedie:
         return X.T.dot(self.residual_np(X.dot(np.ravel(beta)), np.ravel(y)))
 
 
-FAMILIES = {f.name: f for f in (Logistic, Normal, Poisson)}
+FAMILIES = {f.name: f for f in (Logistic, Normal, Poisson, Gamma)}

@@ -348,6 +348,33 @@ class PoissonRegression(_GLM):
         return metrics.poisson_deviance(pred, self.label_col, "prediction")
 
 
+class GammaRegression(_GLM):
+    """Gamma regression, log link — beyond-reference (MLlib GLR
+    ``family="gamma", link="log"`` contract). Strictly positive
+    responses; ``score`` is the MEAN unit deviance
+    ``2·[−log(y/μ) + (y−μ)/μ]`` (lower is better)."""
+
+    family = families.Gamma
+
+    def predict(self, df: DataFrame) -> DataFrame:
+        return (
+            self._with_xb(df, "_xb")
+            .withColumn("prediction", F.exp(F.col("_xb")))
+            .drop("_xb")
+        )
+
+    def get_deviance(self, df: DataFrame) -> float:
+        pred = self.predict(df)
+        y = F.col(self.label_col)
+        mu = F.col("prediction")
+        d = F.lit(2.0) * (-F.log(y / mu) + (y - mu) / mu)
+        row = pred.agg(F.avg(d).alias("dev")).collect()[0]
+        return float(row["dev"])
+
+    def score(self, df: DataFrame) -> float:
+        return self.get_deviance(df)
+
+
 class TweedieRegression(_GLM):
     """Tweedie (compound-Poisson) regression, log link — beyond-reference
     (MLlib GLR ``family="tweedie"`` contract). ``var_power`` q ∈ (1, 2)
@@ -853,6 +880,7 @@ for _cls in (
     LogisticRegression,
     LinearRegression,
     PoissonRegression,
+    GammaRegression,
     TweedieRegression,
     MulticlassLogisticRegression,
     SoftmaxRegression,
