@@ -223,6 +223,49 @@ def _reject_offset_col(kwargs, solver_name: str) -> None:
         )
 
 
+def _warm_converged(compute_loss_grad, x0, pgtol, fit_info) -> bool:
+    """Iteration-0 convergence check for L-BFGS warm restarts.
+
+    Restarting AT a converged optimum is degenerate for scipy's
+    optimizer: the prior fit stopped either right at the pgtol boundary
+    or (at large n, where |loss| is O(n)) on the factr relative-decrease
+    test with a still-sizeable gradient — either way the restart sits on
+    a machine-flat function and the first line search burns ~MAXLS=20
+    objective scans before the factr stop fires (measured: 22 funcalls /
+    9.5 s vs 12 / 4.3 cold at sf0.1). Two explicit scans reproduce both
+    of scipy's own stopping tests up front: the pgtol check at x0, then
+    one gradient-step probe at scipy's first-trial step size — if the
+    probe can't decrease f measurably (the factr criterion), the line
+    search wouldn't either (backtracking only shrinks the step). Genuine
+    refits (data actually changed) fail both checks after 2 scans and
+    proceed; restart-on-unchanged-data returns in 2 scans instead of 22.
+    """
+    f0, g0 = compute_loss_grad(x0)
+    if float(np.max(np.abs(g0))) <= pgtol:
+        _fill_info(fit_info, 0, True, funcalls=1)
+        return True
+    gnorm = float(np.linalg.norm(g0))
+    s0 = min(1.0 / gnorm, 1.0)  # scipy's first trial step
+    f1, _ = compute_loss_grad(x0 - s0 * g0)
+    # Quadratic model along d=-g through (f0, slope -|g|², f1): the best
+    # achievable decrease on that ray is |g|⁴/(4c). At a factr-converged
+    # optimum of a large-n loss the valley is steep-walled but machine-
+    # flat at the bottom (measured at sf0.1: the unit trial step RAISES f
+    # by 2e5 while the achievable decrease is 1.6e-7 against a 1.4e-3
+    # factr threshold) — exactly the shape that makes the Wolfe search
+    # burn its full eval budget. A genuinely-moved problem (new data, new
+    # λ) has an achievable decrease orders above the threshold and falls
+    # through to the real optimizer. c <= 0 (non-convex reading) always
+    # falls through.
+    gsq = gnorm * gnorm
+    c = (f1 - f0 + s0 * gsq) / (s0 * s0)
+    eps = float(np.finfo(np.float64).eps)
+    if c > 0 and (gsq * gsq) / (4.0 * c) <= 1e7 * eps * max(abs(f0), 1.0):
+        _fill_info(fit_info, 0, True, funcalls=2)
+        return True
+    return False
+
+
 def _init_vec(init_beta, p: int) -> np.ndarray:
     """Resolve a solver's starting point: zeros (the reference's init) or a
     caller-supplied warm start (beyond-reference, round 10 — refit after an
@@ -602,9 +645,14 @@ def lbfgs(
             grad = grad + lamduh * reg_grad(beta)
         return loss, grad
 
+    x0 = _init_vec(init_beta, p)
+    if init_beta is not None and _warm_converged(
+        compute_loss_grad, x0, tol, fit_info
+    ):
+        return x0
     beta, _, d = fmin_l_bfgs_b(
         compute_loss_grad,
-        _init_vec(init_beta, p),
+        x0,
         fprime=None,
         iprint=(verbose > 0) - 1,
         pgtol=tol,
@@ -706,9 +754,14 @@ def lbfgs_sparse(
                 grad = grad + lamduh * reg_grad(beta)
             return loss, grad
 
+        x0 = _init_vec(init_beta, pp)
+        if init_beta is not None and _warm_converged(
+            compute_loss_grad, x0, tol, fit_info
+        ):
+            return x0
         beta, _, d = fmin_l_bfgs_b(
             compute_loss_grad,
-            _init_vec(init_beta, pp),
+            x0,
             fprime=None,
             pgtol=tol,
             maxiter=max_iter,
