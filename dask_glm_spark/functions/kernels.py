@@ -601,6 +601,7 @@ def softmax_loss_gradient(
     B: np.ndarray,
     features_col: str = "features",
     label_col: str = "label",
+    weight_col: str | None = None,
 ) -> tuple[float, np.ndarray]:
     """(negative log-likelihood, (p, k) gradient) for multinomial logistic.
 
@@ -608,11 +609,13 @@ def softmax_loss_gradient(
     Z = X·B is one (n,p)x(p,k) GEMM, the row logsumexp is numerically
     stable (max-shifted), and the gradient is Xᵀ(softmax(Z) − onehot(y)) —
     another GEMM. Partials are (1 + p·k) doubles per partition; driver
-    fold order is pid-sorted (run-invariant) like every other kernel."""
+    fold order is pid-sorted (run-invariant) like every other kernel.
+    ``weight_col`` applies per-row sample weights: loss Σ w·ll and the
+    per-row probability residual scales by w before the gradient GEMM."""
     B = np.ascontiguousarray(B, dtype=np.float64)
     p, k = B.shape
 
-    def partial(X: np.ndarray, y: np.ndarray) -> dict:
+    def _batch(X, y, w=None):
         Z = X @ B
         m = Z.max(axis=1, keepdims=True)
         ez = np.exp(Z - m)
@@ -620,13 +623,29 @@ def softmax_loss_gradient(
         lse = m[:, 0] + np.log(se)
         yi = y.astype(np.int64)
         rows = np.arange(len(yi))
-        loss = float((lse - Z[rows, yi]).sum())
+        ll = lse - Z[rows, yi]
         P = ez / se[:, None]
         P[rows, yi] -= 1.0
+        if w is not None:
+            loss = float(np.dot(w, ll))
+            P = P * w[:, None]
+        else:
+            loss = float(ll.sum())
         return {"loss": loss, "grad": (X.T @ P).ravel()}
 
+    if weight_col is not None:
+
+        def partial(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> dict:
+            return _batch(X, y, w)
+
+    else:
+
+        def partial(X: np.ndarray, y: np.ndarray) -> dict:
+            return _batch(X, y)
+
     rows_ = _arrow_partials(
-        df, features_col, label_col, partial, "loss double, grad array<double>"
+        df, features_col, label_col, partial,
+        "loss double, grad array<double>", weight_col=weight_col,
     )
     loss = 0.0
     grad = np.zeros(p * k)

@@ -240,6 +240,7 @@ def softmax_loss_gradient_sparse(
     idx_col: str = "findices",
     val_col: str = "fvalues",
     label_col: str = "label",
+    weight_col: str | None = None,
 ) -> tuple[float, np.ndarray]:
     """Sparse twin of ``kernels.softmax_loss_gradient``: (negative
     log-likelihood, (p, k) gradient) for multinomial logistic over
@@ -266,9 +267,15 @@ def softmax_loss_gradient_sparse(
         se = ez.sum(axis=1)
         lse = m[:, 0] + np.log(se)
         rows = np.arange(n)
-        loss = float((lse - Z[rows, y]).sum())
+        ll = lse - Z[rows, y]
         P = ez / se[:, None]
         P[rows, y] -= 1.0
+        if weight_col is not None:
+            w = pdf[weight_col].to_numpy(dtype=np.float64)
+            loss = float(np.dot(w, ll))
+            P = P * w[:, None]
+        else:
+            loss = float(ll.sum())
         G = np.empty((p, k))
         for c in range(k):
             G[:, c] = np.bincount(

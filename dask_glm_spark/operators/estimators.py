@@ -594,16 +594,12 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             raise NotImplementedError(
                 f"SoftmaxRegression supports solver='lbfgs', got {self.solver!r}"
             )
-        if self.weight_col is not None:
-            # the joint softmax objective has no weighted kernel yet; raise
-            # rather than silently fit unweighted (OvR supports weights)
-            raise NotImplementedError(
-                "SoftmaxRegression does not support weight_col; use "
-                "MulticlassLogisticRegression (OvR) for weighted multiclass"
-            )
         if self.offset_col is not None:
+            # a shared per-row offset is invariant under softmax (it
+            # shifts every class logit equally) — reject the no-op
             raise NotImplementedError(
-                "SoftmaxRegression does not support offset_col"
+                "SoftmaxRegression does not support offset_col (an equal "
+                "per-class offset cancels in the softmax)"
             )
         if V.is_sparse_columns(df):
             return self._fit_softmax_sparse(df, **extra)
@@ -630,6 +626,8 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         dfi = self._maybe_add_intercept(dfi)
         if self.warm_start and getattr(self, "classes_", None) == classes:
             extra.setdefault("init_beta", np.column_stack(self._coefs))
+        if self.weight_col is not None:
+            extra.setdefault("weight_col", self.weight_col)
         info: dict = {}
         extra.setdefault("fit_info", info)
         B = solvers.softmax_lbfgs(
@@ -686,6 +684,8 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         extra.pop("normalize", None)  # sparse path never standardizes
         if self.warm_start and getattr(self, "classes_", None) == classes:
             extra.setdefault("init_beta", np.column_stack(self._coefs))
+        if self.weight_col is not None:
+            extra.setdefault("weight_col", self.weight_col)
         info: dict = {}
         extra.setdefault("fit_info", info)
         B = solvers.softmax_lbfgs_sparse(

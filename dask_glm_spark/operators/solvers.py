@@ -199,19 +199,6 @@ def _resolve_p(df, features_col, kwargs):
     return int(p) if p else kernels.infer_p(df, features_col)
 
 
-def _reject_weight_col(kwargs, solver_name: str) -> None:
-    """Loud failure for solvers without sample-weight support — their
-    ``**kwargs`` would otherwise silently swallow ``weight_col`` and return
-    an UNWEIGHTED fit. (Round-10 extension: every binary solver, dense and
-    sparse, now supports weights — only the joint-softmax objectives
-    remain guarded.)"""
-    if kwargs.pop("weight_col", None) is not None:
-        raise NotImplementedError(
-            f"{solver_name} does not support weight_col; fit weighted "
-            "per-class binary models (OvR) instead"
-        )
-
-
 def _reject_offset_col(kwargs, solver_name: str) -> None:
     """Loud failure for solvers without offset/exposure support — their
     ``**kwargs`` would otherwise silently swallow ``offset_col`` and fit
@@ -1474,6 +1461,7 @@ def softmax_lbfgs(
     persist: bool = True,
     init_beta=None,
     fit_info=None,
+    weight_col: str | None = None,
 ) -> np.ndarray:
     """True multinomial (softmax) fit: L-BFGS on the driver over the
     flattened (p, k) coefficient matrix; each objective evaluation is ONE
@@ -1520,7 +1508,7 @@ def softmax_lbfgs(
         def compute_loss_grad(bflat):
             B = bflat.reshape(p, k)
             loss, grad = kernels.softmax_loss_gradient(
-                dfn, B, features_col, label_col
+                dfn, B, features_col, label_col, weight_col=weight_col
             )
             if reg_f is not None:
                 loss = loss + lamduh * reg_f(bflat)
@@ -1572,6 +1560,7 @@ def softmax_lbfgs_sparse(
     label_col: str = "label",
     init_beta=None,
     fit_info=None,
+    weight_col: str | None = None,
     **kwargs,
 ):
     """True multinomial fit over wide-sparse (indices, values) features:
@@ -1583,7 +1572,6 @@ def softmax_lbfgs_sparse(
     from dask_glm_spark.functions import kernels_sparse
     from dask_glm_spark.functions.optimize import fmin_l_bfgs_b
 
-    _reject_weight_col(kwargs, "softmax_lbfgs_sparse")
     _reject_offset_col(kwargs, "softmax_lbfgs_sparse")
 
     reg_f = reg_grad = None
@@ -1595,7 +1583,8 @@ def softmax_lbfgs_sparse(
         def compute_loss_grad(bflat):
             B = bflat.reshape(pp, k)
             loss, grad = kernels_sparse.softmax_loss_gradient_sparse(
-                dfc, B, pp, idx_col, val_col, label_col
+                dfc, B, pp, idx_col, val_col, label_col,
+                weight_col=weight_col,
             )
             if reg_f is not None:
                 loss = loss + lamduh * reg_f(bflat)

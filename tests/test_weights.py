@@ -239,12 +239,45 @@ def test_weighted_sparse_matches_weighted_dense(wdata):
         sp.unpersist()
 
 
-def test_unsupported_paths_raise(wdata):
+def test_weighted_softmax_k2_matches_weighted_binary(wdata):
+    # the k=2 softmax coefficient DIFFERENCE equals the binary sigmoid
+    # fit (the existing unweighted parity, now under weights): weights
+    # flow through the joint (p, k) kernel identically
     df, *_ = wdata
-    with pytest.raises(NotImplementedError, match="weight_col"):
-        SoftmaxRegression(solver="lbfgs", weight_col="w").fit(df)
-    with pytest.raises(NotImplementedError, match="weight_col"):
-        solvers.softmax_lbfgs_sparse(df, 2, weight_col="w")
+    est = SoftmaxRegression(
+        solver="lbfgs", regularizer=None, weight_col="w", max_iter=300,
+        tol=1e-10,
+    ).fit(df)
+    diff = est._coefs[1] - est._coefs[0]
+    binary = LogisticRegression(
+        solver="lbfgs", regularizer=None, weight_col="w", max_iter=300,
+        tol=1e-10,
+    ).fit(df)
+    np.testing.assert_allclose(diff, binary._coef, atol=5e-4, rtol=0)
+
+
+def test_weighted_softmax_replication(wdata):
+    # integer weights == repeated rows for the joint softmax too
+    df, repl, *_ = wdata
+    a = solvers.softmax_lbfgs(
+        df, 2, regularizer=None, max_iter=300, tol=1e-10, weight_col="w",
+        normalize=False,
+    )
+    b = solvers.softmax_lbfgs(
+        repl, 2, regularizer=None, max_iter=300, tol=1e-10,
+        normalize=False,
+    )
+    # softmax coefficients are identified only up to a shared shift —
+    # compare the class-1 minus class-0 difference
+    np.testing.assert_allclose(
+        a[:, 1] - a[:, 0], b[:, 1] - b[:, 0], atol=1e-4, rtol=0
+    )
+
+
+def test_offset_softmax_raises(wdata):
+    df, *_ = wdata
+    with pytest.raises(NotImplementedError, match="offset_col"):
+        SoftmaxRegression(solver="lbfgs", offset_col="o").fit(df)
 
 
 def test_estimator_params_roundtrip():
