@@ -36,16 +36,46 @@ def _agg_scalar(df: DataFrame, expr: Column) -> float:
     return float(df.agg(expr.alias("v")).collect()[0]["v"])
 
 
-def mean_squared_error(df: DataFrame, y_true: str, y_pred: str) -> float:
-    return _agg_scalar(df, mean_squared_error_expr(F.col(y_true), F.col(y_pred)))
+def mean_squared_error(
+    df: DataFrame, y_true: str, y_pred: str, weight_col: str | None = None
+) -> float:
+    """MSE; with ``weight_col`` the weighted mean Σw·e²/Σw (sklearn
+    ``sample_weight`` semantics) — one aggregation either way."""
+    yt, yp = F.col(y_true), F.col(y_pred)
+    if weight_col is None:
+        return _agg_scalar(df, mean_squared_error_expr(yt, yp))
+    w = F.col(weight_col)
+    return _agg_scalar(df, F.sum(w * (yt - yp) * (yt - yp)) / F.sum(w))
 
 
-def accuracy_score(df: DataFrame, y_true: str, y_pred: str) -> float:
-    return _agg_scalar(df, accuracy_score_expr(F.col(y_true), F.col(y_pred)))
+def accuracy_score(
+    df: DataFrame, y_true: str, y_pred: str, weight_col: str | None = None
+) -> float:
+    """Accuracy; with ``weight_col`` the weighted fraction Σw·1[y=ŷ]/Σw."""
+    yt, yp = F.col(y_true), F.col(y_pred)
+    if weight_col is None:
+        return _agg_scalar(df, accuracy_score_expr(yt, yp))
+    w = F.col(weight_col)
+    hit = F.when(yt == yp, 1.0).otherwise(0.0)
+    return _agg_scalar(df, F.sum(w * hit) / F.sum(w))
 
 
-def poisson_deviance(df: DataFrame, y_true: str, y_pred: str) -> float:
-    return _agg_scalar(df, poisson_deviance_expr(F.col(y_true), F.col(y_pred)))
+def poisson_deviance(
+    df: DataFrame, y_true: str, y_pred: str, weight_col: str | None = None
+) -> float:
+    """Reference-quirk (log1p) Poisson deviance; ``weight_col`` weights
+    each row's deviance term (total, not mean — matching the unweighted
+    form's sum semantics)."""
+    yt, yp = F.col(y_true), F.col(y_pred)
+    if weight_col is None:
+        return _agg_scalar(df, poisson_deviance_expr(yt, yp))
+    w = F.col(weight_col)
+    ratio = F.when(yp != 0, yt / yp).otherwise(
+        F.when(yt > 0, F.lit(float("inf"))).otherwise(F.lit(float("nan")))
+    )
+    return _agg_scalar(
+        df, F.lit(2.0) * F.sum(w * (yt * F.log1p(ratio) - (yt - yp)))
+    )
 
 
 # numpy forms (for driver-side arrays in tests)

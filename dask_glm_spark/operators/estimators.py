@@ -243,7 +243,16 @@ class _GLM(BaseEstimator):
             return self._sparse_xb(df, col_name)
         df_ = self._maybe_add_intercept(df)
         xb = self._linear_expr()
-        if self.offset_col is not None and self.offset_col in df.columns:
+        if self.offset_col is not None:
+            if self.offset_col not in df.columns:
+                # loud, not silent: scoring an offset model without the
+                # exposure column would quietly predict at exposure 1
+                raise ValueError(
+                    f"offset_col {self.offset_col!r} is not a column of the "
+                    "scoring DataFrame; add it (or score a model fitted "
+                    "without offset_col) — predicting without the offset "
+                    "would silently assume unit exposure"
+                )
             # prediction at the row's own exposure (MLlib offsetCol
             # semantics): the offset re-enters the linear predictor
             xb = xb + F.col(self.offset_col)

@@ -195,6 +195,15 @@ def test_sparse_offset_matches_dense(pdata):
         sp.unpersist()
 
 
+def test_predict_without_offset_column_raises(pdata):
+    df, *_ = pdata
+    est = PoissonRegression(
+        solver="newton", max_iter=60, offset_col="off"
+    ).fit(df)
+    with pytest.raises(ValueError, match="offset_col"):
+        est.predict(df.drop("off")).collect()
+
+
 def test_unsupported_paths_raise(pdata):
     df, *_ = pdata
     from dask_glm_spark import MulticlassLogisticRegression

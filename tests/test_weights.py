@@ -13,8 +13,9 @@ Hessian = Xᵀdiag(w⊙hw)X. Oracles, strongest first:
    driver-side weighted math.
 4. *Ones parity*: weight_col of all-1.0 equals the unweighted fit.
 
-ADMM / sparse / joint-softmax raise loudly rather than silently ignore
-the weights.
+Every solver — dense, wide-sparse, ADMM (weights inside the blocks),
+and the joint softmax — supports weights; weighted evaluation metrics
+share the replication oracle.
 """
 
 from __future__ import annotations
@@ -285,3 +286,23 @@ def test_estimator_params_roundtrip():
     params = est.get_params()
     assert params["weight_col"] == "w"
     assert LogisticRegression(**params).weight_col == "w"
+
+
+def test_weighted_metrics(wdata):
+    # weighted metric == metric over the replicated frame (integer w)
+    from dask_glm_spark.functions import metrics
+
+    df, repl, X, y, w = wdata
+    dfp = df.withColumn("pred", (F.col("features")[0] > 0).cast("double"))
+    replp = repl.withColumn("pred", (F.col("features")[0] > 0).cast("double"))
+    aw = metrics.accuracy_score(dfp, "label", "pred", weight_col="w")
+    ar = metrics.accuracy_score(replp, "label", "pred")
+    assert abs(aw - ar) < 1e-12
+    mw = metrics.mean_squared_error(dfp, "label", "pred", weight_col="w")
+    mr = metrics.mean_squared_error(replp, "label", "pred")
+    assert abs(mw - mr) < 1e-12
+    dfp2 = dfp.withColumn("pred", F.col("pred") + 0.5)
+    replp2 = replp.withColumn("pred", F.col("pred") + 0.5)
+    dw = metrics.poisson_deviance(dfp2, "label", "pred", weight_col="w")
+    dr = metrics.poisson_deviance(replp2, "label", "pred")
+    assert abs(dw - dr) < 1e-9
