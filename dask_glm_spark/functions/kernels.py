@@ -255,23 +255,15 @@ def loss_gradient(
         row = df.agg(*aggs).collect()[0]
         return float(row["loss"]), np.array([row[f"g{j}"] for j in range(p)])
 
-    if weight_col is not None:
-
-        def partial(X, y, w, o=None):
-            xb = X @ beta if o is None else X @ beta + o
-            return {
-                "loss": float(np.dot(w, family.loglike_terms_np(xb, y))),
-                "grad": X.T @ (w * family.residual_np(xb, y)),
-            }
-
-    else:
-
-        def partial(X, y, o=None):
-            xb = X @ beta if o is None else X @ beta + o
-            return {
-                "loss": family.loglike_np(xb, y),
-                "grad": X.T @ family.residual_np(xb, y),
-            }
+    def partial(X, y, w=None, o=None):
+        xb = X @ beta if o is None else X @ beta + o
+        if w is None:
+            loss = family.loglike_np(xb, y)
+            r = family.residual_np(xb, y)
+        else:
+            loss = float(np.dot(w, family.loglike_terms_np(xb, y)))
+            r = w * family.residual_np(xb, y)
+        return {"loss": loss, "grad": X.T @ r}
 
     rows = _arrow_partials(
         df, features_col, label_col, partial,
@@ -335,25 +327,17 @@ def gradient_hessian(
                 hess[i, j] = hess[j, i] = row[f"h{i}_{j}"]
         return grad, hess
 
-    if weight_col is not None:
-
-        def partial(X, y, sw, o=None):
-            xb = X @ beta if o is None else X @ beta + o
-            w = sw * family.hess_weight_np(xb)
-            return {
-                "grad": X.T @ (sw * family.residual_np(xb, y)),
-                "hess": (X.T @ (w[:, None] * X)).ravel(),
-            }
-
-    else:
-
-        def partial(X, y, o=None):
-            xb = X @ beta if o is None else X @ beta + o
-            w = family.hess_weight_np(xb)
-            return {
-                "grad": X.T @ family.residual_np(xb, y),
-                "hess": (X.T @ (w[:, None] * X)).ravel(),
-            }
+    def partial(X, y, sw=None, o=None):
+        xb = X @ beta if o is None else X @ beta + o
+        r = family.residual_np(xb, y)
+        hw = family.hess_weight_np(xb)
+        if sw is not None:
+            r = sw * r
+            hw = sw * hw
+        return {
+            "grad": X.T @ r,
+            "hess": (X.T @ (hw[:, None] * X)).ravel(),
+        }
 
     rows = _arrow_partials(
         df, features_col, label_col, partial,
@@ -406,25 +390,17 @@ def multi_loss(
 
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
 
-    if weight_col is not None:
-
-        def partial(X, y, w, o=None):
-            XB = X @ B  # (n, k)
-            if o is not None:
-                XB = XB + o[:, None]
+    def partial(X, y, w=None, o=None):
+        XB = X @ B  # (n, k)
+        if o is not None:
+            XB = XB + o[:, None]
+        if w is None:
+            losses = np.array([family.loglike_np(XB[:, i], y) for i in range(k)])
+        else:
             losses = np.array(
                 [np.dot(w, family.loglike_terms_np(XB[:, i], y)) for i in range(k)]
             )
-            return {"losses": losses}
-
-    else:
-
-        def partial(X, y, o=None):
-            XB = X @ B  # (n, k)
-            if o is not None:
-                XB = XB + o[:, None]
-            losses = np.array([family.loglike_np(XB[:, i], y) for i in range(k)])
-            return {"losses": losses}
+        return {"losses": losses}
 
     rows = _arrow_partials(
         df, features_col, label_col, partial, "losses array<double>",
@@ -536,13 +512,22 @@ def multi_loss_gradient(
 
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
 
-    if weight_col is not None:
-
-        def partial(X, y, w, o=None):
-            with np.errstate(over="ignore", invalid="ignore"):
-                XB = X @ B  # (n, k)
-                if o is not None:
-                    XB = XB + o[:, None]
+    def partial(X, y, w=None, o=None):
+        # Extreme line-search candidates legitimately overflow exp
+        # (inf/nan losses reject themselves); silence the per-task
+        # warning spam.
+        with np.errstate(over="ignore", invalid="ignore"):
+            XB = X @ B  # (n, k)
+            if o is not None:
+                XB = XB + o[:, None]
+            if w is None:
+                losses = np.array(
+                    [family.loglike_np(XB[:, i], y) for i in range(k)]
+                )
+                R = np.column_stack(
+                    [family.residual_np(XB[:, i], y) for i in range(k)]
+                )
+            else:
                 losses = np.array(
                     [
                         np.dot(w, family.loglike_terms_np(XB[:, i], y))
@@ -552,25 +537,7 @@ def multi_loss_gradient(
                 R = np.column_stack(
                     [w * family.residual_np(XB[:, i], y) for i in range(k)]
                 )
-                return {"losses": losses, "grads": (X.T @ R).ravel()}
-
-    else:
-
-        def partial(X, y, o=None):
-            # Extreme line-search candidates legitimately overflow exp
-            # (inf/nan losses reject themselves); silence the per-task
-            # warning spam.
-            with np.errstate(over="ignore", invalid="ignore"):
-                XB = X @ B  # (n, k)
-                if o is not None:
-                    XB = XB + o[:, None]
-                losses = np.array(
-                    [family.loglike_np(XB[:, i], y) for i in range(k)]
-                )
-                R = np.column_stack(
-                    [family.residual_np(XB[:, i], y) for i in range(k)]
-                )
-                return {"losses": losses, "grads": (X.T @ R).ravel()}
+            return {"losses": losses, "grads": (X.T @ R).ravel()}
 
     rows = _arrow_partials(
         df, features_col, label_col, partial,
@@ -633,15 +600,7 @@ def softmax_loss_gradient(
             loss = float(ll.sum())
         return {"loss": loss, "grad": (X.T @ P).ravel()}
 
-    if weight_col is not None:
-
-        def partial(X: np.ndarray, y: np.ndarray, w: np.ndarray) -> dict:
-            return _batch(X, y, w)
-
-    else:
-
-        def partial(X: np.ndarray, y: np.ndarray) -> dict:
-            return _batch(X, y)
+    partial = _batch
 
     rows_ = _arrow_partials(
         df, features_col, label_col, partial,

@@ -21,7 +21,7 @@ def accuracy_score_expr(y_true: Column, y_pred: Column) -> Column:
     return F.avg(F.when(y_true == y_pred, 1.0).otherwise(0.0))
 
 
-def poisson_deviance_expr(y_true: Column, y_pred: Column) -> Column:
+def _poisson_dev_terms(y_true: Column, y_pred: Column) -> Column:
     # y_pred == 0 explicit: Spark's non-ANSI x/0 yields NULL, which F.sum
     # would silently SKIP — hiding degenerate predictions behind a finite
     # deviance. numpy semantics instead: y/0 -> inf (y>0) or nan (y==0),
@@ -29,7 +29,11 @@ def poisson_deviance_expr(y_true: Column, y_pred: Column) -> Column:
     ratio = F.when(y_pred != 0, y_true / y_pred).otherwise(
         F.when(y_true > 0, F.lit(float("inf"))).otherwise(F.lit(float("nan")))
     )
-    return F.lit(2.0) * F.sum(y_true * F.log1p(ratio) - (y_true - y_pred))
+    return y_true * F.log1p(ratio) - (y_true - y_pred)
+
+
+def poisson_deviance_expr(y_true: Column, y_pred: Column) -> Column:
+    return F.lit(2.0) * F.sum(_poisson_dev_terms(y_true, y_pred))
 
 
 def _agg_scalar(df: DataFrame, expr: Column) -> float:
@@ -69,12 +73,9 @@ def poisson_deviance(
     yt, yp = F.col(y_true), F.col(y_pred)
     if weight_col is None:
         return _agg_scalar(df, poisson_deviance_expr(yt, yp))
-    w = F.col(weight_col)
-    ratio = F.when(yp != 0, yt / yp).otherwise(
-        F.when(yt > 0, F.lit(float("inf"))).otherwise(F.lit(float("nan")))
-    )
     return _agg_scalar(
-        df, F.lit(2.0) * F.sum(w * (yt * F.log1p(ratio) - (yt - yp)))
+        df,
+        F.lit(2.0) * F.sum(F.col(weight_col) * _poisson_dev_terms(yt, yp)),
     )
 
 

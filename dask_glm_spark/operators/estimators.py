@@ -82,8 +82,8 @@ class _GLM(BaseEstimator):
         # continuation at 100 TB costs a few rounds, not a full fit.
         self.warm_start = warm_start
         # per-row sample weights (MLlib weightCol analogue, round 10):
-        # supported by every solver, dense and wide-sparse (the joint
-        # softmax raises loudly rather than ignore it).
+        # supported by EVERY solver — dense, wide-sparse, ADMM blocks,
+        # and the joint softmax.
         self.weight_col = weight_col
         # per-row offset/exposure (MLlib offsetCol analogue, round 10):
         # a fixed additive term in the linear predictor — log-exposure in
@@ -271,6 +271,17 @@ class _GLM(BaseEstimator):
         if self.fit_intercept:
             icpt = float(beta[-1])
             beta = beta[:-1]
+        offset_col = self.offset_col
+        if offset_col is not None and offset_col not in df.columns:
+            # same loud contract as the dense path: scoring an offset
+            # model without the exposure column would silently predict at
+            # unit exposure (review: the dense guard alone left this path
+            # silent)
+            raise ValueError(
+                f"offset_col {offset_col!r} is not a column of the scoring "
+                "DataFrame; add it (or score a model fitted without "
+                "offset_col)"
+            )
 
         def op(batches):
             for pdf in batches:
@@ -283,6 +294,8 @@ class _GLM(BaseEstimator):
                     )
                     + icpt
                 )
+                if offset_col is not None:
+                    xb = xb + pdf[offset_col].to_numpy(dtype=np.float64)
                 out = pdf.copy()
                 out[col_name] = xb
                 yield out
@@ -314,9 +327,11 @@ class LogisticRegression(_GLM):
             "prediction", (F.col("probability") > 0.5).cast("double")
         )
 
-    def score(self, df: DataFrame) -> float:
+    def score(self, df: DataFrame, weight_col: str | None = None) -> float:
         pred = self.predict(df)
-        return metrics.accuracy_score(pred, self.label_col, "prediction")
+        return metrics.accuracy_score(
+            pred, self.label_col, "prediction", weight_col=weight_col
+        )
 
     def get_auc(self, df: DataFrame) -> float:
         """Distributed ROC AUC of predict_proba vs the label column
@@ -334,10 +349,12 @@ class LinearRegression(_GLM):
     def predict(self, df: DataFrame) -> DataFrame:
         return self._with_xb(df, "prediction")
 
-    def score(self, df: DataFrame) -> float:
+    def score(self, df: DataFrame, weight_col: str | None = None) -> float:
         # reference quirk: score is MSE, not R² (estimators.py:203-204)
         pred = self.predict(df)
-        return metrics.mean_squared_error(pred, self.label_col, "prediction")
+        return metrics.mean_squared_error(
+            pred, self.label_col, "prediction", weight_col=weight_col
+        )
 
 
 class PoissonRegression(_GLM):
@@ -352,9 +369,11 @@ class PoissonRegression(_GLM):
             .drop("_xb")
         )
 
-    def get_deviance(self, df: DataFrame) -> float:
+    def get_deviance(self, df: DataFrame, weight_col: str | None = None) -> float:
         pred = self.predict(df)
-        return metrics.poisson_deviance(pred, self.label_col, "prediction")
+        return metrics.poisson_deviance(
+            pred, self.label_col, "prediction", weight_col=weight_col
+        )
 
 
 class GammaRegression(_GLM):
@@ -376,7 +395,14 @@ class GammaRegression(_GLM):
         pred = self.predict(df)
         y = F.col(self.label_col)
         mu = F.col("prediction")
-        d = F.lit(2.0) * (-F.log(y / mu) + (y - mu) / mu)
+        # y <= 0 is invalid for gamma: Spark's log(<=0) yields NULL and
+        # F.avg would silently SKIP the row, hiding degenerate labels
+        # behind a finite deviance — poison with nan instead (the
+        # poisson_deviance_expr convention, review r5)
+        logterm = F.when(y > 0, -F.log(y / mu)).otherwise(
+            F.lit(float("nan"))
+        )
+        d = F.lit(2.0) * (logterm + (y - mu) / mu)
         row = pred.agg(F.avg(d).alias("dev")).collect()[0]
         return float(row["dev"])
 

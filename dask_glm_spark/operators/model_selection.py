@@ -62,12 +62,18 @@ def regularization_path(
     if not df.is_cached:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
+    # a caller-supplied fit_info would be shared (and silently
+    # overwritten) by every per-λ fit — collect per-λ dicts instead,
+    # returned in INPUT order under "per_lamduh"
+    caller_info = kwargs.pop("fit_info", None)
+    infos: list[dict] = [{} for _ in lams]
     try:
         order = sorted(range(len(lams)), key=lambda i: -lams[i])
         betas: list[np.ndarray | None] = [None] * len(lams)
         prev = None
         for i in order:
             kw = dict(kwargs)
+            kw["fit_info"] = infos[i]
             if warm and prev is not None:
                 kw.setdefault("init_beta", prev)
             beta = np.asarray(
@@ -82,6 +88,8 @@ def regularization_path(
             )
             betas[i] = beta
             prev = beta
+        if caller_info is not None:
+            caller_info["per_lamduh"] = infos
         return np.stack(betas)
     finally:
         if we_persisted:

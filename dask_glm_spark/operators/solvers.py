@@ -575,6 +575,7 @@ def newton(
     beta = _init_vec(init_beta, p)
     iter_count = 0
     converged = False
+    tol_ok = False
     while not converged:
         grad, hess = kernels.gradient_hessian(
             df, family, beta, p, features_col, label_col, path,
@@ -585,8 +586,11 @@ def newton(
         beta = beta_old - step
         iter_count += 1
         coef_change = np.absolute(beta_old - beta)
-        converged = (not np.any(coef_change > tol)) or (iter_count > max_iter)
-    _fill_info(fit_info, iter_count, iter_count <= max_iter)
+        # loop condition is reference-exact (can run max_iter+1 steps);
+        # converged_ reports whether the TOL test fired, not the budget
+        tol_ok = not np.any(coef_change > tol)
+        converged = tol_ok or (iter_count > max_iter)
+    _fill_info(fit_info, iter_count, tol_ok)
     return beta
 
 

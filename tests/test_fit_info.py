@@ -98,3 +98,27 @@ def test_lamduh_max_kills_all_coefficients(data):
         normalize=False,
     )
     assert np.any(np.abs(beta) > 1e-10)
+
+
+def test_newton_budget_diagnostics_exact(data):
+    # review fix: converged_ reports the tol test, n_iter_ the true count
+    # (tol=0 can never pass — float steps are nonzero — so the loop must
+    # exhaust the budget; newton is quadratically convergent, so any
+    # realistic tol converges in a handful of steps on this problem)
+    info: dict = {}
+    solvers.newton(data, max_iter=3, tol=0.0, fit_info=info)
+    assert info["converged"] is False
+    assert info["n_iter"] == 4  # reference loop runs max_iter+1 steps
+
+
+def test_path_per_lamduh_fit_info(data):
+    from dask_glm_spark.operators.model_selection import regularization_path
+
+    info: dict = {}
+    regularization_path(
+        data, [0.1, 2.0], solver="lbfgs", regularizer="l2", max_iter=200,
+        fit_info=info,
+    )
+    per = info["per_lamduh"]
+    assert len(per) == 2
+    assert all("n_iter" in d and "converged" in d for d in per)

@@ -108,3 +108,13 @@ def test_estimator_surface(gdata):
     dev = est.get_deviance(df)
     assert np.isfinite(dev) and dev >= 0
     assert est.score(df) == dev
+
+
+def test_deviance_poisons_on_nonpositive_labels(gdata, spark):
+    # review fix: y<=0 must poison the deviance (NULL-skip hid it)
+    from pyspark.sql import functions as F
+
+    df, *_ = gdata
+    est = GammaRegression(solver="newton", max_iter=50).fit(df)
+    bad = df.limit(10).withColumn("label", F.lit(0.0)).union(df.limit(50))
+    assert np.isnan(est.get_deviance(bad))

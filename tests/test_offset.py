@@ -219,3 +219,29 @@ def test_params_roundtrip():
     params = est.get_params()
     assert params["offset_col"] == "off"
     assert PoissonRegression(**params).offset_col == "off"
+
+
+def test_sparse_predict_applies_offset(pdata):
+    # review fix: sparse scoring must honor (and require) the offset too
+    df, X, y, o = pdata
+    from dask_glm_spark.sources import vectors as V
+
+    sp = V.to_sparse_columns(df).persist()
+    try:
+        est = PoissonRegression(
+            solver="lbfgs", regularizer=None, fit_intercept=False,
+            offset_col="off", max_iter=200,
+        ).fit(sp)
+        rows = est.predict(sp).select("findices", "fvalues", "off",
+                                      "prediction").collect()
+        for r in rows[:50]:
+            xb = sum(
+                est._coef[i] * v for i, v in zip(r["findices"], r["fvalues"])
+            ) + r["off"]
+            assert abs(np.exp(xb) - r["prediction"]) < 1e-9 * max(
+                1.0, np.exp(xb)
+            )
+        with pytest.raises(ValueError, match="offset_col"):
+            est.predict(sp.drop("off")).collect()
+    finally:
+        sp.unpersist()
