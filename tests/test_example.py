@@ -69,3 +69,19 @@ def test_ann_index_example():
     assert out["indexed"] > 0
     assert out["recall_at_5"] >= 0.6
     assert out["code_bytes_per_vector"] == 16
+
+
+def test_glm_workflow_example(capsys):
+    spec = importlib.util.spec_from_file_location(
+        "glm_workflow",
+        os.path.join(
+            os.path.dirname(__file__), "..", "examples", "glm_workflow.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "workflow complete" in out
+    assert "warm refit" in out and "L1 path" in out
