@@ -120,6 +120,29 @@ def main() -> int:
         ).fit(load_glm_fast(spark, sf_dir)),
     )
 
+    # -- round-10 extension surface (coverage-priced keys, new in r10):
+    # weighted fit (the weight multiply must stay invisible at bench
+    # scale) and the Tweedie family (the new-family solver path)
+    from pyspark.sql import functions as F
+    from dask_glm_spark.operators.estimators import TweedieRegression
+
+    def _fit_weighted():
+        dfw = load_glm_fast(spark, sf_dir).withColumn(
+            "w", (F.abs(F.hash("label")) % 3 + 1).cast("double")
+        )
+        LogisticRegression(
+            solver="lbfgs", regularizer=None, fit_intercept=False,
+            weight_col="w",
+        ).fit(dfw)
+
+    timed("fit_weighted_lbfgs", _fit_weighted)
+    timed(
+        "fit_tweedie_newton",
+        lambda: TweedieRegression(
+            var_power=1.5, solver="newton", max_iter=20
+        ).fit(load_glm_fast(spark, sf_dir)),
+    )
+
     # -- declared queries (kernel + pipeline surfaces) ---------------------
     import __spark_entry__ as e
 
