@@ -97,6 +97,7 @@ def roc_auc_score(
     y_true: str = "label",
     y_score: str = "score",
     pregrouped: bool = False,
+    weight_col: str | None = None,
 ) -> float:
     """Distributed ROC AUC — beyond-reference (the classifier metric real
     pipelines report next to accuracy).
@@ -128,6 +129,16 @@ def roc_auc_score(
         # metrics computed from the same tiny table share one pass
         # over the raw scores (the q11 shape)
         g = df.select(F.col(y_score).alias("_s"), "pos", "neg")
+    elif weight_col is not None:
+        # weighted AUC: weights flow into the per-score pos/neg masses;
+        # the rank-sum identity below is mass-agnostic, so nothing else
+        # changes (equal to replicating each row w times for integer w)
+        yt = F.col(y_true).cast("double")
+        w = F.col(weight_col)
+        g = df.groupBy(F.col(y_score).alias("_s")).agg(
+            F.sum(w * yt).alias("pos"),
+            F.sum(w * (F.lit(1.0) - yt)).alias("neg"),
+        )
     else:
         g = df.groupBy(F.col(y_score).alias("_s")).agg(
             F.sum(F.col(y_true).cast("double")).alias("pos"),

@@ -333,11 +333,13 @@ class LogisticRegression(_GLM):
             pred, self.label_col, "prediction", weight_col=weight_col
         )
 
-    def get_auc(self, df: DataFrame) -> float:
+    def get_auc(self, df: DataFrame, weight_col: str | None = None) -> float:
         """Distributed ROC AUC of predict_proba vs the label column
-        (``metrics.roc_auc_score`` — scale-safe rank-sum, round 7)."""
+        (``metrics.roc_auc_score`` — scale-safe rank-sum, round 7);
+        ``weight_col`` weights the per-score class masses."""
         return metrics.roc_auc_score(
-            self.predict_proba(df), self.label_col, "probability"
+            self.predict_proba(df), self.label_col, "probability",
+            weight_col=weight_col,
         )
 
 

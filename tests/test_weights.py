@@ -306,3 +306,16 @@ def test_weighted_metrics(wdata):
     dw = metrics.poisson_deviance(dfp2, "label", "pred", weight_col="w")
     dr = metrics.poisson_deviance(replp2, "label", "pred")
     assert abs(dw - dr) < 1e-9
+
+
+def test_weighted_auc_equals_replicated(wdata):
+    from dask_glm_spark.functions import metrics
+
+    df, repl, *_ = wdata
+    dfp = df.withColumn("score", F.col("features")[0] + F.col("features")[1])
+    replp = repl.withColumn(
+        "score", F.col("features")[0] + F.col("features")[1]
+    )
+    aw = metrics.roc_auc_score(dfp, "label", "score", weight_col="w")
+    ar = metrics.roc_auc_score(replp, "label", "score")
+    assert abs(aw - ar) < 1e-12
