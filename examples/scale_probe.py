@@ -80,7 +80,21 @@ def main(sf_dir: str = "/root/testdata/sf0.1", workdir: str | None = None):
         ).fit(df)
         out[f"lbfgs_{tag}"] = round(time.perf_counter() - t0, 3)
 
-    for k in ("kernel", "admm", "lbfgs"):
+        # round-10 extension surface: the weighted fit must scale exactly
+        # like the plain fit (same scans, one extra Arrow column)
+        from pyspark.sql import functions as F
+
+        dfw = df.withColumn(
+            "w", (F.abs(F.hash("label")) % 3 + 1).cast("double")
+        )
+        t0 = time.perf_counter()
+        LogisticRegression(
+            solver="lbfgs", regularizer=None, fit_intercept=False,
+            max_iter=10, weight_col="w",
+        ).fit(dfw)
+        out[f"wlbfgs_{tag}"] = round(time.perf_counter() - t0, 3)
+
+    for k in ("kernel", "admm", "lbfgs", "wlbfgs"):
         r = out[f"{k}_10x"] / out[f"{k}_1x"]
         print(f"{k}: 1x={out[f'{k}_1x']}s 10x={out[f'{k}_10x']}s ratio={r:.2f}x")
     out.update(pipe)
