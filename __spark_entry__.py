@@ -206,9 +206,32 @@ _SG_CASE = {
     for c in range(3)
 }
 
+# Round 11 (VERDICT r10 #1): the weighted/offset kernel math under the
+# same gate. Pinned expressions shared by both engines: integer weight
+# w = CAST(label_cnt AS INT) % 3 + 1 (∈ {1,2,3}) and offset o = 0.05*f2.
+# Weighted logistic loss Σ w·ll and gradient Σ w·f_j·(σ(xb) − y) exercise
+# kernels.loss_gradient(weight_col=...); the offset pair evaluates the
+# same kernel at xb+o (kernels.loss_gradient(offset_col=...)) — exactly
+# the r10 extension-session math (one extra multiply/add per scan).
+_WO_CTES = f"""wo AS (
+  SELECT f1, f2, f3, f4, label,
+    CAST(CAST(label_cnt AS INT) % 3 + 1 AS DOUBLE) AS w,
+    0.05*f2 AS o, {XB} AS xb
+  FROM glm
+),
+woagg AS (SELECT
+  sum(w*(xb + ln(1+exp(-xb)) - label*xb)) AS wloss,
+  {", ".join(f"sum(w*f{j}*(1/(1+exp(-xb)) - label)) AS wg{j}" for j in range(1, 5))},
+  sum((xb+o) + ln(1+exp(-(xb+o))) - label*(xb+o)) AS oloss,
+  {", ".join(f"sum(f{j}*(1/(1+exp(-(xb+o))) - label)) AS og{j}" for j in range(1, 5))}
+FROM wo)"""
+_WG_CASE = "CASE j WHEN 1 THEN wg1 WHEN 2 THEN wg2 WHEN 3 THEN wg3 ELSE wg4 END"
+_OG_CASE = "CASE j WHEN 1 THEN og1 WHEN 2 THEN og2 WHEN 3 THEN og3 ELSE og4 END"
+
 KERNEL_SQL["q48_solver_steps"] = f"""WITH {GLM},
 {_B1_CTES},
 {_SM_CTES},
+{_WO_CTES},
 l AS (SELECT sum(xb + ln(1+exp(-xb)) - label*xb) AS loss1
       FROM (SELECT (b1*f1 + b2*f2 + b3*f3 + b4*f4) AS xb, label FROM glm, b) s),
 bt AS (SELECT j, {_B1_CASE} AS v FROM b, js)
@@ -220,8 +243,12 @@ SELECT j,
   CAST(round(smloss, 3) AS DOUBLE) AS smloss,
   CAST(round({_SG_CASE[0]}, 3) AS DOUBLE) AS smg_c0,
   CAST(round({_SG_CASE[1]}, 3) AS DOUBLE) AS smg_c1,
-  CAST(round({_SG_CASE[2]}, 3) AS DOUBLE) AS smg_c2
-FROM bt, l, smagg ORDER BY j"""
+  CAST(round({_SG_CASE[2]}, 3) AS DOUBLE) AS smg_c2,
+  CAST(round(wloss, 3) AS DOUBLE) AS wloss,
+  CAST(round({_WG_CASE}, 3) AS DOUBLE) AS wgrad,
+  CAST(round(oloss, 3) AS DOUBLE) AS oloss,
+  CAST(round({_OG_CASE}, 3) AS DOUBLE) AS ograd
+FROM bt, l, smagg, woagg ORDER BY j"""
 
 
 def _register_tables(
@@ -2624,6 +2651,24 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "features", (F.col("label_cnt") % 3).cast("double").alias("label")
     )
     smloss, G = kernels.softmax_loss_gradient(df3, np.asarray(SOFTMAX_B))
+    # round 11 (VERDICT r10 #1): the r10 weighted/offset kernel math under
+    # the hash gate — kernels.loss_gradient with weight_col / offset_col at
+    # the pinned expressions w = label_cnt%3+1 and o = 0.05*f2 (the same
+    # literal text the oracle's wo CTE computes).
+    dfwo = df.select(
+        "features",
+        "label",
+        (F.col("label_cnt").cast("int") % 3 + 1).cast("double").alias("w"),
+        (F.col("features")[1] * 0.05).alias("o"),
+    )
+    from dask_glm_spark.functions.families import Logistic
+
+    wloss, wgrad = kernels.loss_gradient(
+        dfwo, Logistic, np.asarray(BETA), 4, weight_col="w"
+    )
+    oloss, ograd = kernels.loss_gradient(
+        dfwo, Logistic, np.asarray(BETA), 4, offset_col="o"
+    )
     rows = [
         (
             j + 1,
@@ -2634,6 +2679,10 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(G[j, 0]),
             float(G[j, 1]),
             float(G[j, 2]),
+            float(wloss),
+            float(wgrad[j]),
+            float(oloss),
+            float(ograd[j]),
         )
         for j in range(len(beta1))
     ]
@@ -2641,7 +2690,8 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(
             rows,
             "j int, beta1 double, loss1 double, beta1_prox double, "
-            "smloss double, smg_c0 double, smg_c1 double, smg_c2 double",
+            "smloss double, smg_c0 double, smg_c1 double, smg_c2 double, "
+            "wloss double, wgrad double, oloss double, ograd double",
         )
         .select(
             "j",
@@ -2652,6 +2702,10 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("smg_c0", 3).cast("double").alias("smg_c0"),
             F.round("smg_c1", 3).cast("double").alias("smg_c1"),
             F.round("smg_c2", 3).cast("double").alias("smg_c2"),
+            F.round("wloss", 3).cast("double").alias("wloss"),
+            F.round("wgrad", 3).cast("double").alias("wgrad"),
+            F.round("oloss", 3).cast("double").alias("oloss"),
+            F.round("ograd", 3).cast("double").alias("ograd"),
         )
         .orderBy("j")
     )

@@ -304,4 +304,8 @@ class Tweedie:
         return X.T.dot(self.residual_np(X.dot(np.ravel(beta)), np.ravel(y)))
 
 
+# String-dispatch registry of the class-as-namespace families. Tweedie is
+# deliberately absent: it is INSTANCE-parameterized by var_power (there is
+# no single "tweedie" family to construct from a bare name) — callers pass
+# families.Tweedie(q) or use TweedieRegression(var_power=q) (VERDICT r10).
 FAMILIES = {f.name: f for f in (Logistic, Normal, Poisson, Gamma)}

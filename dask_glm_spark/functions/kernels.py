@@ -619,7 +619,9 @@ def softmax_loss_gradient(
 # Spark's default `stddev` is the SAMPLE std. SURVEY §7 correctness trap.)
 # ---------------------------------------------------------------------------
 def column_moments_full(
-    df: DataFrame, features_col: str = "features"
+    df: DataFrame,
+    features_col: str = "features",
+    weight_col: str | None = None,
 ) -> tuple[int, np.ndarray, np.ndarray]:
     """(n_rows, mean, std) in ONE Arrow partial-aggregation scan that also
     discovers p from the vectors — the solver preamble's ONLY job.
@@ -634,40 +636,66 @@ def column_moments_full(
     all-ones intercept column, so a constant non-one column could yield a
     tiny nonzero std and silently evade normalize()'s constant-column
     detection (intercept identification / multi-constant error) — the
-    min/max probe rides the same scan for free (ADVICE r6)."""
+    min/max probe rides the same scan for free (ADVICE r6).
+
+    ``weight_col`` (ADVICE r10): mean/std become the WEIGHTED population
+    moments (Σw·x/Σw, sqrt(Σw·x²/Σw − mean²)) — exactly the moments of the
+    integer-weight row-replicated dataset and MLlib's weighted summarizer,
+    so weighted regularized fits under ``normalize=True`` penalize in the
+    replication-consistent standardized space. The returned ``n_rows``
+    stays the RAW row count (it sizes physical block layout, not math);
+    the min/max constant-column probe also stays raw — a column constant
+    on all positive-weight rows but varying on zero-weight ones is treated
+    as non-constant (documented divergence from strict replication; such
+    inputs are degenerate)."""
 
     def batch_partial(pdf: pd.DataFrame) -> dict:
         X = _features_matrix(pdf, features_col)
+        if weight_col is not None:
+            w = pdf[weight_col].to_numpy(dtype=np.float64)
+            Xw = X * w[:, None]
+            return {
+                "n": np.float64(len(X)),
+                "sw": np.float64(w.sum()),
+                "s": Xw.sum(axis=0),
+                "ss": (Xw * X).sum(axis=0),
+                "mn": X.min(axis=0),
+                "mx": X.max(axis=0),
+            }
         return {
             "n": np.float64(len(X)),
+            "sw": np.float64(len(X)),
             "s": X.sum(axis=0),
             "ss": (X * X).sum(axis=0),
             "mn": X.min(axis=0),  # generic op skips empty batches
             "mx": X.max(axis=0),
         }
 
+    cols = [features_col] if weight_col is None else [features_col, weight_col]
     rows = _arrow_partials_generic(
-        df.select(features_col),
+        df.select(*cols),
         batch_partial,
-        "n double, s array<double>, ss array<double>, "
+        "n double, sw double, s array<double>, ss array<double>, "
         "mn array<double>, mx array<double>",
         merges={"mn": np.minimum, "mx": np.maximum},
     )
     if not rows:
         raise ValueError("empty input DataFrame")
     n = 0.0
+    sw = 0.0
     s = np.zeros(len(rows[0]["s"]))
     ss = np.zeros_like(s)
     mn = np.full_like(s, np.inf)
     mx = np.full_like(s, -np.inf)
     for r in rows:  # rows arrive pid-sorted: deterministic fold order
         n += r["n"]
+        sw += r["sw"]
         s += np.asarray(r["s"], dtype=np.float64)
         ss += np.asarray(r["ss"], dtype=np.float64)
         mn = np.minimum(mn, np.asarray(r["mn"], dtype=np.float64))
         mx = np.maximum(mx, np.asarray(r["mx"], dtype=np.float64))
-    mean = s / n
-    var = np.maximum(ss / n - mean * mean, 0.0)
+    mean = s / sw
+    var = np.maximum(ss / sw - mean * mean, 0.0)
     std = np.sqrt(var)
     std[mn == mx] = 0.0  # constant columns: exact zero, robustly
     return int(n), mean, std

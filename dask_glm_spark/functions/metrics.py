@@ -123,6 +123,15 @@ def roc_auc_score(
     from pyspark import TaskContext
 
     if pregrouped:
+        if weight_col is not None:
+            # the histogram's pos/neg masses were formed upstream —
+            # weighting here is impossible, and silently returning the
+            # unweighted AUC would misreport (ADVICE r10)
+            raise ValueError(
+                "weight_col cannot be combined with pregrouped=True: "
+                "apply weights when building the (score, pos, neg) "
+                "histogram instead"
+            )
         # df IS the (y_score, pos, neg) score histogram — the caller
         # already grouped (or holds a score histogram from elsewhere);
         # skips this function's own corpus scan, so accuracy-style

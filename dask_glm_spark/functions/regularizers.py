@@ -145,6 +145,22 @@ class ElasticNet(Regularizer):
         # Reference bug (regularizers.py:227): the shrink below is computed
         # but `beta` is returned unchanged. Default replicates for parity.
         if self.strict_reference:
+            if t > 0:
+                # t = step*lamduh > 0 means the caller ASKED for elastic-net
+                # shrinkage and is silently getting none — the right call
+                # for oracle parity, a loaded gun for real users (VERDICT
+                # r10). One warning, results unchanged.
+                import warnings
+
+                warnings.warn(
+                    "regularizer='elastic_net' replicates the reference's "
+                    "NO-OP proximal operator (dask_glm regularizers.py:227)"
+                    " — the fit is effectively unregularized on prox-based "
+                    "solvers. Use 'elastic_net_corrected' for the working "
+                    "prox.",
+                    UserWarning,
+                    stacklevel=2,
+                )
             return beta
         g = self.weight * t
         shrunk = np.where(

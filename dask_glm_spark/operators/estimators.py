@@ -153,8 +153,10 @@ class _GLM(BaseEstimator):
             kw.setdefault("weight_col", self.weight_col)
         if self.offset_col is not None:
             kw.setdefault("offset_col", self.offset_col)
-        info: dict = {}
-        kw.setdefault("fit_info", info)
+        # setdefault RETURNS the existing dict when the caller passed
+        # their own fit_info through **extra, so diagnostics land in the
+        # dict the solver actually filled (ADVICE r10)
+        info = kw.setdefault("fit_info", {})
         self._coef = np.asarray(
             solvers._solvers[self.solver](
                 df_,
@@ -216,8 +218,10 @@ class _GLM(BaseEstimator):
             kw.setdefault("weight_col", self.weight_col)
         if self.offset_col is not None:
             kw.setdefault("offset_col", self.offset_col)
-        info: dict = {}
-        kw.setdefault("fit_info", info)
+        # setdefault RETURNS the existing dict when the caller passed
+        # their own fit_info through **extra, so diagnostics land in the
+        # dict the solver actually filled (ADVICE r10)
+        info = kw.setdefault("fit_info", {})
         solver_fn = getattr(solvers, self._SPARSE_SOLVERS[self.solver])
         self._coef = np.asarray(
             solver_fn(df, family=self.family, label_col=self.label_col, **kw)
@@ -378,6 +382,18 @@ class PoissonRegression(_GLM):
         )
 
 
+def _mean_unit_deviance(pred: DataFrame, d, weight_col: str | None) -> float:
+    """``Σw·d / Σw`` — weighted mean unit deviance (sklearn
+    ``sample_weight`` semantics, matching the package's other weighted
+    metrics; ``weight_col=None`` is plain ``avg`` — ADVICE r10)."""
+    if weight_col is None:
+        row = pred.agg(F.avg(d).alias("dev")).collect()[0]
+    else:
+        w = F.col(weight_col)
+        row = pred.agg((F.sum(w * d) / F.sum(w)).alias("dev")).collect()[0]
+    return float(row["dev"])
+
+
 class GammaRegression(_GLM):
     """Gamma regression, log link — beyond-reference (MLlib GLR
     ``family="gamma", link="log"`` contract). Strictly positive
@@ -393,7 +409,9 @@ class GammaRegression(_GLM):
             .drop("_xb")
         )
 
-    def get_deviance(self, df: DataFrame) -> float:
+    def get_deviance(
+        self, df: DataFrame, weight_col: str | None = None
+    ) -> float:
         pred = self.predict(df)
         y = F.col(self.label_col)
         mu = F.col("prediction")
@@ -405,11 +423,10 @@ class GammaRegression(_GLM):
             F.lit(float("nan"))
         )
         d = F.lit(2.0) * (logterm + (y - mu) / mu)
-        row = pred.agg(F.avg(d).alias("dev")).collect()[0]
-        return float(row["dev"])
+        return _mean_unit_deviance(pred, d, weight_col)
 
-    def score(self, df: DataFrame) -> float:
-        return self.get_deviance(df)
+    def score(self, df: DataFrame, weight_col: str | None = None) -> float:
+        return self.get_deviance(df, weight_col=weight_col)
 
 
 class TweedieRegression(_GLM):
@@ -442,10 +459,19 @@ class TweedieRegression(_GLM):
             .drop("_xb")
         )
 
-    def get_deviance(self, df: DataFrame) -> float:
+    def get_deviance(
+        self, df: DataFrame, weight_col: str | None = None
+    ) -> float:
         """Mean Tweedie unit deviance at the fitted means:
         d(y, μ) = 2·[ y^(2−q)/((1−q)(2−q)) − y·μ^(1−q)/(1−q)
-        + μ^(2−q)/(2−q) ] (the y-only term is 0 at y=0)."""
+        + μ^(2−q)/(2−q) ] (the y-only term is 0 at y=0).
+
+        This is the TRUE unit deviance (R's tweedie package form). MLlib
+        GLR substitutes max(y, 0.1) inside its y^(1−q) factor, so its
+        ``summary.deviance`` diverges on rows with 0 < y < 0.1 — parity
+        with MLlib outside that band is pinned in
+        ``tests/test_tweedie.py::test_deviance_matches_mllib_summary``.
+        ``weight_col``: Σw·d/Σw (sklearn sample_weight semantics)."""
         q = self.var_power
         pred = self.predict(df)
         y = F.col(self.label_col)
@@ -458,11 +484,10 @@ class TweedieRegression(_GLM):
             - y * F.pow(mu, F.lit(1.0 - q)) / (1.0 - q)
             + F.pow(mu, F.lit(2.0 - q)) / (2.0 - q)
         )
-        row = pred.agg(F.avg(d).alias("dev")).collect()[0]
-        return float(row["dev"])
+        return _mean_unit_deviance(pred, d, weight_col)
 
-    def score(self, df: DataFrame) -> float:
-        return self.get_deviance(df)
+    def score(self, df: DataFrame, weight_col: str | None = None) -> float:
+        return self.get_deviance(df, weight_col=weight_col)
 
 
 class MulticlassLogisticRegression(_GLM):
@@ -665,8 +690,7 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             extra.setdefault("init_beta", np.column_stack(self._coefs))
         if self.weight_col is not None:
             extra.setdefault("weight_col", self.weight_col)
-        info: dict = {}
-        extra.setdefault("fit_info", info)
+        info = extra.setdefault("fit_info", {})
         B = solvers.softmax_lbfgs(
             dfi,
             k,
@@ -723,8 +747,7 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             extra.setdefault("init_beta", np.column_stack(self._coefs))
         if self.weight_col is not None:
             extra.setdefault("weight_col", self.weight_col)
-        info: dict = {}
-        extra.setdefault("fit_info", info)
+        info = extra.setdefault("fit_info", {})
         B = solvers.softmax_lbfgs_sparse(
             dfi,
             k,

@@ -98,7 +98,13 @@ def normalize(algo):
             # ONE fused preamble job: n/p/mean/std from a single Arrow scan
             # (round 6); p and n thread into the solver via kwargs so no
             # solver re-probes them with extra jobs.
-            n_rows, mean, std = kernels.column_moments_full(df, features_col)
+            # weighted fits standardize with the WEIGHTED moments (ADVICE
+            # r10) — the moments of the row-replicated dataset, so the L2/L1
+            # penalty applies in the same standardized space replication
+            # (and MLlib's weighted summarizer) would produce
+            n_rows, mean, std = kernels.column_moments_full(
+                df, features_col, weight_col=kwargs.get("weight_col")
+            )
             kwargs.setdefault("p", len(mean))
             kwargs.setdefault("n_rows", n_rows)
             intercept_idx = np.where(std == 0)[0]
@@ -233,8 +239,7 @@ def _warm_converged(compute_loss_grad, x0, pgtol, fit_info) -> bool:
         return True
     gnorm = float(np.linalg.norm(g0))
     s0 = min(1.0 / gnorm, 1.0)  # scipy's first trial step
-    f1, _ = compute_loss_grad(x0 - s0 * g0)
-    # Quadratic model along d=-g through (f0, slope -|g|², f1): the best
+    # Quadratic model along d=-g through (f0, slope -|g|², f(s)): the best
     # achievable decrease on that ray is |g|⁴/(4c). At a factr-converged
     # optimum of a large-n loss the valley is steep-walled but machine-
     # flat at the bottom (measured at sf0.1: the unit trial step RAISES f
@@ -244,13 +249,26 @@ def _warm_converged(compute_loss_grad, x0, pgtol, fit_info) -> bool:
     # λ) has an achievable decrease orders above the threshold and falls
     # through to the real optimizer. c <= 0 (non-convex reading) always
     # falls through.
+    #
+    # TWO probe scales (s0 and s0/2, ADVICE r10 backstop): a single probe
+    # can be fooled by pathological curvature — a penalty wall inside
+    # (s0/2, s0] inflates c while the true curvature near 0 is small and a
+    # shorter step still decreases f measurably. Requiring the machine-flat
+    # reading at both scales (and no actual decrease at either probe)
+    # catches that family; unchanged-data restarts now cost 3 scans instead
+    # of 2 — still far below the ~22-funcall Wolfe burn this guard avoids.
     gsq = gnorm * gnorm
-    c = (f1 - f0 + s0 * gsq) / (s0 * s0)
     eps = float(np.finfo(np.float64).eps)
-    if c > 0 and (gsq * gsq) / (4.0 * c) <= 1e7 * eps * max(abs(f0), 1.0):
-        _fill_info(fit_info, 0, True, funcalls=2)
-        return True
-    return False
+    thresh = 1e7 * eps * max(abs(f0), 1.0)
+    for s in (s0, 0.5 * s0):
+        fs, _ = compute_loss_grad(x0 - s * g0)
+        if fs < f0 - thresh:  # the probe itself made measurable progress
+            return False
+        c = (fs - f0 + s * gsq) / (s * s)
+        if not (c > 0 and (gsq * gsq) / (4.0 * c) <= thresh):
+            return False
+    _fill_info(fit_info, 0, True, funcalls=3)
+    return True
 
 
 def _init_vec(init_beta, p: int) -> np.ndarray:
@@ -1488,7 +1506,9 @@ def softmax_lbfgs(
         we_persisted = True
     try:
         if normalize:
-            _, mean, std = kernels.column_moments_full(df, features_col)
+            _, mean, std = kernels.column_moments_full(
+                df, features_col, weight_col=weight_col
+            )
             p = len(mean)
             intercept_idx = np.where(std == 0)[0]
             if len(intercept_idx) > 1:

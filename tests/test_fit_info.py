@@ -122,3 +122,16 @@ def test_path_per_lamduh_fit_info(data):
     per = info["per_lamduh"]
     assert len(per) == 2
     assert all("n_iter" in d and "converged" in d for d in per)
+
+
+def test_estimator_fit_info_passthrough(data):
+    """ADVICE r10: a caller-supplied fit_info dict through fit(**extra)
+    must receive the diagnostics AND n_iter_/converged_ must still be set
+    (setdefault previously kept the caller's dict but read a fresh one)."""
+    info: dict = {}
+    lr = LogisticRegression(solver="lbfgs", max_iter=200).fit(
+        data, fit_info=info
+    )
+    assert info.get("n_iter", 0) >= 1
+    assert lr.n_iter_ == info["n_iter"]
+    assert lr.converged_ == info["converged"] is True

@@ -125,3 +125,20 @@ def test_elasticnet_corrected_prox_optimality_conditions():
                 d = rng.standard_normal(64)
                 eps = 10.0 ** rng.uniform(-6, -1)
                 assert obj(z + eps * d) >= base - 1e-12
+
+
+def test_elastic_net_noop_prox_warns_once_per_site():
+    """ADVICE/VERDICT r10: the bug-compatible 'elastic_net' prox silently
+    does nothing — users asking for shrinkage (t > 0) get ONE warning
+    naming the corrected regularizer; results stay reference-identical."""
+    import warnings
+
+    beta = np.array([1.0, 2.0, 3.0])
+    with pytest.warns(UserWarning, match="elastic_net_corrected"):
+        out = ElasticNet().proximal_operator(beta, 0.5)
+    np.testing.assert_array_equal(out, beta)  # parity unchanged
+    # t == 0 (no shrinkage requested) and the corrected mode stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ElasticNet().proximal_operator(beta, 0.0)
+        ElasticNet(strict_reference=False).proximal_operator(beta, 0.5)

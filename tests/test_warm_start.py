@@ -160,3 +160,43 @@ def test_sparse_warm_start(spark):
         assert _rel(warm, beta_star) < 1e-6
     finally:
         sp.unpersist()
+
+
+def test_warm_guard_falls_through_on_pathological_curvature():
+    """ADVICE r10 backstop: a penalty wall inside (s0/2, s0] along -g fakes
+    a machine-flat quadratic reading at the s0 probe; the second (s0/2)
+    probe sees the true small-curvature descent and must fall through.
+
+    Geometry (1-D, x0 = 0): gradient 1.0 at x0 gives s0 = min(1/|g|, 1)
+    = 1, so the first probe lands at x = -1 — inside the wall, where f
+    is raised by 1e8 and the one-probe quadratic model's achievable
+    decrease 1/(4e8) reads below the 1e7·eps·|f0| threshold (the exact
+    false-fire ADVICE r10 describes). The half-step probe at x = -0.5 is
+    in the smooth region and decreases f by ~0.5."""
+
+    def loss_grad(x):
+        v = float(x[0])
+        if v <= -0.95:
+            return 10.0 + 1e8, np.array([1.0])
+        return 10.0 + v + 1e-4 * v * v, np.array([1.0])
+
+    info: dict = {}
+    fired = solvers._warm_converged(loss_grad, np.zeros(1), 1e-8, info)
+    assert fired is False  # must fall through to the real optimizer
+    assert info == {}
+
+
+def test_warm_guard_fires_on_true_flat_optimum():
+    """The guard still short-circuits a genuinely factr-converged restart
+    (steep-walled, machine-flat valley) — now in 3 scans, not 2."""
+    K = 1e8
+    g = 1e-3  # above pgtol, so the quadratic-model path is exercised
+
+    def loss_grad(x):
+        v = float(x[0])
+        return 10.0 + g * v + 0.5 * K * v * v, np.array([g + K * v])
+
+    info: dict = {}
+    fired = solvers._warm_converged(loss_grad, np.zeros(1), 1e-8, info)
+    assert fired is True
+    assert info == {"n_iter": 0, "converged": True, "funcalls": 3}

@@ -319,3 +319,48 @@ def test_weighted_auc_equals_replicated(wdata):
     aw = metrics.roc_auc_score(dfp, "label", "score", weight_col="w")
     ar = metrics.roc_auc_score(replp, "label", "score")
     assert abs(aw - ar) < 1e-12
+
+
+def test_auc_pregrouped_rejects_weight_col(wdata):
+    """ADVICE r10: pregrouped=True means the pos/neg masses are already
+    formed — combining it with weight_col must raise, not silently return
+    the unweighted AUC."""
+    from dask_glm_spark.functions import metrics
+
+    df, *_ = wdata
+    hist = df.groupBy(F.col("features")[0].alias("score")).agg(
+        F.sum("label").alias("pos"),
+        (F.count("*") - F.sum("label")).alias("neg"),
+    )
+    with pytest.raises(ValueError, match="pregrouped"):
+        metrics.roc_auc_score(
+            hist, y_score="score", pregrouped=True, weight_col="w"
+        )
+
+
+def test_weighted_moments_equal_replicated(wdata):
+    """ADVICE r10: standardization moments under weight_col are the
+    WEIGHTED population moments — identical to the unweighted moments of
+    the integer-weight row-replicated frame; n_rows stays the raw count."""
+    from dask_glm_spark.functions import kernels
+
+    df, repl, X, y, w = wdata
+    n_w, m_w, s_w = kernels.column_moments_full(df, weight_col="w")
+    n_r, m_r, s_r = kernels.column_moments_full(repl)
+    assert n_w == N  # raw row count: sizes physical layout, not math
+    np.testing.assert_allclose(m_w, m_r, rtol=1e-12)
+    np.testing.assert_allclose(s_w, s_r, rtol=1e-12)
+    # numpy twin: direct weighted moments
+    np.testing.assert_allclose(m_w, (X * w[:, None]).sum(0) / w.sum(), rtol=1e-12)
+
+
+def test_weighted_equals_replicated_lbfgs_normalized_l2(wdata):
+    """The ADVICE r10 combination — weight_col + normalize=True (default)
+    + L2 — now penalizes in the replication-consistent standardized space,
+    so the equivalence holds at optimizer tolerance, not loosely."""
+    df, repl, *_ = wdata
+    bw = solvers.lbfgs(df, regularizer="l2", lamduh=0.5, max_iter=300,
+                       tol=1e-10, weight_col="w")
+    br = solvers.lbfgs(repl, regularizer="l2", lamduh=0.5, max_iter=300,
+                       tol=1e-10)
+    np.testing.assert_allclose(bw, br, atol=1e-6, rtol=0)
