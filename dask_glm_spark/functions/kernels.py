@@ -87,6 +87,13 @@ def _features_matrix(pdf: pd.DataFrame, features_col: str) -> np.ndarray:
 # (VERDICT r1); below it, one level is both faster and simpler.
 TREE_MERGE_THRESHOLD = 256
 TREE_FANIN = 64
+# Driver-pull byte budget (round 11): the count-based threshold alone let a
+# p=2048 Gram job ship 32 x 34 MB = 1.03 GB of partials to the driver —
+# over spark.driver.maxResultSize (measured: job abort in the wide-p
+# probe). Kernels that know their partial width pass ``partial_doubles``;
+# the tree merge then also triggers (with a fanin sized to fit) whenever
+# nparts x row bytes would exceed this budget.
+DRIVER_PULL_BUDGET_BYTES = 256 * 1024 * 1024
 
 
 def _sum_partial_rows(
@@ -114,6 +121,7 @@ def _arrow_partials_generic(
     out_fields: str,
     tree_threshold: int | None = None,
     merges: dict | None = None,
+    partial_doubles: int | None = None,
 ) -> list:
     """Run ``batch_partial_fn(pdf) -> dict`` per Arrow batch, sum within the
     partition, one output row per partition.
@@ -157,8 +165,19 @@ def _arrow_partials_generic(
     if tree_threshold is None:
         tree_threshold = TREE_MERGE_THRESHOLD
     nparts = df.rdd.getNumPartitions()
-    if nparts > tree_threshold:
-        fanin = TREE_FANIN
+    # bytes-aware pull cap: tree-merge whenever the single-level driver
+    # pull would exceed the byte budget, independent of partition count
+    max_driver_rows = None
+    if partial_doubles:
+        max_driver_rows = max(
+            1, DRIVER_PULL_BUDGET_BYTES // (8 * int(partial_doubles))
+        )
+    if nparts > tree_threshold or (
+        max_driver_rows is not None and nparts > max_driver_rows
+    ):
+        fanin = TREE_FANIN if nparts > tree_threshold else 2
+        if max_driver_rows is not None and nparts > max_driver_rows:
+            fanin = max(fanin, -(-nparts // max_driver_rows))
         n_groups = (nparts + fanin - 1) // fanin
 
         def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,9 +198,16 @@ def _arrow_partials_generic(
             n_groups, (F.col("pid") / fanin).cast("int")
         ).mapInPandas(combine, schema=f"pid int, {out_fields}")
 
-    rows = out.collect()
-    rows.sort(key=lambda r: r["pid"])
-    return rows
+    # Columnar retrieval (round 11): collect() boxes every float of every
+    # partial row Python-side — negligible at p=5 (40 B/row) but ~84 MB of
+    # boxing PER EVALUATION at wide p·k (2^16-bucket softmax, k=5: 2.6 MB
+    # per partition row, 32 partitions). toArrow() keeps the transfer
+    # columnar and list cells land as numpy arrays; every consumer already
+    # goes through np.asarray, and the pid-sorted driver fold order (the
+    # determinism contract) is unchanged.
+    recs = out.toArrow().to_pandas().to_dict("records")
+    recs.sort(key=lambda r: int(r["pid"]))
+    return recs
 
 
 def _arrow_partials(
@@ -193,6 +219,7 @@ def _arrow_partials(
     tree_threshold: int | None = None,
     weight_col: str | None = None,
     offset_col: str | None = None,
+    partial_doubles: int | None = None,
 ) -> list:
     """Dense-features wrapper: ``partial_fn(X, y) -> dict`` per batch;
     ``weight_col`` appends a positional w argument (weighted GLM) and
@@ -209,7 +236,10 @@ def _arrow_partials(
             kw["o"] = pdf[offset_col].to_numpy(dtype=np.float64)
         return partial_fn(*args, **kw)
 
-    return _arrow_partials_generic(df, batch_partial, out_fields, tree_threshold)
+    return _arrow_partials_generic(
+        df, batch_partial, out_fields, tree_threshold,
+        partial_doubles=partial_doubles,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +298,7 @@ def loss_gradient(
     rows = _arrow_partials(
         df, features_col, label_col, partial,
         "loss double, grad array<double>", weight_col=weight_col,
-        offset_col=offset_col,
+        offset_col=offset_col, partial_doubles=1 + p,
     )
     loss = 0.0
     grad = np.zeros(p)
@@ -342,7 +372,7 @@ def gradient_hessian(
     rows = _arrow_partials(
         df, features_col, label_col, partial,
         "grad array<double>, hess array<double>", weight_col=weight_col,
-        offset_col=offset_col,
+        offset_col=offset_col, partial_doubles=p + p * p,
     )
     grad = np.zeros(p)
     hess = np.zeros(p * p)
@@ -404,7 +434,7 @@ def multi_loss(
 
     rows = _arrow_partials(
         df, features_col, label_col, partial, "losses array<double>",
-        weight_col=weight_col, offset_col=offset_col,
+        weight_col=weight_col, offset_col=offset_col, partial_doubles=k,
     )
     out = np.zeros(k)
     for r_ in rows:
@@ -543,6 +573,7 @@ def multi_loss_gradient(
         df, features_col, label_col, partial,
         "losses array<double>, grads array<double>",
         weight_col=weight_col, offset_col=offset_col,
+        partial_doubles=k + k * p,
     )
     losses = np.zeros(k)
     grads = np.zeros(p * k)
@@ -605,6 +636,7 @@ def softmax_loss_gradient(
     rows_ = _arrow_partials(
         df, features_col, label_col, partial,
         "loss double, grad array<double>", weight_col=weight_col,
+        partial_doubles=1 + p * k,
     )
     loss = 0.0
     grad = np.zeros(p * k)
@@ -724,8 +756,30 @@ def column_moments(
 def standardize_expr(
     mean: np.ndarray, std: np.ndarray, features_col: str = "features"
 ) -> Column:
-    """Per-element ``(x - mean_j) / std_j`` as a new features array."""
+    """Per-element ``(x - mean_j) / std_j`` as a new features array.
+
+    p <= UNROLL_MAX keeps the unrolled ``F.array`` form (plan-identical
+    for every gated/benched width). Past that the unrolled projection is
+    p element expressions in ONE codegen method — at p=2048 it blows
+    Janino's 64 KB method limit (measured: InternalCompilerException from
+    the round-11 wide-p probe) — so wide p switches to a ``transform``
+    loop over the array with the moments as two folded array literals
+    (the ``bloom_words_lit`` from_json pattern: one plan node each, not
+    p Literal nodes). Values are identical; only code shape changes."""
     col = F.col(features_col)
-    return F.array(
-        *[(col[j] - float(mean[j])) / float(std[j]) for j in range(len(mean))]
+    if len(mean) <= UNROLL_MAX:
+        return F.array(
+            *[
+                (col[j] - float(mean[j])) / float(std[j])
+                for j in range(len(mean))
+            ]
+        )
+    import json
+
+    m = F.from_json(
+        F.lit(json.dumps([float(v) for v in mean])), "array<double>"
     )
+    s = F.from_json(
+        F.lit(json.dumps([float(v) for v in std])), "array<double>"
+    )
+    return F.transform(col, lambda x, i: (x - F.get(m, i)) / F.get(s, i))

@@ -125,7 +125,8 @@ def loss_gradient_sparse(
         return {"loss": loss, "grad": grad}
 
     rows = _arrow_partials_generic(
-        df, batch_partial, "loss double, grad array<double>"
+        df, batch_partial, "loss double, grad array<double>",
+        partial_doubles=1 + p,
     )
     loss = 0.0
     grad = np.zeros(p)
@@ -163,7 +164,9 @@ def multi_loss_sparse(
             losses[i] = family.loglike_np(xb, y)
         return {"losses": losses}
 
-    rows = _arrow_partials_generic(df, batch_partial, "losses array<double>")
+    rows = _arrow_partials_generic(
+        df, batch_partial, "losses array<double>", partial_doubles=k
+    )
     out = np.zeros(k)
     for r_ in rows:
         out += np.asarray(r_["losses"], dtype=np.float64)
@@ -223,7 +226,8 @@ def multi_loss_gradient_sparse(
         return {"losses": losses, "grads": grads.ravel()}
 
     rows = _arrow_partials_generic(
-        df, batch_partial, "losses array<double>, grads array<double>"
+        df, batch_partial, "losses array<double>, grads array<double>",
+        partial_doubles=k + k * p,
     )
     losses = np.zeros(k)
     grads = np.zeros(p * k)
@@ -284,7 +288,8 @@ def softmax_loss_gradient_sparse(
         return {"loss": loss, "grad": G.ravel()}
 
     rows_ = _arrow_partials_generic(
-        df, batch_partial, "loss double, grad array<double>"
+        df, batch_partial, "loss double, grad array<double>",
+        partial_doubles=1 + p * k,
     )
     loss = 0.0
     grad = np.zeros(p * k)

@@ -50,6 +50,21 @@ MIN_ADMM_BLOCK_ROWS = 100_000  # admm: amortize per-round task overhead
 # numpy array on an executor; past this the nblocks heuristic adds blocks
 # beyond core count rather than growing blocks with n.
 MAX_ADMM_BLOCK_ROWS = 2_000_000
+# Wide-p twin caps (round 11): the row caps alone are a memory hazard at
+# large p (a 2M-row block is 80 MB of X at the benched p=5 but 16 GB at
+# p=1000). Block sizing takes min(row cap, byte cap / 8p) on both ends —
+# chosen so the byte caps only BIND past p≈8 (8 MB / 8·100k = p 10;
+# 128 MB / 8·2M = p 8): every benched/gated plan (p ≤ 6) is untouched.
+MIN_ADMM_BLOCK_BYTES = 8 * 1024 * 1024
+MAX_ADMM_BLOCK_BYTES = 128 * 1024 * 1024
+# Measured bound (round 11, examples/wide_p_probe.py on local[32], 200k
+# rows): newton's per-iteration wall is 7.4 s at p=256 and 42.8 s at
+# p=1024 — vs lbfgs ~6.6 s/iter at the same p=1024 — because the fused
+# Gram partial is p² doubles per partition (8 MB at p=1024) plus a p×p
+# driver lstsq, both growing quadratically while lbfgs carries O(p).
+# Past this, newton is the wrong plan; warn, don't refuse (small-n wide-p
+# fits on a cached frame can still prefer its quadratic convergence).
+NEWTON_WIDE_P = 1024
 
 
 def normalize(algo):
@@ -585,8 +600,22 @@ def newton(
     per iteration; the p×p solve stays driver-side numpy (lstsq), exactly
     like the reference. ``init_beta`` warm-starts the iteration;
     ``weight_col`` names a sample-weight column (weighted IRLS:
-    grad = Xᵀ(w⊙r), hess = Xᵀdiag(w⊙hw)X)."""
+    grad = Xᵀ(w⊙r), hess = Xᵀdiag(w⊙hw)X).
+
+    Wide p: the Gram partial is p² doubles PER PARTITION and the solve is
+    a p×p driver lstsq — measured 6.5× lbfgs's per-iteration wall at
+    p=1024 (``NEWTON_WIDE_P``; examples/wide_p_probe.py). Past that a
+    warning recommends lbfgs (O(p) partials) instead."""
     p = _resolve_p(df, features_col, kwargs)
+    if p > NEWTON_WIDE_P:
+        _log.warning(
+            "newton at p=%d: the fused Gram partial is p^2 doubles per "
+            "partition (%.0f MB) and each iteration solves a p x p lstsq "
+            "on the driver — measured ~6.5x lbfgs's per-iteration cost at "
+            "p=1024 (round-11 wide-p probe). Prefer solver='lbfgs' for "
+            "wide dense features.",
+            p, p * p * 8 / 1e6,
+        )
     weight_col = kwargs.pop("weight_col", None)
     offset_col = kwargs.pop("offset_col", None)
     fit_info = kwargs.pop("fit_info", None)
@@ -1025,13 +1054,23 @@ def admm(
         # row count threaded from @normalize's fused moments pass when
         # present; a direct admm() call pays one cached-scan count
         n_rows = kwargs.pop("n_rows", None) or df.count()
-        nblocks = max(1, min(sc.defaultParallelism, n_rows // MIN_ADMM_BLOCK_ROWS))
+        # Both caps are min(row cap, byte cap / 8p): identical to the
+        # row-only heuristic at the benched p <= 6, but at wide p (round
+        # 11 probe) the byte caps keep each materialized numpy block
+        # bounded in BYTES, not rows — at p=1000 the max block is ~16k
+        # rows (128 MB), never the 16 GB a 2M-row block would be.
+        row_bytes = 8 * max(p, 1)
+        min_rows = max(1, min(MIN_ADMM_BLOCK_ROWS,
+                              MIN_ADMM_BLOCK_BYTES // row_bytes))
+        max_rows = max(min_rows, min(MAX_ADMM_BLOCK_ROWS,
+                                     MAX_ADMM_BLOCK_BYTES // row_bytes))
+        nblocks = max(1, min(sc.defaultParallelism, n_rows // min_rows))
         # memory guard: one-block-per-core would make each materialized
         # numpy block n_rows/cores × p doubles — unbounded in n. Cap block
         # rows so a huge-n fit raises the block count past core count
         # (tasks queue; consensus still sees every block each round)
         # instead of building multi-GB partitions.
-        nblocks = max(nblocks, n_rows // MAX_ADMM_BLOCK_ROWS)
+        nblocks = max(nblocks, n_rows // max_rows)
         # Round-9 A/B note: keeping an already-right-sized input layout to
         # skip the repartition exchange was tried and MEASURED SLOWER
         # (interleaved in-process A/B at sf0.1: 3-split input kept = 6.2 s

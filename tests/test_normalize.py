@@ -98,3 +98,35 @@ def test_constant_nonone_column_detected_exactly(spark):
     np.testing.assert_allclose(
         got, [0.1, (2.0 - 4.0) / np.sqrt(8.0 / 3.0)]
     )
+
+
+def test_standardize_expr_wide_p_loop_form_parity(spark):
+    """Round 11: past UNROLL_MAX the standardize expression switches from
+    the unrolled F.array projection (Janino 64 KB method blowup at
+    p=2048) to a transform loop over folded array literals — values must
+    be bit-identical to the unrolled form."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+
+    p = kernels.UNROLL_MAX + 6
+    rng = np.random.RandomState(3)
+    X = rng.standard_normal((40, p))
+    mean, std = X.mean(axis=0), X.std(axis=0)
+    df = spark.createDataFrame(
+        [([float(v) for v in row],) for row in X], "features array<double>"
+    )
+    wide = df.select(
+        kernels.standardize_expr(mean, std).alias("z")
+    ).toPandas()
+    # unrolled twin, forced (same math, different code shape)
+    col = F.col("features")
+    unrolled = df.select(
+        F.array(
+            *[(col[j] - float(mean[j])) / float(std[j]) for j in range(p)]
+        ).alias("z")
+    ).toPandas()
+    zw = np.stack(wide["z"].to_numpy())
+    zu = np.stack(unrolled["z"].to_numpy())
+    np.testing.assert_array_equal(zw, zu)
