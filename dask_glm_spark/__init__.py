@@ -37,6 +37,10 @@ from dask_glm_spark.operators.estimators import (  # noqa: F401
     SoftmaxRegression,
     TweedieRegression,
 )
+from dask_glm_spark.functions.inference import (  # noqa: F401
+    GLMSummary,
+    glm_summary,
+)
 from dask_glm_spark.operators.model_selection import (  # noqa: F401
     regularization_path,
 )

@@ -231,6 +231,38 @@ class _GLM(BaseEstimator):
         self.coef_ = self._coef
         return self
 
+    def summary(self, df: DataFrame):
+        """Wald inference at the fitted coefficients — beyond-reference
+        (round 11; the statsmodels/R/MLlib ``summary`` surface): standard
+        errors ``sqrt(diag(φ·(XᵀWX)⁻¹))``, z/t statistics, two-sided
+        p-values, and the dispersion φ (1 fixed for logistic/poisson;
+        Pearson χ²/(n−p) for gaussian/gamma/tweedie — the MLlib GLR
+        contract, cross-checked in tests/test_inference.py). Two extra
+        scans: one fused gradient+Gram job (the newton iteration shape)
+        plus, when φ is estimated, one Pearson aggregate. Honors the
+        estimator's ``weight_col``/``offset_col``.
+
+        Wide-sparse fits are rejected: a dense p² covariance at 2^18
+        hashed dims is the wrong object (and the wrong plan)."""
+        from dask_glm_spark.functions import inference
+        from dask_glm_spark.sources import vectors as V
+
+        if self._coef is None:
+            raise ValueError("summary() requires a fitted model")
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if V.is_sparse_columns(df):
+            raise NotImplementedError(
+                "summary() supports dense features only: the p x p "
+                "covariance is the wrong object for wide-sparse fits"
+            )
+        df_ = self._maybe_add_intercept(df)
+        return inference.glm_summary(
+            df_, self.family, self._coef, self.features_col,
+            self.label_col, weight_col=self.weight_col,
+            offset_col=self.offset_col,
+        )
+
     def _linear_expr(self):
         # X·coef over the (maybe intercept-extended) features column
         return kernels.matvec_expr(self._coef, self.features_col)

@@ -1,0 +1,199 @@
+"""Wald inference (``summary()`` / ``glm_summary``) — beyond-reference,
+round 11. MLlib GLR's ``summary`` is the independent oracle: zero shared
+code (JVM IRLS + breeze inverse + commons-math distributions vs our
+kernels + numpy pinv + lgamma continued fraction), same statistical
+contract (Cov = φ·(XᵀWX)⁻¹; z for binomial/poisson, t with Pearson
+dispersion for gaussian/gamma/tweedie)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dask_glm_spark import (
+    GammaRegression,
+    LinearRegression,
+    LogisticRegression,
+    PoissonRegression,
+    TweedieRegression,
+)
+from dask_glm_spark.functions import inference
+
+
+def _mllib_glr(df, **kw):
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    cols = ["label"]
+    if "weightCol" in kw:
+        cols.append(kw["weightCol"])
+    mdf = df.select(array_to_vector("features").alias("features"), *cols)
+    return GeneralizedLinearRegression(
+        regParam=0.0, fitIntercept=True, tol=1e-12, maxIter=200, **kw
+    ).fit(mdf)
+
+
+def _check_against_mllib(ours, theirs, se_rtol=2e-3, p_atol=2e-3):
+    # MLlib order: coefficients then intercept — same as our _coef layout
+    se_m = np.asarray(theirs.summary.coefficientStandardErrors)
+    p_m = np.asarray(theirs.summary.pValues)
+    np.testing.assert_allclose(ours.std_errors, se_m, rtol=se_rtol)
+    np.testing.assert_allclose(ours.p_values, p_m, atol=p_atol)
+
+
+# ---------------------------------------------------------------------------
+# special functions
+# ---------------------------------------------------------------------------
+def test_special_functions_sanity():
+    assert inference.students_t_sf(0.0, 7.0) == pytest.approx(0.5)
+    # symmetry
+    assert inference.students_t_sf(-1.3, 5.0) == pytest.approx(
+        1.0 - inference.students_t_sf(1.3, 5.0), rel=1e-12
+    )
+    # large df -> normal
+    for z in (0.5, 1.0, 2.0, 3.0):
+        assert inference.students_t_sf(z, 1e6) == pytest.approx(
+            inference.normal_sf(z), rel=1e-4
+        )
+    # t(1) is Cauchy: P(T > 1) = 1/4
+    assert inference.students_t_sf(1.0, 1.0) == pytest.approx(0.25, rel=1e-10)
+    # I_x(a,b) + I_{1-x}(b,a) = 1
+    assert inference.reg_inc_beta(2.5, 0.5, 0.3) + inference.reg_inc_beta(
+        0.5, 2.5, 0.7
+    ) == pytest.approx(1.0, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# family-by-family MLlib cross-checks
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def cls_data(spark):
+    rng = np.random.RandomState(77)
+    n = 600
+    X = rng.standard_normal((n, 3)) * 0.8
+    z = X @ np.array([0.9, -0.6, 0.3]) - 0.2
+    y = (1 / (1 + np.exp(-z)) > rng.uniform(size=n)).astype(np.float64)
+    rows = [([float(v) for v in X[i]], float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "features array<double>, label double"
+    ).repartition(4).persist()
+    yield df
+    df.unpersist()
+
+
+def test_logistic_summary_vs_mllib(cls_data):
+    est = LogisticRegression(solver="newton", max_iter=100, tol=1e-10).fit(
+        cls_data
+    )
+    s = est.summary(cls_data)
+    assert s.statistic_kind == "z" and s.dispersion_fixed
+    assert s.dispersion == 1.0
+    theirs = _mllib_glr(cls_data, family="binomial")
+    _check_against_mllib(s, theirs)
+
+
+def test_gaussian_summary_vs_mllib(spark):
+    rng = np.random.RandomState(31)
+    n = 500
+    X = rng.standard_normal((n, 2))
+    y = X @ np.array([1.5, -0.7]) + 0.4 + rng.standard_normal(n) * 0.8
+    df = spark.createDataFrame(
+        [([float(v) for v in X[i]], float(y[i])) for i in range(n)],
+        "features array<double>, label double",
+    ).repartition(4)
+    est = LinearRegression(solver="newton", max_iter=50, tol=1e-12).fit(df)
+    s = est.summary(df)
+    assert s.statistic_kind == "t" and not s.dispersion_fixed
+    theirs = _mllib_glr(df, family="gaussian")
+    # gaussian dispersion: Pearson/(n-p) — MLlib reports it directly
+    assert s.dispersion == pytest.approx(theirs.summary.dispersion, rel=1e-6)
+    _check_against_mllib(s, theirs, se_rtol=1e-5, p_atol=1e-6)
+
+
+def test_poisson_summary_vs_mllib(spark):
+    rng = np.random.RandomState(41)
+    n = 500
+    X = rng.standard_normal((n, 2)) * 0.5
+    y = rng.poisson(np.exp(X @ np.array([0.7, -0.4]) + 0.5)).astype(float)
+    df = spark.createDataFrame(
+        [([float(v) for v in X[i]], float(y[i])) for i in range(n)],
+        "features array<double>, label double",
+    ).repartition(4)
+    est = PoissonRegression(solver="newton", max_iter=100, tol=1e-10).fit(df)
+    s = est.summary(df)
+    assert s.statistic_kind == "z"
+    theirs = _mllib_glr(df, family="poisson")
+    _check_against_mllib(s, theirs)
+
+
+def test_gamma_summary_vs_mllib(spark):
+    rng = np.random.RandomState(23)
+    n = 500
+    X = rng.standard_normal((n, 2)) * 0.4
+    mu = np.exp(X @ np.array([0.6, -0.4]) + 0.5)
+    y = rng.gamma(2.0, mu / 2.0)
+    df = spark.createDataFrame(
+        [([float(v) for v in X[i]], float(y[i])) for i in range(n)],
+        "features array<double>, label double",
+    ).repartition(4)
+    est = GammaRegression(solver="newton", max_iter=100, tol=1e-10).fit(df)
+    s = est.summary(df)
+    assert s.statistic_kind == "t"
+    theirs = _mllib_glr(df, family="gamma", link="log")
+    assert s.dispersion == pytest.approx(theirs.summary.dispersion, rel=1e-4)
+    _check_against_mllib(s, theirs)
+
+
+def test_tweedie_summary_vs_mllib(spark):
+    rng = np.random.RandomState(17)
+    n = 500
+    X = rng.standard_normal((n, 2)) * 0.4
+    mu = np.exp(X @ np.array([0.6, -0.4]) + 0.3)
+    ncl = rng.poisson(mu / 1.2)
+    y = np.where(ncl > 0, rng.gamma(ncl + 1e-12, 1.2), 0.0)
+    df = spark.createDataFrame(
+        [([float(v) for v in X[i]], float(y[i])) for i in range(n)],
+        "features array<double>, label double",
+    ).repartition(4)
+    est = TweedieRegression(
+        var_power=1.5, solver="newton", max_iter=100, tol=1e-10
+    ).fit(df)
+    s = est.summary(df)
+    assert s.statistic_kind == "t"
+    theirs = _mllib_glr(
+        df, family="tweedie", variancePower=1.5, linkPower=0.0
+    )
+    assert s.dispersion == pytest.approx(theirs.summary.dispersion, rel=1e-4)
+    _check_against_mllib(s, theirs)
+
+
+def test_weighted_logistic_summary_vs_mllib(cls_data, spark):
+    from pyspark.sql import functions as F
+
+    dfw = cls_data.withColumn(
+        "w", (F.abs(F.hash("label", F.col("features")[0])) % 3 + 1)
+        .cast("double")
+    ).persist()
+    try:
+        est = LogisticRegression(
+            solver="newton", max_iter=100, tol=1e-10, weight_col="w"
+        ).fit(dfw)
+        s = est.summary(dfw)
+        theirs = _mllib_glr(dfw, family="binomial", weightCol="w")
+        _check_against_mllib(s, theirs)
+    finally:
+        dfw.unpersist()
+
+
+def test_summary_requires_fit_and_dense(spark, cls_data):
+    with pytest.raises(ValueError, match="fitted"):
+        LogisticRegression().summary(cls_data)
+    est = LogisticRegression(
+        solver="lbfgs", regularizer=None, max_iter=50, fit_intercept=False
+    ).fit(cls_data)
+    sp = spark.createDataFrame(
+        [([0, 2], [1.0, 1.0], 1.0)],
+        "findices array<int>, fvalues array<double>, label double",
+    )
+    with pytest.raises(NotImplementedError, match="dense"):
+        est.summary(sp)
