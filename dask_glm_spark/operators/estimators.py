@@ -661,6 +661,31 @@ class MulticlassLogisticRegression(_GLM):
         pred = self.predict(df)
         return metrics.accuracy_score(pred, self.label_col, "prediction")
 
+    def summary(self, df: DataFrame):
+        """Per-class Wald inference: one ``GLMSummary`` per class (same
+        order as ``classes_``), each the binary logistic summary at that
+        class's OvR coefficients over the ``y == class`` indicator —
+        exactly the inference a standalone binary fit on the indicator
+        would report (replication-pinned in tests/test_inference.py)."""
+        from dask_glm_spark.functions import inference
+
+        if getattr(self, "_coefs", None) is None:
+            raise ValueError("summary() requires a fitted model")
+        df_ = self._maybe_add_intercept(df)
+        out = []
+        for cls_label, b in zip(self.classes_, self._coefs):
+            dfi = df_.withColumn(
+                self.label_col,
+                (F.col(self.label_col) == F.lit(cls_label)).cast("double"),
+            )
+            out.append(
+                inference.glm_summary(
+                    dfi, self.family, b, self.features_col, self.label_col,
+                    weight_col=self.weight_col, offset_col=self.offset_col,
+                )
+            )
+        return out
+
 
 class SoftmaxRegression(MulticlassLogisticRegression):
     """True multinomial (softmax) logistic regression — beyond-reference.
@@ -678,6 +703,20 @@ class SoftmaxRegression(MulticlassLogisticRegression):
     (argmax is monotone-invariant, so the sigmoid is unnecessary);
     ``predict_proba`` is a numerically-stable (max-shifted) softmax, with
     the score array let-bound once."""
+
+    def summary(self, df: DataFrame):
+        # the OvR parent's per-class binary information is NOT the
+        # multinomial Fisher information at the JOINT softmax estimates —
+        # Wald SEs from it would be silently wrong; the joint information
+        # is (p·(k−1))² with a reference-class identification choice,
+        # deliberately out of scope
+        raise NotImplementedError(
+            "SoftmaxRegression does not support summary(): the joint "
+            "multinomial Fisher information is (p*(k-1))^2 and per-class "
+            "binary SEs would be wrong for jointly-fit coefficients. "
+            "Fit MulticlassLogisticRegression (OvR) for per-class Wald "
+            "inference."
+        )
 
     def fit(self, df: DataFrame, y=None, **extra):
         from dask_glm_spark.sources import vectors as V

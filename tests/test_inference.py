@@ -197,3 +197,54 @@ def test_summary_requires_fit_and_dense(spark, cls_data):
     )
     with pytest.raises(NotImplementedError, match="dense"):
         est.summary(sp)
+
+
+def test_ovr_summary_per_class_equals_binary(spark):
+    """MulticlassLogisticRegression.summary: each class's GLMSummary is
+    exactly the binary logistic summary on the y==class indicator (OvR =
+    per-class binary fits, so the inference must replicate too)."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark import (
+        MulticlassLogisticRegression,
+        SoftmaxRegression,
+    )
+
+    rng = np.random.RandomState(55)
+    n = 450
+    X = rng.standard_normal((n, 2))
+    y = (np.argmax(X @ rng.standard_normal((2, 3)), axis=1)).astype(float)
+    df = spark.createDataFrame(
+        [([float(v) for v in X[i]], float(y[i])) for i in range(n)],
+        "features array<double>, label double",
+    ).repartition(4).persist()
+    try:
+        ovr = MulticlassLogisticRegression(
+            solver="newton", max_iter=100, tol=1e-10
+        ).fit(df)
+        summaries = ovr.summary(df)
+        assert len(summaries) == len(ovr.classes_)
+        c = ovr.classes_[1]
+        bin_est = LogisticRegression(
+            solver="newton", max_iter=100, tol=1e-10
+        ).fit(
+            df.withColumn(
+                "label", (F.col("label") == F.lit(c)).cast("double")
+            )
+        )
+        bs = bin_est.summary(
+            df.withColumn(
+                "label", (F.col("label") == F.lit(c)).cast("double")
+            )
+        )
+        np.testing.assert_allclose(
+            summaries[1].std_errors, bs.std_errors, rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            summaries[1].p_values, bs.p_values, atol=1e-10
+        )
+        sm = SoftmaxRegression(solver="lbfgs", max_iter=50).fit(df)
+        with pytest.raises(NotImplementedError, match="multinomial"):
+            sm.summary(df)
+    finally:
+        df.unpersist()
