@@ -39,6 +39,7 @@ from dask_glm_spark.operators.estimators import (  # noqa: F401
 )
 from dask_glm_spark.functions.inference import (  # noqa: F401
     GLMSummary,
+    glm_residuals,
     glm_summary,
 )
 from dask_glm_spark.operators.model_selection import (  # noqa: F401

@@ -166,6 +166,108 @@ def _pearson_and_n(
     return float(row["pearson"]), float(row["n"])
 
 
+def _mean_and_variance_exprs(family, xb):
+    """(μ, V(μ)) Column expressions for a family at the linear predictor."""
+    name = getattr(family, "name", "")
+    if name == "logistic":
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-xb))
+        return mu, mu * (F.lit(1.0) - mu)
+    if name == "normal":
+        return xb, F.lit(1.0)
+    if name == "poisson":
+        mu = F.exp(xb)
+        return mu, mu
+    if name == "gamma":
+        mu = F.exp(xb)
+        return mu, mu * mu
+    if name.startswith("tweedie"):
+        mu = F.exp(xb)
+        return mu, F.pow(mu, F.lit(float(family.var_power)))
+    raise ValueError(f"no mean/variance expressions for family {name!r}")
+
+
+def _unit_deviance_expr(family, y, mu):
+    """Per-row unit deviance d(y, μ) as a Column (the TRUE form — for
+    Tweedie see the MLlib max(y, 0.1) quirk note on
+    ``TweedieRegression.get_deviance``)."""
+    name = getattr(family, "name", "")
+    two = F.lit(2.0)
+    if name == "logistic":  # y ∈ {0, 1}: the xlogx terms vanish at 0/1
+        return two * (
+            F.when(y > 0.5, -F.log(mu)).otherwise(
+                -F.log(F.lit(1.0) - mu)
+            )
+        )
+    if name == "normal":
+        return (y - mu) * (y - mu)
+    if name == "poisson":
+        return two * (
+            F.when(y > 0, y * F.log(y / mu)).otherwise(F.lit(0.0))
+            - (y - mu)
+        )
+    if name == "gamma":
+        return two * (-F.log(y / mu) + (y - mu) / mu)
+    if name.startswith("tweedie"):
+        q = float(family.var_power)
+        return two * (
+            F.when(
+                y > 0, F.pow(y, F.lit(2.0 - q)) / ((1.0 - q) * (2.0 - q))
+            ).otherwise(F.lit(0.0))
+            - y * F.pow(mu, F.lit(1.0 - q)) / (1.0 - q)
+            + F.pow(mu, F.lit(2.0 - q)) / (2.0 - q)
+        )
+    raise ValueError(f"no unit deviance expression for family {name!r}")
+
+
+def glm_residuals(
+    df: DataFrame,
+    family,
+    beta,
+    kind: str = "deviance",
+    features_col: str = "features",
+    label_col: str = "label",
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+    out_col: str = "residual",
+) -> DataFrame:
+    """Per-row GLM residuals as ONE narrow codegen projection (no Python
+    in the path, no shuffle) — the R/MLlib ``residuals()`` surface:
+
+    - ``deviance``: sign(y−μ)·sqrt(w·d(y, μ));
+    - ``pearson``: (y−μ)·sqrt(w)/sqrt(V(μ));
+    - ``response``: y − μ; ``working``: (y−μ)/V(μ) (the IRLS working
+      residual under the canonical/log links used here).
+
+    Weights follow the MLlib convention (residuals scaled by sqrt(w) so
+    their sum of squares is the weighted deviance/Pearson χ²)."""
+    from dask_glm_spark.functions import kernels
+
+    beta = np.asarray(beta, dtype=np.float64).ravel()
+    xb = kernels.matvec_expr(beta, features_col)
+    if offset_col is not None:
+        xb = xb + F.col(offset_col)
+    y = F.col(label_col)
+    mu, v = _mean_and_variance_exprs(family, xb)
+    sqrt_w = (
+        F.sqrt(F.col(weight_col)) if weight_col is not None else F.lit(1.0)
+    )
+    if kind == "deviance":
+        d = _unit_deviance_expr(family, y, mu)
+        r = F.signum(y - mu) * F.sqrt(F.greatest(d, F.lit(0.0))) * sqrt_w
+    elif kind == "pearson":
+        r = (y - mu) * sqrt_w / F.sqrt(v)
+    elif kind == "response":
+        r = y - mu
+    elif kind == "working":
+        r = (y - mu) / v
+    else:
+        raise ValueError(
+            "kind must be one of 'deviance', 'pearson', 'response', "
+            f"'working'; got {kind!r}"
+        )
+    return df.withColumn(out_col, r)
+
+
 class GLMSummary:
     """Wald inference table for one fitted GLM.
 

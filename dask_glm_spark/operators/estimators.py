@@ -263,6 +263,31 @@ class _GLM(BaseEstimator):
             offset_col=self.offset_col,
         )
 
+    def residuals(self, df: DataFrame, kind: str = "deviance") -> DataFrame:
+        """Per-row residuals at the fitted coefficients (R/MLlib
+        ``residuals()``): ``deviance`` / ``pearson`` / ``response`` /
+        ``working`` — one narrow codegen projection, no shuffle, honors
+        ``weight_col``/``offset_col`` (MLlib sqrt-weight convention;
+        cross-checked against GLR ``summary.residuals`` in
+        tests/test_inference.py). Dense array features only."""
+        from dask_glm_spark.functions import inference
+        from dask_glm_spark.sources import vectors as V
+
+        if self._coef is None:
+            raise ValueError("residuals() requires a fitted model")
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if V.is_sparse_columns(df):
+            raise NotImplementedError(
+                "residuals() supports dense features only"
+            )
+        df_ = self._maybe_add_intercept(df)
+        return inference.glm_residuals(
+            df_, self.family, self._coef, kind, self.features_col,
+            self.label_col, weight_col=self.weight_col,
+            offset_col=self.offset_col,
+        )
+
     def _linear_expr(self):
         # X·coef over the (maybe intercept-extended) features column
         return kernels.matvec_expr(self._coef, self.features_col)

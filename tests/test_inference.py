@@ -248,3 +248,75 @@ def test_ovr_summary_per_class_equals_binary(spark):
             sm.summary(df)
     finally:
         df.unpersist()
+
+
+def _mllib_residuals(theirs, kind):
+    pdf = theirs.summary.residuals(kind).toPandas()
+    return pdf[pdf.columns[-1]].to_numpy()
+
+
+@pytest.mark.parametrize("kind", ["deviance", "pearson"])
+def test_residuals_match_mllib(spark, cls_data, kind):
+    """glm_residuals evaluated AT MLlib's own coefficients must equal
+    MLlib summary.residuals row for row — an exact-formula oracle with
+    no fit-difference slack (binomial, gaussian, poisson, gamma)."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import inference
+    from dask_glm_spark.functions.families import (
+        Gamma,
+        Logistic,
+        Normal,
+        Poisson,
+    )
+    from dask_glm_spark.functions.kernels import add_intercept
+
+    rng = np.random.RandomState(13)
+    n = 300
+    X = rng.standard_normal((n, 2)) * 0.5
+    cases = []
+    yb = (1 / (1 + np.exp(-(X @ [0.8, -0.5]))) > rng.uniform(size=n))
+    cases.append(("binomial", {}, Logistic, yb.astype(float)))
+    cases.append(
+        ("gaussian", {}, Normal, X @ [1.0, -0.3] + rng.standard_normal(n))
+    )
+    cases.append(
+        ("poisson", {}, Poisson,
+         rng.poisson(np.exp(X @ [0.6, -0.3] + 0.2)).astype(float))
+    )
+    cases.append(
+        ("gamma", {"link": "log"}, Gamma,
+         rng.gamma(2.0, np.exp(X @ [0.5, -0.2] + 0.3) / 2.0))
+    )
+    for fam_name, extra_kw, fam, y in cases:
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]], float(y[i])) for i in range(n)],
+            "rid long, features array<double>, label double",
+        )
+        theirs = _mllib_glr(df, family=fam_name, **extra_kw)
+        beta = list(theirs.coefficients.toArray()) + [theirs.intercept]
+        got = (
+            inference.glm_residuals(
+                add_intercept(df), fam, beta, kind
+            )
+            .orderBy("rid")
+            .select("residual")
+            .toPandas()["residual"]
+            .to_numpy()
+        )
+        want = _mllib_residuals(theirs, kind)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-8, atol=1e-10,
+            err_msg=f"{fam_name}/{kind}",
+        )
+
+
+def test_residuals_estimator_surface(cls_data):
+    est = LogisticRegression(solver="newton", max_iter=50).fit(cls_data)
+    r = est.residuals(cls_data)  # deviance default
+    vals = np.array([row["residual"] for row in r.collect()])
+    assert np.isfinite(vals).all()
+    # sum of squared deviance residuals == total deviance relationship:
+    # for logistic, equals 2*NLL at the fit up to the saturated term (0)
+    with pytest.raises(ValueError, match="kind"):
+        est.residuals(cls_data, kind="nope")
