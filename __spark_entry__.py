@@ -223,6 +223,8 @@ woagg AS (SELECT
   sum(w*(xb + ln(1+exp(-xb)) - label*xb)) AS wloss,
   {", ".join(f"sum(w*f{j}*(1/(1+exp(-xb)) - label)) AS wg{j}" for j in range(1, 5))},
   sum((xb+o) + ln(1+exp(-(xb+o))) - label*(xb+o)) AS oloss,
+  sum(pow(label - 1/(1+exp(-xb)), 2)
+      / ((1/(1+exp(-xb))) * (1 - 1/(1+exp(-xb))))) AS pchi2,
   {", ".join(f"sum(f{j}*(1/(1+exp(-(xb+o))) - label)) AS og{j}" for j in range(1, 5))}
 FROM wo)"""
 _WG_CASE = "CASE j WHEN 1 THEN wg1 WHEN 2 THEN wg2 WHEN 3 THEN wg3 ELSE wg4 END"
@@ -247,7 +249,8 @@ SELECT j,
   CAST(round(wloss, 3) AS DOUBLE) AS wloss,
   CAST(round({_WG_CASE}, 3) AS DOUBLE) AS wgrad,
   CAST(round(oloss, 3) AS DOUBLE) AS oloss,
-  CAST(round({_OG_CASE}, 3) AS DOUBLE) AS ograd
+  CAST(round({_OG_CASE}, 3) AS DOUBLE) AS ograd,
+  CAST(round(pchi2, 3) AS DOUBLE) AS pchi2
 FROM bt, l, smagg, woagg ORDER BY j"""
 
 
@@ -2669,6 +2672,21 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oloss, ograd = kernels.loss_gradient(
         dfwo, Logistic, np.asarray(BETA), 4, offset_col="o"
     )
+    # round 11 (cont.): the Wald-inference variance function under the
+    # gate — Pearson chi^2 at the pinned BETA via the REAL glm_residuals
+    # (kind='pearson'), sum of squares; the oracle recomputes
+    # (y - sig)^2 / (sig*(1 - sig)) symbolically in the wo CTE.
+    from dask_glm_spark.functions import inference
+
+    pres = inference.glm_residuals(
+        df.select("features", "label"), Logistic, np.asarray(BETA),
+        "pearson",
+    )
+    pchi2 = float(
+        pres.agg(
+            F.sum(F.col("residual") * F.col("residual")).alias("s")
+        ).collect()[0]["s"]
+    )
     rows = [
         (
             j + 1,
@@ -2683,6 +2701,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(wgrad[j]),
             float(oloss),
             float(ograd[j]),
+            pchi2,
         )
         for j in range(len(beta1))
     ]
@@ -2691,7 +2710,8 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows,
             "j int, beta1 double, loss1 double, beta1_prox double, "
             "smloss double, smg_c0 double, smg_c1 double, smg_c2 double, "
-            "wloss double, wgrad double, oloss double, ograd double",
+            "wloss double, wgrad double, oloss double, ograd double, "
+            "pchi2 double",
         )
         .select(
             "j",
@@ -2706,6 +2726,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("wgrad", 3).cast("double").alias("wgrad"),
             F.round("oloss", 3).cast("double").alias("oloss"),
             F.round("ograd", 3).cast("double").alias("ograd"),
+            F.round("pchi2", 3).cast("double").alias("pchi2"),
         )
         .orderBy("j")
     )

@@ -39,6 +39,7 @@ from dask_glm_spark.operators.estimators import (  # noqa: F401
 )
 from dask_glm_spark.functions.inference import (  # noqa: F401
     GLMSummary,
+    glm_predict_interval,
     glm_residuals,
     glm_summary,
 )

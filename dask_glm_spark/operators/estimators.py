@@ -263,6 +263,31 @@ class _GLM(BaseEstimator):
             offset_col=self.offset_col,
         )
 
+    def predict_interval(
+        self, df: DataFrame, summary, level: float = 0.95,
+        scale: str = "mean",
+    ) -> DataFrame:
+        """Wald confidence intervals for the mean response at each row:
+        ``prediction`` / ``se_link`` / ``lo`` / ``hi`` columns. ``summary``
+        is REQUIRED and must be the ``summary()`` of the TRAINING frame —
+        computing the covariance on the scoring frame would silently
+        understate uncertainty. One narrow projection; the covariance
+        rides as one folded literal (any p)."""
+        from dask_glm_spark.functions import inference
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if V.is_sparse_columns(df):
+            raise NotImplementedError(
+                "predict_interval() supports dense features only"
+            )
+        df_ = self._maybe_add_intercept(df)
+        return inference.glm_predict_interval(
+            df_, self.family, summary, level, scale, self.features_col,
+            offset_col=self.offset_col,
+        )
+
     def residuals(self, df: DataFrame, kind: str = "deviance") -> DataFrame:
         """Per-row residuals at the fitted coefficients (R/MLlib
         ``residuals()``): ``deviance`` / ``pearson`` / ``response`` /

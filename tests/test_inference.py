@@ -320,3 +320,86 @@ def test_residuals_estimator_surface(cls_data):
     # for logistic, equals 2*NLL at the fit up to the saturated term (0)
     with pytest.raises(ValueError, match="kind"):
         est.residuals(cls_data, kind="nope")
+
+
+def test_quantile_functions_known_values():
+    # classic table values, plus sf/isf round trips
+    assert inference.normal_isf(0.025) == pytest.approx(
+        1.959963985, abs=1e-8
+    )
+    assert inference.normal_isf(0.005) == pytest.approx(
+        2.575829304, abs=1e-8
+    )
+    assert inference.students_t_isf(0.025, 10) == pytest.approx(
+        2.228138852, abs=1e-8
+    )
+    assert inference.students_t_isf(0.025, 1) == pytest.approx(
+        12.7062047, abs=1e-6
+    )
+    for p in (0.4, 0.05, 1e-4):
+        assert inference.normal_sf(inference.normal_isf(p)) == pytest.approx(
+            p, rel=1e-10
+        )
+
+
+def test_predict_interval_ties_to_summary_se(cls_data, spark):
+    """At x = e_j (one-hot), se_link must equal the j-th coefficient's
+    standard error exactly, and the interval is beta_j ± z*·SE_j — wiring
+    the per-row quadratic form to the MLlib-verified covariance."""
+    est = LogisticRegression(
+        solver="newton", max_iter=100, tol=1e-10, fit_intercept=False
+    ).fit(cls_data)
+    s = est.summary(cls_data)
+    p = len(s.coefficients)
+    rows = [(j, [1.0 if i == j else 0.0 for i in range(p)], 0.0)
+            for j in range(p)]
+    score = spark.createDataFrame(
+        rows, "j int, features array<double>, label double"
+    )
+    got = {
+        r["j"]: r
+        for r in est.predict_interval(score, s, level=0.95, scale="link")
+        .collect()
+    }
+    z = inference.normal_isf(0.025)
+    for j in range(p):
+        assert got[j]["se_link"] == pytest.approx(s.std_errors[j], rel=1e-9)
+        assert got[j]["prediction"] == pytest.approx(
+            s.coefficients[j], rel=1e-9
+        )
+        assert got[j]["lo"] == pytest.approx(
+            s.coefficients[j] - z * s.std_errors[j], rel=1e-8
+        )
+    # mean scale: endpoints are the sigmoid of the link endpoints
+    gm = {
+        r["j"]: r
+        for r in est.predict_interval(score, s, level=0.95, scale="mean")
+        .collect()
+    }
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+    for j in range(p):
+        assert gm[j]["lo"] == pytest.approx(sig(got[j]["lo"]), rel=1e-9)
+        assert gm[j]["hi"] == pytest.approx(sig(got[j]["hi"]), rel=1e-9)
+
+
+def test_predict_interval_quadratic_form_numpy_twin(cls_data, spark):
+    est = LogisticRegression(solver="newton", max_iter=100, tol=1e-10).fit(
+        cls_data
+    )
+    s = est.summary(cls_data)
+    rng = np.random.RandomState(3)
+    Xs = rng.standard_normal((20, 3))
+    score = spark.createDataFrame(
+        [(i, [float(v) for v in Xs[i]], 0.0) for i in range(20)],
+        "rid int, features array<double>, label double",
+    )
+    got = (
+        est.predict_interval(score, s, scale="link")
+        .orderBy("rid")
+        .select("se_link")
+        .toPandas()["se_link"]
+        .to_numpy()
+    )
+    Xi = np.column_stack([Xs, np.ones(20)])  # intercept appended
+    want = np.sqrt(np.einsum("ij,jk,ik->i", Xi, s.covariance, Xi))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
