@@ -93,6 +93,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         acc2 = load_model(path_json).score(dfw)
         print(f"[6] save/load round-trip: acc={acc2:.3f}")
 
+    # 7. Wald inference (round 11): std errors / p-values at the fit,
+    # per-row deviance residuals, and mean-response confidence intervals
+    s = lr.summary(dfw)
+    sig = [
+        f"b[{j}]" for j, p in enumerate(s.p_values) if p < 0.05
+    ]
+    print(
+        f"[7] summary: dispersion={s.dispersion:.3g} "
+        f"({s.statistic_kind}-statistics), significant at 5%: {sig}"
+    )
+    rss = (
+        lr.residuals(dfw, kind="deviance")
+        .agg(F.sum(F.col("residual") ** 2).alias("d"))
+        .collect()[0]["d"]
+    )
+    print(f"[7] sum of squared deviance residuals: {rss:.2f}")
+    band = lr.predict_interval(dfw, s, level=0.95).agg(
+        F.avg(F.col("hi") - F.col("lo")).alias("w")
+    ).collect()[0]["w"]
+    print(f"[7] mean 95% CI width (probability scale): {band:.4f}")
+
     dfw.unpersist()
     print("workflow complete")
 
