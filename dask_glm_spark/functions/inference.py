@@ -326,6 +326,25 @@ class GLMSummary:
         self.n = n
         self.covariance = covariance  # φ·(XᵀWX)⁻¹, (p, p)
 
+    def conf_int(self, level: float = 0.95) -> np.ndarray:
+        """(p, 2) Wald confidence bounds ``β ± q·SE`` with q the z or t
+        upper-tail quantile matching ``statistic_kind`` (the R
+        ``confint.default`` / statsmodels ``conf_int`` convention)."""
+        if not 0.0 < level < 1.0:
+            raise ValueError(f"level must be in (0, 1), got {level}")
+        tail = (1.0 - level) / 2.0
+        q = (
+            normal_isf(tail)
+            if self.dispersion_fixed
+            else students_t_isf(tail, self.df_residual)
+        )
+        return np.column_stack(
+            [
+                self.coefficients - q * self.std_errors,
+                self.coefficients + q * self.std_errors,
+            ]
+        )
+
     def __repr__(self):  # pragma: no cover — cosmetic
         rows = "\n".join(
             f"  b[{j}] = {c:+.6g}  se = {s:.4g}  "

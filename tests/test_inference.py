@@ -403,3 +403,23 @@ def test_predict_interval_quadratic_form_numpy_twin(cls_data, spark):
     Xi = np.column_stack([Xs, np.ones(20)])  # intercept appended
     want = np.sqrt(np.einsum("ij,jk,ik->i", Xi, s.covariance, Xi))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_conf_int(cls_data):
+    est = LogisticRegression(solver="newton", max_iter=100, tol=1e-10).fit(
+        cls_data
+    )
+    s = est.summary(cls_data)
+    ci = s.conf_int(0.95)
+    z = inference.normal_isf(0.025)
+    np.testing.assert_allclose(
+        ci[:, 0], s.coefficients - z * s.std_errors, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        ci[:, 1], s.coefficients + z * s.std_errors, rtol=1e-12
+    )
+    # wider level -> wider interval; invalid level raises
+    ci99 = s.conf_int(0.99)
+    assert (ci99[:, 1] - ci99[:, 0] > ci[:, 1] - ci[:, 0]).all()
+    with pytest.raises(ValueError, match="level"):
+        s.conf_int(1.5)
