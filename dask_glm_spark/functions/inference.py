@@ -218,6 +218,20 @@ def _mean_and_variance_exprs(family, xb):
     raise ValueError(f"no mean/variance expressions for family {name!r}")
 
 
+def _link_deriv_expr(family, mu):
+    """dη/dμ at μ for the family's link (canonical for
+    logistic/normal/poisson; log for gamma/tweedie — NOT 1/V there,
+    review r11)."""
+    name = getattr(family, "name", "")
+    if name == "logistic":  # logit: 1/(μ(1−μ))
+        return F.lit(1.0) / (mu * (F.lit(1.0) - mu))
+    if name == "normal":  # identity
+        return F.lit(1.0)
+    if name in ("poisson", "gamma") or name.startswith("tweedie"):
+        return F.lit(1.0) / mu  # log link
+    raise ValueError(f"no link derivative for family {name!r}")
+
+
 def _unit_deviance_expr(family, y, mu):
     """Per-row unit deviance d(y, μ) as a Column (the TRUE form — for
     Tweedie see the MLlib max(y, 0.1) quirk note on
@@ -291,7 +305,7 @@ def glm_residuals(
     elif kind == "response":
         r = y - mu
     elif kind == "working":
-        r = (y - mu) / v
+        r = (y - mu) * _link_deriv_expr(family, mu)
     else:
         raise ValueError(
             "kind must be one of 'deviance', 'pearson', 'response', "

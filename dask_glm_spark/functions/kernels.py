@@ -201,13 +201,19 @@ def _arrow_partials_generic(
     # Columnar retrieval (round 11): collect() boxes every float of every
     # partial row Python-side — negligible at p=5 (40 B/row) but ~84 MB of
     # boxing PER EVALUATION at wide p·k (2^16-bucket softmax, k=5: 2.6 MB
-    # per partition row, 32 partitions). toArrow() keeps the transfer
-    # columnar and list cells land as numpy arrays; every consumer already
-    # goes through np.asarray, and the pid-sorted driver fold order (the
-    # determinism contract) is unchanged.
-    recs = out.toArrow().to_pandas().to_dict("records")
-    recs.sort(key=lambda r: int(r["pid"]))
-    return recs
+    # per partition row, 32 partitions; measured 44.1 -> 10.6 s on that
+    # fit). toArrow() keeps the transfer columnar and list cells land as
+    # numpy arrays; every consumer already goes through np.asarray, and
+    # the pid-sorted driver fold order (the determinism contract) is
+    # unchanged. toArrow is a PySpark 4.0 API — on the declared 3.5
+    # minimum fall back to collect() (same values, boxed transfer).
+    if hasattr(out, "toArrow"):
+        recs = out.toArrow().to_pandas().to_dict("records")
+        recs.sort(key=lambda r: int(r["pid"]))
+        return recs
+    rows = out.collect()
+    rows.sort(key=lambda r: r["pid"])
+    return rows
 
 
 def _arrow_partials(

@@ -249,6 +249,7 @@ class _GLM(BaseEstimator):
 
         if self._coef is None:
             raise ValueError("summary() requires a fitted model")
+        self._reject_penalized_inference("summary()")
         if V.is_vector_column(df, self.features_col):
             df = V.from_vector_column(df, self.features_col)
         if V.is_sparse_columns(df):
@@ -262,6 +263,29 @@ class _GLM(BaseEstimator):
             self.label_col, weight_col=self.weight_col,
             offset_col=self.offset_col,
         )
+
+    def _reject_penalized_inference(self, what: str) -> None:
+        """Wald SEs/p-values assume the MLE: Cov = φ·(XᵀWX)⁻¹ does NOT
+        hold for penalized estimates (the penalty biases β toward 0 and
+        shrinks its true sampling variance) — MLlib GLR likewise refuses
+        coefficientStandardErrors when regParam > 0 (review r11). Only
+        the solvers that actually receive the estimator's regularizer
+        produce penalized fits (newton/gradient_descent are pure-MLE,
+        reference parity)."""
+        penalized = (
+            self.solver in ("admm", "proximal_grad", "lbfgs")
+            and self.regularizer is not None
+            and self.lamduh > 0
+        )
+        if penalized:
+            raise ValueError(
+                f"{what} reports MLE Wald inference, but this fit is "
+                f"penalized (solver={self.solver!r}, regularizer="
+                f"{self.regularizer!r}, lamduh={self.lamduh}) — the "
+                "sampling covariance is not phi*(X'WX)^-1 under a "
+                "penalty. Refit with regularizer=None (or lamduh=0), or "
+                "use solver='newton'."
+            )
 
     def predict_interval(
         self, df: DataFrame, summary, level: float = 0.95,
@@ -717,24 +741,40 @@ class MulticlassLogisticRegression(_GLM):
         class's OvR coefficients over the ``y == class`` indicator —
         exactly the inference a standalone binary fit on the indicator
         would report (replication-pinned in tests/test_inference.py)."""
+        from pyspark import StorageLevel
+
         from dask_glm_spark.functions import inference
 
         if getattr(self, "_coefs", None) is None:
             raise ValueError("summary() requires a fitted model")
+        self._reject_penalized_inference("summary()")
+        # k Gram scans + k count jobs run below — persist ONCE around the
+        # loop so an uncached input isn't rescanned 2k times (review r11)
         df_ = self._maybe_add_intercept(df)
-        out = []
-        for cls_label, b in zip(self.classes_, self._coefs):
-            dfi = df_.withColumn(
-                self.label_col,
-                (F.col(self.label_col) == F.lit(cls_label)).cast("double"),
-            )
-            out.append(
-                inference.glm_summary(
-                    dfi, self.family, b, self.features_col, self.label_col,
-                    weight_col=self.weight_col, offset_col=self.offset_col,
+        we_persisted = False
+        if not df_.is_cached:
+            df_ = df_.persist(StorageLevel.MEMORY_AND_DISK)
+            we_persisted = True
+        try:
+            out = []
+            for cls_label, b in zip(self.classes_, self._coefs):
+                dfi = df_.withColumn(
+                    self.label_col,
+                    (F.col(self.label_col) == F.lit(cls_label)).cast(
+                        "double"
+                    ),
                 )
-            )
-        return out
+                out.append(
+                    inference.glm_summary(
+                        dfi, self.family, b, self.features_col,
+                        self.label_col, weight_col=self.weight_col,
+                        offset_col=self.offset_col,
+                    )
+                )
+            return out
+        finally:
+            if we_persisted:
+                df_.unpersist()
 
 
 class SoftmaxRegression(MulticlassLogisticRegression):

@@ -423,3 +423,53 @@ def test_conf_int(cls_data):
     assert (ci99[:, 1] - ci99[:, 0] > ci[:, 1] - ci[:, 0]).all()
     with pytest.raises(ValueError, match="level"):
         s.conf_int(1.5)
+
+
+def test_working_residuals_use_link_derivative(spark):
+    """Review r11: working = (y−μ)·dη/dμ — for the LOG-link gamma that is
+    (y−μ)/μ, not the canonical-form (y−μ)/V = (y−μ)/μ²."""
+    from dask_glm_spark.functions import inference
+    from dask_glm_spark.functions.families import Gamma, Logistic
+
+    rng = np.random.RandomState(8)
+    X = rng.standard_normal((50, 2)) * 0.3
+    y = rng.gamma(2.0, np.exp(X @ [0.4, -0.2]) / 2.0)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], float(y[i])) for i in range(50)],
+        "rid long, features array<double>, label double",
+    )
+    beta = [0.4, -0.2]
+    got = (
+        inference.glm_residuals(df, Gamma, beta, "working")
+        .orderBy("rid").select("residual").toPandas()["residual"].to_numpy()
+    )
+    mu = np.exp(X @ beta)
+    np.testing.assert_allclose(got, (y - mu) / mu, rtol=1e-10)
+    # canonical logit link: working == (y−μ)/V(μ) — unchanged
+    yb = (rng.uniform(size=50) > 0.5).astype(float)
+    dfb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], float(yb[i])) for i in range(50)],
+        "rid long, features array<double>, label double",
+    )
+    gotb = (
+        inference.glm_residuals(dfb, Logistic, beta, "working")
+        .orderBy("rid").select("residual").toPandas()["residual"].to_numpy()
+    )
+    mub = 1 / (1 + np.exp(-(X @ beta)))
+    np.testing.assert_allclose(
+        gotb, (yb - mub) / (mub * (1 - mub)), rtol=1e-9
+    )
+
+
+def test_summary_rejects_penalized_fits(cls_data):
+    """Review r11: Wald SEs assume the MLE — a ridge-penalized fit (the
+    estimator DEFAULT: admm + l2 + lamduh=1) must be rejected, matching
+    MLlib GLR's refusal under regParam > 0."""
+    est = LogisticRegression(
+        solver="lbfgs", regularizer="l2", lamduh=0.5, max_iter=50
+    ).fit(cls_data)
+    with pytest.raises(ValueError, match="penalized"):
+        est.summary(cls_data)
+    # newton ignores the estimator's regularizer (pure MLE) — allowed
+    est2 = LogisticRegression(solver="newton", max_iter=50).fit(cls_data)
+    assert est2.summary(cls_data).statistic_kind == "z"

@@ -108,3 +108,66 @@ def test_stream_fit_resumes_warm_chain_and_guards_type(
     save_model(wrong, f"{state}/models/latest.json")
     with pytest.raises(Exception, match="state_dir mismatch"):
         _run_stream(spark, d, state, f"{state}/ckpt3", _fresh_est())
+
+
+def test_refit_once_skips_empty_first_batch(spark, tmp_path_factory):
+    """Review r11: an empty FIRST micro-batch must not kill the query
+    (no parquet schema would exist for the read-back)."""
+    from dask_glm_spark.streaming.training import _refit_once
+
+    state = str(tmp_path_factory.mktemp("glm_state_empty"))
+    empty = spark.createDataFrame(
+        [], "features array<double>, label double"
+    )
+    est = _fresh_est()
+    _refit_once(est, empty, 0, f"{state}/data", f"{state}/models")
+    assert not os.path.exists(f"{state}/data")
+    assert est._coef is None  # no refit happened
+
+
+def test_remote_scheme_guards(spark, tmp_path_factory):
+    """Review r11: model JSON persistence is driver-local — a remote
+    state_dir without an explicit driver-visible models_dir refuses."""
+    d = str(tmp_path_factory.mktemp("glm_stream3"))
+    _make_batches(spark, d, n_batches=1)
+    schema = spark.read.parquet(f"{d}/b=0").schema
+    stream = spark.readStream.schema(schema).parquet(f"{d}/b=*")
+    with pytest.raises(ValueError, match="models_dir"):
+        fit_stream_incremental(
+            stream, _fresh_est(), "s3a://bucket/glm", f"{d}/ckpt"
+        )
+    with pytest.raises(ValueError, match="driver-visible"):
+        fit_stream_incremental(
+            stream, _fresh_est(), f"{d}/state", f"{d}/ckpt",
+            models_dir="hdfs://nn/models",
+        )
+
+
+def test_multiclass_state_adoption(spark, tmp_path_factory):
+    """Review r11: the warm-chain resume must adopt _coefs/classes_ for
+    multiclass estimators, not just the binary _coef."""
+    from dask_glm_spark import MulticlassLogisticRegression
+    from dask_glm_spark.streaming.training import _adopt_state, _fitted
+
+    rng = np.random.RandomState(4)
+    X = rng.standard_normal((120, 2))
+    y = np.argmax(X @ rng.standard_normal((2, 3)), axis=1).astype(float)
+    df = spark.createDataFrame(
+        [([float(v) for v in X[i]], float(y[i])) for i in range(120)],
+        "features array<double>, label double",
+    )
+    fitted = MulticlassLogisticRegression(
+        solver="lbfgs", regularizer=None, max_iter=50
+    ).fit(df)
+    fresh = MulticlassLogisticRegression(
+        solver="lbfgs", regularizer=None, max_iter=50
+    )
+    assert not _fitted(fresh)
+    _adopt_state(fresh, fitted)
+    assert _fitted(fresh)
+    assert fresh.classes_ == fitted.classes_
+    np.testing.assert_array_equal(
+        np.stack(fresh._coefs), np.stack(fitted._coefs)
+    )
+    with pytest.raises(ValueError, match="state_dir mismatch"):
+        _adopt_state(LinearRegression(), fitted)
