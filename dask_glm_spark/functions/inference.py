@@ -374,6 +374,41 @@ class GLMSummary:
         )
 
 
+def _score_meat(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    p: int,
+    features_col: str,
+    label_col: str,
+    weight_col: str | None,
+    offset_col: str | None,
+) -> np.ndarray:
+    """HC0 "meat": ``Σ_i s_i s_iᵀ`` with ``s_i = u_i·x_i`` the per-row
+    OBJECTIVE score (u = family residual, w-scaled for weighted fits) —
+    one Arrow Gram-shaped scan, p² partials under the bytes-aware tree
+    merge like every other Gram job."""
+    from dask_glm_spark.functions.kernels import _arrow_partials
+
+    def partial(X, y, w=None, o=None):
+        xb = X @ beta if o is None else X @ beta + o
+        u = family.residual_np(xb, y)
+        if w is not None:
+            u = w * u
+        Xu = X * u[:, None]
+        return {"meat": (Xu.T @ Xu).ravel()}
+
+    rows = _arrow_partials(
+        df, features_col, label_col, partial, "meat array<double>",
+        weight_col=weight_col, offset_col=offset_col,
+        partial_doubles=p * p,
+    )
+    meat = np.zeros(p * p)
+    for r_ in rows:
+        meat += np.asarray(r_["meat"], dtype=np.float64)
+    return meat.reshape(p, p)
+
+
 def glm_summary(
     df: DataFrame,
     family,
@@ -382,9 +417,19 @@ def glm_summary(
     label_col: str = "label",
     weight_col: str | None = None,
     offset_col: str | None = None,
+    robust: bool = False,
 ) -> GLMSummary:
     """Wald inference at a fitted coefficient vector (original feature
-    space, intercept column included in ``features_col`` if fitted)."""
+    space, intercept column included in ``features_col`` if fitted).
+
+    ``robust=True`` (White 1980 / HC0): the covariance becomes the
+    sandwich ``H⁻¹·(Σ s_i s_iᵀ)·H⁻¹`` over the OBJECTIVE Hessian and
+    per-row scores — any constant objective scaling cancels (H carries
+    it twice inverted, the meat twice directly; verified by the numpy
+    HC0 twin for gaussian, where our SSE objective is 2× the NLL), and
+    the dispersion φ plays no role in the SEs (it is still estimated and
+    reported). Valid under variance misspecification — the quasi-
+    likelihood / sandwich contract."""
     from dask_glm_spark.functions import kernels
 
     beta = np.asarray(beta, dtype=np.float64).ravel()
@@ -413,7 +458,16 @@ def glm_summary(
             )
         dispersion, fixed = pearson / df_resid, False
 
-    se = np.sqrt(np.maximum(np.diag(cov_unit), 0.0) * dispersion)
+    if robust:
+        meat = _score_meat(
+            df, family, beta, p, features_col, label_col, weight_col,
+            offset_col,
+        )
+        h_inv = np.linalg.pinv(hess)  # OBJECTIVE Hessian: scaling cancels
+        cov = h_inv @ meat @ h_inv
+    else:
+        cov = cov_unit * dispersion
+    se = np.sqrt(np.maximum(np.diag(cov), 0.0))
     with np.errstate(divide="ignore", invalid="ignore"):
         stat = np.where(se > 0, beta / se, np.nan)
     if fixed:
@@ -428,7 +482,7 @@ def glm_summary(
         coefficients=beta, std_errors=se, statistic=stat, p_values=pvals,
         statistic_kind=kind, dispersion=float(dispersion),
         dispersion_fixed=fixed, df_residual=float(df_resid), n=float(n),
-        covariance=cov_unit * dispersion,
+        covariance=cov,
     )
 
 

@@ -231,7 +231,7 @@ class _GLM(BaseEstimator):
         self.coef_ = self._coef
         return self
 
-    def summary(self, df: DataFrame):
+    def summary(self, df: DataFrame, robust: bool = False):
         """Wald inference at the fitted coefficients — beyond-reference
         (round 11; the statsmodels/R/MLlib ``summary`` surface): standard
         errors ``sqrt(diag(φ·(XᵀWX)⁻¹))``, z/t statistics, two-sided
@@ -241,6 +241,10 @@ class _GLM(BaseEstimator):
         scans: one fused gradient+Gram job (the newton iteration shape)
         plus, when φ is estimated, one Pearson aggregate. Honors the
         estimator's ``weight_col``/``offset_col``.
+
+        ``robust=True``: heteroskedasticity-robust HC0 sandwich SEs
+        (White 1980) — one extra score-Gram scan; see
+        ``inference.glm_summary``.
 
         Wide-sparse fits are rejected: a dense p² covariance at 2^18
         hashed dims is the wrong object (and the wrong plan)."""
@@ -261,7 +265,7 @@ class _GLM(BaseEstimator):
         return inference.glm_summary(
             df_, self.family, self._coef, self.features_col,
             self.label_col, weight_col=self.weight_col,
-            offset_col=self.offset_col,
+            offset_col=self.offset_col, robust=robust,
         )
 
     def _reject_penalized_inference(self, what: str) -> None:

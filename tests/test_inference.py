@@ -473,3 +473,56 @@ def test_summary_rejects_penalized_fits(cls_data):
     # newton ignores the estimator's regularizer (pure MLE) — allowed
     est2 = LogisticRegression(solver="newton", max_iter=50).fit(cls_data)
     assert est2.summary(cls_data).statistic_kind == "z"
+
+
+def test_robust_hc0_sandwich_numpy_twins(spark, cls_data):
+    """HC0 sandwich SEs (White 1980): exact numpy twins for logistic
+    (canonical) and gaussian — the gaussian case also verifies that the
+    SSE objective's factor 2 cancels in H⁻¹·M·H⁻¹ (our H is 2XᵀX and the
+    scores carry 2(xb−y), yet the result must be the TEXTBOOK HC0
+    inv(XᵀX)·Xᵀdiag(e²)X·inv(XᵀX))."""
+    # logistic
+    est = LogisticRegression(
+        solver="newton", max_iter=100, tol=1e-10, fit_intercept=True
+    ).fit(cls_data)
+    s_rob = est.summary(cls_data, robust=True)
+    s_mod = est.summary(cls_data)
+    pdf = cls_data.toPandas()
+    X = np.stack(pdf["features"].to_numpy())
+    X = np.column_stack([X, np.ones(len(X))])
+    y = pdf["label"].to_numpy()
+    mu = 1 / (1 + np.exp(-(X @ est._coef)))
+    H = X.T @ ((mu * (1 - mu))[:, None] * X)
+    M = X.T @ (((mu - y) ** 2)[:, None] * X)
+    want = np.linalg.inv(H) @ M @ np.linalg.inv(H)
+    np.testing.assert_allclose(
+        s_rob.std_errors, np.sqrt(np.diag(want)), rtol=1e-8
+    )
+    # correctly-specified logistic: robust and model SEs same ballpark
+    assert (
+        np.abs(s_rob.std_errors / s_mod.std_errors - 1.0) < 0.5
+    ).all()
+
+    # gaussian (objective-scaling cancellation)
+    rng = np.random.RandomState(2)
+    n = 400
+    Xg = rng.standard_normal((n, 2))
+    # heteroskedastic noise: robust and model SEs genuinely differ
+    yg = Xg @ [1.0, -0.5] + rng.standard_normal(n) * (
+        0.2 + np.abs(Xg[:, 0])
+    )
+    dfg = spark.createDataFrame(
+        [([float(v) for v in Xg[i]], float(yg[i])) for i in range(n)],
+        "features array<double>, label double",
+    )
+    lin = LinearRegression(
+        solver="newton", max_iter=50, tol=1e-12, fit_intercept=True
+    ).fit(dfg)
+    sg = lin.summary(dfg, robust=True)
+    Xi = np.column_stack([Xg, np.ones(n)])
+    e = yg - Xi @ lin._coef
+    XtXi = np.linalg.inv(Xi.T @ Xi)
+    hc0 = XtXi @ (Xi.T @ ((e**2)[:, None] * Xi)) @ XtXi
+    np.testing.assert_allclose(
+        sg.std_errors, np.sqrt(np.diag(hc0)), rtol=1e-8
+    )
