@@ -168,9 +168,11 @@ def _pearson_and_n(
     label_col: str,
     weight_col: str | None,
     offset_col: str | None,
-) -> tuple[float, float]:
-    """(Σ w·(y−μ)²/V(μ), Σ 1) in one codegen aggregate. Only called for
-    the dispersion-estimating families (normal/gamma/tweedie)."""
+) -> tuple[float, float, float]:
+    """(Σ w·(y−μ)²/V(μ), n, Σw·y/Σw) in one codegen aggregate. Only
+    called for the dispersion-estimating families (normal/gamma/
+    tweedie); the weighted response mean rides along for the null
+    deviance."""
     from dask_glm_spark.functions import kernels
 
     xb = kernels.matvec_expr(beta, features_col)
@@ -190,12 +192,20 @@ def _pearson_and_n(
     else:  # pragma: no cover — guarded by _FIXED_DISPERSION upstream
         raise ValueError(f"no Pearson variance function for family {name!r}")
     term = (y - mu) * (y - mu) / v
+    w = F.col(weight_col) if weight_col is not None else F.lit(1.0)
     if weight_col is not None:
-        term = F.col(weight_col) * term
+        term = w * term
     row = df.agg(
-        F.sum(term).alias("pearson"), F.count("*").alias("n")
+        F.sum(term).alias("pearson"),
+        F.count("*").alias("n"),
+        F.sum(w * y).alias("swy"),
+        F.sum(w).alias("sw"),
     ).collect()[0]
-    return float(row["pearson"]), float(row["n"])
+    return (
+        float(row["pearson"]),
+        float(row["n"]),
+        float(row["swy"]) / float(row["sw"]),
+    )
 
 
 def _mean_and_variance_exprs(family, xb):
@@ -328,7 +338,8 @@ class GLMSummary:
 
     def __init__(self, coefficients, std_errors, statistic, p_values,
                  statistic_kind, dispersion, dispersion_fixed,
-                 df_residual, n, covariance=None):
+                 df_residual, n, covariance=None, deviance=None,
+                 null_deviance=None):
         self.coefficients = coefficients
         self.std_errors = std_errors
         self.statistic = statistic
@@ -339,6 +350,8 @@ class GLMSummary:
         self.df_residual = df_residual
         self.n = n
         self.covariance = covariance  # φ·(XᵀWX)⁻¹, (p, p)
+        self.deviance = deviance  # Σ w·d(y, μ̂) at the fit
+        self.null_deviance = null_deviance  # Σ w·d(y, ȳ_w): intercept-only
 
     def conf_int(self, level: float = 0.95) -> np.ndarray:
         """(p, 2) Wald confidence bounds ``β ± q·SE`` with q the z or t
@@ -442,12 +455,20 @@ def glm_summary(
     info = hess / _HESS_SCALE.get(name, 1.0)  # unit-dispersion XᵀWX
     cov_unit = np.linalg.pinv(info)
 
+    y = F.col(label_col)
+    w = F.col(weight_col) if weight_col is not None else F.lit(1.0)
     if name in _FIXED_DISPERSION:
+        row0 = df.agg(
+            F.count("*").alias("n"),
+            F.sum(w * y).alias("swy"),
+            F.sum(w).alias("sw"),
+        ).collect()[0]
+        n = float(row0["n"])
+        ybar = float(row0["swy"]) / float(row0["sw"])
         dispersion, fixed = 1.0, True
-        n = float(df.count())
         df_resid = n - p
     else:
-        pearson, n = _pearson_and_n(
+        pearson, n, ybar = _pearson_and_n(
             df, family, beta, features_col, label_col, weight_col,
             offset_col,
         )
@@ -457,6 +478,25 @@ def glm_summary(
                 f"no residual degrees of freedom (n={n:.0f}, p={p})"
             )
         dispersion, fixed = pearson / df_resid, False
+
+    # total + null deviance in ONE extra scan: d at the fitted μ and at
+    # the intercept-only MLE μ̂₀ = weighted mean of y (the closed-form
+    # null fit for every family here — identity/logit/log links all have
+    # the intercept-only MLE at the weighted response mean). Offsets are
+    # excluded from the null model (R's convention is offset-INCLUDED
+    # null, which has no closed form — documented divergence; with no
+    # offset the values match R/MLlib exactly).
+    xb_fit = kernels.matvec_expr(beta, features_col)
+    if offset_col is not None:
+        xb_fit = xb_fit + F.col(offset_col)
+    mu_fit, _ = _mean_and_variance_exprs(family, xb_fit)
+    d_fit = _unit_deviance_expr(family, y, mu_fit)
+    d_null = _unit_deviance_expr(family, y, F.lit(float(ybar)))
+    drow = df.agg(
+        F.sum(w * d_fit).alias("dev"), F.sum(w * d_null).alias("dev0")
+    ).collect()[0]
+    deviance = float(drow["dev"])
+    null_deviance = float(drow["dev0"])
 
     if robust:
         meat = _score_meat(
@@ -482,7 +522,7 @@ def glm_summary(
         coefficients=beta, std_errors=se, statistic=stat, p_values=pvals,
         statistic_kind=kind, dispersion=float(dispersion),
         dispersion_fixed=fixed, df_residual=float(df_resid), n=float(n),
-        covariance=cov,
+        covariance=cov, deviance=deviance, null_deviance=null_deviance,
     )
 
 
