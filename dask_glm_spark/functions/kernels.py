@@ -389,6 +389,65 @@ def gradient_hessian(
 
 
 # ---------------------------------------------------------------------------
+# Hessian-vector product (round 12): Hv = Xᵀ(hw(xb) ⊙ (X·v)) — the
+# matrix-free Newton-CG primitive. Serves the same ``newton`` semantics
+# (reference ``algorithms.py:170-221``) without ever forming the p×p Gram:
+# partials are O(p) doubles per partition regardless of p, so the kernel
+# carries lbfgs's byte shape while CG recovers Newton's curvature. One
+# fused scan per CG iteration (xb, hw, X·v, and the Xᵀ reduce share it).
+# ---------------------------------------------------------------------------
+def hessian_vector_product(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    v: np.ndarray,
+    p: int | None = None,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+) -> np.ndarray:
+    beta = np.asarray(beta, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    p = p or len(beta)
+    if path == "auto":
+        path = "sql" if p <= UNROLL_MAX else "arrow"
+    if path == "sql":
+        xb = matvec_expr(beta, features_col)
+        if offset_col is not None:
+            xb = xb + F.col(offset_col)
+        xv = matvec_expr(v, features_col)
+        hw = family.hess_weight(xb)
+        if weight_col is not None:
+            hw = F.col(weight_col) * hw
+        t = hw * xv
+        fcol = F.col(features_col)
+        aggs = [
+            F.coalesce(F.sum(fcol[j] * t), F.lit(0.0)).alias(f"hv{j}")
+            for j in range(p)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        return np.array([row[f"hv{j}"] for j in range(p)])
+
+    def partial(X, y, sw=None, o=None):
+        xb = X @ beta if o is None else X @ beta + o
+        hw = family.hess_weight_np(xb)
+        if sw is not None:
+            hw = sw * hw
+        return {"hv": X.T @ (hw * (X @ v))}
+
+    rows = _arrow_partials(
+        df, features_col, label_col, partial, "hv array<double>",
+        weight_col=weight_col, offset_col=offset_col, partial_doubles=p,
+    )
+    hv = np.zeros(p)
+    for r_ in rows:
+        hv += np.asarray(r_["hv"], dtype=np.float64)
+    return hv
+
+
+# ---------------------------------------------------------------------------
 # Multi-probe loss: k candidate betas in ONE scan (vectorized line search —
 # the Spark-side improvement over the reference's one-job-per-backtrack,
 # SURVEY §2.1). Arrow path: one (n,p)x(p,k) GEMM per batch.

@@ -612,7 +612,8 @@ def newton(
             "newton at p=%d: the fused Gram partial is p^2 doubles per "
             "partition (%.0f MB) and each iteration solves a p x p lstsq "
             "on the driver — measured ~6.5x lbfgs's per-iteration cost at "
-            "p=1024 (round-11 wide-p probe). Prefer solver='lbfgs' for "
+            "p=1024 (round-11 wide-p probe). Prefer solver='newton_cg' "
+            "(matrix-free, O(p) partials, same semantics) or 'lbfgs' for "
             "wide dense features.",
             p, p * p * 8 / 1e6,
         )
@@ -638,6 +639,115 @@ def newton(
         tol_ok = not np.any(coef_change > tol)
         converged = tol_ok or (iter_count > max_iter)
     _fill_info(fit_info, iter_count, tol_ok)
+    return beta
+
+
+def _cg_solve(matvec, b, rtol: float, maxiter: int):
+    """Conjugate gradient for ``A x = b`` with A given only as a matvec
+    closure (driver-side numpy; each ``matvec`` call is one cluster scan in
+    newton_cg). Stops at relative residual ``rtol`` or ``maxiter``.
+
+    Truncated-Newton negative-curvature guard: GLM Fisher information is
+    PSD, but data can make it singular along a direction — if ``dᵀAd <= 0``
+    CG stops and returns the progress so far (the raw gradient when it
+    happens on the very first step, i.e. a plain descent direction).
+    """
+    x = np.zeros_like(b)
+    r = b.copy()
+    d = r.copy()
+    rs = float(r @ r)
+    stop = (rtol * np.sqrt(rs)) ** 2
+    n_mv = 0
+    for _ in range(maxiter):
+        if rs <= stop:
+            break
+        Ad = matvec(d)
+        n_mv += 1
+        dAd = float(d @ Ad)
+        if dAd <= 0:
+            if n_mv == 1:
+                x = b.copy()
+            break
+        alpha = rs / dAd
+        x += alpha * d
+        r -= alpha * Ad
+        rs_new = float(r @ r)
+        d = r + (rs_new / rs) * d
+        rs = rs_new
+    return x, n_mv
+
+
+@normalize
+def newton_cg(
+    df: DataFrame,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+    family=Logistic,
+    features_col: str = "features",
+    label_col: str = "label",
+    path: str = "auto",
+    init_beta=None,
+    cg_tol: float | None = None,
+    max_cg_iter: int | None = None,
+    **kwargs,
+):
+    """Matrix-free truncated Newton (Newton-CG) — round 12.
+
+    Same semantics as ``newton`` (reference ``algorithms.py:170-221``:
+    full Newton step, no line search, coefficient-change stopping rule),
+    but the p×p system is solved by conjugate gradient using only
+    Hessian-vector products ``Xᵀ(hw ⊙ (X·v))`` — one fused Arrow scan per
+    CG iteration, O(p) bytes per partition, no p² object anywhere (not in
+    partials, not on the driver). This removes the ``NEWTON_WIDE_P`` wall:
+    ``newton`` ships p² doubles per partition and runs a p×p driver lstsq
+    (measured 110.7 s/iter at p=2048, round-11 probe); newton_cg's
+    per-iteration cost is (#CG steps) × one lbfgs-shaped scan.
+
+    CG forcing sequence: ``cg_tol=None`` uses Eisenstat-Walker
+    ``min(0.5, sqrt(||g||))`` relative residual (superlinear local
+    convergence without over-solving early iterations); pass an explicit
+    ``cg_tol`` to pin it. ``max_cg_iter`` defaults to ``min(p, 64)``.
+    Supports ``weight_col`` / ``offset_col`` like every dense solver.
+    """
+    p = _resolve_p(df, features_col, kwargs)
+    weight_col = kwargs.pop("weight_col", None)
+    offset_col = kwargs.pop("offset_col", None)
+    fit_info = kwargs.pop("fit_info", None)
+    if max_cg_iter is None:
+        max_cg_iter = min(p, 64)
+    beta = _init_vec(init_beta, p)
+    iter_count = 0
+    converged = False
+    tol_ok = False
+    total_cg = 0
+    while not converged:
+        grad = kernels.gradient(
+            df, family, beta, p=p, features_col=features_col,
+            label_col=label_col, path=path, weight_col=weight_col,
+            offset_col=offset_col,
+        )
+        gnorm = float(np.linalg.norm(grad))
+        if gnorm == 0.0:
+            step = np.zeros(p)
+        else:
+            rtol = cg_tol if cg_tol is not None else min(0.5, np.sqrt(gnorm))
+            step, n_mv = _cg_solve(
+                lambda v: kernels.hessian_vector_product(
+                    df, family, beta, v, p=p, features_col=features_col,
+                    label_col=label_col, path=path, weight_col=weight_col,
+                    offset_col=offset_col,
+                ),
+                grad, rtol=rtol, maxiter=max_cg_iter,
+            )
+            total_cg += n_mv
+        beta_old = beta
+        beta = beta_old - step
+        iter_count += 1
+        coef_change = np.absolute(beta_old - beta)
+        # loop shape matches newton (reference-exact budget semantics)
+        tol_ok = not np.any(coef_change > tol)
+        converged = tol_ok or (iter_count > max_iter)
+    _fill_info(fit_info, iter_count, tol_ok, cg_iters=total_cg)
     return beta
 
 
@@ -1679,6 +1789,7 @@ _solvers = {
     "admm": admm,
     "gradient_descent": gradient_descent,
     "newton": newton,
+    "newton_cg": newton_cg,
     "lbfgs": lbfgs,
     "proximal_grad": proximal_grad,
 }

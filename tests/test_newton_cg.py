@@ -1,0 +1,204 @@
+"""Matrix-free Newton-CG (round 12) — the wide-p replacement for ``newton``.
+
+Serves the same semantics as the reference's ``newton``
+(``dask_glm/algorithms.py:170-221``) via Hessian-vector products only:
+no p² partial, no p×p driver object. Tests pin (a) the driver-side CG
+against numpy's exact solve, (b) the Hvp kernel against its numpy twin on
+both physical paths, (c) solver parity with ``newton`` to 1e-6 across
+families/weights/offsets, and (d) estimator dispatch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dask_glm_spark import LogisticRegression
+from dask_glm_spark.functions import kernels
+from dask_glm_spark.functions.families import Gamma, Logistic, Normal, Poisson, Tweedie
+from dask_glm_spark.operators import solvers
+from dask_glm_spark.operators.solvers import _cg_solve, newton, newton_cg
+from dask_glm_spark.sources.datasets import make_poisson, make_regression
+
+
+# ---------------------------------------------------------------------------
+# driver-side CG vs exact solve (no Spark)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("p", [3, 17, 60])
+def test_cg_matches_exact_solve(p):
+    rng = np.random.RandomState(p)
+    A_ = rng.randn(p, p)
+    A = A_ @ A_.T + p * np.eye(p)  # SPD, well-conditioned
+    b = rng.randn(p)
+    x, n_mv = _cg_solve(lambda v: A @ v, b, rtol=1e-12, maxiter=10 * p)
+    assert n_mv <= 10 * p
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-8, atol=1e-10)
+
+
+def test_cg_respects_rtol_and_maxiter():
+    rng = np.random.RandomState(0)
+    A_ = rng.randn(40, 40)
+    A = A_ @ A_.T + 40 * np.eye(40)
+    b = rng.randn(40)
+    x, n_mv = _cg_solve(lambda v: A @ v, b, rtol=1e-2, maxiter=3)
+    assert n_mv <= 3
+    # loose solve still reduces the residual vs x=0
+    assert np.linalg.norm(A @ x - b) < np.linalg.norm(b)
+
+
+def test_cg_negative_curvature_first_step_returns_gradient():
+    # A = -I: dAd < 0 immediately -> truncated-Newton fallback x = b
+    b = np.array([1.0, -2.0, 3.0])
+    x, n_mv = _cg_solve(lambda v: -v, b, rtol=1e-10, maxiter=10)
+    assert n_mv == 1
+    np.testing.assert_allclose(x, b)
+
+
+# ---------------------------------------------------------------------------
+# Hvp kernel vs numpy twin, both physical paths
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def clf_data(spark):
+    import pandas as pd
+
+    rng = np.random.RandomState(1212)
+    n, p = 300, 4
+    X = rng.randn(n, p)
+    beta_true = np.array([1.0, -0.7, 0.4, 0.0])
+    y = (rng.rand(n) < 1 / (1 + np.exp(-(X @ beta_true)))).astype(np.float64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"features": list(X), "label": y})
+    ).repartition(4)
+    df = df.persist()
+    yield df, X, y
+    df.unpersist()
+
+
+@pytest.mark.parametrize("path", ["sql", "arrow"])
+@pytest.mark.parametrize("family", [Logistic, Normal, Poisson])
+def test_hvp_matches_numpy_twin(clf_data, path, family):
+    df, X, y = clf_data
+    rng = np.random.RandomState(7)
+    beta = rng.randn(X.shape[1]) * 0.3
+    v = rng.randn(X.shape[1])
+    hw = family.hess_weight_np(X @ beta)
+    expected = X.T @ (hw * (X @ v))
+    got = kernels.hessian_vector_product(df, family, beta, v, path=path)
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("path", ["sql", "arrow"])
+def test_hvp_weighted_offset(spark, path):
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    n, p = 200, 3
+    X = rng.randn(n, p)
+    y = (rng.rand(n) < 0.5).astype(np.float64)
+    w = rng.rand(n) + 0.5
+    o = rng.randn(n) * 0.1
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"features": list(X), "label": y, "w": w, "o": o}
+        )
+    ).repartition(3)
+    beta = rng.randn(p) * 0.2
+    v = rng.randn(p)
+    hw = w * Logistic.hess_weight_np(X @ beta + o)
+    expected = X.T @ (hw * (X @ v))
+    got = kernels.hessian_vector_product(
+        df, Logistic, beta, v, path=path, weight_col="w", offset_col="o"
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# solver parity with newton
+# ---------------------------------------------------------------------------
+def test_newton_cg_matches_newton_logistic(clf_data):
+    df, X, y = clf_data
+    b_newton = newton(df, max_iter=50, tol=1e-10)
+    b_cg = newton_cg(df, max_iter=50, tol=1e-10, cg_tol=1e-10)
+    np.testing.assert_allclose(b_cg, b_newton, rtol=1e-6, atol=1e-8)
+
+
+def test_newton_cg_matches_newton_poisson(spark):
+    df = make_poisson(
+        spark, n_samples=300, n_features=3, seed=77, npartitions=3
+    )[0]
+    b_newton = newton(df, family=Poisson, max_iter=50, tol=1e-10)
+    b_cg = newton_cg(df, family=Poisson, max_iter=50, tol=1e-10, cg_tol=1e-10)
+    np.testing.assert_allclose(b_cg, b_newton, rtol=1e-6, atol=1e-8)
+
+
+def test_newton_cg_matches_newton_normal(spark):
+    df = make_regression(
+        spark, n_samples=300, n_features=3, seed=88, npartitions=3
+    )[0]
+    b_newton = newton(df, family=Normal, max_iter=50, tol=1e-10)
+    b_cg = newton_cg(df, family=Normal, max_iter=50, tol=1e-10, cg_tol=1e-10)
+    np.testing.assert_allclose(b_cg, b_newton, rtol=1e-6, atol=1e-8)
+
+
+def test_newton_cg_eisenstat_walker_default_converges(clf_data):
+    # default forcing sequence (cg_tol=None) must reach the same optimum,
+    # just possibly with more outer iterations
+    df, X, y = clf_data
+    b_newton = newton(df, max_iter=50, tol=1e-10)
+    info: dict = {}
+    b_cg = newton_cg(df, max_iter=50, tol=1e-8, fit_info=info)
+    assert info["converged"] is True
+    assert info["cg_iters"] >= 1
+    np.testing.assert_allclose(b_cg, b_newton, rtol=1e-5, atol=1e-7)
+
+
+def test_newton_cg_weighted_offset_parity(spark):
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    n, p = 400, 3
+    X = rng.randn(n, p)
+    beta_true = np.array([0.8, -0.5, 0.3])
+    y = (rng.rand(n) < 1 / (1 + np.exp(-(X @ beta_true)))).astype(np.float64)
+    w = rng.randint(1, 4, n).astype(np.float64)
+    o = rng.randn(n) * 0.05
+    df = spark.createDataFrame(
+        pd.DataFrame({"features": list(X), "label": y, "w": w, "o": o})
+    ).repartition(4)
+    kw = dict(max_iter=50, tol=1e-10, weight_col="w", offset_col="o")
+    b_newton = newton(df, **kw)
+    b_cg = newton_cg(df, cg_tol=1e-10, **kw)
+    np.testing.assert_allclose(b_cg, b_newton, rtol=1e-6, atol=1e-8)
+
+
+def test_newton_cg_gamma_tweedie_parity(spark):
+    # non-canonical log links: both solvers Fisher-score with the same
+    # hess_weight, so the iterates agree step-for-step
+    import pandas as pd
+
+    rng = np.random.RandomState(9)
+    n, p = 300, 3
+    X = rng.randn(n, p) * 0.4
+    mu = np.exp(X @ np.array([0.5, -0.3, 0.2]))
+    y = rng.gamma(shape=2.0, scale=mu / 2.0) + 1e-3
+    df = spark.createDataFrame(
+        pd.DataFrame({"features": list(X), "label": y})
+    ).repartition(3)
+    for fam in (Gamma, Tweedie(1.5)):
+        b_newton = newton(df, family=fam, max_iter=50, tol=1e-10)
+        b_cg = newton_cg(df, family=fam, max_iter=50, tol=1e-10, cg_tol=1e-10)
+        np.testing.assert_allclose(b_cg, b_newton, rtol=1e-6, atol=1e-8)
+
+
+def test_estimator_dispatch_newton_cg(clf_data):
+    df, X, y = clf_data
+    lr_cg = LogisticRegression(solver="newton_cg", max_iter=50, tol=1e-10).fit(df)
+    lr_n = LogisticRegression(solver="newton", max_iter=50, tol=1e-10).fit(df)
+    np.testing.assert_allclose(lr_cg.coef_, lr_n.coef_, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        lr_cg.intercept_, lr_n.intercept_, rtol=1e-5, atol=1e-7
+    )
+    assert lr_cg.converged_ is True
+
+
+def test_newton_cg_in_registry():
+    assert solvers._solvers["newton_cg"] is newton_cg
