@@ -187,20 +187,36 @@ class _GLM(BaseEstimator):
         newton (whose p x p Gram is wrong for wide-sparse p). ADMM blocks
         are scipy-free CSR (kernels_sparse.CSRMatrix), never densified.
 
-        fit_intercept is unsupported for sparse input, matching the
-        reference's own xfailed sparse+intercept combination
-        (``dask_glm/tests/test_estimators.py:47-54``)."""
-        if self.fit_intercept:
-            raise NotImplementedError(
-                "fit_intercept with sparse features is unsupported "
-                "(reference xfail: tests/test_estimators.py:47-54)"
-            )
+        fit_intercept (round 12; the reference xfails this combination,
+        ``dask_glm/tests/test_estimators.py:47-54``, but a hashed text
+        classifier WITH an intercept is the normal configuration and
+        MLlib supports it): append a constant-1 coordinate at index
+        p_base to every row — one extra (int, double) pair per row, never
+        a densification — so all four O(nnz) sparse solvers run unchanged
+        on p_base+1 coordinates, exactly mirroring the dense path's
+        ``add_intercept`` column append. The penalty then covers the
+        intercept coordinate too, the same (reference-parity) behavior as
+        the dense intercept-extended fit. ``_sparse_xb`` scoring already
+        splits the stored intercept back out."""
         if self.solver not in self._SPARSE_SOLVERS:
             raise NotImplementedError(
                 "sparse features support solver in "
                 f"{sorted(self._SPARSE_SOLVERS)} (lbfgs recommended), got {self.solver!r}"
             )
         extra.pop("normalize", None)  # sparse path never standardizes
+        p_base = extra.pop("p", None)
+        if self.fit_intercept:
+            from dask_glm_spark.sources.vectors import sparse_p
+
+            if p_base is None:
+                p_base = sparse_p(df)
+            df = df.withColumn(
+                "findices",
+                F.concat("findices", F.array(F.lit(int(p_base)).cast("int"))),
+            ).withColumn("fvalues", F.concat("fvalues", F.array(F.lit(1.0))))
+            extra["p"] = int(p_base) + 1
+        elif p_base is not None:
+            extra["p"] = int(p_base)
         kw = {"max_iter": self.max_iter}
         if self.solver == "admm":
             kw.update(
@@ -228,7 +244,11 @@ class _GLM(BaseEstimator):
         )
         self.n_iter_ = info.get("n_iter")
         self.converged_ = info.get("converged")
-        self.coef_ = self._coef
+        if self.fit_intercept:
+            self.coef_ = self._coef[:-1]
+            self.intercept_ = self._coef[-1]
+        else:
+            self.coef_ = self._coef
         return self
 
     def summary(self, df: DataFrame, robust: bool = False):
@@ -882,14 +902,22 @@ class SoftmaxRegression(MulticlassLogisticRegression):
     def _fit_softmax_sparse(self, df: DataFrame, **extra):
         """Wide-sparse (findices/fvalues) multinomial fit: one O(k·nnz)
         fused scan per L-BFGS evaluation (``solvers.softmax_lbfgs_sparse``).
-        fit_intercept is unsupported for sparse input, matching the dense
-        sparse solvers (reference xfail: tests/test_estimators.py:47-54);
-        standardization never applies (it would densify)."""
+        fit_intercept (round 12) appends a constant-1 coordinate at index
+        p_base per row — the same densification-free trick as the binary
+        ``_fit_sparse``; standardization never applies (it would densify)."""
+        p_base = extra.pop("p", None)
         if self.fit_intercept:
-            raise NotImplementedError(
-                "fit_intercept with sparse features is unsupported "
-                "(reference xfail: tests/test_estimators.py:47-54)"
-            )
+            from dask_glm_spark.sources.vectors import sparse_p
+
+            if p_base is None:
+                p_base = sparse_p(df)
+            df = df.withColumn(
+                "findices",
+                F.concat("findices", F.array(F.lit(int(p_base)).cast("int"))),
+            ).withColumn("fvalues", F.concat("fvalues", F.array(F.lit(1.0))))
+            extra["p"] = int(p_base) + 1
+        elif p_base is not None:
+            extra["p"] = int(p_base)
         classes = [
             r[0]
             for r in df.select(self.label_col)
@@ -927,17 +955,24 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         self.n_iter_ = info.get("n_iter")
         self.converged_ = info.get("converged")
         self._coefs = [np.asarray(B[:, c]) for c in range(k)]
-        self.coefs_ = np.stack(self._coefs)
-        self.intercepts_ = np.zeros(k)
+        if self.fit_intercept:
+            self.coefs_ = np.stack([b[:-1] for b in self._coefs])
+            self.intercepts_ = np.array([b[-1] for b in self._coefs])
+        else:
+            self.coefs_ = np.stack(self._coefs)
+            self.intercepts_ = np.zeros(k)
         return self
 
     def _sparse_scores_df(self, df: DataFrame, col: str) -> DataFrame:
         """df + a linear (n, k) scores array column over wide-sparse rows:
         one vectorized O(k·nnz) Arrow pass (the _sparse_xb shape, k-wide).
-        Sparse fits carry no intercept (see _fit_softmax_sparse)."""
+        The fitted intercepts (zero for intercept-free fits) add onto each
+        class score — sparse indices never address the intercept, exactly
+        the ``_sparse_xb`` split."""
         from dask_glm_spark.functions.kernels_sparse import _batch_csr
 
-        Bmat = np.column_stack(self._coefs)  # (p, k)
+        Bmat = self.coefs_.T.copy()  # (p, k), intercept split out
+        icpt = np.asarray(self.intercepts_, dtype=np.float64)
         k = Bmat.shape[1]
 
         def op(batches):
@@ -956,6 +991,7 @@ class SoftmaxRegression(MulticlassLogisticRegression):
                         weights=flat_val * Bmat[flat_idx, c],
                         minlength=n,
                     )
+                Z += icpt
                 out = pdf.copy()
                 out[col] = [r.tolist() for r in Z]
                 yield out

@@ -160,9 +160,63 @@ def test_csr_matrix_duck_type(sparse_data):
     np.testing.assert_allclose(m.T.dot(r), X.T @ r, rtol=1e-12)
 
 
-def test_sparse_intercept_raises(sparse_df):
-    with pytest.raises(NotImplementedError, match="fit_intercept"):
-        LogisticRegression(solver="lbfgs", fit_intercept=True).fit(sparse_df)
+def test_sparse_intercept_matches_dense_lbfgs(dense_df, sparse_df):
+    """fit_intercept over sparse features (round 12; the reference xfails
+    this combination, tests/test_estimators.py:47-54, but it's the normal
+    hashed-text-classifier configuration): the appended constant-1
+    coordinate makes the sparse problem IDENTICAL to the dense
+    intercept-extended one, so coefficients and intercept agree."""
+    kw = dict(regularizer=None, fit_intercept=True, max_iter=300, tol=1e-10)
+    dense_lr = LogisticRegression(solver="lbfgs", **kw).fit(
+        dense_df, normalize=False
+    )
+    sparse_lr = LogisticRegression(solver="lbfgs", **kw).fit(sparse_df, p=P)
+    np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        sparse_lr.intercept_, dense_lr.intercept_, rtol=1e-6, atol=1e-8
+    )
+    # scoring round-trips the stored intercept (the _sparse_xb split)
+    acc_s = sparse_lr.score(sparse_df)
+    acc_d = dense_lr.score(dense_df)
+    assert acc_s == acc_d
+
+
+def test_sparse_intercept_matches_dense_admm(dense_df, sparse_df):
+    kw = dict(regularizer="l2", lamduh=0.1, fit_intercept=True, max_iter=20)
+    dense_lr = LogisticRegression(solver="admm", **kw).fit(
+        dense_df, normalize=False, nblocks=0
+    )
+    sparse_lr = LogisticRegression(solver="admm", **kw).fit(
+        sparse_df, p=P, nblocks=0
+    )
+    np.testing.assert_allclose(sparse_lr.coef_, dense_lr.coef_, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        sparse_lr.intercept_, dense_lr.intercept_, rtol=1e-5, atol=1e-7
+    )
+
+
+def test_sparse_intercept_mllib_oracle(spark, dense_df, sparse_df):
+    """MLlib LogisticRegression (standardization off, no penalty) is an
+    independent optimizer for the same intercept-extended MLE."""
+    ml = pytest.importorskip("pyspark.ml.classification")
+    from pyspark.ml.feature import VectorAssembler  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
+
+    mdf = dense_df.withColumn("fv", array_to_vector("features"))
+    m = ml.LogisticRegression(
+        featuresCol="fv", labelCol="label", regParam=0.0,
+        standardization=False, fitIntercept=True, maxIter=300, tol=1e-12,
+    ).fit(mdf)
+    sparse_lr = LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=True,
+        max_iter=300, tol=1e-10,
+    ).fit(sparse_df, p=P)
+    np.testing.assert_allclose(
+        sparse_lr.coef_, np.array(m.coefficients), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        sparse_lr.intercept_, m.intercept, rtol=1e-4, atol=1e-5
+    )
 
 
 def test_sparse_non_lbfgs_raises(sparse_df):
@@ -274,9 +328,51 @@ def test_softmax_sparse_matches_dense_fit(spark, dense_df, sparse_df):
     assert probs_d == probs_s
 
 
-def test_softmax_sparse_intercept_raises(sparse_df):
+def test_softmax_sparse_intercept_matches_dense(dense_df, sparse_df):
+    """Sparse softmax + intercept (round 12): same constant-1 coordinate
+    trick — joint coefficients, intercepts, and probabilities match the
+    dense intercept-extended fit."""
     from dask_glm_spark.operators.estimators import SoftmaxRegression
 
-    df3 = sparse_df.withColumn("label", (F.col("label") + F.size("findices") % 2).cast("double"))
-    with pytest.raises(NotImplementedError, match="intercept"):
-        SoftmaxRegression(solver="lbfgs", fit_intercept=True).fit(df3)
+    dd = dense_df.withColumn(
+        "label", (F.abs(F.hash(F.col("features"))) % 3).cast("double")
+    )
+    sd = V.to_sparse_columns(dd)
+    kw = dict(
+        solver="lbfgs", regularizer="l2", lamduh=1e-2, fit_intercept=True,
+        max_iter=300, tol=1e-10,
+    )
+    md = SoftmaxRegression(**kw).fit(dd, normalize=False)
+    ms = SoftmaxRegression(**kw).fit(sd, p=P)
+    assert md.classes_ == ms.classes_
+    np.testing.assert_allclose(ms.coefs_, md.coefs_, atol=1e-6)
+    np.testing.assert_allclose(ms.intercepts_, md.intercepts_, atol=1e-6)
+    probs_d = sorted(
+        tuple(np.round(r["probabilities"], 6))
+        for r in md.predict_proba(dd).collect()
+    )
+    probs_s = sorted(
+        tuple(np.round(r["probabilities"], 6))
+        for r in ms.predict_proba(sd).collect()
+    )
+    assert probs_d == probs_s
+
+
+def test_sparse_intercept_proba_roundtrip(dense_df, sparse_df):
+    """predict_proba on the sparse frame uses the stored intercept — the
+    probabilities match the dense intercept fit row-for-row."""
+    kw = dict(
+        solver="lbfgs", regularizer=None, fit_intercept=True,
+        max_iter=300, tol=1e-10,
+    )
+    dense_lr = LogisticRegression(**kw).fit(dense_df, normalize=False)
+    sparse_lr = LogisticRegression(**kw).fit(sparse_df, p=P)
+    dp = sorted(
+        round(r["probability"], 6)
+        for r in dense_lr.predict_proba(dense_df).collect()
+    )
+    sp = sorted(
+        round(r["probability"], 6)
+        for r in sparse_lr.predict_proba(sparse_df).collect()
+    )
+    assert dp == sp
