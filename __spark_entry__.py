@@ -225,6 +225,10 @@ woagg AS (SELECT
   sum((xb+o) + ln(1+exp(-(xb+o))) - label*(xb+o)) AS oloss,
   sum(pow(label - 1/(1+exp(-xb)), 2)
       / ((1/(1+exp(-xb))) * (1 - 1/(1+exp(-xb))))) AS pchi2,
+  sum(sign(label - 1/(1+exp(-xb)))
+      * sqrt(greatest(0, 2*(CASE WHEN label > 0.5
+                            THEN -ln(1/(1+exp(-xb)))
+                            ELSE -ln(1 - 1/(1+exp(-xb))) END)))) AS dres,
   {", ".join(f"sum(f{j}*(1/(1+exp(-(xb+o))) - label)) AS og{j}" for j in range(1, 5))}
 FROM wo)"""
 _WG_CASE = "CASE j WHEN 1 THEN wg1 WHEN 2 THEN wg2 WHEN 3 THEN wg3 ELSE wg4 END"
@@ -250,7 +254,8 @@ SELECT j,
   CAST(round({_WG_CASE}, 3) AS DOUBLE) AS wgrad,
   CAST(round(oloss, 3) AS DOUBLE) AS oloss,
   CAST(round({_OG_CASE}, 3) AS DOUBLE) AS ograd,
-  CAST(round(pchi2, 3) AS DOUBLE) AS pchi2
+  CAST(round(pchi2, 3) AS DOUBLE) AS pchi2,
+  CAST(round(dres, 3) AS DOUBLE) AS dres
 FROM bt, l, smagg, woagg ORDER BY j"""
 
 
@@ -2687,6 +2692,18 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("residual") * F.col("residual")).alias("s")
         ).collect()[0]["s"]
     )
+    # round 12 (VERDICT r11 #6): the per-row DEVIANCE residual at the
+    # pinned BETA via the REAL glm_residuals (kind='deviance') — the
+    # oracle recomputes sign(y−μ)·sqrt(2·binomial unit deviance)
+    # symbolically in the wo CTE; summing the SIGNED residuals (not their
+    # squares) keeps the sign branch under the gate.
+    dresd = inference.glm_residuals(
+        df.select("features", "label"), Logistic, np.asarray(BETA),
+        "deviance",
+    )
+    dres = float(
+        dresd.agg(F.sum("residual").alias("s")).collect()[0]["s"]
+    )
     rows = [
         (
             j + 1,
@@ -2702,6 +2719,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(oloss),
             float(ograd[j]),
             pchi2,
+            dres,
         )
         for j in range(len(beta1))
     ]
@@ -2711,7 +2729,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j int, beta1 double, loss1 double, beta1_prox double, "
             "smloss double, smg_c0 double, smg_c1 double, smg_c2 double, "
             "wloss double, wgrad double, oloss double, ograd double, "
-            "pchi2 double",
+            "pchi2 double, dres double",
         )
         .select(
             "j",
@@ -2727,6 +2745,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("oloss", 3).cast("double").alias("oloss"),
             F.round("ograd", 3).cast("double").alias("ograd"),
             F.round("pchi2", 3).cast("double").alias("pchi2"),
+            F.round("dres", 3).cast("double").alias("dres"),
         )
         .orderBy("j")
     )

@@ -128,9 +128,16 @@ def students_t_sf(t: float, df: float) -> float:
 def _isf(sf_fn, p: float) -> float:
     """Inverse survival function by bisection on a monotone-decreasing
     sf (driver-side scalar, ~50 iterations to float precision — the
-    quantile is computed once per interval call, not per row)."""
+    quantile is computed once per interval call, not per row). Handles
+    p >= 0.5 by symmetry of the zero-centered distributions used here
+    (normal / Student-t): isf(p) = -isf(1-p) — the bisection itself only
+    searches [0, inf) (ADVICE r11: it silently returned ~0 there)."""
     if not 0.0 < p < 1.0:
         raise ValueError(f"tail probability must be in (0, 1), got {p}")
+    if p == 0.5:
+        return 0.0
+    if p > 0.5:
+        return -_isf(sf_fn, 1.0 - p)
     lo, hi = 0.0, 1.0
     while sf_fn(hi) > p:
         hi *= 2.0
@@ -291,8 +298,9 @@ def glm_residuals(
 
     - ``deviance``: sign(y−μ)·sqrt(w·d(y, μ));
     - ``pearson``: (y−μ)·sqrt(w)/sqrt(V(μ));
-    - ``response``: y − μ; ``working``: (y−μ)/V(μ) (the IRLS working
-      residual under the canonical/log links used here).
+    - ``response``: y − μ; ``working``: (y−μ)·dη/dμ (the IRLS working
+      residual; equals (y−μ)/V(μ) only for the canonical links —
+      gamma/tweedie use the log link's 1/μ, ADVICE r11).
 
     Weights follow the MLlib convention (residuals scaled by sqrt(w) so
     their sum of squares is the weighted deviance/Pearson χ²)."""
@@ -431,9 +439,16 @@ def glm_summary(
     weight_col: str | None = None,
     offset_col: str | None = None,
     robust: bool = False,
+    fit_intercept: bool = True,
 ) -> GLMSummary:
     """Wald inference at a fitted coefficient vector (original feature
     space, intercept column included in ``features_col`` if fitted).
+
+    ``fit_intercept`` controls the NULL model for ``null_deviance``
+    (ADVICE r11): True → intercept-only fit (μ̂₀ = weighted mean of y,
+    the closed form under every link here); False → the zero-linear-
+    predictor model (μ₀ = g⁻¹(0)), matching R's null model for
+    no-intercept fits.
 
     ``robust=True`` (White 1980 / HC0): the covariance becomes the
     sandwich ``H⁻¹·(Σ s_i s_iᵀ)·H⁻¹`` over the OBJECTIVE Hessian and
@@ -453,7 +468,17 @@ def glm_summary(
     )
     name = getattr(family, "name", "")
     info = hess / _HESS_SCALE.get(name, 1.0)  # unit-dispersion XᵀWX
-    cov_unit = np.linalg.pinv(info)
+    # rank check (ADVICE r11): pinv on a rank-deficient information would
+    # silently report pseudo-inverse SEs for unidentified coefficients —
+    # MLlib GLR refuses SEs there; so do we, loudly.
+    rank = int(np.linalg.matrix_rank(info))
+    if rank < p:
+        raise ValueError(
+            f"design matrix is rank-deficient (information rank {rank} < "
+            f"p={p}): some coefficients are not identified and Wald SEs "
+            "are undefined — drop collinear feature columns and refit"
+        )
+    cov_unit = np.linalg.inv(info)
 
     y = F.col(label_col)
     w = F.col(weight_col) if weight_col is not None else F.lit(1.0)
@@ -480,18 +505,23 @@ def glm_summary(
         dispersion, fixed = pearson / df_resid, False
 
     # total + null deviance in ONE extra scan: d at the fitted μ and at
-    # the intercept-only MLE μ̂₀ = weighted mean of y (the closed-form
-    # null fit for every family here — identity/logit/log links all have
-    # the intercept-only MLE at the weighted response mean). Offsets are
-    # excluded from the null model (R's convention is offset-INCLUDED
-    # null, which has no closed form — documented divergence; with no
-    # offset the values match R/MLlib exactly).
+    # the null μ₀ — the intercept-only MLE μ̂₀ = weighted mean of y
+    # (closed form under every link here) when an intercept was fit, or
+    # g⁻¹(0) for no-intercept fits (R's zero-linear-predictor null,
+    # ADVICE r11). Offsets are excluded from the null model (R's
+    # convention is offset-INCLUDED null, which has no closed form —
+    # documented divergence; with no offset the values match R/MLlib
+    # exactly).
     xb_fit = kernels.matvec_expr(beta, features_col)
     if offset_col is not None:
         xb_fit = xb_fit + F.col(offset_col)
     mu_fit, _ = _mean_and_variance_exprs(family, xb_fit)
     d_fit = _unit_deviance_expr(family, y, mu_fit)
-    d_null = _unit_deviance_expr(family, y, F.lit(float(ybar)))
+    if fit_intercept:
+        mu0 = float(ybar)
+    else:  # g⁻¹(0): logit → 1/2, identity → 0, log → 1
+        mu0 = 0.5 if name == "logistic" else (0.0 if name == "normal" else 1.0)
+    d_null = _unit_deviance_expr(family, y, F.lit(mu0))
     drow = df.agg(
         F.sum(w * d_fit).alias("dev"), F.sum(w * d_null).alias("dev0")
     ).collect()[0]
@@ -523,6 +553,164 @@ def glm_summary(
         statistic_kind=kind, dispersion=float(dispersion),
         dispersion_fixed=fixed, df_residual=float(df_resid), n=float(n),
         covariance=cov, deviance=deviance, null_deviance=null_deviance,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joint-softmax (multinomial) Wald inference — round 12
+# ---------------------------------------------------------------------------
+SOFTMAX_INFO_MAX = 2048  # p·(k−1) guard: the information is (p·(k−1))²
+
+
+class SoftmaxSummary:
+    """Wald inference for a jointly-fit multinomial (softmax) model,
+    identified by pinning the LAST (sorted) class as the reference:
+    coefficients are log-odds contrasts β_c − β_ref, the object whose
+    Fisher information is nonsingular (the raw softmax parameterization
+    is shift-invariant, so its information has a p-dimensional null
+    space). Arrays are (p, k−1): row = feature (intercept LAST when
+    fitted), column = non-reference class in ``classes`` order.
+
+    Multinomial dispersion is fixed at 1 → z statistics."""
+
+    def __init__(self, coefficients, std_errors, statistic, p_values,
+                 classes, reference_class, n, covariance=None):
+        self.coefficients = coefficients
+        self.std_errors = std_errors
+        self.statistic = statistic
+        self.p_values = p_values
+        self.classes = classes
+        self.reference_class = reference_class
+        self.n = n
+        self.covariance = covariance  # (p·(k−1))², class-major blocks
+        self.statistic_kind = "z"
+        self.dispersion = 1.0
+        self.dispersion_fixed = True
+
+    def __repr__(self):  # pragma: no cover — cosmetic
+        lines = [
+            f"SoftmaxSummary(n={self.n:.0f}, "
+            f"reference_class={self.reference_class!r})"
+        ]
+        p, km1 = self.coefficients.shape
+        for c in range(km1):
+            lines.append(f" class {self.classes[c]!r} vs reference:")
+            for j in range(p):
+                lines.append(
+                    f"  b[{j}] = {self.coefficients[j, c]:+.6g}  "
+                    f"se = {self.std_errors[j, c]:.4g}  "
+                    f"z = {self.statistic[j, c]:+.3f}  "
+                    f"p = {self.p_values[j, c]:.4g}"
+                )
+        return "\n".join(lines)
+
+
+def _softmax_information(
+    df: DataFrame,
+    B: np.ndarray,
+    p: int,
+    k: int,
+    features_col: str,
+    weight_col: str | None,
+) -> tuple[np.ndarray, float]:
+    """((p·(k−1))², n): the observed(=expected; canonical link) Fisher
+    information of the reference-class-pinned multinomial at the fitted
+    probabilities, plus the row count — ONE Arrow scan. Block (c, d) is
+    ``Xᵀ diag(w·(P_c·(δ_cd − P_d))) X``; the per-batch cost is
+    (k−1)(k/2) p×p GEMMs and the partial is (p(k−1))² doubles per
+    partition under the bytes-aware tree merge (the Gram-job shape,
+    (k−1)² times over). The label column is NOT read — the multinomial
+    information depends only on X and P."""
+    from dask_glm_spark.functions.kernels import _arrow_partials_generic
+
+    m = p * (k - 1)
+
+    def batch_partial(pdf) -> dict:
+        from dask_glm_spark.functions.kernels import _features_matrix
+
+        X = _features_matrix(pdf, features_col)
+        Z = X @ B
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        w = (
+            pdf[weight_col].to_numpy(dtype=np.float64)
+            if weight_col is not None
+            else None
+        )
+        info = np.empty((m, m))
+        for c in range(k - 1):
+            for d in range(c, k - 1):
+                wv = P[:, c] * ((1.0 if c == d else 0.0) - P[:, d])
+                if w is not None:
+                    wv = w * wv
+                blk = X.T @ (wv[:, None] * X)
+                info[c * p:(c + 1) * p, d * p:(d + 1) * p] = blk
+                if d != c:
+                    info[d * p:(d + 1) * p, c * p:(c + 1) * p] = blk.T
+        return {"info": info.ravel(), "n": float(len(X))}
+
+    rows = _arrow_partials_generic(
+        df, batch_partial, "info array<double>, n double",
+        partial_doubles=m * m + 1,
+    )
+    info = np.zeros(m * m)
+    n = 0.0
+    for r_ in rows:
+        info += np.asarray(r_["info"], dtype=np.float64)
+        n += r_["n"]
+    return info.reshape(m, m), n
+
+
+def softmax_summary(
+    df: DataFrame,
+    B: np.ndarray,
+    classes: list,
+    features_col: str = "features",
+    weight_col: str | None = None,
+) -> SoftmaxSummary:
+    """Wald inference for a jointly-fit softmax coefficient matrix ``B``
+    (p, k) over ``classes`` (sorted; the LAST is pinned as reference).
+    The reported coefficients are the contrasts ``B[:, c] − B[:, k−1]``
+    — invariant to the fit's parameterization — with SEs from the
+    inverse of the pinned-model information (one Arrow scan; see
+    ``_softmax_information``). Loud guard past ``SOFTMAX_INFO_MAX``:
+    the (p·(k−1))² information is the wrong object for wide p·k."""
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    p, k = B.shape
+    if k != len(classes):
+        raise ValueError(
+            f"B has {k} class columns but {len(classes)} classes given"
+        )
+    if k < 2:
+        raise ValueError("softmax inference needs k >= 2 classes")
+    m = p * (k - 1)
+    if m > SOFTMAX_INFO_MAX:
+        raise ValueError(
+            f"p*(k-1) = {m} > {SOFTMAX_INFO_MAX}: the joint multinomial "
+            "information is (p*(k-1))^2 — too wide for dense Wald "
+            "inference. Use OvR (MulticlassLogisticRegression.summaries) "
+            "or reduce the feature width."
+        )
+    info, n = _softmax_information(df, B, p, k, features_col, weight_col)
+    rank = int(np.linalg.matrix_rank(info))
+    if rank < m:
+        raise ValueError(
+            f"multinomial information is rank-deficient (rank {rank} < "
+            f"{m}): coefficients are not identified — drop collinear "
+            "feature columns and refit"
+        )
+    cov = np.linalg.inv(info)
+    D = B[:, : k - 1] - B[:, k - 1:]  # (p, k−1) contrasts vs reference
+    se = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    se = se.reshape(k - 1, p).T  # class-major diag -> (p, k−1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stat = np.where(se > 0, D / se, np.nan)
+    pvals = np.vectorize(lambda z: 2.0 * normal_sf(abs(z)))(stat)
+    return SoftmaxSummary(
+        coefficients=D, std_errors=se, statistic=stat, p_values=pvals,
+        classes=list(classes), reference_class=classes[-1], n=float(n),
+        covariance=cov,
     )
 
 

@@ -172,30 +172,47 @@ def _arrow_partials_generic(
         max_driver_rows = max(
             1, DRIVER_PULL_BUDGET_BYTES // (8 * int(partial_doubles))
         )
-    if nparts > tree_threshold or (
-        max_driver_rows is not None and nparts > max_driver_rows
-    ):
-        fanin = TREE_FANIN if nparts > tree_threshold else 2
-        if max_driver_rows is not None and nparts > max_driver_rows:
-            fanin = max(fanin, -(-nparts // max_driver_rows))
-        n_groups = (nparts + fanin - 1) // fanin
 
-        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # the single rows.sort below fixes the deterministic merge
-            # order; per-chunk / in-partition pre-sorts were dead work
-            rows = [r for pdf in batches for r in pdf.to_dict("records")]
-            if not rows:
-                return
-            rows.sort(key=lambda r: r["pid"])
-            acc = _sum_partial_rows(rows, value_cols, merges)
-            row = {"pid": [int(rows[0]["pid"])]}
-            for c in value_cols:
-                v = acc[c]
-                row[c] = [v.tolist() if isinstance(v, np.ndarray) else float(v)]
-            yield pd.DataFrame(row)
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the single rows.sort below fixes the deterministic merge
+        # order; per-chunk / in-partition pre-sorts were dead work
+        rows = [r for pdf in batches for r in pdf.to_dict("records")]
+        if not rows:
+            return
+        rows.sort(key=lambda r: r["pid"])
+        acc = _sum_partial_rows(rows, value_cols, merges)
+        row = {"pid": [int(rows[0]["pid"])]}
+        for c in value_cols:
+            v = acc[c]
+            row[c] = [v.tolist() if isinstance(v, np.ndarray) else float(v)]
+        yield pd.DataFrame(row)
 
+    def _needs_merge(n: int) -> bool:
+        return n > tree_threshold or (
+            max_driver_rows is not None and n > max_driver_rows
+        )
+
+    # Multi-level merge (ADVICE r11): fanin is capped so ONE combine task
+    # never materializes more than the byte budget of partial rows — the
+    # old single-level merge sized fanin to ceil(nparts/max_driver_rows),
+    # which at wide p with many partitions put GBs of partials in one
+    # executor task (p=2048 Gram, 1000 parts: 143 x 34 MB ≈ 4.8 GB). Now
+    # fanin ≤ min(TREE_FANIN, max_driver_rows) and levels repeat until the
+    # driver pull fits. Grouping stays pid-deterministic: each combined
+    # row keeps its group's MIN original pid, so level L groups by
+    # pid // (fanin₁·…·fanin_L) and the sorted-pid fold order is
+    # run-invariant at every level.
+    n_rows = nparts
+    stride = 1
+    while _needs_merge(n_rows):
+        fanin = TREE_FANIN
+        if max_driver_rows is not None:
+            fanin = min(fanin, max_driver_rows)
+        fanin = max(fanin, 2)
+        stride *= fanin
+        n_rows = (n_rows + fanin - 1) // fanin
         out = out.repartition(
-            n_groups, (F.col("pid") / fanin).cast("int")
+            n_rows, (F.col("pid") / stride).cast("int")
         ).mapInPandas(combine, schema=f"pid int, {out_fields}")
 
     # Columnar retrieval (round 11): collect() boxes every float of every
@@ -709,6 +726,44 @@ def softmax_loss_gradient(
         loss += r_["loss"]
         grad += np.asarray(r_["grad"], dtype=np.float64)
     return loss, grad.reshape(p, k)
+
+
+def softmax_multi_loss(
+    df: DataFrame,
+    Bs: list[np.ndarray],
+    features_col: str = "features",
+    label_col: str = "label",
+    weight_col: str | None = None,
+) -> np.ndarray:
+    """Negative log-likelihoods of c candidate (p, k) softmax coefficient
+    matrices in ONE scan (the multinomial twin of ``multi_loss`` — the
+    FISTA/ISTA backtracking probe surface, round 12): per Arrow batch one
+    (n,p)×(p,k) GEMM and one stable logsumexp per candidate; partials are
+    c doubles per partition."""
+    mats = [np.ascontiguousarray(b, dtype=np.float64) for b in Bs]
+    c = len(mats)
+
+    def partial(X, y, w=None):
+        yi = y.astype(np.int64)
+        rows = np.arange(len(yi))
+        losses = np.empty(c)
+        with np.errstate(over="ignore", invalid="ignore"):
+            for i, B in enumerate(mats):
+                Z = X @ B
+                m = Z.max(axis=1, keepdims=True)
+                lse = m[:, 0] + np.log(np.exp(Z - m).sum(axis=1))
+                ll = lse - Z[rows, yi]
+                losses[i] = np.dot(w, ll) if w is not None else ll.sum()
+        return {"losses": losses}
+
+    rows_ = _arrow_partials(
+        df, features_col, label_col, partial, "losses array<double>",
+        weight_col=weight_col, partial_doubles=c,
+    )
+    out = np.zeros(c)
+    for r_ in rows_:
+        out += np.asarray(r_["losses"], dtype=np.float64)
+    return out
 
 
 # ---------------------------------------------------------------------------

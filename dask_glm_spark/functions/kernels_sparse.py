@@ -237,6 +237,55 @@ def multi_loss_gradient_sparse(
     return losses, grads.reshape(p, k)
 
 
+def softmax_multi_loss_sparse(
+    df: DataFrame,
+    Bs: list[np.ndarray],
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    weight_col: str | None = None,
+) -> np.ndarray:
+    """Negative log-likelihoods of c candidate (p, k) softmax matrices in
+    one O(c·k·nnz) scan — the sparse twin of ``kernels.softmax_multi_loss``
+    (the multinomial FISTA backtracking probe, round 12)."""
+    mats = [np.ascontiguousarray(b, dtype=np.float64) for b in Bs]
+    c = len(mats)
+    k = mats[0].shape[1]
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        y = pdf[label_col].to_numpy(dtype=np.float64).astype(np.int64)
+        w = (
+            pdf[weight_col].to_numpy(dtype=np.float64)
+            if weight_col is not None
+            else None
+        )
+        rows = np.arange(n)
+        losses = np.empty(c)
+        Z = np.empty((n, k))
+        with np.errstate(over="ignore", invalid="ignore"):
+            for i, B in enumerate(mats):
+                for cc in range(k):
+                    Z[:, cc] = np.bincount(
+                        row_ids, weights=flat_val * B[flat_idx, cc],
+                        minlength=n,
+                    )
+                m = Z.max(axis=1, keepdims=True)
+                lse = m[:, 0] + np.log(np.exp(Z - m).sum(axis=1))
+                ll = lse - Z[rows, y]
+                losses[i] = np.dot(w, ll) if w is not None else ll.sum()
+        return {"losses": losses}
+
+    rows_ = _arrow_partials_generic(
+        df, batch_partial, "losses array<double>", partial_doubles=c
+    )
+    out = np.zeros(c)
+    for r_ in rows_:
+        out += np.asarray(r_["losses"], dtype=np.float64)
+    return out
+
+
 def softmax_loss_gradient_sparse(
     df: DataFrame,
     B: np.ndarray,

@@ -286,7 +286,29 @@ class _GLM(BaseEstimator):
             df_, self.family, self._coef, self.features_col,
             self.label_col, weight_col=self.weight_col,
             offset_col=self.offset_col, robust=robust,
+            fit_intercept=self.fit_intercept,
         )
+
+    def refit_mle(self, df: DataFrame, **extra):
+        """The documented escape hatch for inference on penalized fits
+        (round 12, VERDICT r11 #8): ``summary()`` on the default
+        (admm + L2 + λ=1) config refuses by design — Wald SEs assume the
+        MLE. This returns a NEW estimator of the same class with the
+        penalty removed (``regularizer=None``), fit on ``df`` warm-started
+        at THIS fit's coefficients (usually a handful of iterations from
+        the penalized point), whose ``summary()``/``conf_int`` are then
+        honest MLE inference. Solvers that exist only to carry a penalty
+        (admm / proximal_grad) switch to lbfgs for the refit."""
+        if self._coef is None:
+            raise ValueError("refit_mle() requires a fitted model")
+        params = self.get_params()
+        params["regularizer"] = None
+        params["lamduh"] = 0.0
+        if params.get("solver") in ("admm", "proximal_grad"):
+            params["solver"] = "lbfgs"
+        m = type(self)(**params)
+        m.fit(df, init_beta=self._coef, **extra)
+        return m
 
     def _reject_penalized_inference(self, what: str) -> None:
         """Wald SEs/p-values assume the MLE: Cov = φ·(XᵀWX)⁻¹ does NOT
@@ -307,8 +329,9 @@ class _GLM(BaseEstimator):
                 f"penalized (solver={self.solver!r}, regularizer="
                 f"{self.regularizer!r}, lamduh={self.lamduh}) — the "
                 "sampling covariance is not phi*(X'WX)^-1 under a "
-                "penalty. Refit with regularizer=None (or lamduh=0), or "
-                "use solver='newton'."
+                "penalty. Call refit_mle(df).summary(df) for honest MLE "
+                "inference (warm-started, usually a few iterations), or "
+                "refit with regularizer=None / solver='newton'."
             )
 
     def predict_interval(
@@ -793,6 +816,7 @@ class MulticlassLogisticRegression(_GLM):
                         dfi, self.family, b, self.features_col,
                         self.label_col, weight_col=self.weight_col,
                         offset_col=self.offset_col,
+                        fit_intercept=self.fit_intercept,
                     )
                 )
             return out
@@ -810,7 +834,10 @@ class SoftmaxRegression(MulticlassLogisticRegression):
     softmax_loss_gradient`` — the P2 shape with a (p, k) partial), so an
     optimizer sweep costs one pass over the cache instead of OvR's k, and
     ``predict_proba`` returns the jointly-calibrated softmax instead of
-    OvR's renormalized sigmoids. Only ``solver='lbfgs'`` is supported
+    OvR's renormalized sigmoids. ``solver='lbfgs'`` fits smooth
+    objectives; ``solver='proximal_grad'`` (round 12) runs FISTA over
+    the flattened (p, k) matrix for non-smooth penalties — L1 feature
+    selection on hashed text dims
     (``regularizer``/``lamduh``/``max_iter``/``tol`` route through).
 
     Prediction reuses the parent's argmax machinery over LINEAR scores
@@ -819,17 +846,30 @@ class SoftmaxRegression(MulticlassLogisticRegression):
     the score array let-bound once."""
 
     def summary(self, df: DataFrame):
-        # the OvR parent's per-class binary information is NOT the
-        # multinomial Fisher information at the JOINT softmax estimates —
-        # Wald SEs from it would be silently wrong; the joint information
-        # is (p·(k−1))² with a reference-class identification choice,
-        # deliberately out of scope
-        raise NotImplementedError(
-            "SoftmaxRegression does not support summary(): the joint "
-            "multinomial Fisher information is (p*(k-1))^2 and per-class "
-            "binary SEs would be wrong for jointly-fit coefficients. "
-            "Fit MulticlassLogisticRegression (OvR) for per-class Wald "
-            "inference."
+        """Joint multinomial Wald inference (round 12) — NOT the OvR
+        parent's per-class binary summaries (those are a different
+        estimand; the divergence is pinned in tests): the (p·(k−1))²
+        Fisher information of the reference-class-pinned softmax at the
+        fitted probabilities, one Arrow scan (``inference.
+        softmax_summary``). Coefficients reported as contrasts vs the
+        LAST sorted class; loud guard past p·(k−1) = 2048."""
+        from dask_glm_spark.functions import inference
+        from dask_glm_spark.sources import vectors as V
+
+        if getattr(self, "_coefs", None) is None:
+            raise ValueError("summary() requires a fitted model")
+        self._reject_penalized_inference("summary()")
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if V.is_sparse_columns(df):
+            raise NotImplementedError(
+                "summary() supports dense features only: the (p*(k-1))^2 "
+                "covariance is the wrong object for wide-sparse fits"
+            )
+        df_ = self._maybe_add_intercept(df)
+        return inference.softmax_summary(
+            df_, np.column_stack(self._coefs), self.classes_,
+            features_col=self.features_col, weight_col=self.weight_col,
         )
 
     def fit(self, df: DataFrame, y=None, **extra):
@@ -837,9 +877,10 @@ class SoftmaxRegression(MulticlassLogisticRegression):
 
         if V.is_vector_column(df, self.features_col):
             df = V.from_vector_column(df, self.features_col)
-        if self.solver != "lbfgs":
+        if self.solver not in ("lbfgs", "proximal_grad"):
             raise NotImplementedError(
-                f"SoftmaxRegression supports solver='lbfgs', got {self.solver!r}"
+                "SoftmaxRegression supports solver in ('lbfgs', "
+                f"'proximal_grad'), got {self.solver!r}"
             )
         if self.offset_col is not None:
             # a shared per-row offset is invariant under softmax (it
@@ -876,7 +917,12 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         if self.weight_col is not None:
             extra.setdefault("weight_col", self.weight_col)
         info = extra.setdefault("fit_info", {})
-        B = solvers.softmax_lbfgs(
+        solver_fn = (
+            solvers.softmax_proximal
+            if self.solver == "proximal_grad"
+            else solvers.softmax_lbfgs
+        )
+        B = solver_fn(
             dfi,
             k,
             regularizer=self.regularizer,
@@ -941,7 +987,12 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         if self.weight_col is not None:
             extra.setdefault("weight_col", self.weight_col)
         info = extra.setdefault("fit_info", {})
-        B = solvers.softmax_lbfgs_sparse(
+        solver_fn = (
+            solvers.softmax_proximal_sparse
+            if self.solver == "proximal_grad"
+            else solvers.softmax_lbfgs_sparse
+        )
+        B = solver_fn(
             dfi,
             k,
             regularizer=self.regularizer,

@@ -259,9 +259,20 @@ def test_ovr_summary_per_class_equals_binary(spark):
         np.testing.assert_allclose(
             summaries[1].p_values, bs.p_values, atol=1e-10
         )
+        # round 12: joint softmax summary exists now — the default
+        # (penalized) config still refuses. (This fixture's labels are
+        # argmax-SEPARABLE, so the unpenalized multinomial MLE diverges
+        # and its information is legitimately rank-deficient — the MLE
+        # summary path is exercised on non-separable data in the
+        # round-12 softmax tests below.)
         sm = SoftmaxRegression(solver="lbfgs", max_iter=50).fit(df)
-        with pytest.raises(NotImplementedError, match="multinomial"):
+        with pytest.raises(ValueError, match="penalized"):
             sm.summary(df)
+        sm_mle = SoftmaxRegression(
+            solver="lbfgs", regularizer=None, max_iter=100
+        ).fit(df)
+        with pytest.raises(ValueError, match="rank-deficient"):
+            sm_mle.summary(df)  # separation -> singular information
     finally:
         df.unpersist()
 
@@ -542,3 +553,226 @@ def test_robust_hc0_sandwich_numpy_twins(spark, cls_data):
     np.testing.assert_allclose(
         sg.std_errors, np.sqrt(np.diag(hc0)), rtol=1e-8
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12: ADVICE r11 fixes
+# ---------------------------------------------------------------------------
+def test_isf_symmetry_and_median():
+    """_isf handles p >= 0.5 by symmetry (ADVICE r11: it silently
+    returned ~0 for any upper-half tail probability)."""
+    assert inference.normal_isf(0.5) == 0.0
+    assert inference.normal_isf(0.7) == pytest.approx(
+        -inference.normal_isf(0.3), abs=1e-10
+    )
+    # known value: P(Z > -0.5244) ~= 0.70
+    assert inference.normal_isf(0.7) == pytest.approx(-0.5244, abs=1e-3)
+    assert inference.students_t_isf(0.8, 5.0) == pytest.approx(
+        -inference.students_t_isf(0.2, 5.0), abs=1e-10
+    )
+    assert inference.students_t_isf(0.5, 5.0) == 0.0
+
+
+def test_rank_deficient_design_raises(spark):
+    """Collinear columns (here: a duplicated feature) make the information
+    singular — summary must refuse, not report pinv pseudo-SEs
+    (ADVICE r11; MLlib GLR likewise refuses)."""
+    rng = np.random.RandomState(3)
+    n = 200
+    x0 = rng.standard_normal(n)
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-x0))).astype(np.float64)
+    rows = [([float(v), float(v)], float(yi)) for v, yi in zip(x0, y)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    est = LogisticRegression(
+        solver="gradient_descent", max_iter=5, fit_intercept=False
+    ).fit(df, normalize=False)
+    with pytest.raises(ValueError, match="rank-deficient"):
+        est.summary(df)
+
+
+def test_null_deviance_no_intercept(spark, cls_data):
+    """fit_intercept=False -> the null model is the ZERO linear predictor
+    (mu0 = 1/2 for logit), not the intercept-only mean model
+    (ADVICE r11). Numpy twin on the same rows."""
+    est = LogisticRegression(
+        solver="newton", max_iter=100, tol=1e-10, fit_intercept=False
+    ).fit(cls_data)
+    s = est.summary(cls_data)
+    pdf = cls_data.toPandas()
+    y = pdf["label"].to_numpy()
+    # binomial null deviance at mu0 = 0.5: -2 sum(y log .5 + (1-y) log .5)
+    expected0 = float(
+        2.0 * np.sum(np.where(y > 0.5, -np.log(0.5), -np.log(0.5)))
+    )
+    assert s.null_deviance == pytest.approx(expected0, rel=1e-10)
+    # with an intercept the null deviance is strictly smaller (mean fit)
+    s_i = LogisticRegression(solver="newton", max_iter=100, tol=1e-10).fit(
+        cls_data
+    ).summary(cls_data)
+    assert s_i.null_deviance < s.null_deviance
+
+
+# ---------------------------------------------------------------------------
+# round 12: joint-softmax Wald inference
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def softmax_data(spark):
+    rng = np.random.RandomState(12)
+    n, p, k = 500, 2, 3
+    X = rng.standard_normal((n, p))
+    Btrue = np.array([[0.8, -0.5, 0.0], [-0.3, 0.6, 0.0]])
+    Z = X @ Btrue
+    P = np.exp(Z - Z.max(axis=1, keepdims=True))
+    P /= P.sum(axis=1, keepdims=True)
+    y = np.array([rng.choice(k, p=P[i]) for i in range(n)], dtype=np.float64)
+    rows = [([float(v) for v in X[i]], float(y[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "features array<double>, label double"
+    ).repartition(4).persist()
+    yield df, X, y
+    df.unpersist()
+
+
+def _numpy_softmax_info(X, B, w=None):
+    """Exact-formula oracle: the (p(k-1))^2 pinned multinomial Fisher
+    information, naive loops."""
+    n, p = X.shape
+    k = B.shape[1]
+    Z = X @ B
+    Z -= Z.max(axis=1, keepdims=True)
+    P = np.exp(Z)
+    P /= P.sum(axis=1, keepdims=True)
+    m = p * (k - 1)
+    info = np.zeros((m, m))
+    ww = np.ones(n) if w is None else w
+    for i in range(n):
+        for c in range(k - 1):
+            for d in range(k - 1):
+                wcd = ww[i] * P[i, c] * ((1.0 if c == d else 0.0) - P[i, d])
+                info[c * p:(c + 1) * p, d * p:(d + 1) * p] += (
+                    wcd * np.outer(X[i], X[i])
+                )
+    return info
+
+
+def test_softmax_information_numpy_twin(softmax_data):
+    from dask_glm_spark.functions.inference import _softmax_information
+
+    df, X, y = softmax_data
+    rng = np.random.RandomState(5)
+    B = rng.standard_normal((2, 3)) * 0.4
+    info, n = _softmax_information(df, B, 2, 3, "features", None)
+    assert n == len(X)
+    expected = _numpy_softmax_info(X, B)
+    np.testing.assert_allclose(info, expected, rtol=1e-9, atol=1e-9)
+
+
+def test_softmax_summary_exact_oracle(softmax_data):
+    """End-to-end: fit the joint softmax (unpenalized MLE), then check
+    SEs/z/p against the exact numpy information inverse at the SAME
+    fitted B, and the contrasts against the fitted columns."""
+    from dask_glm_spark.operators.estimators import SoftmaxRegression
+
+    df, X, y = softmax_data
+    est = SoftmaxRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=True,
+        max_iter=300, tol=1e-10,
+    ).fit(df, normalize=False)
+    s = est.summary(df)
+    assert s.reference_class == est.classes_[-1]
+    assert s.statistic_kind == "z"
+    # numpy twin on the intercept-extended design at the fitted B
+    X1 = np.column_stack([X, np.ones(len(X))])
+    B = np.column_stack(est._coefs)
+    info = _numpy_softmax_info(X1, B)
+    cov = np.linalg.inv(info)
+    p1, k = B.shape
+    se = np.sqrt(np.diag(cov)).reshape(k - 1, p1).T
+    np.testing.assert_allclose(s.std_errors, se, rtol=1e-8)
+    D = B[:, :-1] - B[:, -1:]
+    np.testing.assert_allclose(s.coefficients, D, rtol=1e-10)
+    np.testing.assert_allclose(s.statistic, D / se, rtol=1e-8)
+    # p-values consistent with the z statistics
+    from dask_glm_spark.functions.inference import normal_sf
+
+    np.testing.assert_allclose(
+        s.p_values[0, 0], 2 * normal_sf(abs(s.statistic[0, 0])), rtol=1e-12
+    )
+
+
+def test_softmax_summary_diverges_from_ovr(softmax_data):
+    """Documented divergence: OvR per-class binary SEs are a DIFFERENT
+    estimand than the joint multinomial contrasts — neither the point
+    estimates nor the SEs coincide."""
+    from dask_glm_spark.operators.estimators import (
+        MulticlassLogisticRegression,
+        SoftmaxRegression,
+    )
+
+    df, X, y = softmax_data
+    kw = dict(
+        solver="lbfgs", regularizer=None, fit_intercept=True,
+        max_iter=200, tol=1e-9,
+    )
+    joint = SoftmaxRegression(**kw).fit(df, normalize=False).summary(df)
+    ovr = MulticlassLogisticRegression(**kw).fit(df, normalize=False)
+    ovr_summaries = ovr.summary(df)
+    # compare class 0's slope SE: joint contrast-vs-reference vs OvR
+    # one-vs-rest — materially different objects
+    se_joint = joint.std_errors[0, 0]
+    se_ovr = ovr_summaries[0].std_errors[0]
+    assert abs(se_joint - se_ovr) / se_ovr > 0.01
+
+
+def test_softmax_summary_guards(softmax_data):
+    from dask_glm_spark.functions.inference import softmax_summary
+    from dask_glm_spark.operators.estimators import SoftmaxRegression
+
+    df, X, y = softmax_data
+    # size guard
+    with pytest.raises(ValueError, match="too wide"):
+        softmax_summary(df, np.zeros((2000, 4)), [0.0, 1.0, 2.0, 3.0])
+    # penalized fits refused (default config is l2-penalized)
+    est = SoftmaxRegression(solver="lbfgs", max_iter=20).fit(
+        df, normalize=False
+    )
+    with pytest.raises(ValueError, match="penalized"):
+        est.summary(df)
+
+
+def test_softmax_summary_weighted_numpy_twin(spark, softmax_data):
+    from dask_glm_spark.functions.inference import _softmax_information
+    from pyspark.sql import functions as F
+
+    df, X, y = softmax_data
+    dfw = df.withColumn(
+        "w", (F.abs(F.hash(F.col("features").cast("string"))) % 3 + 1).cast("double")
+    )
+    rows = dfw.select("features", "w").collect()
+    w = np.array([r["w"] for r in rows])
+    Xc = np.array([r["features"] for r in rows])
+    rng = np.random.RandomState(9)
+    B = rng.standard_normal((2, 3)) * 0.3
+    info, n = _softmax_information(dfw, B, 2, 3, "features", "w")
+    expected = _numpy_softmax_info(Xc, B, w)
+    np.testing.assert_allclose(info, expected, rtol=1e-9, atol=1e-9)
+
+
+def test_refit_mle_escape_hatch(cls_data):
+    """The default estimator config is penalized -> summary() refuses;
+    refit_mle() returns an UNpenalized warm-started clone whose summary
+    matches a from-scratch MLE fit's inference (round 12, VERDICT r11
+    #8)."""
+    pen = LogisticRegression(max_iter=50).fit(cls_data)  # admm + l2 + λ=1
+    with pytest.raises(ValueError, match="refit_mle"):
+        pen.summary(cls_data)
+    mle = pen.refit_mle(cls_data)
+    assert type(mle) is LogisticRegression
+    s = mle.summary(cls_data)
+    ref = LogisticRegression(
+        solver="newton", max_iter=100, tol=1e-10
+    ).fit(cls_data)
+    s_ref = ref.summary(cls_data)
+    np.testing.assert_allclose(mle.coef_, ref.coef_, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(s.std_errors, s_ref.std_errors, rtol=1e-4)
+    np.testing.assert_allclose(s.p_values, s_ref.p_values, atol=1e-4)
