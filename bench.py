@@ -107,6 +107,16 @@ def main() -> int:
             load_glm_fast(spark, sf_dir)
         ),
     )
+    # round 12: matrix-free truncated Newton — at bench p=4 it should sit
+    # near fit_newton (same outer loop; CG costs a few O(p) scans where
+    # newton runs one fused Gram scan); the key exists so a regression in
+    # the CG forcing/scan fusion is visible round-over-round
+    timed(
+        "fit_newton_cg",
+        lambda: LogisticRegression(solver="newton_cg", max_iter=20).fit(
+            load_glm_fast(spark, sf_dir)
+        ),
+    )
     timed(
         "fit_gradient_descent",
         lambda: LogisticRegression(solver="gradient_descent", max_iter=30).fit(

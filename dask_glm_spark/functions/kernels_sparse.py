@@ -237,6 +237,53 @@ def multi_loss_gradient_sparse(
     return losses, grads.reshape(p, k)
 
 
+def hessian_vector_product_sparse(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    v: np.ndarray,
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+) -> np.ndarray:
+    """Sparse Hessian-vector product ``Hv = Xᵀ(hw(xb)⊙(X·v))`` — the
+    O(nnz) twin of ``kernels.hessian_vector_product`` (round 12): two
+    bincount scatters per batch (xb and X·v share the flattened triplets),
+    O(p) doubles per partition. Gives wide-sparse fits a second-order
+    solver (``newton_cg_sparse``) — plain newton is excluded from sparse
+    because its p² Gram is the wrong object there; the Hvp never forms
+    it."""
+    beta = np.asarray(beta, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        xb = np.bincount(row_ids, weights=flat_val * beta[flat_idx], minlength=n)
+        if offset_col is not None:
+            xb = xb + pdf[offset_col].to_numpy(dtype=np.float64)
+        hw = family.hess_weight_np(xb)
+        if weight_col is not None:
+            hw = hw * pdf[weight_col].to_numpy(dtype=np.float64)
+        xv = np.bincount(row_ids, weights=flat_val * v[flat_idx], minlength=n)
+        t = hw * xv
+        return {
+            "hv": np.bincount(
+                flat_idx, weights=t[row_ids] * flat_val, minlength=p
+            )
+        }
+
+    rows = _arrow_partials_generic(
+        df, batch_partial, "hv array<double>", partial_doubles=p
+    )
+    hv = np.zeros(p)
+    for r_ in rows:
+        hv += np.asarray(r_["hv"], dtype=np.float64)
+    return hv
+
+
 def softmax_multi_loss_sparse(
     df: DataFrame,
     Bs: list[np.ndarray],

@@ -180,6 +180,7 @@ class _GLM(BaseEstimator):
         "proximal_grad": "proximal_grad_sparse",
         "gradient_descent": "gradient_descent_sparse",
         "admm": "admm_sparse",
+        "newton_cg": "newton_cg_sparse",
     }
 
     def _fit_sparse(self, df: DataFrame, **extra):

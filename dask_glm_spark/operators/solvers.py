@@ -712,7 +712,29 @@ def newton_cg(
     p = _resolve_p(df, features_col, kwargs)
     weight_col = kwargs.pop("weight_col", None)
     offset_col = kwargs.pop("offset_col", None)
-    fit_info = kwargs.pop("fit_info", None)
+    return _newton_cg_loop(
+        lambda beta: kernels.gradient(
+            df, family, beta, p=p, features_col=features_col,
+            label_col=label_col, path=path, weight_col=weight_col,
+            offset_col=offset_col,
+        ),
+        lambda beta, v: kernels.hessian_vector_product(
+            df, family, beta, v, p=p, features_col=features_col,
+            label_col=label_col, path=path, weight_col=weight_col,
+            offset_col=offset_col,
+        ),
+        p, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
+        cg_tol, max_cg_iter,
+    )
+
+
+def _newton_cg_loop(
+    gradient_fn, hvp_fn, p, max_iter, tol, init_beta, fit_info,
+    cg_tol, max_cg_iter,
+):
+    """Truncated-Newton control flow shared by the dense and sparse
+    paths: per outer iteration one gradient scan, then CG on the Hvp
+    closure; stopping rule and budget semantics match ``newton``."""
     if max_cg_iter is None:
         max_cg_iter = min(p, 64)
     beta = _init_vec(init_beta, p)
@@ -721,23 +743,15 @@ def newton_cg(
     tol_ok = False
     total_cg = 0
     while not converged:
-        grad = kernels.gradient(
-            df, family, beta, p=p, features_col=features_col,
-            label_col=label_col, path=path, weight_col=weight_col,
-            offset_col=offset_col,
-        )
+        grad = gradient_fn(beta)
         gnorm = float(np.linalg.norm(grad))
         if gnorm == 0.0:
             step = np.zeros(p)
         else:
             rtol = cg_tol if cg_tol is not None else min(0.5, np.sqrt(gnorm))
+            b = beta
             step, n_mv = _cg_solve(
-                lambda v: kernels.hessian_vector_product(
-                    df, family, beta, v, p=p, features_col=features_col,
-                    label_col=label_col, path=path, weight_col=weight_col,
-                    offset_col=offset_col,
-                ),
-                grad, rtol=rtol, maxiter=max_cg_iter,
+                lambda v: hvp_fn(b, v), grad, rtol=rtol, maxiter=max_cg_iter,
             )
             total_cg += n_mv
         beta_old = beta
@@ -974,6 +988,49 @@ def gradient_descent_sparse(
                 weight_col=weight_col, offset_col=offset_col,
             ),
             pp, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
+        ),
+    )
+
+
+def newton_cg_sparse(
+    df: DataFrame,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+    family=Logistic,
+    p: int | None = None,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    init_beta=None,
+    cg_tol: float | None = None,
+    max_cg_iter: int | None = None,
+    **kwargs,
+):
+    """Matrix-free truncated Newton over wide-sparse features — round 12.
+    Plain ``newton`` is excluded from the sparse path because its p²
+    Gram is the wrong object at hashed-text widths; the Hvp
+    (``kernels_sparse.hessian_vector_product_sparse``, two O(nnz)
+    bincount scatters per batch, O(p) partials) never forms it, so
+    wide-sparse fits get Newton semantics too. Same control flow as the
+    dense ``newton_cg`` (``_newton_cg_loop``); no standardization, like
+    every sparse solver."""
+    from dask_glm_spark.functions import kernels_sparse
+
+    weight_col = kwargs.pop("weight_col", None)
+    offset_col = kwargs.pop("offset_col", None)
+    return _run_sparse(
+        df, idx_col, p,
+        lambda dfc, pp: _newton_cg_loop(
+            lambda beta: kernels_sparse.loss_gradient_sparse(
+                dfc, family, beta, pp, idx_col, val_col, label_col,
+                weight_col=weight_col, offset_col=offset_col,
+            )[1],
+            lambda beta, v: kernels_sparse.hessian_vector_product_sparse(
+                dfc, family, beta, v, pp, idx_col, val_col, label_col,
+                weight_col=weight_col, offset_col=offset_col,
+            ),
+            pp, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
+            cg_tol, max_cg_iter,
         ),
     )
 

@@ -202,3 +202,55 @@ def test_estimator_dispatch_newton_cg(clf_data):
 
 def test_newton_cg_in_registry():
     assert solvers._solvers["newton_cg"] is newton_cg
+
+
+# ---------------------------------------------------------------------------
+# wide-sparse newton_cg (round 12: sparse features get Newton semantics)
+# ---------------------------------------------------------------------------
+def test_newton_cg_sparse_matches_dense(clf_data):
+    from dask_glm_spark.operators.solvers import newton_cg_sparse
+    from dask_glm_spark.sources import vectors as V
+
+    df, X, y = clf_data
+    sd = V.to_sparse_columns(df)
+    b_dense = newton_cg(
+        df, max_iter=50, tol=1e-10, cg_tol=1e-10, normalize=False
+    )
+    b_sparse = newton_cg_sparse(sd, max_iter=50, tol=1e-10, cg_tol=1e-10, p=4)
+    np.testing.assert_allclose(b_sparse, b_dense, rtol=1e-8, atol=1e-10)
+
+
+def test_hvp_sparse_matches_numpy_twin(clf_data):
+    from dask_glm_spark.functions.kernels_sparse import (
+        hessian_vector_product_sparse,
+    )
+    from dask_glm_spark.sources import vectors as V
+
+    df, X, y = clf_data
+    sd = V.to_sparse_columns(df)
+    rng = np.random.RandomState(3)
+    beta = rng.randn(4) * 0.3
+    v = rng.randn(4)
+    hw = Logistic.hess_weight_np(X @ beta)
+    expected = X.T @ (hw * (X @ v))
+    got = hessian_vector_product_sparse(sd, Logistic, beta, v, 4)
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+
+def test_estimator_sparse_newton_cg_with_intercept(clf_data):
+    """The round-12 combo: wide-sparse + fit_intercept + newton_cg —
+    matches the dense intercept-extended newton fit."""
+    from dask_glm_spark.sources import vectors as V
+
+    df, X, y = clf_data
+    sd = V.to_sparse_columns(df)
+    dense = LogisticRegression(
+        solver="newton", fit_intercept=True, max_iter=50, tol=1e-10
+    ).fit(df, normalize=False)
+    sparse = LogisticRegression(
+        solver="newton_cg", fit_intercept=True, max_iter=50, tol=1e-10
+    ).fit(sd, p=4, cg_tol=1e-10)
+    np.testing.assert_allclose(sparse.coef_, dense.coef_, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        sparse.intercept_, dense.intercept_, rtol=1e-6, atol=1e-8
+    )
