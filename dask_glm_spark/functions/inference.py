@@ -557,6 +557,185 @@ def glm_summary(
 
 
 # ---------------------------------------------------------------------------
+# Matrix-free Wald SEs for selected coordinates of wide-sparse fits
+# (round 12) — the escape hatch behind summary()'s sparse rejection
+# ---------------------------------------------------------------------------
+def sparse_coef_se(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    coords,
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+    cg_tol: float = 1e-10,
+    max_cg_iter: int | None = None,
+) -> GLMSummary:
+    """Wald inference for SELECTED coordinates of a wide-sparse MLE fit.
+
+    The full p×p covariance is the wrong object at hashed-text widths
+    (the reason ``summary()`` rejects sparse input), but a user asking
+    about a handful of named buckets needs only ``(I⁻¹)_jj``. Each is the
+    j-th component of the solve ``I·x = e_j`` — done matrix-free by CG
+    over ``kernels_sparse.hessian_vector_product_sparse`` (one O(nnz)
+    scan per CG step, O(p) driver memory, never a p² object). Cost:
+    (#coords) × (#CG iterations) scans of the cached frame — practical
+    for tens of coordinates; for ALL coordinates use a dense fit.
+
+    Exactness: CG converges to the true inverse entry at ``cg_tol``; the
+    reported SEs equal the dense ``glm_summary`` values (pinned 1e-6 in
+    tests). A coordinate whose information row is in the null space
+    (e.g. a hash bucket never observed, or separation) raises — there is
+    no silent pinv answer here, matching the dense rank guard.
+
+    Returns a ``GLMSummary`` whose arrays are ordered like ``coords``
+    (covariance=None; deviances not computed — this is the targeted-SE
+    surface, not the full summary)."""
+    beta = np.asarray(beta, dtype=np.float64).ravel()
+    coords = [int(c) for c in coords]
+    if not coords:
+        raise ValueError("coords must name at least one coefficient index")
+    for c in coords:
+        if not 0 <= c < p:
+            raise ValueError(f"coordinate {c} outside [0, {p})")
+    if max_cg_iter is None:
+        max_cg_iter = min(p, 256)
+    name = getattr(family, "name", "")
+    scale = _HESS_SCALE.get(name, 1.0)
+
+    # many scans ahead (one per CG step per coordinate): cache the frame
+    # for the duration, exactly like the sparse solvers do
+    from pyspark import StorageLevel
+
+    we_persisted = False
+    if not df.is_cached:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    try:
+        return _sparse_coef_se_body(
+            df, family, beta, coords, p, idx_col, val_col, label_col,
+            weight_col, offset_col, cg_tol, max_cg_iter, name, scale,
+        )
+    finally:
+        if we_persisted:
+            df.unpersist()
+
+
+def _sparse_coef_se_body(
+    df, family, beta, coords, p, idx_col, val_col, label_col,
+    weight_col, offset_col, cg_tol, max_cg_iter, name, scale,
+):
+    from dask_glm_spark.functions.kernels_sparse import (
+        hessian_vector_product_sparse,
+    )
+    from dask_glm_spark.operators.solvers import _cg_solve
+
+    def hvp(v: np.ndarray) -> np.ndarray:
+        return (
+            hessian_vector_product_sparse(
+                df, family, beta, v, p, idx_col, val_col, label_col,
+                weight_col=weight_col, offset_col=offset_col,
+            )
+            / scale
+        )
+
+    inv_diag = np.empty(len(coords))
+    for i, c in enumerate(coords):
+        e = np.zeros(p)
+        e[c] = 1.0
+        # identification probe: the diagonal entry of I bounds the CG
+        # curvature along e_c; zero means the coordinate never appears
+        # with nonzero hessian weight — (I^-1)_cc is undefined
+        Ae = hvp(e)
+        if Ae[c] <= 0:
+            raise ValueError(
+                f"coordinate {c} is not identified (information diagonal "
+                "<= 0 — feature never observed, or the fit is separated); "
+                "its Wald SE is undefined"
+            )
+        x, n_mv = _cg_solve(hvp, e, rtol=cg_tol, maxiter=max_cg_iter)
+        if x[c] <= 0:
+            raise ValueError(
+                f"CG solve for coordinate {c} returned a non-positive "
+                "inverse-information diagonal — the information is "
+                "singular along this direction; drop collinear buckets"
+            )
+        inv_diag[i] = x[c]
+
+    # dispersion: fixed 1 for logistic/poisson; Pearson χ²/(n−p) else —
+    # one O(nnz) scan (the sparse twin of _pearson_and_n)
+    from dask_glm_spark.functions.kernels import _arrow_partials_generic
+    from dask_glm_spark.functions.kernels_sparse import _batch_csr
+
+    var_power = float(getattr(family, "var_power", 0.0) or 0.0)
+
+    def pearson_partial(pdf) -> dict:
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        xb = np.bincount(
+            row_ids, weights=flat_val * beta[flat_idx], minlength=n
+        )
+        if offset_col is not None:
+            xb = xb + pdf[offset_col].to_numpy(dtype=np.float64)
+        y = pdf[label_col].to_numpy(dtype=np.float64)
+        if name == "normal":
+            mu, v = xb, np.ones_like(xb)
+        elif name == "gamma":
+            mu = np.exp(xb)
+            v = mu * mu
+        elif name.startswith("tweedie"):
+            mu = np.exp(xb)
+            v = mu ** var_power
+        else:
+            mu, v = xb, np.ones_like(xb)  # unused (fixed dispersion)
+        term = (y - mu) ** 2 / v
+        if weight_col is not None:
+            term = term * pdf[weight_col].to_numpy(dtype=np.float64)
+        return {"pearson": float(term.sum()), "n": float(n)}
+
+    if name in _FIXED_DISPERSION:
+        # z statistics: df_resid is reporting-only (clamped — a hashed
+        # p > n is normal for sparse fits and irrelevant at φ = 1)
+        n = float(df.count())
+        dispersion, fixed = 1.0, True
+        df_resid = max(n - p, 0.0)
+    else:
+        rows = _arrow_partials_generic(
+            df, pearson_partial, "pearson double, n double",
+            partial_doubles=2,
+        )
+        pearson = sum(r_["pearson"] for r_ in rows)
+        n = sum(r_["n"] for r_ in rows)
+        df_resid = n - p
+        if df_resid <= 0:
+            raise ValueError(
+                f"no residual degrees of freedom (n={n:.0f}, p={p}) — "
+                "t-based dispersion inference needs n > p"
+            )
+        dispersion, fixed = pearson / df_resid, False
+
+    se = np.sqrt(dispersion * inv_diag)
+    bsel = beta[coords]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stat = np.where(se > 0, bsel / se, np.nan)
+    if fixed:
+        pvals = np.array([2.0 * normal_sf(abs(z)) for z in stat])
+        kind = "z"
+    else:
+        pvals = np.array(
+            [2.0 * students_t_sf(abs(t), df_resid) for t in stat]
+        )
+        kind = "t"
+    return GLMSummary(
+        coefficients=bsel, std_errors=se, statistic=stat, p_values=pvals,
+        statistic_kind=kind, dispersion=float(dispersion),
+        dispersion_fixed=fixed, df_residual=float(df_resid), n=float(n),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Joint-softmax (multinomial) Wald inference — round 12
 # ---------------------------------------------------------------------------
 SOFTMAX_INFO_MAX = 2048  # p·(k−1) guard: the information is (p·(k−1))²

@@ -252,7 +252,7 @@ class _GLM(BaseEstimator):
             self.coef_ = self._coef
         return self
 
-    def summary(self, df: DataFrame, robust: bool = False):
+    def summary(self, df: DataFrame, robust: bool = False, coords=None):
         """Wald inference at the fitted coefficients — beyond-reference
         (round 11; the statsmodels/R/MLlib ``summary`` surface): standard
         errors ``sqrt(diag(φ·(XᵀWX)⁻¹))``, z/t statistics, two-sided
@@ -267,8 +267,13 @@ class _GLM(BaseEstimator):
         (White 1980) — one extra score-Gram scan; see
         ``inference.glm_summary``.
 
-        Wide-sparse fits are rejected: a dense p² covariance at 2^18
-        hashed dims is the wrong object (and the wrong plan)."""
+        Wide-sparse fits: the FULL p² covariance is rejected (the wrong
+        object at 2^18 hashed dims), but ``coords=[j, ...]`` (round 12)
+        returns Wald inference for the named coordinates only —
+        matrix-free per-coordinate CG solves of ``I·x = e_j`` over
+        O(nnz) Hessian-vector-product scans (``inference.
+        sparse_coef_se``); exact vs the dense summary to CG tolerance,
+        practical for tens of coordinates."""
         from dask_glm_spark.functions import inference
         from dask_glm_spark.sources import vectors as V
 
@@ -278,9 +283,39 @@ class _GLM(BaseEstimator):
         if V.is_vector_column(df, self.features_col):
             df = V.from_vector_column(df, self.features_col)
         if V.is_sparse_columns(df):
-            raise NotImplementedError(
-                "summary() supports dense features only: the p x p "
-                "covariance is the wrong object for wide-sparse fits"
+            if coords is None:
+                raise NotImplementedError(
+                    "summary() on wide-sparse features needs coords=[...]"
+                    " (per-coordinate matrix-free SEs); the full p x p "
+                    "covariance is the wrong object for wide-sparse fits"
+                )
+            if robust:
+                raise NotImplementedError(
+                    "robust HC0 is unsupported for sparse coords summary"
+                )
+            p_total = len(self._coef)
+            df_fit = df
+            if self.fit_intercept:
+                # re-append the constant-1 coordinate the fit used, so
+                # coords address the SAME design (intercept = index p-1)
+                df_fit = df.withColumn(
+                    "findices",
+                    F.concat(
+                        "findices",
+                        F.array(F.lit(int(p_total - 1)).cast("int")),
+                    ),
+                ).withColumn(
+                    "fvalues", F.concat("fvalues", F.array(F.lit(1.0)))
+                )
+            return inference.sparse_coef_se(
+                df_fit, self.family, self._coef, coords, p_total,
+                label_col=self.label_col, weight_col=self.weight_col,
+                offset_col=self.offset_col,
+            )
+        if coords is not None:
+            raise ValueError(
+                "coords= is the wide-sparse surface; dense summaries "
+                "report all coefficients"
             )
         df_ = self._maybe_add_intercept(df)
         return inference.glm_summary(

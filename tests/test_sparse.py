@@ -376,3 +376,92 @@ def test_sparse_intercept_proba_roundtrip(dense_df, sparse_df):
         for r in sparse_lr.predict_proba(sparse_df).collect()
     )
     assert dp == sp
+
+
+# ---------------------------------------------------------------------------
+# round 12: matrix-free per-coordinate Wald SEs for sparse fits
+# ---------------------------------------------------------------------------
+def test_sparse_coef_se_matches_dense_summary(dense_df, sparse_df):
+    """summary(coords=...) on a sparse MLE fit equals the dense full
+    summary's SEs/p-values at the same coordinates (CG solves of
+    I x = e_j over O(nnz) Hvp scans vs the dense p^2 inverse)."""
+    kw = dict(
+        solver="lbfgs", regularizer=None, fit_intercept=True,
+        max_iter=300, tol=1e-10,
+    )
+    dense_lr = LogisticRegression(**kw).fit(dense_df, normalize=False)
+    s_dense = dense_lr.summary(dense_df)
+    sparse_lr = LogisticRegression(**kw).fit(sparse_df, p=P)
+    coords = [0, 3, 7, P]  # three slopes + the intercept coordinate
+    s = sparse_lr.summary(sparse_df, coords=coords)
+    assert s.statistic_kind == "z" and s.dispersion == 1.0
+    np.testing.assert_allclose(
+        s.coefficients,
+        np.asarray(dense_lr._coef)[coords],
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        s.std_errors, s_dense.std_errors[coords], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        s.p_values, s_dense.p_values[coords], atol=1e-8
+    )
+
+
+def test_sparse_coef_se_guards(sparse_df):
+    from dask_glm_spark.functions.inference import sparse_coef_se
+    from dask_glm_spark.functions.families import Logistic
+
+    lr = LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=False,
+        max_iter=100, tol=1e-8,
+    ).fit(sparse_df, p=P)
+    # full-summary rejection still stands without coords
+    with pytest.raises(NotImplementedError, match="coords"):
+        lr.summary(sparse_df)
+    # a never-observed coordinate is not identified -> loud error
+    beta_ext = np.concatenate([lr.coef_, [0.0]])
+    with pytest.raises(ValueError, match="not identified"):
+        sparse_coef_se(sparse_df, Logistic, beta_ext, [P], P + 1)
+    # out-of-range coordinate
+    with pytest.raises(ValueError, match="outside"):
+        sparse_coef_se(sparse_df, Logistic, lr.coef_, [P + 5], P)
+
+
+def test_sparse_coef_se_penalized_rejected(sparse_df):
+    lr = LogisticRegression(
+        solver="lbfgs", regularizer="l2", lamduh=1.0, fit_intercept=False
+    ).fit(sparse_df, p=P)
+    with pytest.raises(ValueError, match="penalized"):
+        lr.summary(sparse_df, coords=[0])
+
+
+def test_sparse_coef_se_gaussian_dispersion(spark, sparse_data):
+    """The t/dispersion path: gaussian sparse fit — SEs and Pearson
+    dispersion match the dense summary (sparse Pearson scan + CG)."""
+    from dask_glm_spark.operators.estimators import LinearRegression
+
+    X, _ = sparse_data
+    rng = np.random.RandomState(5)
+    yr = X @ np.linspace(-0.4, 0.4, P) + rng.standard_normal(N) * 0.5
+    rows = [([float(v) for v in X[i]], float(yr[i])) for i in range(N)]
+    dd = spark.createDataFrame(
+        rows, "features array<double>, label double"
+    ).repartition(5)
+    sd = V.to_sparse_columns(dd)
+    kw = dict(
+        solver="lbfgs", regularizer=None, fit_intercept=False,
+        max_iter=300, tol=1e-12,
+    )
+    dense_lr = LinearRegression(**kw).fit(dd, normalize=False)
+    s_dense = dense_lr.summary(dd)
+    sparse_lr = LinearRegression(**kw).fit(sd, p=P)
+    s = sparse_lr.summary(sd, coords=[1, 5])
+    assert s.statistic_kind == "t" and not s.dispersion_fixed
+    assert s.dispersion == pytest.approx(s_dense.dispersion, rel=1e-6)
+    np.testing.assert_allclose(
+        s.std_errors, s_dense.std_errors[[1, 5]], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        s.p_values, s_dense.p_values[[1, 5]], atol=1e-6
+    )
