@@ -213,6 +213,10 @@ _SG_CASE = {
 # kernels.loss_gradient(weight_col=...); the offset pair evaluates the
 # same kernel at xb+o (kernels.loss_gradient(offset_col=...)) — exactly
 # the r10 extension-session math (one extra multiply/add per scan).
+# Round 12: pinned direction for the Newton-CG Hessian-vector product —
+# shared literal values between kernels.hessian_vector_product (engine)
+# and the hg{j} sums (oracle): Hv_j = Σ f_j·σ(xb)(1−σ(xb))·(x·v).
+HVP_V = [0.05, 0.1, -0.05, 0.2]
 _WO_CTES = f"""wo AS (
   SELECT f1, f2, f3, f4, label,
     CAST(CAST(label_cnt AS INT) % 3 + 1 AS DOUBLE) AS w,
@@ -229,8 +233,15 @@ woagg AS (SELECT
       * sqrt(greatest(0, 2*(CASE WHEN label > 0.5
                             THEN -ln(1/(1+exp(-xb)))
                             ELSE -ln(1 - 1/(1+exp(-xb))) END)))) AS dres,
+  {", ".join(
+    f"sum(f{j} * (1/(1+exp(-xb))) * (1 - 1/(1+exp(-xb)))"
+    f" * ({' + '.join(f'({v!r})*f{i + 1}' for i, v in enumerate(HVP_V))}))"
+    f" AS hg{j}"
+    for j in range(1, 5)
+  )},
   {", ".join(f"sum(f{j}*(1/(1+exp(-(xb+o))) - label)) AS og{j}" for j in range(1, 5))}
 FROM wo)"""
+_HG_CASE = "CASE j WHEN 1 THEN hg1 WHEN 2 THEN hg2 WHEN 3 THEN hg3 ELSE hg4 END"
 _WG_CASE = "CASE j WHEN 1 THEN wg1 WHEN 2 THEN wg2 WHEN 3 THEN wg3 ELSE wg4 END"
 _OG_CASE = "CASE j WHEN 1 THEN og1 WHEN 2 THEN og2 WHEN 3 THEN og3 ELSE og4 END"
 
@@ -255,7 +266,8 @@ SELECT j,
   CAST(round(oloss, 3) AS DOUBLE) AS oloss,
   CAST(round({_OG_CASE}, 3) AS DOUBLE) AS ograd,
   CAST(round(pchi2, 3) AS DOUBLE) AS pchi2,
-  CAST(round(dres, 3) AS DOUBLE) AS dres
+  CAST(round(dres, 3) AS DOUBLE) AS dres,
+  CAST(round({_HG_CASE}, 3) AS DOUBLE) AS hvp
 FROM bt, l, smagg, woagg ORDER BY j"""
 
 
@@ -2704,6 +2716,13 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     dres = float(
         dresd.agg(F.sum("residual").alias("s")).collect()[0]["s"]
     )
+    # round 12: the Newton-CG Hessian-vector-product kernel under the
+    # gate — kernels.hessian_vector_product at the pinned BETA and HVP_V
+    # (sql path at p=4); the oracle recomputes Σ f_j·σ(1−σ)·(x·v).
+    hv = kernels.hessian_vector_product(
+        df.select("features", "label"), Logistic, np.asarray(BETA),
+        np.asarray(HVP_V), 4,
+    )
     rows = [
         (
             j + 1,
@@ -2720,6 +2739,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(ograd[j]),
             pchi2,
             dres,
+            float(hv[j]),
         )
         for j in range(len(beta1))
     ]
@@ -2729,7 +2749,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j int, beta1 double, loss1 double, beta1_prox double, "
             "smloss double, smg_c0 double, smg_c1 double, smg_c2 double, "
             "wloss double, wgrad double, oloss double, ograd double, "
-            "pchi2 double, dres double",
+            "pchi2 double, dres double, hvp double",
         )
         .select(
             "j",
@@ -2746,6 +2766,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ograd", 3).cast("double").alias("ograd"),
             F.round("pchi2", 3).cast("double").alias("pchi2"),
             F.round("dres", 3).cast("double").alias("dres"),
+            F.round("hvp", 3).cast("double").alias("hvp"),
         )
         .orderBy("j")
     )

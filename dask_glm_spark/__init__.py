@@ -39,10 +39,15 @@ from dask_glm_spark.operators.estimators import (  # noqa: F401
 )
 from dask_glm_spark.functions.inference import (  # noqa: F401
     GLMSummary,
+    SoftmaxSummary,
     glm_predict_interval,
     glm_residuals,
     glm_summary,
+    softmax_summary,
+    sparse_coef_se,
 )
 from dask_glm_spark.operators.model_selection import (  # noqa: F401
+    cv_lamduh,
+    lamduh_max,
     regularization_path,
 )

@@ -96,6 +96,88 @@ def regularization_path(
             df.unpersist()
 
 
+def cv_lamduh(
+    df: DataFrame,
+    lamduhs,
+    solver: str = "proximal_grad",
+    regularizer: str = "l1",
+    family=Logistic,
+    n_folds: int = 5,
+    features_col: str = "features",
+    label_col: str = "label",
+    **kwargs,
+) -> dict:
+    """Cross-validated λ selection (the glmnet ``cv.glmnet`` analogue) —
+    round 12. Per fold: one warm-started ``regularization_path`` over the
+    train split's shared cache (strongest-λ-first, each fit a few rounds
+    from its predecessor), then ONE ``kernels.multi_loss`` scan of the
+    held-out split scoring ALL λ candidates together — k·(path fits) +
+    k scans total, never a per-λ test job.
+
+    Folds are the deterministic content-hash folds ``cross_val_score``
+    uses (``xxhash64(features, label) % n_folds`` — identical across
+    partitionings/reruns/cluster shapes; ``randomSplit`` is not).
+
+    Returns ``{"best_lamduh", "mean_test_loss" (input order, per-row
+    mean held-out NLL — the family's deviance-equivalent criterion),
+    "fold_test_loss" (n_folds, len(lamduhs)), "betas" (full-data refit
+    path, len(lamduhs) × p)}``. The final betas come from one
+    regularization_path over the FULL frame (the standard cv.glmnet
+    contract: select λ by CV, refit on everything)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+
+    lams = [float(v) for v in lamduhs]
+    if not lams:
+        raise ValueError("lamduhs must be non-empty")
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+
+    folded = df.withColumn(
+        "_cvfold",
+        F.pmod(F.xxhash64(features_col, label_col), F.lit(n_folds)),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        fold_losses = np.empty((n_folds, len(lams)))
+        for i in range(n_folds):
+            train = folded.where(F.col("_cvfold") != i).drop("_cvfold")
+            test = folded.where(F.col("_cvfold") == i).drop("_cvfold")
+            betas = regularization_path(
+                train, lams, solver=solver, regularizer=regularizer,
+                family=family, features_col=features_col,
+                label_col=label_col, **kwargs,
+            )
+            n_test = test.count()
+            if n_test == 0:
+                raise ValueError(
+                    f"fold {i} has no held-out rows (n_folds={n_folds} "
+                    "too large for this dataset)"
+                )
+            losses = kernels.multi_loss(
+                test, family, [betas[j] for j in range(len(lams))],
+                features_col=features_col, label_col=label_col,
+            )
+            fold_losses[i] = np.asarray(losses) / float(n_test)
+        mean_loss = fold_losses.mean(axis=0)
+        best = lams[int(np.argmin(mean_loss))]
+        betas_full = regularization_path(
+            folded.drop("_cvfold"), lams, solver=solver,
+            regularizer=regularizer, family=family,
+            features_col=features_col, label_col=label_col, **kwargs,
+        )
+        return {
+            "best_lamduh": best,
+            "mean_test_loss": mean_loss,
+            "fold_test_loss": fold_losses,
+            "betas": betas_full,
+            "lamduhs": lams,
+        }
+    finally:
+        folded.unpersist()
+
+
 def lamduh_max(
     df: DataFrame,
     family=Logistic,

@@ -80,3 +80,90 @@ def test_path_warm_equals_cold_sweep(data):
         tol=1e-10, warm=False,
     )
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# round 12: CV λ selection (cv.glmnet analogue)
+# ---------------------------------------------------------------------------
+def test_cv_lamduh_selects_small_lambda_on_informative_data(data):
+    """On clearly informative data, a tiny λ must beat a CRUSHING one on
+    held-out NLL, and the returned artifacts have the declared shapes.
+    (The loss is a row-SUM, so λ must rival ||∇L(0)||_∞ ≈ n/2-scale to
+    zero the fit — λ=200 does at n=400; a mildly-shrinking λ can
+    legitimately win CV, which an earlier λ=5 draft of this test
+    re-discovered.)"""
+    from dask_glm_spark.operators.model_selection import cv_lamduh
+
+    lams = [200.0, 0.01]
+    out = cv_lamduh(
+        data, lams, solver="proximal_grad", regularizer="l1",
+        n_folds=3, max_iter=150, tol=1e-10, accelerate=True,
+    )
+    assert out["best_lamduh"] == 0.01
+    assert out["mean_test_loss"].shape == (2,)
+    assert out["fold_test_loss"].shape == (3, 2)
+    assert out["betas"].shape == (2, 4)
+    # held-out NLL at λ=200 (all-zero fit, ~ln 2/row) is strictly worse
+    assert out["mean_test_loss"][0] > out["mean_test_loss"][1]
+    # λ=200 crushes everything to zero; λ=0.01 keeps signal
+    assert np.abs(out["betas"][0]).max() < 1e-8
+    assert np.abs(out["betas"][1]).max() > 1e-3
+
+
+def test_cv_lamduh_deterministic_across_partitionings(data):
+    """Content-hash folds: identical losses regardless of layout."""
+    from dask_glm_spark.operators.model_selection import cv_lamduh
+
+    kw = dict(
+        solver="proximal_grad", regularizer="l1", n_folds=3,
+        max_iter=60, tol=1e-10, accelerate=True,
+    )
+    a = cv_lamduh(data, [0.5, 0.05], **kw)
+    b = cv_lamduh(data.repartition(11), [0.5, 0.05], **kw)
+    np.testing.assert_allclose(
+        a["fold_test_loss"], b["fold_test_loss"], rtol=1e-9
+    )
+    assert a["best_lamduh"] == b["best_lamduh"]
+
+
+def test_cv_lamduh_wiring_matches_manual_loop(spark, data):
+    """Integration twin: the per-fold held-out losses equal a manual
+    regularization_path + kernels.multi_loss loop over the same
+    xxhash64 folds."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+    from dask_glm_spark.functions.families import Logistic
+    from dask_glm_spark.operators.model_selection import (
+        cv_lamduh,
+        regularization_path,
+    )
+
+    lams = [0.5, 0.05]
+    kw = dict(max_iter=60, tol=1e-10, accelerate=True)
+    out = cv_lamduh(
+        data, lams, solver="proximal_grad", regularizer="l1",
+        n_folds=3, **kw,
+    )
+    folded = data.withColumn(
+        "_cvfold", F.pmod(F.xxhash64("features", "label"), F.lit(3))
+    )
+    for i in range(3):
+        train = folded.where(F.col("_cvfold") != i).drop("_cvfold")
+        test = folded.where(F.col("_cvfold") == i).drop("_cvfold")
+        betas = regularization_path(
+            train, lams, solver="proximal_grad", regularizer="l1", **kw
+        )
+        losses = kernels.multi_loss(
+            test, Logistic, [betas[0], betas[1]]
+        ) / float(test.count())
+        np.testing.assert_allclose(out["fold_test_loss"][i], losses, rtol=1e-9)
+
+
+def test_cv_lamduh_validation(data):
+    from dask_glm_spark.operators.model_selection import cv_lamduh
+
+    with pytest.raises(ValueError, match="non-empty"):
+        cv_lamduh(data, [])
+    with pytest.raises(ValueError, match="n_folds"):
+        cv_lamduh(data, [0.1], n_folds=1)
