@@ -607,11 +607,16 @@ def sparse_coef_se(
     scale = _HESS_SCALE.get(name, 1.0)
 
     # many scans ahead (one per CG step per coordinate): cache the frame
-    # for the duration, exactly like the sparse solvers do
+    # for the duration with the same parallelism floor the sparse solvers
+    # apply (review r12: a single-row-group input would otherwise run
+    # every CG scan on one core)
     from pyspark import StorageLevel
+
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
 
     we_persisted = False
     if not df.is_cached:
+        df = ensure_min_parallelism(df)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
     try:
@@ -656,7 +661,20 @@ def _sparse_coef_se_body(
                 "<= 0 — feature never observed, or the fit is separated); "
                 "its Wald SE is undefined"
             )
-        x, n_mv = _cg_solve(hvp, e, rtol=cg_tol, maxiter=max_cg_iter)
+        # first CG direction IS e, so the probe's A·e doubles as the
+        # first matvec — one cluster scan saved per coordinate (review
+        # r12); and unlike newton_cg's deliberate truncation, inference
+        # REQUIRES a converged solve, so verify the residual.
+        x, n_mv, rel = _cg_solve(
+            hvp, e, rtol=cg_tol, maxiter=max_cg_iter, first_matvec=Ae
+        )
+        if rel > max(cg_tol * 10.0, 1e-6):
+            raise ValueError(
+                f"CG did not converge for coordinate {c} (relative "
+                f"residual {rel:.2e} after {max_cg_iter} iterations) — "
+                "the SE would be silently inaccurate; raise max_cg_iter "
+                "or precondition/rescale the features"
+            )
         if x[c] <= 0:
             raise ValueError(
                 f"CG solve for coordinate {c} returned a non-positive "

@@ -173,35 +173,55 @@ def _arrow_partials_generic(
             1, DRIVER_PULL_BUDGET_BYTES // (8 * int(partial_doubles))
         )
 
-    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # the single rows.sort below fixes the deterministic merge
-        # order; per-chunk / in-partition pre-sorts were dead work
-        rows = [r for pdf in batches for r in pdf.to_dict("records")]
-        if not rows:
-            return
-        rows.sort(key=lambda r: r["pid"])
-        acc = _sum_partial_rows(rows, value_cols, merges)
-        row = {"pid": [int(rows[0]["pid"])]}
-        for c in value_cols:
-            v = acc[c]
-            row[c] = [v.tolist() if isinstance(v, np.ndarray) else float(v)]
-        yield pd.DataFrame(row)
+    def make_combine(stride: int):
+        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # one output row PER KEY GROUP (pid // stride), not per task:
+            # hash repartitioning can land two group keys in one task
+            # (birthday collisions), and folding the whole task would
+            # make the summed values depend on which keys collided —
+            # per-group folding keeps every value identical regardless
+            # of collision layout (review r12). The single rows.sort
+            # fixes the deterministic merge order; per-chunk pre-sorts
+            # were dead work.
+            rows = [r for pdf in batches for r in pdf.to_dict("records")]
+            if not rows:
+                return
+            rows.sort(key=lambda r: r["pid"])
+            groups: dict[int, list] = {}
+            for r in rows:
+                groups.setdefault(int(r["pid"]) // stride, []).append(r)
+            for key in sorted(groups):
+                grp = groups[key]
+                acc = _sum_partial_rows(grp, value_cols, merges)
+                row = {"pid": [int(grp[0]["pid"])]}
+                for c in value_cols:
+                    v = acc[c]
+                    row[c] = [
+                        v.tolist() if isinstance(v, np.ndarray) else float(v)
+                    ]
+                yield pd.DataFrame(row)
+
+        return combine
 
     def _needs_merge(n: int) -> bool:
         return n > tree_threshold or (
             max_driver_rows is not None and n > max_driver_rows
         )
 
-    # Multi-level merge (ADVICE r11): fanin is capped so ONE combine task
-    # never materializes more than the byte budget of partial rows — the
-    # old single-level merge sized fanin to ceil(nparts/max_driver_rows),
+    # Multi-level merge (ADVICE r11): fanin is capped so one key group
+    # never exceeds the byte budget of partial rows — the old
+    # single-level merge sized fanin to ceil(nparts/max_driver_rows),
     # which at wide p with many partitions put GBs of partials in one
     # executor task (p=2048 Gram, 1000 parts: 143 x 34 MB ≈ 4.8 GB). Now
     # fanin ≤ min(TREE_FANIN, max_driver_rows) and levels repeat until the
     # driver pull fits. Grouping stays pid-deterministic: each combined
     # row keeps its group's MIN original pid, so level L groups by
     # pid // (fanin₁·…·fanin_L) and the sorted-pid fold order is
-    # run-invariant at every level.
+    # run-invariant at every level. Hash-repartition collisions can still
+    # co-locate 2+ key groups in one task (expected only a few; a strict
+    # per-task cap would need deterministic range partitioning), but the
+    # per-group combine keeps the VALUES collision-independent and each
+    # group's materialized rows within fanin.
     n_rows = nparts
     stride = 1
     while _needs_merge(n_rows):
@@ -213,7 +233,7 @@ def _arrow_partials_generic(
         n_rows = (n_rows + fanin - 1) // fanin
         out = out.repartition(
             n_rows, (F.col("pid") / stride).cast("int")
-        ).mapInPandas(combine, schema=f"pid int, {out_fields}")
+        ).mapInPandas(make_combine(stride), schema=f"pid int, {out_fields}")
 
     # Columnar retrieval (round 11): collect() boxes every float of every
     # partial row Python-side — negligible at p=5 (40 B/row) but ~84 MB of

@@ -207,14 +207,11 @@ class _GLM(BaseEstimator):
         extra.pop("normalize", None)  # sparse path never standardizes
         p_base = extra.pop("p", None)
         if self.fit_intercept:
-            from dask_glm_spark.sources.vectors import sparse_p
+            from dask_glm_spark.sources.vectors import append_intercept_coord, sparse_p
 
             if p_base is None:
                 p_base = sparse_p(df)
-            df = df.withColumn(
-                "findices",
-                F.concat("findices", F.array(F.lit(int(p_base)).cast("int"))),
-            ).withColumn("fvalues", F.concat("fvalues", F.array(F.lit(1.0))))
+            df = append_intercept_coord(df, p_base)
             extra["p"] = int(p_base) + 1
         elif p_base is not None:
             extra["p"] = int(p_base)
@@ -298,15 +295,7 @@ class _GLM(BaseEstimator):
             if self.fit_intercept:
                 # re-append the constant-1 coordinate the fit used, so
                 # coords address the SAME design (intercept = index p-1)
-                df_fit = df.withColumn(
-                    "findices",
-                    F.concat(
-                        "findices",
-                        F.array(F.lit(int(p_total - 1)).cast("int")),
-                    ),
-                ).withColumn(
-                    "fvalues", F.concat("fvalues", F.array(F.lit(1.0)))
-                )
+                df_fit = V.append_intercept_coord(df, p_total - 1)
             return inference.sparse_coef_se(
                 df_fit, self.family, self._coef, coords, p_total,
                 label_col=self.label_col, weight_col=self.weight_col,
@@ -706,6 +695,24 @@ class MulticlassLogisticRegression(_GLM):
 
     family = families.Logistic
 
+    def refit_mle(self, df: DataFrame, **extra):
+        """Multiclass twin of the base ``refit_mle`` (review r12: the
+        base method reads ``_coef``, which multiclass fits never set, so
+        the advertised penalized-inference escape hatch crashed here):
+        penalty removed, admm/proximal_grad switch to lbfgs, refit cold
+        (the per-class warm-start plumbing isn't worth the coupling;
+        ``SoftmaxRegression`` overrides to warm-start the joint fit)."""
+        if getattr(self, "_coefs", None) is None:
+            raise ValueError("refit_mle() requires a fitted model")
+        params = self.get_params()
+        params["regularizer"] = None
+        params["lamduh"] = 0.0
+        if params.get("solver") in ("admm", "proximal_grad"):
+            params["solver"] = "lbfgs"
+        m = type(self)(**params)
+        m.fit(df, **extra)
+        return m
+
     def fit(self, df: DataFrame, y=None, **extra):
         from pyspark import StorageLevel
 
@@ -881,6 +888,21 @@ class SoftmaxRegression(MulticlassLogisticRegression):
     ``predict_proba`` is a numerically-stable (max-shifted) softmax, with
     the score array let-bound once."""
 
+    def refit_mle(self, df: DataFrame, **extra):
+        """Softmax refit-at-MLE: like the OvR parent's, but warm-started
+        at this fit's joint (p, k) coefficients — the unpenalized refit
+        usually converges in a handful of sweeps. Solver pins to lbfgs
+        (proximal_grad exists only to carry a penalty)."""
+        if getattr(self, "_coefs", None) is None:
+            raise ValueError("refit_mle() requires a fitted model")
+        params = self.get_params()
+        params["regularizer"] = None
+        params["lamduh"] = 0.0
+        params["solver"] = "lbfgs"
+        m = type(self)(**params)
+        m.fit(df, init_beta=np.column_stack(self._coefs), **extra)
+        return m
+
     def summary(self, df: DataFrame):
         """Joint multinomial Wald inference (round 12) — NOT the OvR
         parent's per-class binary summaries (those are a different
@@ -989,14 +1011,11 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         ``_fit_sparse``; standardization never applies (it would densify)."""
         p_base = extra.pop("p", None)
         if self.fit_intercept:
-            from dask_glm_spark.sources.vectors import sparse_p
+            from dask_glm_spark.sources.vectors import append_intercept_coord, sparse_p
 
             if p_base is None:
                 p_base = sparse_p(df)
-            df = df.withColumn(
-                "findices",
-                F.concat("findices", F.array(F.lit(int(p_base)).cast("int"))),
-            ).withColumn("fvalues", F.concat("fvalues", F.array(F.lit(1.0))))
+            df = append_intercept_coord(df, p_base)
             extra["p"] = int(p_base) + 1
         elif p_base is not None:
             extra["p"] = int(p_base)
@@ -1255,13 +1274,13 @@ def cross_val_score(
 
     The folded frame is cached once; each of the k fits scans that cache
     with a narrow fold filter — no per-fold materialization."""
-    if n_folds < 2:
-        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
     from pyspark import StorageLevel
 
-    folded = df.withColumn(
-        "_cvfold", F.pmod(F.xxhash64(features_col, label_col), F.lit(n_folds))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from dask_glm_spark.operators.model_selection import cv_fold_column
+
+    folded = cv_fold_column(df, n_folds, features_col, label_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
         scores = []
         for i in range(n_folds):

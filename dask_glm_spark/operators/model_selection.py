@@ -96,6 +96,27 @@ def regularization_path(
             df.unpersist()
 
 
+def cv_fold_column(
+    df: DataFrame,
+    n_folds: int,
+    features_col: str = "features",
+    label_col: str = "label",
+    fold_col: str = "_cvfold",
+) -> DataFrame:
+    """THE deterministic content-hash fold assignment — one definition
+    (review r12) shared by ``cross_val_score`` and ``cv_lamduh``:
+    ``xxhash64(features, label) % n_folds``, a pure narrow expression, so
+    folds are identical across partitionings, reruns, and cluster shapes
+    (``randomSplit`` changes with layout)."""
+    from pyspark.sql import functions as F
+
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    return df.withColumn(
+        fold_col, F.pmod(F.xxhash64(features_col, label_col), F.lit(n_folds))
+    )
+
+
 def cv_lamduh(
     df: DataFrame,
     lamduhs,
@@ -132,13 +153,15 @@ def cv_lamduh(
     lams = [float(v) for v in lamduhs]
     if not lams:
         raise ValueError("lamduhs must be non-empty")
-    if n_folds < 2:
-        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
 
-    folded = df.withColumn(
-        "_cvfold",
-        F.pmod(F.xxhash64(features_col, label_col), F.lit(n_folds)),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # held-out scoring must use the SAME objective the fits minimize
+    # (review r12): weighted fits score by the weighted per-unit NLL
+    # Σw·ll/Σw, and offsets re-enter the test linear predictor
+    weight_col = kwargs.get("weight_col")
+    offset_col = kwargs.get("offset_col")
+    folded = cv_fold_column(df, n_folds, features_col, label_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
         fold_losses = np.empty((n_folds, len(lams)))
         for i in range(n_folds):
@@ -149,17 +172,22 @@ def cv_lamduh(
                 family=family, features_col=features_col,
                 label_col=label_col, **kwargs,
             )
-            n_test = test.count()
-            if n_test == 0:
+            if weight_col is not None:
+                row = test.agg(F.sum(weight_col).alias("sw")).first()
+                denom = float(row["sw"] or 0.0)
+            else:
+                denom = float(test.count())
+            if denom <= 0:
                 raise ValueError(
-                    f"fold {i} has no held-out rows (n_folds={n_folds} "
+                    f"fold {i} has no held-out mass (n_folds={n_folds} "
                     "too large for this dataset)"
                 )
             losses = kernels.multi_loss(
                 test, family, [betas[j] for j in range(len(lams))],
                 features_col=features_col, label_col=label_col,
+                weight_col=weight_col, offset_col=offset_col,
             )
-            fold_losses[i] = np.asarray(losses) / float(n_test)
+            fold_losses[i] = np.asarray(losses) / denom
         mean_loss = fold_losses.mean(axis=0)
         best = lams[int(np.argmin(mean_loss))]
         betas_full = regularization_path(

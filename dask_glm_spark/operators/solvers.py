@@ -642,10 +642,20 @@ def newton(
     return beta
 
 
-def _cg_solve(matvec, b, rtol: float, maxiter: int):
+def _cg_solve(matvec, b, rtol: float, maxiter: int, first_matvec=None):
     """Conjugate gradient for ``A x = b`` with A given only as a matvec
     closure (driver-side numpy; each ``matvec`` call is one cluster scan in
     newton_cg). Stops at relative residual ``rtol`` or ``maxiter``.
+
+    ``first_matvec``: optional precomputed ``A·b`` — since the first CG
+    direction IS b, a caller that already evaluated ``A·b`` (e.g. the
+    identification probe in ``sparse_coef_se``) saves one full cluster
+    scan (review r12).
+
+    Returns ``(x, n_matvecs, rel_resid)``; ``rel_resid`` is the final
+    ``‖Ax − b‖/‖b‖``, so callers needing a TIGHT solve (inference) can
+    verify convergence — truncation is deliberate in newton_cg, which
+    ignores it.
 
     Truncated-Newton negative-curvature guard: GLM Fisher information is
     PSD, but data can make it singular along a direction — if ``dᵀAd <= 0``
@@ -656,16 +666,20 @@ def _cg_solve(matvec, b, rtol: float, maxiter: int):
     r = b.copy()
     d = r.copy()
     rs = float(r @ r)
-    stop = (rtol * np.sqrt(rs)) ** 2
+    bnorm = np.sqrt(rs)
+    stop = (rtol * bnorm) ** 2
     n_mv = 0
-    for _ in range(maxiter):
+    for it in range(maxiter):
         if rs <= stop:
             break
-        Ad = matvec(d)
-        n_mv += 1
+        if it == 0 and first_matvec is not None:
+            Ad = first_matvec
+        else:
+            Ad = matvec(d)
+            n_mv += 1
         dAd = float(d @ Ad)
         if dAd <= 0:
-            if n_mv == 1:
+            if it == 0:
                 x = b.copy()
             break
         alpha = rs / dAd
@@ -674,7 +688,8 @@ def _cg_solve(matvec, b, rtol: float, maxiter: int):
         rs_new = float(r @ r)
         d = r + (rs_new / rs) * d
         rs = rs_new
-    return x, n_mv
+    rel = np.sqrt(rs) / bnorm if bnorm > 0 else 0.0
+    return x, n_mv, rel
 
 
 @normalize
@@ -750,7 +765,7 @@ def _newton_cg_loop(
         else:
             rtol = cg_tol if cg_tol is not None else min(0.5, np.sqrt(gnorm))
             b = beta
-            step, n_mv = _cg_solve(
+            step, n_mv, _ = _cg_solve(
                 lambda v: hvp_fn(b, v), grad, rtol=rtol, maxiter=max_cg_iter,
             )
             total_cg += n_mv
@@ -1676,6 +1691,65 @@ def admm_sparse(
     )
 
 
+class _SoftmaxStandardizer:
+    """Columnwise standardize-fit-backtransform shared by the dense
+    softmax solvers (``softmax_lbfgs`` / ``softmax_proximal`` — review
+    r12: the ~35-line block previously lived verbatim in both). Same
+    reference quirks as the 1-D ``@normalize`` wrapper: population std,
+    >1 constant column raises, scale-only when no constant column; the
+    init forward transform is the exact inverse of the backtransform,
+    applied per class column."""
+
+    def __init__(self, df, features_col, weight_col, normalize):
+        self.normalize = normalize
+        if normalize:
+            _, mean, std = kernels.column_moments_full(
+                df, features_col, weight_col=weight_col
+            )
+            self.p = len(mean)
+            intercept_idx = np.where(std == 0)[0]
+            if len(intercept_idx) > 1:
+                raise ValueError("Multiple constant columns detected!")
+            mean[intercept_idx] = 0
+            std[intercept_idx] = 1
+            if len(intercept_idx) == 0:
+                mean = np.zeros_like(mean)
+            self.mean, self.std = mean, std
+            self.intercept_idx = intercept_idx
+            self.dfn = df.withColumn(
+                features_col,
+                kernels.standardize_expr(mean, std, features_col),
+            )
+        else:
+            self.p = kernels.infer_p(df, features_col)
+            self.dfn = df
+
+    def forward(self, init_beta, k: int) -> np.ndarray | None:
+        """Validate + map a caller init (original space) into the space
+        the solver optimizes in; returns the flat start vector."""
+        if init_beta is None:
+            return None
+        B0 = np.array(init_beta, dtype=np.float64)
+        if B0.shape != (self.p, k):
+            raise ValueError(
+                f"init_beta must have shape ({self.p}, {k}), got {B0.shape}"
+            )
+        if self.normalize:
+            B0s = B0 * self.std[:, None]
+            B0s[self.intercept_idx, :] += (B0 * self.mean[:, None]).sum(
+                axis=0
+            )[None, :]
+            B0 = B0s
+        return B0.ravel()
+
+    def backward(self, B: np.ndarray) -> np.ndarray:
+        if not self.normalize:
+            return B
+        i_adj = (B * (self.mean / self.std)[:, None]).sum(axis=0)
+        B[self.intercept_idx, :] -= i_adj[None, :]
+        return B / self.std[:, None]
+
+
 def softmax_lbfgs(
     df: DataFrame,
     k: int,
@@ -1711,24 +1785,8 @@ def softmax_lbfgs(
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
     try:
-        if normalize:
-            _, mean, std = kernels.column_moments_full(
-                df, features_col, weight_col=weight_col
-            )
-            p = len(mean)
-            intercept_idx = np.where(std == 0)[0]
-            if len(intercept_idx) > 1:
-                raise ValueError("Multiple constant columns detected!")
-            mean[intercept_idx] = 0
-            std[intercept_idx] = 1
-            if len(intercept_idx) == 0:
-                mean = np.zeros_like(mean)
-            dfn = df.withColumn(
-                features_col, kernels.standardize_expr(mean, std, features_col)
-            )
-        else:
-            p = kernels.infer_p(df, features_col)
-            dfn = df
+        stdz = _SoftmaxStandardizer(df, features_col, weight_col, normalize)
+        p, dfn = stdz.p, stdz.dfn
 
         reg_f = reg_grad = None
         if regularizer is not None:
@@ -1745,20 +1803,9 @@ def softmax_lbfgs(
                 grad = grad + lamduh * reg_grad(bflat).reshape(p, k)
             return loss, grad.ravel()
 
-        if init_beta is None:
+        b_start = stdz.forward(init_beta, k)
+        if b_start is None:
             b_start = np.zeros(p * k)
-        else:
-            B0 = np.array(init_beta, dtype=np.float64)
-            if B0.shape != (p, k):
-                raise ValueError(
-                    f"init_beta must have shape ({p}, {k}), got {B0.shape}"
-                )
-            if normalize:
-                # columnwise inverse of the back-transform below, per class
-                B0s = B0 * std[:, None]
-                B0s[intercept_idx, :] += (B0 * mean[:, None]).sum(axis=0)[None, :]
-                B0 = B0s
-            b_start = B0.ravel()
         bflat, _, d = fmin_l_bfgs_b(
             compute_loss_grad, b_start, pgtol=tol, maxiter=max_iter
         )
@@ -1766,12 +1813,7 @@ def softmax_lbfgs(
             fit_info, d.get("nit", 0), d.get("warnflag", 1) == 0,
             funcalls=int(d.get("funcalls", 0)),
         )
-        B = bflat.reshape(p, k)
-        if normalize:
-            i_adj = (B * (mean / std)[:, None]).sum(axis=0)  # per class
-            B[intercept_idx, :] -= i_adj[None, :]
-            B = B / std[:, None]
-        return B
+        return stdz.backward(bflat.reshape(p, k))
     finally:
         if we_persisted:
             df.unpersist()
@@ -1874,37 +1916,9 @@ def softmax_proximal(
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
     try:
-        if normalize:
-            _, mean, std = kernels.column_moments_full(
-                df, features_col, weight_col=weight_col
-            )
-            p = len(mean)
-            intercept_idx = np.where(std == 0)[0]
-            if len(intercept_idx) > 1:
-                raise ValueError("Multiple constant columns detected!")
-            mean[intercept_idx] = 0
-            std[intercept_idx] = 1
-            if len(intercept_idx) == 0:
-                mean = np.zeros_like(mean)
-            dfn = df.withColumn(
-                features_col, kernels.standardize_expr(mean, std, features_col)
-            )
-        else:
-            p = kernels.infer_p(df, features_col)
-            dfn = df
-
-        b0 = None
-        if init_beta is not None:
-            B0 = np.array(init_beta, dtype=np.float64)
-            if B0.shape != (p, k):
-                raise ValueError(
-                    f"init_beta must have shape ({p}, {k}), got {B0.shape}"
-                )
-            if normalize:
-                B0s = B0 * std[:, None]
-                B0s[intercept_idx, :] += (B0 * mean[:, None]).sum(axis=0)[None, :]
-                B0 = B0s
-            b0 = B0.ravel()
+        stdz = _SoftmaxStandardizer(df, features_col, weight_col, normalize)
+        p, dfn = stdz.p, stdz.dfn
+        b0 = stdz.forward(init_beta, k)
 
         def loss_grad(bflat):
             loss, grad = kernels.softmax_loss_gradient(
@@ -1924,12 +1938,7 @@ def softmax_proximal(
             loss_grad, multi_loss_grad, p * k, regularizer, lamduh,
             max_iter, tol, b0, fit_info,
         )
-        B = np.asarray(bflat, dtype=np.float64).reshape(p, k)
-        if normalize:
-            i_adj = (B * (mean / std)[:, None]).sum(axis=0)
-            B[intercept_idx, :] -= i_adj[None, :]
-            B = B / std[:, None]
-        return B
+        return stdz.backward(np.asarray(bflat, dtype=np.float64).reshape(p, k))
     finally:
         if we_persisted:
             df.unpersist()

@@ -157,3 +157,20 @@ def sparse_p(df: DataFrame, idx_col: str = "findices") -> int:
     if row is None or row["m"] is None:
         raise ValueError("cannot infer p from empty sparse frame")
     return int(row["m"]) + 1
+
+
+def append_intercept_coord(
+    df: DataFrame,
+    p_base: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+) -> DataFrame:
+    """Append the constant-1 intercept coordinate at index ``p_base`` to
+    every (indices, values) row — the sparse twin of the dense
+    ``add_intercept`` column append (one (int, double) pair per row,
+    never a densification). The ONE definition shared by the sparse fit
+    paths and the coords-summary path, so they always address the same
+    intercept-extended design (review r12)."""
+    return df.withColumn(
+        idx_col, F.concat(idx_col, F.array(F.lit(int(p_base)).cast("int")))
+    ).withColumn(val_col, F.concat(val_col, F.array(F.lit(1.0))))

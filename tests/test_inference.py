@@ -776,3 +776,48 @@ def test_refit_mle_escape_hatch(cls_data):
     np.testing.assert_allclose(mle.coef_, ref.coef_, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(s.std_errors, s_ref.std_errors, rtol=1e-4)
     np.testing.assert_allclose(s.p_values, s_ref.p_values, atol=1e-4)
+
+
+def test_refit_mle_multiclass_and_softmax(softmax_data):
+    """Review r12: the penalized-inference refusal message advertises
+    refit_mle(), which crashed on multiclass fits (_coefs vs _coef).
+    Both the OvR and joint-softmax escape hatches must work end-to-end."""
+    from dask_glm_spark.operators.estimators import (
+        MulticlassLogisticRegression,
+        SoftmaxRegression,
+    )
+
+    df, X, y = softmax_data
+    # joint softmax: penalized FISTA fit -> warm-started lbfgs MLE refit
+    pen = SoftmaxRegression(
+        solver="proximal_grad", regularizer="l1", lamduh=0.5,
+        fit_intercept=True, max_iter=100, tol=1e-10,
+    ).fit(df, normalize=False)
+    with pytest.raises(ValueError, match="refit_mle"):
+        pen.summary(df)
+    mle = pen.refit_mle(df, normalize=False)
+    assert mle.converged_ is True
+    s = mle.summary(df)
+    assert np.isfinite(s.std_errors).all() and (s.std_errors > 0).all()
+    ref = SoftmaxRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=True,
+        max_iter=300, tol=1e-10,
+    ).fit(df, normalize=False)
+    # the unpenalized softmax is over-parameterized AND its likelihood
+    # valley is shallow here (both optimizers stop on objective flatness
+    # at coefficient matrices ~0.1 apart with losses equal to 8e-9) —
+    # the supported refit_mle contract is loss-level: the refit reaches
+    # the reference fit's optimum value
+    from dask_glm_spark.functions import kernels
+
+    dfe = kernels.add_intercept(df)
+    lm, _ = kernels.softmax_loss_gradient(dfe, np.column_stack(mle._coefs))
+    lr, _ = kernels.softmax_loss_gradient(dfe, np.column_stack(ref._coefs))
+    assert abs(lm - lr) / max(abs(lr), 1.0) < 1e-8
+    # OvR: penalized default -> cold unpenalized refit, summaries work
+    ovr_pen = MulticlassLogisticRegression(
+        solver="lbfgs", regularizer="l2", lamduh=1.0, max_iter=50
+    ).fit(df)
+    ovr_mle = ovr_pen.refit_mle(df)
+    summaries = ovr_mle.summary(df)
+    assert len(summaries) == len(ovr_mle.classes_)

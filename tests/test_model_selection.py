@@ -167,3 +167,43 @@ def test_cv_lamduh_validation(data):
         cv_lamduh(data, [])
     with pytest.raises(ValueError, match="n_folds"):
         cv_lamduh(data, [0.1], n_folds=1)
+
+
+def test_cv_lamduh_weighted_scoring(spark, data):
+    """Review r12: held-out scoring must use the SAME weighted objective
+    the fits minimize — fold losses equal the manual weighted
+    multi_loss / Σw."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+    from dask_glm_spark.functions.families import Logistic
+    from dask_glm_spark.operators.model_selection import (
+        cv_fold_column,
+        cv_lamduh,
+        regularization_path,
+    )
+
+    dfw = data.withColumn(
+        "w", (F.abs(F.hash("label", F.col("features")[0])) % 3 + 1)
+        .cast("double")
+    )
+    lams = [0.5, 0.05]
+    kw = dict(max_iter=60, tol=1e-10, accelerate=True, weight_col="w")
+    out = cv_lamduh(
+        dfw, lams, solver="proximal_grad", regularizer="l1",
+        n_folds=3, **kw,
+    )
+    folded = cv_fold_column(dfw, 3)
+    for i in range(3):
+        train = folded.where(F.col("_cvfold") != i).drop("_cvfold")
+        test = folded.where(F.col("_cvfold") == i).drop("_cvfold")
+        betas = regularization_path(
+            train, lams, solver="proximal_grad", regularizer="l1", **kw
+        )
+        sw = float(test.agg(F.sum("w").alias("s")).first()["s"])
+        losses = kernels.multi_loss(
+            test, Logistic, [betas[0], betas[1]], weight_col="w"
+        ) / sw
+        np.testing.assert_allclose(
+            out["fold_test_loss"][i], losses, rtol=1e-9
+        )

@@ -29,7 +29,7 @@ def test_cg_matches_exact_solve(p):
     A_ = rng.randn(p, p)
     A = A_ @ A_.T + p * np.eye(p)  # SPD, well-conditioned
     b = rng.randn(p)
-    x, n_mv = _cg_solve(lambda v: A @ v, b, rtol=1e-12, maxiter=10 * p)
+    x, n_mv, rel = _cg_solve(lambda v: A @ v, b, rtol=1e-12, maxiter=10 * p)
     assert n_mv <= 10 * p
     np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=1e-8, atol=1e-10)
 
@@ -39,7 +39,7 @@ def test_cg_respects_rtol_and_maxiter():
     A_ = rng.randn(40, 40)
     A = A_ @ A_.T + 40 * np.eye(40)
     b = rng.randn(40)
-    x, n_mv = _cg_solve(lambda v: A @ v, b, rtol=1e-2, maxiter=3)
+    x, n_mv, rel = _cg_solve(lambda v: A @ v, b, rtol=1e-2, maxiter=3)
     assert n_mv <= 3
     # loose solve still reduces the residual vs x=0
     assert np.linalg.norm(A @ x - b) < np.linalg.norm(b)
@@ -48,7 +48,7 @@ def test_cg_respects_rtol_and_maxiter():
 def test_cg_negative_curvature_first_step_returns_gradient():
     # A = -I: dAd < 0 immediately -> truncated-Newton fallback x = b
     b = np.array([1.0, -2.0, 3.0])
-    x, n_mv = _cg_solve(lambda v: -v, b, rtol=1e-10, maxiter=10)
+    x, n_mv, rel = _cg_solve(lambda v: -v, b, rtol=1e-10, maxiter=10)
     assert n_mv == 1
     np.testing.assert_allclose(x, b)
 
