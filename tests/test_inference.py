@@ -211,7 +211,8 @@ def test_summary_requires_fit_and_dense(spark, cls_data):
         [([0, 2], [1.0, 1.0], 1.0)],
         "findices array<int>, fvalues array<double>, label double",
     )
-    with pytest.raises(NotImplementedError, match="dense"):
+    # round 12: the sparse rejection now points at the coords= surface
+    with pytest.raises(NotImplementedError, match="coords"):
         est.summary(sp)
 
 
