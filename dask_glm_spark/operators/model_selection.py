@@ -96,6 +96,60 @@ def regularization_path(
             df.unpersist()
 
 
+def softmax_regularization_path(
+    df: DataFrame,
+    lamduhs,
+    k: int,
+    regularizer: str = "l1",
+    warm: bool = True,
+    **kwargs,
+) -> np.ndarray:
+    """Multinomial λ-path (round 12): the softmax twin of
+    ``regularization_path`` over ``solvers.softmax_proximal`` — returns
+    ``(len(lamduhs), p, k)`` with row i the joint fit at ``lamduhs[i]``
+    (input order preserved; execution strongest-λ-first with (p, k)
+    warm starts over one shared cache). ``label_col`` must hold class
+    indices in [0, k) — the solver-level contract; use
+    ``SoftmaxRegression`` for label mapping."""
+    lams = [float(v) for v in lamduhs]
+    if not lams:
+        raise ValueError("lamduhs must be non-empty")
+    if any(v < 0 for v in lams):
+        raise ValueError("lamduhs must be >= 0")
+
+    from pyspark import StorageLevel
+
+    we_persisted = False
+    if not df.is_cached:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    caller_info = kwargs.pop("fit_info", None)
+    infos: list[dict] = [{} for _ in lams]
+    try:
+        order = sorted(range(len(lams)), key=lambda i: -lams[i])
+        betas: list[np.ndarray | None] = [None] * len(lams)
+        prev = None
+        for i in order:
+            kw = dict(kwargs)
+            kw["fit_info"] = infos[i]
+            if warm and prev is not None:
+                kw.setdefault("init_beta", prev)
+            B = np.asarray(
+                solvers.softmax_proximal(
+                    df, k, regularizer=regularizer, lamduh=lams[i], **kw
+                ),
+                dtype=np.float64,
+            )
+            betas[i] = B
+            prev = B
+        if caller_info is not None:
+            caller_info["per_lamduh"] = infos
+        return np.stack(betas)
+    finally:
+        if we_persisted:
+            df.unpersist()
+
+
 def cv_fold_column(
     df: DataFrame,
     n_folds: int,

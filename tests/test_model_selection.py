@@ -207,3 +207,46 @@ def test_cv_lamduh_weighted_scoring(spark, data):
         np.testing.assert_allclose(
             out["fold_test_loss"][i], losses, rtol=1e-9
         )
+
+
+def test_softmax_regularization_path(spark):
+    """Multinomial λ-path: monotone sparsity along descending λ, warm ≡
+    cold endpoints, input order preserved."""
+    from dask_glm_spark.operators.model_selection import (
+        softmax_regularization_path,
+    )
+    from dask_glm_spark.operators.solvers import softmax_proximal
+
+    import pandas as pd
+
+    rng = np.random.RandomState(8)
+    n, p, k = 400, 5, 3
+    X = rng.standard_normal((n, p))
+    Btrue = np.zeros((p, k))
+    Btrue[0] = [1.2, -0.8, 0.0]
+    Btrue[1] = [-0.6, 0.9, 0.0]
+    Z = X @ Btrue
+    Pm = np.exp(Z - Z.max(axis=1, keepdims=True))
+    Pm /= Pm.sum(axis=1, keepdims=True)
+    y = np.array([rng.choice(k, p=Pm[i]) for i in range(n)], dtype=np.float64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"features": list(X), "label": y})
+    ).repartition(4).persist()
+    try:
+        lams = [20.0, 2.0, 0.2]
+        path = softmax_regularization_path(
+            df, lams, k, regularizer="l1", max_iter=150, tol=1e-11,
+            normalize=False,
+        )
+        assert path.shape == (3, p, k)
+        # sparsity decreases as λ decreases
+        nnz = [(np.abs(path[i]) > 1e-10).sum() for i in range(3)]
+        assert nnz[0] <= nnz[1] <= nnz[2]
+        # endpoint equals a cold standalone fit (same unique-enough optimum)
+        cold = softmax_proximal(
+            df, k, regularizer="l1", lamduh=0.2, max_iter=300, tol=1e-12,
+            normalize=False,
+        )
+        np.testing.assert_allclose(path[2], cold, atol=2e-3)
+    finally:
+        df.unpersist()
