@@ -602,7 +602,12 @@ def sparse_coef_se(
         if not 0 <= c < p:
             raise ValueError(f"coordinate {c} outside [0, {p})")
     if max_cg_iter is None:
-        max_cg_iter = min(p, 256)
+        # NOT min(p, ...): exact-arithmetic CG finishes in p steps, but
+        # floating-point CG on an ill-conditioned information needs more
+        # (observed: p=5 lineitem-scale features stall at 7e-4 relative
+        # residual in exactly p iterations) — allow 4p with a floor for
+        # tiny p and a scan-budget ceiling for hashed widths
+        max_cg_iter = min(max(4 * p, 64), 512)
     name = getattr(family, "name", "")
     scale = _HESS_SCALE.get(name, 1.0)
 

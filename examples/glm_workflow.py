@@ -21,8 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dask_glm_spark import (  # noqa: E402
     LogisticRegression,
     PoissonRegression,
+    cv_lamduh,
     regularization_path,
 )
+from dask_glm_spark.sources.vectors import to_sparse_columns  # noqa: E402
 from dask_glm_spark.operators.estimators import (  # noqa: E402
     cross_val_score,
     load_model,
@@ -113,6 +115,38 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         F.avg(F.col("hi") - F.col("lo")).alias("w")
     ).collect()[0]["w"]
     print(f"[7] mean 95% CI width (probability scale): {band:.4f}")
+
+    # 8. round 12: matrix-free Newton-CG (newton semantics at any p),
+    # the refit-at-MLE escape hatch for penalized fits, CV λ selection,
+    # and per-coordinate Wald SEs on a wide-sparse fit
+    ncg = LogisticRegression(
+        solver="newton_cg", regularizer=None, max_iter=50, tol=1e-10
+    ).fit(dfw)
+    print(f"[8] newton_cg fit: acc={ncg.score(dfw):.3f} n_iter={ncg.n_iter_}")
+    pen = LogisticRegression(max_iter=50).fit(dfw)  # admm + L2 (default)
+    s_mle = pen.refit_mle(dfw).summary(dfw)
+    print(
+        f"[8] refit_mle on the default penalized config: "
+        f"max SE={s_mle.std_errors.max():.4f}"
+    )
+    cv = cv_lamduh(
+        dfw, [lmax, lmax / 10, lmax / 100], solver="proximal_grad",
+        regularizer="l1", n_folds=3, max_iter=100, accelerate=True,
+        normalize=False,
+    )
+    print(
+        f"[8] cv_lamduh best λ={cv['best_lamduh']:.3g} "
+        f"(mean held-out NLL {['%.4f' % v for v in cv['mean_test_loss']]})"
+    )
+    sd = to_sparse_columns(dfw.select("features", "label"))
+    sp = LogisticRegression(
+        solver="lbfgs", regularizer=None, fit_intercept=True, max_iter=200
+    ).fit(sd, p=4)
+    s_sp = sp.summary(sd, coords=[0, 4])  # slope 0 + the intercept coord
+    print(
+        f"[8] sparse coords SE (matrix-free CG): "
+        f"{[round(v, 4) for v in s_sp.std_errors]}"
+    )
 
     dfw.unpersist()
     print("workflow complete")
