@@ -52,6 +52,22 @@ _HESS_SCALE = {"normal": 2.0}
 _FIXED_DISPERSION = ("logistic", "poisson")
 
 
+def _null_mu(family) -> float:
+    """g⁻¹(0): the no-intercept null-model mean (ADVICE r12: this was a
+    name-based if/else whose final branch silently handed ANY future
+    family μ₀=1 — now an explicit per-family table that fails loudly)."""
+    name = getattr(family, "name", "")
+    table = {"logistic": 0.5, "normal": 0.0, "poisson": 1.0, "gamma": 1.0}
+    if name in table:
+        return table[name]
+    if name.startswith("tweedie"):  # log link: exp(0) = 1
+        return 1.0
+    raise ValueError(
+        f"no null-model mean g^-1(0) registered for family {name!r} — "
+        "add its link-inverse-at-zero to inference._null_mu"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Special functions (driver-side scalars; no scipy)
 # ---------------------------------------------------------------------------
@@ -292,6 +308,7 @@ def glm_residuals(
     weight_col: str | None = None,
     offset_col: str | None = None,
     out_col: str = "residual",
+    xb_col: str | None = None,
 ) -> DataFrame:
     """Per-row GLM residuals as ONE narrow codegen projection (no Python
     in the path, no shuffle) — the R/MLlib ``residuals()`` surface:
@@ -303,13 +320,22 @@ def glm_residuals(
       gamma/tweedie use the log link's 1/μ, ADVICE r11).
 
     Weights follow the MLlib convention (residuals scaled by sqrt(w) so
-    their sum of squares is the weighted deviance/Pearson χ²)."""
+    their sum of squares is the weighted deviance/Pearson χ²).
+
+    ``xb_col`` (round 13, the wide-sparse path): name of a PRECOMPUTED
+    linear-predictor column — offset already included — in which case
+    ``beta``/``features_col``/``offset_col`` are ignored and the residual
+    is the same narrow projection over that column (the sparse estimator
+    scores xb in one O(nnz) Arrow pass first)."""
     from dask_glm_spark.functions import kernels
 
-    beta = np.asarray(beta, dtype=np.float64).ravel()
-    xb = kernels.matvec_expr(beta, features_col)
-    if offset_col is not None:
-        xb = xb + F.col(offset_col)
+    if xb_col is not None:
+        xb = F.col(xb_col)
+    else:
+        beta = np.asarray(beta, dtype=np.float64).ravel()
+        xb = kernels.matvec_expr(beta, features_col)
+        if offset_col is not None:
+            xb = xb + F.col(offset_col)
     y = F.col(label_col)
     mu, v = _mean_and_variance_exprs(family, xb)
     sqrt_w = (
@@ -440,9 +466,17 @@ def glm_summary(
     offset_col: str | None = None,
     robust: bool = False,
     fit_intercept: bool = True,
+    rank_tol: float | None = None,
 ) -> GLMSummary:
     """Wald inference at a fitted coefficient vector (original feature
     space, intercept column included in ``features_col`` if fitted).
+
+    ``rank_tol`` forwards to ``np.linalg.matrix_rank`` on the information
+    matrix (ADVICE r12): numpy's default SVD tolerance is relative to the
+    largest singular value, so a full-rank but extremely ill-conditioned
+    design (feature scale ratios ~1e13+) can be rejected as
+    rank-deficient — pass a smaller tolerance, or better, rescale the
+    features.
 
     ``fit_intercept`` controls the NULL model for ``null_deviance``
     (ADVICE r11): True → intercept-only fit (μ̂₀ = weighted mean of y,
@@ -471,12 +505,16 @@ def glm_summary(
     # rank check (ADVICE r11): pinv on a rank-deficient information would
     # silently report pseudo-inverse SEs for unidentified coefficients —
     # MLlib GLR refuses SEs there; so do we, loudly.
-    rank = int(np.linalg.matrix_rank(info))
+    rank = int(np.linalg.matrix_rank(info, tol=rank_tol))
     if rank < p:
         raise ValueError(
             f"design matrix is rank-deficient (information rank {rank} < "
             f"p={p}): some coefficients are not identified and Wald SEs "
-            "are undefined — drop collinear feature columns and refit"
+            "are undefined — drop collinear feature columns and refit. "
+            "(If the design is full-rank but wildly unscaled — feature "
+            "magnitude ratios beyond ~1e7 — this is a conditioning "
+            "failure of the SVD rank test: rescale the features, or pass "
+            "an explicit rank_tol.)"
         )
     cov_unit = np.linalg.inv(info)
 
@@ -519,8 +557,8 @@ def glm_summary(
     d_fit = _unit_deviance_expr(family, y, mu_fit)
     if fit_intercept:
         mu0 = float(ybar)
-    else:  # g⁻¹(0): logit → 1/2, identity → 0, log → 1
-        mu0 = 0.5 if name == "logistic" else (0.0 if name == "normal" else 1.0)
+    else:  # g⁻¹(0), per-family table (loud on unknown families)
+        mu0 = _null_mu(family)
     d_null = _unit_deviance_expr(family, y, F.lit(mu0))
     drow = df.agg(
         F.sum(w * d_fit).alias("dev"), F.sum(w * d_null).alias("dev0")
@@ -573,6 +611,7 @@ def sparse_coef_se(
     offset_col: str | None = None,
     cg_tol: float = 1e-10,
     max_cg_iter: int | None = None,
+    robust: bool = False,
 ) -> GLMSummary:
     """Wald inference for SELECTED coordinates of a wide-sparse MLE fit.
 
@@ -590,6 +629,18 @@ def sparse_coef_se(
     tests). A coordinate whose information row is in the null space
     (e.g. a hash bucket never observed, or separation) raises — there is
     no silent pinv answer here, matching the dense rank guard.
+
+    ``robust=True`` (round 13, VERDICT r12 #3): HC0 sandwich SEs for the
+    same coordinates, still matrix-free — the sandwich diagonal is
+    ``x_cᵀ M x_c`` with ``x_c = H⁻¹e_c`` (the CG solve this function
+    already runs, rescaled from the unit information to the OBJECTIVE
+    Hessian) and ``M = Σᵢ sᵢsᵢᵀ`` the score outer-product "meat"; since
+    only the quadratic form is needed, M is never formed — ONE extra
+    O(nnz) scan computes ``Σᵢ (sᵢᵀx_c)²`` for ALL coordinates together
+    (per batch: one scatter of the stacked solves, one residual pass).
+    Matches dense ``glm_summary(robust=True)`` at the same coordinates
+    (1e-6 pytest); dispersion is reported but plays no role in the SEs,
+    exactly the dense sandwich contract.
 
     Returns a ``GLMSummary`` whose arrays are ordered like ``coords``
     (covariance=None; deviances not computed — this is the targeted-SE
@@ -628,6 +679,7 @@ def sparse_coef_se(
         return _sparse_coef_se_body(
             df, family, beta, coords, p, idx_col, val_col, label_col,
             weight_col, offset_col, cg_tol, max_cg_iter, name, scale,
+            robust,
         )
     finally:
         if we_persisted:
@@ -637,6 +689,7 @@ def sparse_coef_se(
 def _sparse_coef_se_body(
     df, family, beta, coords, p, idx_col, val_col, label_col,
     weight_col, offset_col, cg_tol, max_cg_iter, name, scale,
+    robust=False,
 ):
     from dask_glm_spark.functions.kernels_sparse import (
         hessian_vector_product_sparse,
@@ -653,6 +706,7 @@ def _sparse_coef_se_body(
         )
 
     inv_diag = np.empty(len(coords))
+    solves: list[np.ndarray] = []  # H⁻¹e_c per coordinate (robust only)
     for i, c in enumerate(coords):
         e = np.zeros(p)
         e[c] = 1.0
@@ -687,11 +741,47 @@ def _sparse_coef_se_body(
                 "singular along this direction; drop collinear buckets"
             )
         inv_diag[i] = x[c]
+        if robust:
+            # CG solved I·x = e against the UNIT information; the
+            # sandwich bread is the OBJECTIVE Hessian H = scale·I
+            solves.append(x / scale)
 
     # dispersion: fixed 1 for logistic/poisson; Pearson χ²/(n−p) else —
     # one O(nnz) scan (the sparse twin of _pearson_and_n)
     from dask_glm_spark.functions.kernels import _arrow_partials_generic
     from dask_glm_spark.functions.kernels_sparse import _batch_csr
+
+    sand_diag = None
+    if robust:
+        # HC0 sandwich diagonal for ALL coordinates in ONE O(nnz) scan:
+        # per batch, T[i, j] = x_iᵀ·solve_j (scatter-add of the stacked
+        # solves), s_iᵀ·solve_j = u_i·T[i, j] with u the (w-scaled)
+        # objective score residual — partial is Σᵢ (u_i·T[i, :])².
+        XC = np.column_stack(solves)  # (p, n_coords)
+        m_coords = XC.shape[1]
+
+        def meat_partial(pdf) -> dict:
+            flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+            xb = np.bincount(
+                row_ids, weights=flat_val * beta[flat_idx], minlength=n
+            )
+            if offset_col is not None:
+                xb = xb + pdf[offset_col].to_numpy(dtype=np.float64)
+            y = pdf[label_col].to_numpy(dtype=np.float64)
+            u = family.residual_np(xb, y)
+            if weight_col is not None:
+                u = u * pdf[weight_col].to_numpy(dtype=np.float64)
+            T = np.zeros((n, m_coords))
+            np.add.at(T, row_ids, flat_val[:, None] * XC[flat_idx])
+            return {"sand": ((u[:, None] * T) ** 2).sum(axis=0)}
+
+        rows_ = _arrow_partials_generic(
+            df, meat_partial, "sand array<double>",
+            partial_doubles=m_coords,
+        )
+        sand_diag = np.zeros(m_coords)
+        for r_ in rows_:
+            sand_diag += np.asarray(r_["sand"], dtype=np.float64)
 
     var_power = float(getattr(family, "var_power", 0.0) or 0.0)
 
@@ -711,8 +801,10 @@ def _sparse_coef_se_body(
         elif name.startswith("tweedie"):
             mu = np.exp(xb)
             v = mu ** var_power
-        else:
-            mu, v = xb, np.ones_like(xb)  # unused (fixed dispersion)
+        else:  # pragma: no cover — rejected driver-side before the scan
+            raise ValueError(
+                f"no Pearson variance function for family {name!r}"
+            )
         term = (y - mu) ** 2 / v
         if weight_col is not None:
             term = term * pdf[weight_col].to_numpy(dtype=np.float64)
@@ -725,6 +817,17 @@ def _sparse_coef_se_body(
         dispersion, fixed = 1.0, True
         df_resid = max(n - p, 0.0)
     else:
+        # loud driver-side guard (ADVICE r12): a future non-fixed-
+        # dispersion family without a registered Pearson variance
+        # function must fail here, not compute a silently-gaussian φ
+        if name != "normal" and name != "gamma" and not name.startswith(
+            "tweedie"
+        ):
+            raise ValueError(
+                f"no Pearson variance function for family {name!r} — "
+                "register its mean/variance in the sparse Pearson scan "
+                "or add it to _FIXED_DISPERSION"
+            )
         rows = _arrow_partials_generic(
             df, pearson_partial, "pearson double, n double",
             partial_doubles=2,
@@ -739,7 +842,11 @@ def _sparse_coef_se_body(
             )
         dispersion, fixed = pearson / df_resid, False
 
-    se = np.sqrt(dispersion * inv_diag)
+    se = (
+        np.sqrt(sand_diag)
+        if sand_diag is not None
+        else np.sqrt(dispersion * inv_diag)
+    )
     bsel = beta[coords]
     with np.errstate(divide="ignore", invalid="ignore"):
         stat = np.where(se > 0, bsel / se, np.nan)
@@ -964,15 +1071,7 @@ def glm_predict_interval(
     projection, no shuffle: Σ rides as one folded literal.
 
     Adds columns ``prediction``, ``se_link``, ``lo``, ``hi``."""
-    if summary.covariance is None:
-        raise ValueError("summary carries no covariance matrix")
-    if not 0.0 < level < 1.0:
-        raise ValueError(f"level must be in (0, 1), got {level}")
-    tail = (1.0 - level) / 2.0
-    if summary.dispersion_fixed:
-        q = normal_isf(tail)
-    else:
-        q = students_t_isf(tail, summary.df_residual)
+    q = _interval_quantile(summary, level)
     from dask_glm_spark.functions import kernels
 
     beta = np.asarray(summary.coefficients, dtype=np.float64)
@@ -986,24 +1085,137 @@ def glm_predict_interval(
         )
     )
     out = df.withColumn("se_link", se)
+    return _attach_interval_cols(out, family, xb, q, scale)
+
+
+def _interval_quantile(summary: GLMSummary, level: float) -> float:
+    """Shared validation + z/t upper-tail quantile for the interval
+    surfaces (dense and sparse)."""
+    if summary.covariance is None:
+        raise ValueError(
+            "summary carries no covariance matrix (coords-only sparse "
+            "summaries report per-coordinate SEs without the covariance "
+            "the per-row interval needs — compute the summary on a dense "
+            "training frame)"
+        )
+    if not 0.0 < level < 1.0:
+        raise ValueError(f"level must be in (0, 1), got {level}")
+    tail = (1.0 - level) / 2.0
+    if summary.dispersion_fixed:
+        return normal_isf(tail)
+    return students_t_isf(tail, summary.df_residual)
+
+
+def _attach_interval_cols(out: DataFrame, family, xb, q: float, scale: str):
+    """prediction/lo/hi columns over a frame that already carries
+    ``se_link`` — the link-scale Wald interval, endpoints mapped through
+    the monotone inverse link for ``scale='mean'``."""
     lo_link = xb - F.lit(float(q)) * F.col("se_link")
     hi_link = xb + F.lit(float(q)) * F.col("se_link")
     if scale == "link":
-        mean_of = None
-    elif scale == "mean":
-        def mean_of(e):
-            m, _ = _mean_and_variance_exprs(family, e)
-            return m
-    else:
-        raise ValueError(f"scale must be 'link' or 'mean', got {scale!r}")
-    if mean_of is None:
         return (
             out.withColumn("prediction", xb)
             .withColumn("lo", lo_link)
             .withColumn("hi", hi_link)
         )
-    return (
-        out.withColumn("prediction", mean_of(xb))
-        .withColumn("lo", mean_of(lo_link))
-        .withColumn("hi", mean_of(hi_link))
+    if scale == "mean":
+        def mean_of(e):
+            m, _ = _mean_and_variance_exprs(family, e)
+            return m
+
+        return (
+            out.withColumn("prediction", mean_of(xb))
+            .withColumn("lo", mean_of(lo_link))
+            .withColumn("hi", mean_of(hi_link))
+        )
+    raise ValueError(f"scale must be 'link' or 'mean', got {scale!r}")
+
+
+def sparse_predict_interval(
+    df: DataFrame,
+    family,
+    summary: GLMSummary,
+    level: float = 0.95,
+    scale: str = "mean",
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    fit_intercept: bool = True,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """Wald mean-response intervals over WIDE-SPARSE (indices, values)
+    scoring rows — round 13 (VERDICT r12 #2): the sparse twin of
+    ``glm_predict_interval`` with identical semantics and output columns
+    (``prediction`` / ``se_link`` / ``lo`` / ``hi``), parity-pinned
+    against the dense path in tests.
+
+    The TRAINING summary must carry a covariance — i.e. come from a
+    dense-features ``summary()`` call (a coords-only sparse summary has
+    none; the p×p Σ is the wrong object at hashed widths, which bounds
+    this surface to moderate p by construction). Per Arrow batch the
+    linear predictor and the quadratic form ``xᵀΣx`` are computed
+    together in O(nnz·p) numpy (Σ rides the closure; with
+    ``fit_intercept`` the constant-1 coordinate at index p−1 is appended
+    batch-side, mirroring the fit's ``append_intercept_coord``); the
+    interval algebra is then the SAME narrow SQL tail the dense path
+    uses. One scan, no shuffle, no p² bytes leaving any executor —
+    Σ travels one broadcast closure."""
+    from dask_glm_spark.functions.kernels_sparse import _batch_csr
+
+    q = _interval_quantile(summary, level)
+    beta = np.asarray(summary.coefficients, dtype=np.float64).ravel()
+    Sigma = np.ascontiguousarray(summary.covariance, dtype=np.float64)
+    p = len(beta)
+    if Sigma.shape != (p, p):
+        raise ValueError(
+            f"covariance shape {Sigma.shape} does not match the {p} "
+            "summary coefficients"
+        )
+    if offset_col is not None and offset_col not in df.columns:
+        raise ValueError(
+            f"offset_col {offset_col!r} is not a column of the scoring "
+            "DataFrame; add it (or score a model fitted without "
+            "offset_col)"
+        )
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+            if fit_intercept:
+                # the fit's constant-1 coordinate at index p−1
+                flat_idx = np.concatenate(
+                    [flat_idx, np.full(n, p - 1, dtype=flat_idx.dtype)]
+                )
+                flat_val = np.concatenate([flat_val, np.ones(n)])
+                row_ids = np.concatenate(
+                    [row_ids, np.arange(n, dtype=row_ids.dtype)]
+                )
+            xb = np.bincount(
+                row_ids, weights=flat_val * beta[flat_idx], minlength=n
+            )
+            if offset_col is not None:
+                xb = xb + pdf[offset_col].to_numpy(dtype=np.float64)
+            # Σ·x per row: scatter-add the selected Σ rows, then contract
+            # with x again — O(nnz·p) per batch, never a dense (n, p) X
+            Sx = np.zeros((n, p))
+            np.add.at(Sx, row_ids, flat_val[:, None] * Sigma[flat_idx])
+            quad = np.bincount(
+                row_ids,
+                weights=flat_val * Sx[row_ids, flat_idx],
+                minlength=n,
+            )
+            out = pdf.copy()
+            out["_xb"] = xb
+            out["se_link"] = np.sqrt(np.maximum(quad, 0.0))
+            yield out
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+    scored = df.mapInPandas(
+        op, schema=f"{fields}, _xb double, se_link double"
+    )
+    return _attach_interval_cols(
+        scored, family, F.col("_xb"), q, scale
+    ).drop("_xb")

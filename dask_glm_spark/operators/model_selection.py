@@ -244,9 +244,95 @@ def cv_lamduh(
             fold_losses[i] = np.asarray(losses) / denom
         mean_loss = fold_losses.mean(axis=0)
         best = lams[int(np.argmin(mean_loss))]
+        # full-data refit runs on the STILL-CACHED folded frame (the
+        # extra fold column is invisible to the solver's column-named
+        # scans) — dropping _cvfold first yielded an uncached derived
+        # frame that regularization_path persisted as a second full copy
+        # of the dataset (ADVICE r12)
         betas_full = regularization_path(
-            folded.drop("_cvfold"), lams, solver=solver,
+            folded, lams, solver=solver,
             regularizer=regularizer, family=family,
+            features_col=features_col, label_col=label_col, **kwargs,
+        )
+        return {
+            "best_lamduh": best,
+            "mean_test_loss": mean_loss,
+            "fold_test_loss": fold_losses,
+            "betas": betas_full,
+            "lamduhs": lams,
+        }
+    finally:
+        folded.unpersist()
+
+
+def softmax_cv_lamduh(
+    df: DataFrame,
+    lamduhs,
+    k: int,
+    regularizer: str = "l1",
+    n_folds: int = 5,
+    features_col: str = "features",
+    label_col: str = "label",
+    **kwargs,
+) -> dict:
+    """Cross-validated λ selection for the JOINT multinomial path —
+    round 13 (VERDICT r12 #6): the softmax twin of ``cv_lamduh``, so the
+    multiclass user has a selector, not just a path. Per fold: one
+    warm-started ``softmax_regularization_path`` over the train split's
+    shared cache (strongest-λ-first, (p, k) warm starts), then ONE
+    ``kernels.softmax_multi_loss`` scan of the held-out split scoring
+    ALL λ candidates together — never a per-λ test job. Folds are the
+    same deterministic content-hash folds every CV surface here uses
+    (identical across partitionings/reruns/cluster shapes).
+
+    ``label_col`` must hold class indices in [0, k) — the solver-level
+    contract (use ``SoftmaxRegression`` for label mapping). ``weight_col``
+    in kwargs scores by the weighted per-unit NLL Σw·ll/Σw, matching the
+    weighted fit objective. Returns the ``cv_lamduh`` dict shape with
+    ``betas`` of shape (len(lamduhs), p, k) — full-data refit over the
+    STILL-CACHED folded frame (the ADVICE-r12 double-cache fix applies
+    here too)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+
+    lams = [float(v) for v in lamduhs]
+    if not lams:
+        raise ValueError("lamduhs must be non-empty")
+    weight_col = kwargs.get("weight_col")
+    folded = cv_fold_column(df, n_folds, features_col, label_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        fold_losses = np.empty((n_folds, len(lams)))
+        for i in range(n_folds):
+            train = folded.where(F.col("_cvfold") != i).drop("_cvfold")
+            test = folded.where(F.col("_cvfold") == i).drop("_cvfold")
+            betas = softmax_regularization_path(
+                train, lams, k, regularizer=regularizer,
+                features_col=features_col, label_col=label_col, **kwargs,
+            )
+            if weight_col is not None:
+                row = test.agg(F.sum(weight_col).alias("sw")).first()
+                denom = float(row["sw"] or 0.0)
+            else:
+                denom = float(test.count())
+            if denom <= 0:
+                raise ValueError(
+                    f"fold {i} has no held-out mass (n_folds={n_folds} "
+                    "too large for this dataset)"
+                )
+            losses = kernels.softmax_multi_loss(
+                test, [betas[j] for j in range(len(lams))],
+                features_col=features_col, label_col=label_col,
+                weight_col=weight_col,
+            )
+            fold_losses[i] = np.asarray(losses) / denom
+        mean_loss = fold_losses.mean(axis=0)
+        best = lams[int(np.argmin(mean_loss))]
+        betas_full = softmax_regularization_path(
+            folded, lams, k, regularizer=regularizer,
             features_col=features_col, label_col=label_col, **kwargs,
         )
         return {
