@@ -786,6 +786,49 @@ def softmax_multi_loss(
     return out
 
 
+def softmax_hessian_vector_product(
+    df: DataFrame,
+    B: np.ndarray,
+    V: np.ndarray,
+    features_col: str = "features",
+    weight_col: str | None = None,
+) -> np.ndarray:
+    """Multinomial Hessian-vector product ``H(B)·V`` as a (p, k) matrix —
+    the matrix-free softmax Newton-CG primitive (round 13, VERDICT r12
+    #5). Per Arrow batch it is exactly TWO GEMMs (the
+    ``softmax_loss_gradient`` shape): ``A = X·V``, then with P the fitted
+    row probabilities the per-row curvature action is
+    ``M = w ⊙ P ⊙ (A − (Σ_c P_c·A_c))`` (the ``(diag(P) − PPᵀ)``
+    block applied to Vᵀx — canonical link, so observed = expected and
+    the LABEL IS NEVER READ), and the partial is ``Xᵀ·M`` — p·k doubles
+    per partition, no (p·k)² object anywhere. Shift-invariance note: the
+    output columns sum to zero per feature (range(H) ⊥ the softmax null
+    space), so CG iterates started at the gradient stay identified."""
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    V = np.ascontiguousarray(V, dtype=np.float64)
+    p, k = B.shape
+
+    def batch_partial(pdf) -> dict:
+        X = _features_matrix(pdf, features_col)
+        Z = X @ B
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        A = X @ V
+        M = P * (A - (A * P).sum(axis=1, keepdims=True))
+        if weight_col is not None:
+            M = M * pdf[weight_col].to_numpy(dtype=np.float64)[:, None]
+        return {"hv": (X.T @ M).ravel()}
+
+    rows_ = _arrow_partials_generic(
+        df, batch_partial, "hv array<double>", partial_doubles=p * k
+    )
+    hv = np.zeros(p * k)
+    for r_ in rows_:
+        hv += np.asarray(r_["hv"], dtype=np.float64)
+    return hv.reshape(p, k)
+
+
 # ---------------------------------------------------------------------------
 # P6: per-feature column moments (population std — numpy ddof=0 parity;
 # Spark's default `stddev` is the SAMPLE std. SURVEY §7 correctness trap.)

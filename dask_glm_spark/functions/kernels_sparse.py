@@ -393,3 +393,55 @@ def softmax_loss_gradient_sparse(
         loss += r_["loss"]
         grad += np.asarray(r_["grad"], dtype=np.float64)
     return float(loss), grad.reshape(p, k)
+
+def softmax_hessian_vector_product_sparse(
+    df: DataFrame,
+    B: np.ndarray,
+    V: np.ndarray,
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    weight_col: str | None = None,
+) -> np.ndarray:
+    """Sparse twin of ``kernels.softmax_hessian_vector_product``:
+    ``H(B)·V`` as (p, k) over (indices, values) rows — the wide-sparse
+    multinomial Newton-CG primitive (round 13). Per batch: k bincount
+    scatters each for Z = X·B and A = X·V, the per-row curvature action
+    ``M = w ⊙ P ⊙ (A − Σ_c P_c·A_c)``, then k bincount gathers for
+    Xᵀ·M — O(k·nnz) work, p·k doubles per partition, the label column
+    never read (canonical link: observed = expected information)."""
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    V = np.ascontiguousarray(V, dtype=np.float64)
+    k = B.shape[1]
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        Z = np.empty((n, k))
+        A = np.empty((n, k))
+        for c in range(k):
+            Z[:, c] = np.bincount(
+                row_ids, weights=flat_val * B[flat_idx, c], minlength=n
+            )
+            A[:, c] = np.bincount(
+                row_ids, weights=flat_val * V[flat_idx, c], minlength=n
+            )
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        M = P * (A - (A * P).sum(axis=1, keepdims=True))
+        if weight_col is not None:
+            M = M * pdf[weight_col].to_numpy(dtype=np.float64)[:, None]
+        HV = np.empty((p, k))
+        for c in range(k):
+            HV[:, c] = np.bincount(
+                flat_idx, weights=M[row_ids, c] * flat_val, minlength=p
+            )
+        return {"hv": HV.ravel()}
+
+    rows_ = _arrow_partials_generic(
+        df, batch_partial, "hv array<double>", partial_doubles=p * k
+    )
+    hv = np.zeros(p * k)
+    for r_ in rows_:
+        hv += np.asarray(r_["hv"], dtype=np.float64)
+    return hv.reshape(p, k)

@@ -286,10 +286,6 @@ class _GLM(BaseEstimator):
                     " (per-coordinate matrix-free SEs); the full p x p "
                     "covariance is the wrong object for wide-sparse fits"
                 )
-            if robust:
-                raise NotImplementedError(
-                    "robust HC0 is unsupported for sparse coords summary"
-                )
             p_total = len(self._coef)
             df_fit = df
             if self.fit_intercept:
@@ -299,7 +295,7 @@ class _GLM(BaseEstimator):
             return inference.sparse_coef_se(
                 df_fit, self.family, self._coef, coords, p_total,
                 label_col=self.label_col, weight_col=self.weight_col,
-                offset_col=self.offset_col,
+                offset_col=self.offset_col, robust=robust,
             )
         if coords is not None:
             raise ValueError(
@@ -375,8 +371,15 @@ class _GLM(BaseEstimator):
         if V.is_vector_column(df, self.features_col):
             df = V.from_vector_column(df, self.features_col)
         if V.is_sparse_columns(df):
-            raise NotImplementedError(
-                "predict_interval() supports dense features only"
+            # wide-sparse scoring rows (round 13, VERDICT r12 #2): same
+            # semantics, one O(nnz·p) Arrow pass for xb + xᵀΣx — the
+            # summary must still come from a dense TRAINING frame (a
+            # coords-only sparse summary has no covariance; the loud
+            # error lives in inference._interval_quantile)
+            return inference.sparse_predict_interval(
+                df, self.family, summary, level, scale,
+                fit_intercept=self.fit_intercept,
+                offset_col=self.offset_col,
             )
         df_ = self._maybe_add_intercept(df)
         return inference.glm_predict_interval(
@@ -390,7 +393,13 @@ class _GLM(BaseEstimator):
         ``working`` — one narrow codegen projection, no shuffle, honors
         ``weight_col``/``offset_col`` (MLlib sqrt-weight convention;
         cross-checked against GLR ``summary.residuals`` in
-        tests/test_inference.py). Dense array features only."""
+        tests/test_inference.py).
+
+        Wide-sparse rows (round 13, VERDICT r12 #2): xb is scored in one
+        O(nnz) Arrow pass (``_sparse_xb`` — intercept split out, offset
+        included), then the SAME narrow residual projection runs over
+        that column — all four kinds, parity-pinned against the dense
+        path in tests/test_sparse.py."""
         from dask_glm_spark.functions import inference
         from dask_glm_spark.sources import vectors as V
 
@@ -399,9 +408,12 @@ class _GLM(BaseEstimator):
         if V.is_vector_column(df, self.features_col):
             df = V.from_vector_column(df, self.features_col)
         if V.is_sparse_columns(df):
-            raise NotImplementedError(
-                "residuals() supports dense features only"
-            )
+            scored = self._sparse_xb(df, "_xb_res")
+            return inference.glm_residuals(
+                scored, self.family, None, kind,
+                label_col=self.label_col, weight_col=self.weight_col,
+                xb_col="_xb_res",
+            ).drop("_xb_res")
         df_ = self._maybe_add_intercept(df)
         return inference.glm_residuals(
             df_, self.family, self._coef, kind, self.features_col,
@@ -689,8 +701,14 @@ class MulticlassLogisticRegression(_GLM):
       regardless of k.
 
     State: ``classes_`` (sorted labels), ``coefs_`` (k, p),
-    ``intercepts_`` (k,). Dense array features only — wide-sparse OvR
-    should fit per-class binary models explicitly.
+    ``intercepts_`` (k,).
+
+    Wide-sparse features (round 13, VERDICT r12 #4): the same design —
+    the (findices, fvalues) input is persisted ONCE and each per-class
+    binary fit runs through ``_SPARSE_SOLVERS`` over a lazily relabeled
+    view of that cache (``persist=False`` so k classes never means k
+    cached copies; ``sparse_p`` resolves the width once, not per class).
+    Scoring composes from the ``_sparse_scores_df`` O(k·nnz) Arrow pass.
     """
 
     family = families.Logistic
@@ -718,11 +736,13 @@ class MulticlassLogisticRegression(_GLM):
 
         from dask_glm_spark.sources import vectors as V
 
-        if V.is_vector_column(df, self.features_col) or V.is_sparse_columns(df):
-            raise NotImplementedError(
-                "MulticlassLogisticRegression supports dense array features; "
-                "fit per-class binary models explicitly for sparse input"
-            )
+        if V.is_vector_column(df, self.features_col):
+            # MLlib VectorUDT: convert once here (per-class fits then see
+            # dense arrays) and disable standardization — the _GLM.fit
+            # convention for vector ingest
+            df = V.from_vector_column(df, self.features_col)
+            extra.setdefault("normalize", False)
+        sparse_in = V.is_sparse_columns(df)
         if self.offset_col is not None:
             # sub-fits would honor the offset but the k-class argmax/score
             # projection would not — raise rather than predict wrong
@@ -738,6 +758,13 @@ class MulticlassLogisticRegression(_GLM):
         ]
         if len(classes) < 2:
             raise ValueError(f"need >= 2 classes, got {classes!r}")
+        sparse_p_once = None
+        if sparse_in:
+            from dask_glm_spark.sources.vectors import sparse_p
+
+            # resolve the width ONCE — each per-class _fit_sparse would
+            # otherwise rerun the max-index scan
+            sparse_p_once = extra.pop("p", None) or sparse_p(df)
         we_persisted = False
         if not df.is_cached:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -759,6 +786,8 @@ class MulticlassLogisticRegression(_GLM):
                     (F.col(self.label_col) == F.lit(c)).cast("double"),
                 )
                 sub_extra = dict(extra)
+                if sparse_p_once is not None:
+                    sub_extra["p"] = sparse_p_once
                 if prev is not None:
                     sub_extra.setdefault("init_beta", prev[i])
                 m = LogisticRegression(**self.get_params()).fit(
@@ -793,7 +822,63 @@ class MulticlassLogisticRegression(_GLM):
             ]
         )
 
+    def _sparse_scores_df(self, df: DataFrame, col: str) -> DataFrame:
+        """df + a linear (n, k) scores array column over wide-sparse rows:
+        one vectorized O(k·nnz) Arrow pass (the _sparse_xb shape, k-wide).
+        The fitted intercepts (zero for intercept-free fits) add onto each
+        class score — sparse indices never address the intercept, exactly
+        the ``_sparse_xb`` split. Shared by OvR (round 13) and softmax
+        scoring; both argmax over these LINEAR scores (sigmoid and
+        softmax are monotone per class / rank-preserving)."""
+        from dask_glm_spark.functions.kernels_sparse import _batch_csr
+
+        Bmat = self.coefs_.T.copy()  # (p, k), intercept split out
+        icpt = np.asarray(self.intercepts_, dtype=np.float64)
+        k = Bmat.shape[1]
+
+        def op(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                flat_idx, flat_val, row_ids, n = _batch_csr(
+                    pdf, "findices", "fvalues"
+                )
+                Z = np.empty((n, k))
+                for c in range(k):
+                    Z[:, c] = np.bincount(
+                        row_ids,
+                        weights=flat_val * Bmat[flat_idx, c],
+                        minlength=n,
+                    )
+                Z += icpt
+                out = pdf.copy()
+                out[col] = [r.tolist() for r in Z]
+                yield out
+
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        return df.mapInPandas(op, schema=f"{fields}, {col} array<double>")
+
     def predict_proba(self, df: DataFrame) -> DataFrame:
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if V.is_sparse_columns(df):
+            # OvR normalization over sigmoid(linear scores) — identical
+            # algebra to the dense path, scores from one Arrow pass
+            scored = self._sparse_scores_df(df, "_scores")
+            probs = _let(
+                F.transform(
+                    F.col("_scores"), lambda z: families.sigmoid_expr(z)
+                ),
+                lambda s: _let(
+                    F.aggregate(s, F.lit(0.0), lambda a, x: a + x),
+                    lambda total: F.transform(s, lambda x: x / total),
+                ),
+            )
+            return scored.withColumn("probabilities", probs).drop("_scores")
         df_ = self._maybe_add_intercept(df)
         # Let-bind the k-class score array ONCE, then the total ONCE:
         # unbound, Catalyst re-inlines the k sigmoid(matvec) expressions at
@@ -809,8 +894,23 @@ class MulticlassLogisticRegression(_GLM):
         return df_.withColumn("probabilities", probs)
 
     def predict(self, df: DataFrame) -> DataFrame:
-        df_ = self._maybe_add_intercept(df)
+        from dask_glm_spark.sources import vectors as V
+
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
         cls = F.array(*[F.lit(c) for c in self.classes_])
+        if V.is_sparse_columns(df):
+            # argmax over the LINEAR scores — rank-identical to the dense
+            # argmax over sigmoids (monotone), same first-max tie-break
+            scored = self._sparse_scores_df(df, "_scores")
+            pred = _let(
+                F.col("_scores"),
+                lambda s: F.element_at(
+                    cls, F.array_position(s, F.array_max(s)).cast("int")
+                ),
+            )
+            return scored.withColumn("prediction", pred).drop("_scores")
+        df_ = self._maybe_add_intercept(df)
         # first max wins: deterministic tie-break by class order; scores
         # bound once (two references otherwise each re-evaluate k matvecs)
         pred = _let(
@@ -834,10 +934,20 @@ class MulticlassLogisticRegression(_GLM):
         from pyspark import StorageLevel
 
         from dask_glm_spark.functions import inference
+        from dask_glm_spark.sources import vectors as V
 
         if getattr(self, "_coefs", None) is None:
             raise ValueError("summary() requires a fitted model")
         self._reject_penalized_inference("summary()")
+        if V.is_vector_column(df, self.features_col):
+            df = V.from_vector_column(df, self.features_col)
+        if V.is_sparse_columns(df):
+            raise NotImplementedError(
+                "per-class OvR summaries need dense features (k full p x p"
+                " informations); for wide-sparse fits run a binary "
+                "LogisticRegression per class indicator and use "
+                "summary(coords=[...])"
+            )
         # k Gram scans + k count jobs run below — persist ONCE around the
         # loop so an uncached input isn't rescanned 2k times (review r11)
         df_ = self._maybe_add_intercept(df)
@@ -881,7 +991,10 @@ class SoftmaxRegression(MulticlassLogisticRegression):
     objectives; ``solver='proximal_grad'`` (round 12) runs FISTA over
     the flattened (p, k) matrix for non-smooth penalties — L1 feature
     selection on hashed text dims
-    (``regularizer``/``lamduh``/``max_iter``/``tol`` route through).
+    (``regularizer``/``lamduh``/``max_iter``/``tol`` route through);
+    ``solver='newton_cg'`` (round 13) is matrix-free truncated Newton
+    over the joint objective — pure MLE (no regularizer routes, the
+    binary newton contract), each CG matvec one two-GEMM Hvp scan.
 
     Prediction reuses the parent's argmax machinery over LINEAR scores
     (argmax is monotone-invariant, so the sigmoid is unnecessary);
@@ -935,10 +1048,10 @@ class SoftmaxRegression(MulticlassLogisticRegression):
 
         if V.is_vector_column(df, self.features_col):
             df = V.from_vector_column(df, self.features_col)
-        if self.solver not in ("lbfgs", "proximal_grad"):
+        if self.solver not in ("lbfgs", "proximal_grad", "newton_cg"):
             raise NotImplementedError(
                 "SoftmaxRegression supports solver in ('lbfgs', "
-                f"'proximal_grad'), got {self.solver!r}"
+                f"'proximal_grad', 'newton_cg'), got {self.solver!r}"
             )
         if self.offset_col is not None:
             # a shared per-row offset is invariant under softmax (it
@@ -975,22 +1088,31 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         if self.weight_col is not None:
             extra.setdefault("weight_col", self.weight_col)
         info = extra.setdefault("fit_info", {})
-        solver_fn = (
-            solvers.softmax_proximal
-            if self.solver == "proximal_grad"
-            else solvers.softmax_lbfgs
-        )
-        B = solver_fn(
-            dfi,
-            k,
-            regularizer=self.regularizer,
-            lamduh=self.lamduh,
-            max_iter=self.max_iter,
-            tol=self.tol,
-            features_col=self.features_col,
-            label_col=self.label_col,
-            **extra,
-        )
+        if self.solver == "newton_cg":
+            # pure-MLE path (the binary newton/newton_cg routing contract:
+            # no regularizer reaches these solvers)
+            B = solvers.softmax_newton_cg(
+                dfi, k, max_iter=self.max_iter, tol=self.tol,
+                features_col=self.features_col, label_col=self.label_col,
+                **extra,
+            )
+        else:
+            solver_fn = (
+                solvers.softmax_proximal
+                if self.solver == "proximal_grad"
+                else solvers.softmax_lbfgs
+            )
+            B = solver_fn(
+                dfi,
+                k,
+                regularizer=self.regularizer,
+                lamduh=self.lamduh,
+                max_iter=self.max_iter,
+                tol=self.tol,
+                features_col=self.features_col,
+                label_col=self.label_col,
+                **extra,
+            )
         self.classes_ = classes
         self.n_iter_ = info.get("n_iter")
         self.converged_ = info.get("converged")
@@ -1042,21 +1164,27 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         if self.weight_col is not None:
             extra.setdefault("weight_col", self.weight_col)
         info = extra.setdefault("fit_info", {})
-        solver_fn = (
-            solvers.softmax_proximal_sparse
-            if self.solver == "proximal_grad"
-            else solvers.softmax_lbfgs_sparse
-        )
-        B = solver_fn(
-            dfi,
-            k,
-            regularizer=self.regularizer,
-            lamduh=self.lamduh,
-            max_iter=self.max_iter,
-            tol=self.tol,
-            label_col=self.label_col,
-            **extra,
-        )
+        if self.solver == "newton_cg":
+            B = solvers.softmax_newton_cg_sparse(
+                dfi, k, max_iter=self.max_iter, tol=self.tol,
+                label_col=self.label_col, **extra,
+            )
+        else:
+            solver_fn = (
+                solvers.softmax_proximal_sparse
+                if self.solver == "proximal_grad"
+                else solvers.softmax_lbfgs_sparse
+            )
+            B = solver_fn(
+                dfi,
+                k,
+                regularizer=self.regularizer,
+                lamduh=self.lamduh,
+                max_iter=self.max_iter,
+                tol=self.tol,
+                label_col=self.label_col,
+                **extra,
+            )
         self.classes_ = classes
         self.n_iter_ = info.get("n_iter")
         self.converged_ = info.get("converged")
@@ -1069,60 +1197,9 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             self.intercepts_ = np.zeros(k)
         return self
 
-    def _sparse_scores_df(self, df: DataFrame, col: str) -> DataFrame:
-        """df + a linear (n, k) scores array column over wide-sparse rows:
-        one vectorized O(k·nnz) Arrow pass (the _sparse_xb shape, k-wide).
-        The fitted intercepts (zero for intercept-free fits) add onto each
-        class score — sparse indices never address the intercept, exactly
-        the ``_sparse_xb`` split."""
-        from dask_glm_spark.functions.kernels_sparse import _batch_csr
-
-        Bmat = self.coefs_.T.copy()  # (p, k), intercept split out
-        icpt = np.asarray(self.intercepts_, dtype=np.float64)
-        k = Bmat.shape[1]
-
-        def op(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                flat_idx, flat_val, row_ids, n = _batch_csr(
-                    pdf, "findices", "fvalues"
-                )
-                Z = np.empty((n, k))
-                for c in range(k):
-                    Z[:, c] = np.bincount(
-                        row_ids,
-                        weights=flat_val * Bmat[flat_idx, c],
-                        minlength=n,
-                    )
-                Z += icpt
-                out = pdf.copy()
-                out[col] = [r.tolist() for r in Z]
-                yield out
-
-        fields = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        return df.mapInPandas(op, schema=f"{fields}, {col} array<double>")
-
-    def predict(self, df: DataFrame) -> DataFrame:
-        from dask_glm_spark.sources import vectors as V
-
-        if V.is_vector_column(df, self.features_col):
-            df = V.from_vector_column(df, self.features_col)
-        if not V.is_sparse_columns(df):
-            return super().predict(df)
-        cls = F.array(*[F.lit(c) for c in self.classes_])
-        scored = self._sparse_scores_df(df, "_scores")
-        pred = _let(
-            F.col("_scores"),
-            lambda s: F.element_at(
-                cls, F.array_position(s, F.array_max(s)).cast("int")
-            ),
-        )
-        return scored.withColumn("prediction", pred).drop("_scores")
+    # predict() and _sparse_scores_df are inherited from the OvR parent
+    # (round 13): both argmax over the LINEAR scores this class's
+    # _scores_expr returns, and the sparse scorer is shared verbatim.
 
     def predict_proba(self, df: DataFrame) -> DataFrame:
         from dask_glm_spark.sources import vectors as V

@@ -914,6 +914,7 @@ def lbfgs_sparse(
     weight_col = kwargs.pop("weight_col", None)
     offset_col = kwargs.pop("offset_col", None)
     fit_info = kwargs.pop("fit_info", None)
+    persist = kwargs.pop("persist", True)
 
     reg_f = reg_grad = None
     if regularizer is not None:
@@ -949,17 +950,20 @@ def lbfgs_sparse(
         )
         return beta
 
-    return _run_sparse(df, idx_col, p, body)
+    return _run_sparse(df, idx_col, p, body, persist=persist)
 
 
-def _run_sparse(df, idx_col, p, body):
+def _run_sparse(df, idx_col, p, body, persist=True):
     """Persist-if-needed wrapper shared by the sparse solvers: caches the
     (indices, values, label) frame for the iteration scans, resolves p, and
-    runs ``body(df, p)``."""
+    runs ``body(df, p)``. ``persist=False`` (round 13) skips the cache —
+    the sparse-OvR parent persists ONCE and each per-class relabeled view
+    scans that cache through a narrow withColumn, exactly the dense OvR
+    contract (k classes never means k cached copies)."""
     from dask_glm_spark.sources.vectors import sparse_p
 
     we_persisted = False
-    if not df.is_cached:
+    if persist and not df.is_cached:
         df = ensure_min_parallelism(df)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
@@ -991,6 +995,7 @@ def gradient_descent_sparse(
 
     weight_col = kwargs.pop("weight_col", None)
     offset_col = kwargs.pop("offset_col", None)
+    persist = kwargs.pop("persist", True)
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: _gd_loop(
@@ -1004,6 +1009,7 @@ def gradient_descent_sparse(
             ),
             pp, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
         ),
+        persist=persist,
     )
 
 
@@ -1033,6 +1039,7 @@ def newton_cg_sparse(
 
     weight_col = kwargs.pop("weight_col", None)
     offset_col = kwargs.pop("offset_col", None)
+    persist = kwargs.pop("persist", True)
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: _newton_cg_loop(
@@ -1047,6 +1054,7 @@ def newton_cg_sparse(
             pp, max_iter, tol, init_beta, kwargs.pop("fit_info", None),
             cg_tol, max_cg_iter,
         ),
+        persist=persist,
     )
 
 
@@ -1074,6 +1082,7 @@ def proximal_grad_sparse(
 
     weight_col = kwargs.pop("weight_col", None)
     offset_col = kwargs.pop("offset_col", None)
+    persist = kwargs.pop("persist", True)
     return _run_sparse(
         df, idx_col, p,
         lambda dfc, pp: (_fista_loop if accelerate else _prox_loop)(
@@ -1088,6 +1097,7 @@ def proximal_grad_sparse(
             pp, regularizer, lamduh, max_iter, tol, init_beta,
             kwargs.pop("fit_info", None),
         ),
+        persist=persist,
     )
 
 
@@ -1220,6 +1230,7 @@ def admm(
     weight_col = kwargs.pop("weight_col", None)
     offset_col = kwargs.pop("offset_col", None)
     fit_info = kwargs.pop("fit_info", None)
+    block_storage = kwargs.pop("block_storage", "auto")
     regularizer = Regularizer.get(regularizer)
     p = _resolve_p(df, features_col, kwargs)
 
@@ -1230,6 +1241,24 @@ def admm(
         else family
     )
     sc = df.sparkSession.sparkContext
+    # Block store (round 13, VERDICT r12 #8): 'disk' writes each block as
+    # a local .npy pair and caches only the paths — rounds memmap straight
+    # from page cache, so the one-time multi-GB pickled block build (the
+    # 100× probe's single-JVM GC component) AND the per-round JVM→Python
+    # block copy both disappear. 'auto' enables it ONLY in local mode:
+    # there one JVM holds every block (the GC effect) and one filesystem
+    # guarantees path visibility. On a real cluster the blocks already
+    # spread across executor JVMs (heap pressure divides by the executor
+    # count) and a round task rescheduled off the writing executor under
+    # delay scheduling would not see the file — the JVM block-manager
+    # cache stays the robust default there.
+    if block_storage == "auto":
+        block_storage = "disk" if sc.master.startswith("local") else "jvm"
+    if block_storage not in ("disk", "jvm"):
+        raise ValueError(
+            f"block_storage must be 'auto', 'disk' or 'jvm', got "
+            f"{block_storage!r}"
+        )
 
     cur = df.rdd.getNumPartitions()
     if nblocks is None:
@@ -1283,8 +1312,9 @@ def admm(
     aux_cols = [c for c in (weight_col, offset_col) if c is not None]
     n_yrows = 1 + len(aux_cols)
 
-    def build_block_arrow(batches):
-        import pyarrow as pa
+    def _assemble_block(batches):
+        """Arrow batches -> one (pid, X, y) numpy block (zero-copy buffer
+        reshape, never a per-row Python loop)."""
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -1302,7 +1332,7 @@ def admm(
                     batch.column(2 + j).to_numpy(zero_copy_only=False)
                 )
         if not Xs:
-            return
+            return None
         X = np.ascontiguousarray(np.concatenate(Xs))
         y = np.concatenate(ys)
         if aux_cols:
@@ -1310,6 +1340,15 @@ def admm(
             # splits it in the local solves
             y = np.vstack([y] + [np.concatenate(a) for a in auxs])
         y = np.ascontiguousarray(y)
+        return pid, X, y
+
+    def build_block_arrow(batches):
+        import pyarrow as pa
+
+        blk = _assemble_block(batches)
+        if blk is None:
+            return
+        pid, X, y = blk
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], type=pa.int64()),
@@ -1319,30 +1358,110 @@ def admm(
             names=["pid", "xb", "yb"],
         )
 
-    packed = df.select(
+    blockdir = None
+    if block_storage == "disk":
+        import tempfile
+
+        blockdir = tempfile.mkdtemp(prefix="dgs-admm-blocks-")
+
+    def build_block_disk(batches, _dir=blockdir):
+        import os
+
+        import pyarrow as pa
+
+        blk = _assemble_block(batches)
+        if blk is None:
+            return
+        pid, X, y = blk
+        xpath = os.path.join(_dir, f"blk_{pid}_x.npy")
+        ypath = os.path.join(_dir, f"blk_{pid}_y.npy")
+        # write-then-rename: a lineage recompute of this partition (cache
+        # eviction) must never leave a concurrent reader a torn file
+        np.save(xpath + ".tmp.npy", X)
+        os.replace(xpath + ".tmp.npy", xpath)
+        np.save(ypath + ".tmp.npy", y)
+        os.replace(ypath + ".tmp.npy", ypath)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid], type=pa.int64()),
+                pa.array([xpath], type=pa.string()),
+                pa.array([ypath], type=pa.string()),
+            ],
+            names=["pid", "xb", "yb"],
+        )
+
+    proj = df.select(
         df[features_col].cast("array<double>"), df[label_col].cast("double"),
         *[F.col(c).cast("double") for c in aux_cols],
-    ).mapInArrow(build_block_arrow, schema="pid long, xb binary, yb binary")
+    )
+    if block_storage == "disk":
+        packed = proj.mapInArrow(
+            build_block_disk, schema="pid long, xb string, yb string"
+        )
 
-    def unpack(row):
-        X = np.frombuffer(row.xb, dtype=np.float64).reshape(-1, p)
-        y = np.frombuffer(row.yb, dtype=np.float64)
-        if n_yrows > 1:
-            y = y.reshape(n_yrows, -1)
-        # state: (pid, X, y, beta_i, u_i, beta_hat_i or None)
-        return (row.pid, X, y, np.ones(p), np.zeros(p), None)
+        def unpack(row):
+            # state: (pid, X-ref, y-ref, beta_i, u_i, beta_hat_i or None);
+            # the refs memmap lazily inside each round task (_block_xy)
+            return (
+                row.pid, _NpyRef(row.xb), _NpyRef(row.yb),
+                np.ones(p), np.zeros(p), None,
+            )
+    else:
+        packed = proj.mapInArrow(
+            build_block_arrow, schema="pid long, xb binary, yb binary"
+        )
+
+        def unpack(row):
+            X = np.frombuffer(row.xb, dtype=np.float64).reshape(-1, p)
+            y = np.frombuffer(row.yb, dtype=np.float64)
+            if n_yrows > 1:
+                y = y.reshape(n_yrows, -1)
+            # state: (pid, X, y, beta_i, u_i, beta_hat_i or None)
+            return (row.pid, X, y, np.ones(p), np.zeros(p), None)
 
     blocks = packed.rdd.map(unpack, preservesPartitioning=True)
-    return _admm_consensus(
-        blocks, p, regularizer, lamduh, rho, over_relax,
-        max_iter, abstol, reltol, fam, sc, init_beta=init_beta,
-        fit_info=fit_info,
-    )
+    try:
+        return _admm_consensus(
+            blocks, p, regularizer, lamduh, rho, over_relax,
+            max_iter, abstol, reltol, fam, sc, init_beta=init_beta,
+            fit_info=fit_info,
+        )
+    finally:
+        if blockdir is not None:
+            import shutil
+
+            shutil.rmtree(blockdir, ignore_errors=True)
 
 
 # Above this many bytes of (k x 2p floats) per-round state, broadcasting it
 # is worse than keeping state inside the block rows (wide-p sparse ADMM).
 MAX_DRIVER_STATE_BYTES = 64 * 1024 * 1024
+
+
+class _NpyRef:
+    """Pickles as a path; resolves to a read-only numpy memmap on use —
+    the ADMM local-disk block store (round 13, VERDICT r12 #8). The data
+    RDD then caches O(bytes-of-path) rows instead of multi-GB pickled
+    numpy blocks, which removes BOTH the single-JVM heap/GC pressure of
+    the one-time block build (the 100× probe's one super-linear
+    component) AND the per-round JVM→Python socket copy + unpickle of
+    every block (reads come straight from page cache via mmap)."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> np.ndarray:
+        return np.load(self.path, mmap_mode="r")
+
+
+def _block_xy(X, y):
+    """Resolve a consensus block's (X, y) — plain arrays pass through;
+    local-disk blocks (``_NpyRef``) memmap lazily inside the round task."""
+    if isinstance(X, _NpyRef):
+        return X.load(), y.load()
+    return X, y
 
 
 def _admm_consensus(
@@ -1407,6 +1526,7 @@ def _admm_consensus(
     def make_round(z_bc, first):
         def run(pair):
             (pid, X, y), (_, beta, u, beta_hat_prev) = pair
+            X, y = _block_xy(X, y)
             zv = z_bc.value
             if not first:
                 # deferred dual update from the previous round, now that the
@@ -1507,6 +1627,7 @@ def _admm_consensus_driver_state(
 
         def run(block, _st=st_bc, _p=p, _b0=b0_default):
             pid, X, y = block
+            X, y = _block_xy(X, y)
             zv, bs, uss = _st.value
             b0 = bs.get(pid)
             u0 = uss.get(pid)
@@ -1995,6 +2116,147 @@ def softmax_proximal_sparse(
         return np.asarray(bflat, dtype=np.float64).reshape(pp, k)
 
     return _run_sparse(df, idx_col, p, body)
+
+
+def _softmax_shift_proj(vf: np.ndarray, p: int, k: int) -> np.ndarray:
+    """Remove the per-feature class-shift (softmax null-space) component
+    from a flattened (p, k) vector: V − rowmean(V). See the
+    shift-invariance note on ``softmax_newton_cg``."""
+    V = vf.reshape(p, k)
+    return (V - V.mean(axis=1, keepdims=True)).ravel()
+
+
+def softmax_newton_cg(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+    features_col: str = "features",
+    label_col: str = "label",
+    normalize: bool = True,
+    persist: bool = True,
+    init_beta=None,
+    fit_info=None,
+    weight_col: str | None = None,
+    cg_tol: float | None = None,
+    max_cg_iter: int | None = None,
+) -> np.ndarray:
+    """Matrix-free truncated Newton for the JOINT multinomial fit —
+    round 13 (VERDICT r12 #5). The exact ``_newton_cg_loop`` control flow
+    of the binary ``newton_cg`` over the flattened (p·k) coefficient
+    vector: per outer iteration one fused ``softmax_loss_gradient`` scan,
+    then CG where each matvec is one ``softmax_hessian_vector_product``
+    scan (two GEMMs per batch, p·k doubles per partition — no (p·k)²
+    object anywhere, so wide p·k fits get Newton semantics at lbfgs byte
+    shape). Pure-MLE like ``newton``/``newton_cg`` (no regularizer
+    routes here — penalized softmax fits go through lbfgs /
+    proximal_grad).
+
+    Shift-invariance: the raw softmax parameterization has a
+    p-dimensional Hessian null space (adding one vector to every class
+    column changes nothing). The gradient and every exact Hvp live in
+    its orthogonal complement (columns sum to zero per feature), but CG
+    on a singular system is numerically unstable there — a direction
+    with a rounding-level null component has dᵀAd ≈ 0, so α = rs/dᵀAd
+    amplifies that component unboundedly (observed: intercept-extended
+    fits converged to a true MLE, gradient ~1e-13, carrying an O(10)
+    class-shift component). Both closures therefore PROJECT the shift
+    out (``_softmax_shift_proj``) of the CG inputs and outputs — exact
+    (the projector commutes with H; the true Newton step is sum-zero)
+    and stable (CG runs on the subspace where H is positive definite),
+    so iterates stay in the same sum-zero representation L-BFGS
+    converges to; parity is pinned in tests. Standardize-fit-
+    backtransform mirrors the other dense softmax solvers
+    (``_SoftmaxStandardizer``). Returns (p, k)."""
+    we_persisted = False
+    if persist and not df.is_cached:
+        df = ensure_min_parallelism(df)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    try:
+        stdz = _SoftmaxStandardizer(df, features_col, weight_col, normalize)
+        p, dfn = stdz.p, stdz.dfn
+        b0 = stdz.forward(init_beta, k)
+        bflat = _newton_cg_loop(
+            lambda bf: _softmax_shift_proj(
+                kernels.softmax_loss_gradient(
+                    dfn, bf.reshape(p, k), features_col, label_col,
+                    weight_col=weight_col,
+                )[1].ravel(),
+                p, k,
+            ),
+            lambda bf, v: _softmax_shift_proj(
+                kernels.softmax_hessian_vector_product(
+                    dfn, bf.reshape(p, k),
+                    _softmax_shift_proj(v, p, k).reshape(p, k),
+                    features_col, weight_col=weight_col,
+                ).ravel(),
+                p, k,
+            ),
+            p * k, max_iter, tol, b0, fit_info, cg_tol, max_cg_iter,
+        )
+        return stdz.backward(
+            np.asarray(bflat, dtype=np.float64).reshape(p, k)
+        )
+    finally:
+        if we_persisted:
+            df.unpersist()
+
+
+def softmax_newton_cg_sparse(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+    p: int | None = None,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    init_beta=None,
+    fit_info=None,
+    weight_col: str | None = None,
+    cg_tol: float | None = None,
+    max_cg_iter: int | None = None,
+    persist: bool = True,
+) -> np.ndarray:
+    """Sparse twin of ``softmax_newton_cg``: O(k·nnz) fused scans
+    (``softmax_loss_gradient_sparse`` for the outer gradient,
+    ``softmax_hessian_vector_product_sparse`` for each CG matvec), no
+    standardization (it would densify) — Newton semantics for the
+    2^18-dim hashed-text multinomial without ever forming p² or (p·k)².
+    Returns (p, k)."""
+    from dask_glm_spark.functions import kernels_sparse
+
+    def body(dfc, pp):
+        b0 = None
+        if init_beta is not None:
+            B0 = np.array(init_beta, dtype=np.float64)
+            if B0.shape != (pp, k):
+                raise ValueError(
+                    f"init_beta must have shape ({pp}, {k}), got {B0.shape}"
+                )
+            b0 = B0.ravel()
+        bflat = _newton_cg_loop(
+            lambda bf: _softmax_shift_proj(
+                kernels_sparse.softmax_loss_gradient_sparse(
+                    dfc, bf.reshape(pp, k), pp, idx_col, val_col,
+                    label_col, weight_col=weight_col,
+                )[1].ravel(),
+                pp, k,
+            ),
+            lambda bf, v: _softmax_shift_proj(
+                kernels_sparse.softmax_hessian_vector_product_sparse(
+                    dfc, bf.reshape(pp, k),
+                    _softmax_shift_proj(v, pp, k).reshape(pp, k),
+                    pp, idx_col, val_col, weight_col=weight_col,
+                ).ravel(),
+                pp, k,
+            ),
+            pp * k, max_iter, tol, b0, fit_info, cg_tol, max_cg_iter,
+        )
+        return np.asarray(bflat, dtype=np.float64).reshape(pp, k)
+
+    return _run_sparse(df, idx_col, p, body, persist=persist)
 
 
 _solvers = {

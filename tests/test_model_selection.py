@@ -250,3 +250,138 @@ def test_softmax_regularization_path(spark):
         np.testing.assert_allclose(path[2], cold, atol=2e-3)
     finally:
         df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# round 13: cv_lamduh for the softmax path (VERDICT r12 #6)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def softmax_cv_data(spark):
+    import pandas as pd
+
+    rng = np.random.RandomState(9)
+    n, p, k = 400, 5, 3
+    X = rng.standard_normal((n, p))
+    Btrue = np.zeros((p, k))
+    Btrue[0] = [1.2, -0.8, 0.0]
+    Btrue[1] = [-0.6, 0.9, 0.0]
+    Z = X @ Btrue
+    Pm = np.exp(Z - Z.max(axis=1, keepdims=True))
+    Pm /= Pm.sum(axis=1, keepdims=True)
+    y = np.array(
+        [rng.choice(k, p=Pm[i]) for i in range(n)], dtype=np.float64
+    )
+    df = (
+        spark.createDataFrame(pd.DataFrame({"features": list(X), "label": y}))
+        .repartition(4)
+        .persist()
+    )
+    yield df, k, p
+    df.unpersist()
+
+
+def test_softmax_cv_lamduh_selects_small_lambda(softmax_cv_data):
+    from dask_glm_spark.operators.model_selection import softmax_cv_lamduh
+
+    df, k, p = softmax_cv_data
+    lams = [500.0, 0.01]
+    out = softmax_cv_lamduh(
+        df, lams, k, regularizer="l1", n_folds=3, max_iter=120,
+        tol=1e-10, normalize=False,
+    )
+    assert out["best_lamduh"] == 0.01
+    assert out["mean_test_loss"].shape == (2,)
+    assert out["fold_test_loss"].shape == (3, 2)
+    assert out["betas"].shape == (2, p, k)
+    assert out["mean_test_loss"][0] > out["mean_test_loss"][1]
+    assert np.abs(out["betas"][0]).max() < 1e-8  # λ=500 crushes to zero
+    assert np.abs(out["betas"][1]).max() > 1e-3
+
+
+def test_softmax_cv_lamduh_deterministic_across_layouts(softmax_cv_data):
+    from dask_glm_spark.operators.model_selection import softmax_cv_lamduh
+
+    df, k, p = softmax_cv_data
+    kw = dict(
+        regularizer="l1", n_folds=3, max_iter=60, tol=1e-10,
+        normalize=False,
+    )
+    a = softmax_cv_lamduh(df, [1.0, 0.1], k, **kw)
+    b = softmax_cv_lamduh(df.repartition(11), [1.0, 0.1], k, **kw)
+    np.testing.assert_allclose(
+        a["fold_test_loss"], b["fold_test_loss"], rtol=1e-9
+    )
+    assert a["best_lamduh"] == b["best_lamduh"]
+
+
+def test_softmax_cv_lamduh_matches_manual_loop(softmax_cv_data):
+    """Integration twin: per-fold held-out losses equal a manual
+    softmax_regularization_path + softmax_multi_loss loop over the same
+    xxhash64 folds."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+    from dask_glm_spark.operators.model_selection import (
+        softmax_cv_lamduh,
+        softmax_regularization_path,
+    )
+
+    df, k, p = softmax_cv_data
+    lams = [1.0, 0.1]
+    kw = dict(max_iter=60, tol=1e-10, normalize=False)
+    out = softmax_cv_lamduh(
+        df, lams, k, regularizer="l1", n_folds=3, **kw
+    )
+    folded = df.withColumn(
+        "_cvfold", F.pmod(F.xxhash64("features", "label"), F.lit(3))
+    )
+    for i in range(3):
+        train = folded.where(F.col("_cvfold") != i).drop("_cvfold")
+        test = folded.where(F.col("_cvfold") == i).drop("_cvfold")
+        betas = softmax_regularization_path(
+            train, lams, k, regularizer="l1", **kw
+        )
+        losses = kernels.softmax_multi_loss(
+            test, [betas[j] for j in range(len(lams))]
+        ) / float(test.count())
+        np.testing.assert_allclose(
+            out["fold_test_loss"][i], losses, rtol=1e-9
+        )
+
+
+def test_softmax_cv_lamduh_weighted_scoring(spark, softmax_cv_data):
+    """weight_col routes into BOTH the fold fits and the held-out
+    scoring: per-unit weighted NLL Σw·ll/Σw."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions import kernels
+    from dask_glm_spark.operators.model_selection import (
+        softmax_cv_lamduh,
+        softmax_regularization_path,
+    )
+
+    df, k, p = softmax_cv_data
+    dfw = df.withColumn(
+        "w", (F.abs(F.xxhash64("features")) % 3 + 1).cast("double")
+    ).persist()
+    try:
+        lams = [1.0, 0.1]
+        kw = dict(max_iter=60, tol=1e-10, normalize=False, weight_col="w")
+        out = softmax_cv_lamduh(
+            dfw, lams, k, regularizer="l1", n_folds=3, **kw
+        )
+        folded = dfw.withColumn(
+            "_cvfold", F.pmod(F.xxhash64("features", "label"), F.lit(3))
+        )
+        test0 = folded.where(F.col("_cvfold") == 0).drop("_cvfold")
+        train0 = folded.where(F.col("_cvfold") != 0).drop("_cvfold")
+        betas = softmax_regularization_path(
+            train0, lams, k, regularizer="l1", **kw
+        )
+        sw = float(test0.agg(F.sum("w")).first()[0])
+        losses = kernels.softmax_multi_loss(
+            test0, [betas[j] for j in range(len(lams))], weight_col="w"
+        ) / sw
+        np.testing.assert_allclose(out["fold_test_loss"][0], losses, rtol=1e-9)
+    finally:
+        dfw.unpersist()
