@@ -2652,7 +2652,37 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     BETA with pinned step, loss re-evaluated at beta1, and the L1
     soft-threshold of the same candidate. Merged former q48+q49 — one
     4-row result keeps the declared-query count inside the driver gate's
-    50-row record."""
+    50-row record.
+
+    PER-COLUMN LINEAGE (VERDICT r12 #9 — sixteen gated values; a future
+    hash mismatch should be attributable here in minutes). Row j carries
+    coordinate j−1 of each vector quantity; scalar losses repeat per row:
+
+    - ``beta1``       solvers.gd_step → kernels.loss_gradient at BETA,
+                      fixed step GD_STEP_S (r1)
+    - ``loss1``       kernels.loss (multi_loss k=1) at beta1 (r1)
+    - ``beta1_prox``  solvers.prox_step → regularizers.L1.
+                      proximal_operator at (beta1, GD_STEP_S·PROX_LAMDUH)
+                      (r6, merged q49)
+    - ``smloss`` / ``smg_c0..c2``  kernels.softmax_loss_gradient at the
+                      pinned (4, 3) SOFTMAX_B over label_cnt % 3 (r7)
+    - ``wloss`` / ``wgrad``  kernels.loss_gradient(weight_col='w'),
+                      w = label_cnt%3+1 (r11, VERDICT r10 #1)
+    - ``oloss`` / ``ograd``  kernels.loss_gradient(offset_col='o'),
+                      o = 0.05·f2 (r11)
+    - ``pchi2``       inference.glm_residuals(kind='pearson') at BETA,
+                      sum of squares (r11)
+    - ``dres``        inference.glm_residuals(kind='deviance') at BETA,
+                      SIGNED sum (keeps the sign branch gated) (r12)
+    - ``hvp``         kernels.hessian_vector_product at (BETA, HVP_V),
+                      **path='arrow' pinned** (r13, VERDICT r12 #7: every
+                      other gated kernel value resolves to the sql path
+                      at p=4; production wide-p fits run the arrow path,
+                      so one gate column must exercise it — values are
+                      bit-identical across paths per
+                      tests/test_newton_cg.py::test_hvp_matches_numpy_twin,
+                      so the hash must not move) (r12; arrow-pinned r13)
+    """
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -2717,11 +2747,14 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         dresd.agg(F.sum("residual").alias("s")).collect()[0]["s"]
     )
     # round 12: the Newton-CG Hessian-vector-product kernel under the
-    # gate — kernels.hessian_vector_product at the pinned BETA and HVP_V
-    # (sql path at p=4); the oracle recomputes Σ f_j·σ(1−σ)·(x·v).
+    # gate — kernels.hessian_vector_product at the pinned BETA and HVP_V;
+    # the oracle recomputes Σ f_j·σ(1−σ)·(x·v). Round 13 (VERDICT r12
+    # #7): path pinned to ARROW — the path production wide-p fits use —
+    # so the Arrow physical plan itself sits under the DuckDB hash gate
+    # (sql/arrow bit-parity is separately pytest-pinned).
     hv = kernels.hessian_vector_product(
         df.select("features", "label"), Logistic, np.asarray(BETA),
-        np.asarray(HVP_V), 4,
+        np.asarray(HVP_V), 4, path="arrow",
     )
     rows = [
         (
