@@ -333,7 +333,10 @@ def main() -> int:
                 # so a swing in the min is attributable without an
                 # after-the-fact A/B; measurement protocol otherwise
                 # unchanged from v7.
-                "bench_methodology": "v8-warm-min2-all-noop31-headline3x-upfront-retime-split-samples",
+                "bench_methodology": (
+                    "v8-warm-min2-all-noop31-headline3x-upfront"
+                    "-retime-split-samples"
+                ),
             }
         )
     )

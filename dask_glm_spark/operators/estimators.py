@@ -270,7 +270,10 @@ class _GLM(BaseEstimator):
         matrix-free per-coordinate CG solves of ``I·x = e_j`` over
         O(nnz) Hessian-vector-product scans (``inference.
         sparse_coef_se``); exact vs the dense summary to CG tolerance,
-        practical for tens of coordinates."""
+        practical for tens of coordinates. ``robust=True`` composes
+        (round 13): the HC0 sandwich diagonal reuses the same CG solves
+        plus ONE extra O(nnz) scan for all coordinates' meat quadratic
+        forms — never a p² object."""
         from dask_glm_spark.functions import inference
         from dask_glm_spark.sources import vectors as V
 

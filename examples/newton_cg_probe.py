@@ -86,6 +86,79 @@ def main(workdir: str | None = None):
             out[f"parity_max_dbeta_p{p}"] = dbeta
         df.unpersist()
 
+    # -- wide-k softmax section (round 13, VERDICT r12 #5): the joint
+    # multinomial Hvp is two GEMMs per scan with (1 + p·k) partial
+    # doubles — the per-scan wall must bend ~linearly in k at fixed p,
+    # the same shape argument as the binary Hvp in p. Labels are never
+    # read by the Hvp, so the binary frames above are reused; the fit
+    # parity pin uses a hash-derived k-class label.
+    from pyspark.sql import functions as F
+
+    p = 512
+    path = f"{workdir}/dense_p{p}.parquet"
+    _gen_dense(spark, path, p)
+    for k in (4, 16, 64):
+        df = spark.read.parquet(path).persist()
+        df.count()
+        rng = np.random.RandomState(7)
+        B = rng.standard_normal((p, k)) * 0.01
+        V = rng.standard_normal((p, k))
+        kernels.softmax_hessian_vector_product(df, B, V)  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            kernels.softmax_hessian_vector_product(df, B, V)
+            times.append(time.perf_counter() - t0)
+        out[f"softmax_hvp_scan_p{p}_k{k}"] = round(min(times), 3)
+        print(
+            f"softmax_hvp_scan_p{p}_k{k}: "
+            f"{out[f'softmax_hvp_scan_p{p}_k{k}']}s"
+        )
+        df.unpersist()
+
+    k = 8
+    dfk = (
+        spark.read.parquet(path)
+        .withColumn(
+            "label", (F.abs(F.xxhash64("features")) % k).cast("double")
+        )
+        .persist()
+    )
+    dfk.count()
+    info2: dict = {}
+    t0 = time.perf_counter()
+    B_ncg = solvers.softmax_newton_cg(
+        dfk, k, max_iter=8, tol=1e-8, normalize=False, fit_info=info2,
+    )
+    out[f"softmax_newton_cg_fit_p{p}_k{k}"] = round(
+        time.perf_counter() - t0, 3
+    )
+    print(
+        f"softmax_newton_cg_fit_p{p}_k{k}: "
+        f"{out[f'softmax_newton_cg_fit_p{p}_k{k}']}s "
+        f"(outer={info2['n_iter']} cg_scans={info2['cg_iters']})"
+    )
+    t0 = time.perf_counter()
+    B_lb = solvers.softmax_lbfgs(
+        dfk, k, regularizer=None, max_iter=200, tol=1e-10,
+        normalize=False,
+    )
+    out[f"softmax_lbfgs_fit_p{p}_k{k}"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"softmax_lbfgs_fit_p{p}_k{k}: "
+        f"{out[f'softmax_lbfgs_fit_p{p}_k{k}']}s"
+    )
+    l_ncg = kernels.softmax_multi_loss(dfk, [B_ncg])[0]
+    l_lb = kernels.softmax_multi_loss(dfk, [B_lb])[0]
+    dB = float(np.max(np.abs(B_ncg - B_lb)))
+    print(
+        f"softmax parity p={p} k={k}: loss ncg={l_ncg:.6f} "
+        f"lbfgs={l_lb:.6f} (gap {l_ncg - l_lb:+.2e}) max|dB|={dB:.2e}"
+    )
+    out[f"softmax_parity_loss_gap_p{p}_k{k}"] = round(l_ncg - l_lb, 6)
+    out[f"softmax_parity_max_dB_p{p}_k{k}"] = dB
+    dfk.unpersist()
+
     print(out)
     return out
 
