@@ -245,10 +245,43 @@ _HG_CASE = "CASE j WHEN 1 THEN hg1 WHEN 2 THEN hg2 WHEN 3 THEN hg3 ELSE hg4 END"
 _WG_CASE = "CASE j WHEN 1 THEN wg1 WHEN 2 THEN wg2 WHEN 3 THEN wg3 ELSE wg4 END"
 _OG_CASE = "CASE j WHEN 1 THEN og1 WHEN 2 THEN og2 WHEN 3 THEN og3 ELSE og4 END"
 
+# Round 13 (cont., the VERDICT r12 #7 principle applied to the SPARSE
+# layer): the CSR bincount scatter/gather path (kernels_sparse) under the
+# same gate.  The engine masks coordinate (label_cnt % 4) to zero and runs
+# the masked array through sources.vectors.to_sparse_columns (declarative
+# nonzero filter), so every row reaches the sparse kernels RAGGED — the
+# variable-length flatten/scatter is what gets hashed, not a fixed-width
+# disguise.  The oracle recomputes the same masked sums symbolically:
+# m{j} = 0 where masked (an absent sparse coordinate contributes exactly
+# nothing to every bincount, which is IEEE-identical to adding 0·beta_j).
+_SP_XBM = "(0.1*m1 - 0.2*m2 + 0.3*m3 + 0.05*m4)"
+_SP_CTES = f"""sp AS (
+  SELECT label,
+    {", ".join(
+        f"CASE WHEN CAST(label_cnt AS INT) % 4 = {j - 1} THEN 0.0 ELSE f{j} END AS m{j}"
+        for j in range(1, 5)
+    )}
+  FROM glm
+),
+spx AS (SELECT *, {_SP_XBM} AS xbm,
+  ({" + ".join(f"({v!r})*m{i + 1}" for i, v in enumerate(HVP_V))}) AS xvm
+  FROM sp),
+spagg AS (SELECT
+  sum(xbm + ln(1+exp(-xbm)) - label*xbm) AS sloss,
+  {", ".join(f"sum(m{j}*(1/(1+exp(-xbm)) - label)) AS spg{j}" for j in range(1, 5))},
+  {", ".join(
+    f"sum(m{j} * (1/(1+exp(-xbm))) * (1 - 1/(1+exp(-xbm))) * xvm) AS sph{j}"
+    for j in range(1, 5)
+  )}
+FROM spx)"""
+_SPG_CASE = "CASE j WHEN 1 THEN spg1 WHEN 2 THEN spg2 WHEN 3 THEN spg3 ELSE spg4 END"
+_SPH_CASE = "CASE j WHEN 1 THEN sph1 WHEN 2 THEN sph2 WHEN 3 THEN sph3 ELSE sph4 END"
+
 KERNEL_SQL["q48_solver_steps"] = f"""WITH {GLM},
 {_B1_CTES},
 {_SM_CTES},
 {_WO_CTES},
+{_SP_CTES},
 l AS (SELECT sum(xb + ln(1+exp(-xb)) - label*xb) AS loss1
       FROM (SELECT (b1*f1 + b2*f2 + b3*f3 + b4*f4) AS xb, label FROM glm, b) s),
 bt AS (SELECT j, {_B1_CASE} AS v FROM b, js)
@@ -267,8 +300,11 @@ SELECT j,
   CAST(round({_OG_CASE}, 3) AS DOUBLE) AS ograd,
   CAST(round(pchi2, 3) AS DOUBLE) AS pchi2,
   CAST(round(dres, 3) AS DOUBLE) AS dres,
-  CAST(round({_HG_CASE}, 3) AS DOUBLE) AS hvp
-FROM bt, l, smagg, woagg ORDER BY j"""
+  CAST(round({_HG_CASE}, 3) AS DOUBLE) AS hvp,
+  CAST(round(sloss, 3) AS DOUBLE) AS sloss,
+  CAST(round({_SPG_CASE}, 3) AS DOUBLE) AS sgrad,
+  CAST(round({_SPH_CASE}, 3) AS DOUBLE) AS shvp
+FROM bt, l, smagg, woagg, spagg ORDER BY j"""
 
 
 def _register_tables(
@@ -2682,6 +2718,15 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                       bit-identical across paths per
                       tests/test_newton_cg.py::test_hvp_matches_numpy_twin,
                       so the hash must not move) (r12; arrow-pinned r13)
+    - ``sloss`` / ``sgrad``  kernels_sparse.loss_gradient_sparse at BETA
+                      over the RAGGED sparse view (coordinate
+                      label_cnt%4 masked to 0, dropped by
+                      to_sparse_columns) — the CSR bincount
+                      scatter/gather physical path itself under the
+                      gate (r13, the VERDICT r12 #7 principle applied
+                      to the sparse layer)
+    - ``shvp``        kernels_sparse.hessian_vector_product_sparse at
+                      (BETA, HVP_V) over the same ragged view (r13)
     """
     import numpy as np
     from pyspark.sql import functions as F
@@ -2756,6 +2801,32 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.select("features", "label"), Logistic, np.asarray(BETA),
         np.asarray(HVP_V), 4, path="arrow",
     )
+    # round 13 (cont.): the SPARSE CSR physical path under the gate —
+    # sources.vectors.to_sparse_columns (declarative nonzero filter) feeds
+    # kernels_sparse.loss_gradient_sparse + hessian_vector_product_sparse
+    # over a RAGGED view: coordinate (label_cnt % 4) is masked to zero per
+    # row before the sparse conversion drops it, so the variable-length
+    # bincount flatten/scatter/gather is what the oracle hashes (its sp
+    # CTE recomputes the masked sums symbolically — an absent coordinate
+    # contributes exactly nothing, IEEE-identical to adding 0·beta_j).
+    from dask_glm_spark.functions import kernels_sparse
+    from dask_glm_spark.sources.vectors import to_sparse_columns
+
+    masked = F.transform(
+        "features",
+        lambda x, i: F.when(
+            i == F.col("label_cnt").cast("int") % 4, F.lit(0.0)
+        ).otherwise(x),
+    )
+    sdf = to_sparse_columns(
+        df.select(masked.alias("features"), "label"), "features"
+    )
+    sloss, sgrad = kernels_sparse.loss_gradient_sparse(
+        sdf, Logistic, np.asarray(BETA), 4
+    )
+    shv = kernels_sparse.hessian_vector_product_sparse(
+        sdf, Logistic, np.asarray(BETA), np.asarray(HVP_V), 4
+    )
     rows = [
         (
             j + 1,
@@ -2773,6 +2844,9 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             pchi2,
             dres,
             float(hv[j]),
+            float(sloss),
+            float(sgrad[j]),
+            float(shv[j]),
         )
         for j in range(len(beta1))
     ]
@@ -2782,7 +2856,8 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j int, beta1 double, loss1 double, beta1_prox double, "
             "smloss double, smg_c0 double, smg_c1 double, smg_c2 double, "
             "wloss double, wgrad double, oloss double, ograd double, "
-            "pchi2 double, dres double, hvp double",
+            "pchi2 double, dres double, hvp double, "
+            "sloss double, sgrad double, shvp double",
         )
         .select(
             "j",
@@ -2800,6 +2875,9 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pchi2", 3).cast("double").alias("pchi2"),
             F.round("dres", 3).cast("double").alias("dres"),
             F.round("hvp", 3).cast("double").alias("hvp"),
+            F.round("sloss", 3).cast("double").alias("sloss"),
+            F.round("sgrad", 3).cast("double").alias("sgrad"),
+            F.round("shvp", 3).cast("double").alias("shvp"),
         )
         .orderBy("j")
     )
