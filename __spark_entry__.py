@@ -224,6 +224,7 @@ _WO_CTES = f"""wo AS (
   FROM glm
 ),
 woagg AS (SELECT
+  sum(xb + ln(1+exp(-xb)) - label*xb) AS mlgl0,
   sum(w*(xb + ln(1+exp(-xb)) - label*xb)) AS wloss,
   {", ".join(f"sum(w*f{j}*(1/(1+exp(-xb)) - label)) AS wg{j}" for j in range(1, 5))},
   sum((xb+o) + ln(1+exp(-(xb+o))) - label*(xb+o)) AS oloss,
@@ -277,11 +278,38 @@ FROM spx)"""
 _SPG_CASE = "CASE j WHEN 1 THEN spg1 WHEN 2 THEN spg2 WHEN 3 THEN spg3 ELSE spg4 END"
 _SPH_CASE = "CASE j WHEN 1 THEN sph1 WHEN 2 THEN sph2 WHEN 3 THEN sph3 ELSE sph4 END"
 
+# Round 13 (cont.): the fused multi-probe LINE-SEARCH kernels under the
+# gate — kernels.multi_loss_gradient (auto→arrow: the per-iteration probe
+# every dense gd/lbfgs line search actually runs) and its sparse twin
+# multi_loss_gradient_sparse, both evaluated at the candidate pair
+# [BETA, beta1].  Candidate 0's loss/gradient must land on the values the
+# single-candidate kernels already gate (mlgl0 vs q02, mlgg0 vs q05 —
+# same oracle sums), so the fused path cannot drift from the fused-free
+# one; candidate 1's loss re-derives loss1 through the arrow GEMM and
+# its gradient (mlgg1 / smlgg1) is new math the b CTE recomputes.
+_MLG_CTES = f"""mlg AS (SELECT
+  {", ".join(
+    f"sum(f{j}*(1/(1+exp(-xb1)) - label)) AS mg{j}" for j in range(1, 5)
+  )}
+FROM (SELECT f1, f2, f3, f4, label,
+      (b1*f1 + b2*f2 + b3*f3 + b4*f4) AS xb1 FROM glm, b) s),
+smlg AS (SELECT
+  sum(xb1m + ln(1+exp(-xb1m)) - label*xb1m) AS smlgl1,
+  {", ".join(
+    f"sum(m{j}*(1/(1+exp(-xb1m)) - label)) AS smg{j}" for j in range(1, 5)
+  )}
+FROM (SELECT m1, m2, m3, m4, label,
+      (b1*m1 + b2*m2 + b3*m3 + b4*m4) AS xb1m FROM sp, b) s)"""
+_MG_CASE = "CASE j WHEN 1 THEN mg1 WHEN 2 THEN mg2 WHEN 3 THEN mg3 ELSE mg4 END"
+_SMG_CASE = "CASE j WHEN 1 THEN smg1 WHEN 2 THEN smg2 WHEN 3 THEN smg3 ELSE smg4 END"
+_G_CASE = "CASE j WHEN 1 THEN g1 WHEN 2 THEN g2 WHEN 3 THEN g3 ELSE g4 END"
+
 KERNEL_SQL["q48_solver_steps"] = f"""WITH {GLM},
 {_B1_CTES},
 {_SM_CTES},
 {_WO_CTES},
 {_SP_CTES},
+{_MLG_CTES},
 l AS (SELECT sum(xb + ln(1+exp(-xb)) - label*xb) AS loss1
       FROM (SELECT (b1*f1 + b2*f2 + b3*f3 + b4*f4) AS xb, label FROM glm, b) s),
 bt AS (SELECT j, {_B1_CASE} AS v FROM b, js)
@@ -303,8 +331,14 @@ SELECT j,
   CAST(round({_HG_CASE}, 3) AS DOUBLE) AS hvp,
   CAST(round(sloss, 3) AS DOUBLE) AS sloss,
   CAST(round({_SPG_CASE}, 3) AS DOUBLE) AS sgrad,
-  CAST(round({_SPH_CASE}, 3) AS DOUBLE) AS shvp
-FROM bt, l, smagg, woagg, spagg ORDER BY j"""
+  CAST(round({_SPH_CASE}, 3) AS DOUBLE) AS shvp,
+  CAST(round(mlgl0, 3) AS DOUBLE) AS mlgl0,
+  CAST(round(loss1, 3) AS DOUBLE) AS mlgl1,
+  CAST(round({_G_CASE}, 3) AS DOUBLE) AS mlgg0,
+  CAST(round({_MG_CASE}, 3) AS DOUBLE) AS mlgg1,
+  CAST(round(smlgl1, 3) AS DOUBLE) AS smlgl1,
+  CAST(round({_SMG_CASE}, 3) AS DOUBLE) AS smlgg1
+FROM bt, l, smagg, woagg, spagg, agg, mlg, smlg ORDER BY j"""
 
 
 def _register_tables(
@@ -2727,6 +2761,17 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                       to the sparse layer)
     - ``shvp``        kernels_sparse.hessian_vector_product_sparse at
                       (BETA, HVP_V) over the same ragged view (r13)
+    - ``mlgl0/mlgl1/mlgg0/mlgg1``  kernels.multi_loss_gradient
+                      (auto→ARROW, the fused per-iteration line-search
+                      probe dense gd/lbfgs actually run) at the candidate
+                      pair [BETA, beta1]: candidate 0 must reproduce the
+                      single-candidate gated values (loss = q02, gradient
+                      = q05), candidate 1's gradient is new math from the
+                      oracle's b CTE (r13)
+    - ``smlgl1/smlgg1``  kernels_sparse.multi_loss_gradient_sparse (the
+                      sparse line-search probe) at [BETA, beta1] over the
+                      ragged view — candidate-1 loss/gradient only
+                      (candidate 0 duplicates sloss/sgrad) (r13)
     """
     import numpy as np
     from pyspark.sql import functions as F
@@ -2827,6 +2872,20 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     shv = kernels_sparse.hessian_vector_product_sparse(
         sdf, Logistic, np.asarray(BETA), np.asarray(HVP_V), 4
     )
+    # round 13 (cont.): the fused multi-probe line-search kernels at the
+    # candidate pair [BETA, beta1] — multi_loss_gradient (auto → ARROW:
+    # the exact per-iteration probe dense gd/lbfgs run) and its sparse
+    # twin over the same ragged view. Candidate 0 must reproduce the
+    # single-candidate kernels' gated values (mlgl0 = q02's loss, mlgg0 =
+    # q05's gradient); candidate 1's gradient is new math the oracle's b
+    # CTE recomputes.
+    mlg_losses, mlg_grads = kernels.multi_loss_gradient(
+        df.select("features", "label"), Logistic,
+        [np.asarray(BETA), np.asarray(beta1)],
+    )
+    smlg_losses, smlg_grads = kernels_sparse.multi_loss_gradient_sparse(
+        sdf, Logistic, [np.asarray(BETA), np.asarray(beta1)], 4
+    )
     rows = [
         (
             j + 1,
@@ -2847,6 +2906,12 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(sloss),
             float(sgrad[j]),
             float(shv[j]),
+            float(mlg_losses[0]),
+            float(mlg_losses[1]),
+            float(mlg_grads[j, 0]),
+            float(mlg_grads[j, 1]),
+            float(smlg_losses[1]),
+            float(smlg_grads[j, 1]),
         )
         for j in range(len(beta1))
     ]
@@ -2857,7 +2922,9 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smloss double, smg_c0 double, smg_c1 double, smg_c2 double, "
             "wloss double, wgrad double, oloss double, ograd double, "
             "pchi2 double, dres double, hvp double, "
-            "sloss double, sgrad double, shvp double",
+            "sloss double, sgrad double, shvp double, "
+            "mlgl0 double, mlgl1 double, mlgg0 double, mlgg1 double, "
+            "smlgl1 double, smlgg1 double",
         )
         .select(
             "j",
@@ -2878,6 +2945,12 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sloss", 3).cast("double").alias("sloss"),
             F.round("sgrad", 3).cast("double").alias("sgrad"),
             F.round("shvp", 3).cast("double").alias("shvp"),
+            F.round("mlgl0", 3).cast("double").alias("mlgl0"),
+            F.round("mlgl1", 3).cast("double").alias("mlgl1"),
+            F.round("mlgg0", 3).cast("double").alias("mlgg0"),
+            F.round("mlgg1", 3).cast("double").alias("mlgg1"),
+            F.round("smlgl1", 3).cast("double").alias("smlgl1"),
+            F.round("smlgg1", 3).cast("double").alias("smlgg1"),
         )
         .orderBy("j")
     )

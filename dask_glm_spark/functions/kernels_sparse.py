@@ -13,9 +13,12 @@ Bytes leaving each executor stay O(p) (the gradient partial); X is never
 densified on either side of the Arrow boundary.
 
 No SQL/unrolled path here on purpose: at the p where sparse matters,
-unrolled codegen is the wrong tool — and the DuckDB correctness oracle
-covers these kernels through the q05-q07 dense equivalences in tests
-(sparse vs dense parity asserted in tests/test_sparse.py).
+unrolled codegen is the wrong tool. Correctness coverage is two-layer:
+sparse vs dense parity in tests/test_sparse.py, and (round 13) the CSR
+path itself under the DuckDB hash gate — q48's sloss/sgrad/shvp/
+smlgl1/smlgg1 columns run loss_gradient_sparse,
+hessian_vector_product_sparse, and multi_loss_gradient_sparse over a
+ragged masked view and hash against symbolic SQL recomputation.
 """
 
 from __future__ import annotations
