@@ -178,6 +178,25 @@ def main() -> int:
         ),
     )
 
+    # wide-sparse production path (round 13): fastText-style softmax over
+    # the documents table — hashed unigram counts, (findices, fvalues)
+    # end-to-end, all k language classes in one fused O(k·nnz) scan per
+    # L-BFGS evaluation. Iteration-capped so the key times the per-scan
+    # sparse kernel cost, not convergence luck; 8 partitions because 5k
+    # docs over 32 yields job-floor-dominated 156-row tasks.
+    from dask_glm_spark.operators.text import fit_text_classifier
+    from dask_glm_spark.sources.glm_source import load_table
+
+    timed(
+        "fit_sparse_softmax_text",
+        lambda: fit_text_classifier(
+            load_table(spark, sf_dir, "documents").repartition(8),
+            num_features=2**13,
+            sparse=True,
+            max_iter=10,
+        ),
+    )
+
     # -- declared queries (kernel + pipeline surfaces) ---------------------
     import __spark_entry__ as e
 
