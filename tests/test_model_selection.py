@@ -286,12 +286,12 @@ def test_softmax_cv_lamduh_selects_small_lambda(softmax_cv_data):
     df, k, p = softmax_cv_data
     lams = [500.0, 0.01]
     out = softmax_cv_lamduh(
-        df, lams, k, regularizer="l1", n_folds=3, max_iter=120,
+        df, lams, k, regularizer="l1", n_folds=2, max_iter=80,
         tol=1e-10, normalize=False,
     )
     assert out["best_lamduh"] == 0.01
     assert out["mean_test_loss"].shape == (2,)
-    assert out["fold_test_loss"].shape == (3, 2)
+    assert out["fold_test_loss"].shape == (2, 2)
     assert out["betas"].shape == (2, p, k)
     assert out["mean_test_loss"][0] > out["mean_test_loss"][1]
     assert np.abs(out["betas"][0]).max() < 1e-8  # λ=500 crushes to zero
@@ -303,7 +303,7 @@ def test_softmax_cv_lamduh_deterministic_across_layouts(softmax_cv_data):
 
     df, k, p = softmax_cv_data
     kw = dict(
-        regularizer="l1", n_folds=3, max_iter=60, tol=1e-10,
+        regularizer="l1", n_folds=2, max_iter=40, tol=1e-10,
         normalize=False,
     )
     a = softmax_cv_lamduh(df, [1.0, 0.1], k, **kw)
@@ -328,14 +328,14 @@ def test_softmax_cv_lamduh_matches_manual_loop(softmax_cv_data):
 
     df, k, p = softmax_cv_data
     lams = [1.0, 0.1]
-    kw = dict(max_iter=60, tol=1e-10, normalize=False)
+    kw = dict(max_iter=40, tol=1e-10, normalize=False)
     out = softmax_cv_lamduh(
-        df, lams, k, regularizer="l1", n_folds=3, **kw
+        df, lams, k, regularizer="l1", n_folds=2, **kw
     )
     folded = df.withColumn(
-        "_cvfold", F.pmod(F.xxhash64("features", "label"), F.lit(3))
+        "_cvfold", F.pmod(F.xxhash64("features", "label"), F.lit(2))
     )
-    for i in range(3):
+    for i in range(2):
         train = folded.where(F.col("_cvfold") != i).drop("_cvfold")
         test = folded.where(F.col("_cvfold") == i).drop("_cvfold")
         betas = softmax_regularization_path(
@@ -366,12 +366,12 @@ def test_softmax_cv_lamduh_weighted_scoring(spark, softmax_cv_data):
     ).persist()
     try:
         lams = [1.0, 0.1]
-        kw = dict(max_iter=60, tol=1e-10, normalize=False, weight_col="w")
+        kw = dict(max_iter=40, tol=1e-10, normalize=False, weight_col="w")
         out = softmax_cv_lamduh(
-            dfw, lams, k, regularizer="l1", n_folds=3, **kw
+            dfw, lams, k, regularizer="l1", n_folds=2, **kw
         )
         folded = dfw.withColumn(
-            "_cvfold", F.pmod(F.xxhash64("features", "label"), F.lit(3))
+            "_cvfold", F.pmod(F.xxhash64("features", "label"), F.lit(2))
         )
         test0 = folded.where(F.col("_cvfold") == 0).drop("_cvfold")
         train0 = folded.where(F.col("_cvfold") != 0).drop("_cvfold")
