@@ -2855,6 +2855,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CTE recomputes the masked sums symbolically — an absent coordinate
     # contributes exactly nothing, IEEE-identical to adding 0·beta_j).
     from dask_glm_spark.functions import kernels_sparse
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
     from dask_glm_spark.sources.vectors import to_sparse_columns
 
     masked = F.transform(
@@ -2863,9 +2864,15 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             i == F.col("label_cnt").cast("int") % 4, F.lit(0.0)
         ).otherwise(x),
     )
+    # spread BEFORE the sparse conversion: the sf0.1 parquet arrives as 3
+    # splits, and the JVM→Python Arrow write of list columns (the
+    # dominant cost of a sparse scan, ~2.4 s single-task at this SF) would
+    # otherwise run 3-wide on a 32-core box — the same layout fix
+    # _run_sparse applies to production sparse fits
     sdf = to_sparse_columns(
-        df.select(masked.alias("features"), "label"), "features"
-    )
+        ensure_min_parallelism(df).select(masked.alias("features"), "label"),
+        "features",
+    ).persist()  # three kernel scans below share one exchange+conversion
     sloss, sgrad = kernels_sparse.loss_gradient_sparse(
         sdf, Logistic, np.asarray(BETA), 4
     )
@@ -2886,6 +2893,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     smlg_losses, smlg_grads = kernels_sparse.multi_loss_gradient_sparse(
         sdf, Logistic, [np.asarray(BETA), np.asarray(beta1)], 4
     )
+    sdf.unpersist()
     rows = [
         (
             j + 1,

@@ -115,6 +115,20 @@ def _sum_partial_rows(
     return acc
 
 
+def _arrow_field_type(ddl: str):
+    """Minimal Spark-DDL → pyarrow type map for partial-row schemas."""
+    import pyarrow as pa
+
+    ddl = ddl.strip()
+    if ddl == "double":
+        return pa.float64()
+    if ddl == "int":
+        return pa.int32()
+    if ddl == "array<double>":
+        return pa.list_(pa.float64())
+    raise ValueError(f"unsupported partial field type {ddl!r}")
+
+
 def _arrow_partials_generic(
     df: DataFrame,
     batch_partial_fn,
@@ -122,6 +136,7 @@ def _arrow_partials_generic(
     tree_threshold: int | None = None,
     merges: dict | None = None,
     partial_doubles: int | None = None,
+    arrow_batches: bool = False,
 ) -> list:
     """Run ``batch_partial_fn(pdf) -> dict`` per Arrow batch, sum within the
     partition, one output row per partition.
@@ -135,32 +150,78 @@ def _arrow_partials_generic(
     order is sorted-pid, so tree results are also run-invariant.
 
     Shared by the dense kernels here and functions/kernels_sparse.py.
+
+    ``arrow_batches=True`` (round 13) runs the scan stage through
+    ``mapInArrow`` instead of ``mapInPandas``: ``batch_partial_fn``
+    receives a ``pyarrow.RecordBatch``. For list-typed columns the
+    arrow→pandas conversion allocates one small ndarray PER ROW (measured
+    ~300× the cost of reading the flat Arrow buffers directly), so the
+    sparse CSR kernels read offsets/values zero-copy via
+    ``kernels_sparse._batch_csr_arrow``. Identical batch boundaries and
+    identical flat arrays → partials are bit-identical to the pandas
+    mode; only the conversion cost changes.
     """
     from pyspark import TaskContext
 
     value_cols = [f.split()[0] for f in out_fields.split(",")]
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict | None = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            part = batch_partial_fn(pdf)
-            if acc is None:
-                acc = part
-            else:
-                for k, v in part.items():
-                    m = merges.get(k) if merges else None
-                    acc[k] = m(acc[k], v) if m is not None else acc[k] + v
-        if acc is not None:
-            ctx = TaskContext.get()
-            pid = ctx.partitionId() if ctx is not None else 0
-            row = {"pid": [pid]}
-            for k, v in acc.items():
-                row[k] = [v.tolist() if isinstance(v, np.ndarray) else float(v)]
-            yield pd.DataFrame(row)
+    def _acc_fold(acc, part):
+        if acc is None:
+            return dict(part)
+        for k, v in part.items():
+            m = merges.get(k) if merges else None
+            acc[k] = m(acc[k], v) if m is not None else acc[k] + v
+        return acc
 
-    out = df.mapInPandas(op, schema=f"pid int, {out_fields}")
+    if arrow_batches:
+        import pyarrow as pa
+
+        pa_schema = pa.schema(
+            [("pid", pa.int32())]
+            + [
+                (f.split()[0], _arrow_field_type(f.split(None, 1)[1]))
+                for f in out_fields.split(",")
+            ]
+        )
+
+        def op_arrow(batches):
+            acc: dict | None = None
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                acc = _acc_fold(acc, batch_partial_fn(rb))
+            if acc is not None:
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else 0
+                cols = [pa.array([pid], type=pa.int32())]
+                for name, typ in zip(value_cols, list(pa_schema)[1:]):
+                    v = acc[name]
+                    if isinstance(v, np.ndarray):
+                        cols.append(pa.array([v], type=typ.type))
+                    else:
+                        cols.append(pa.array([float(v)], type=pa.float64()))
+                yield pa.RecordBatch.from_arrays(cols, schema=pa_schema)
+
+        out = df.mapInArrow(op_arrow, schema=f"pid int, {out_fields}")
+    else:
+
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict | None = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                acc = _acc_fold(acc, batch_partial_fn(pdf))
+            if acc is not None:
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx is not None else 0
+                row = {"pid": [pid]}
+                for k, v in acc.items():
+                    row[k] = [
+                        v.tolist() if isinstance(v, np.ndarray) else float(v)
+                    ]
+                yield pd.DataFrame(row)
+
+        out = df.mapInPandas(op, schema=f"pid int, {out_fields}")
 
     if tree_threshold is None:
         tree_threshold = TREE_MERGE_THRESHOLD

@@ -3,8 +3,11 @@
 Wide-sparse counterpart of ``functions.kernels`` (P1/P2/P5 for one-hot /
 hashed text features with p up to 10^6, where densifying each row would
 multiply bytes-on-wire by p/nnz). Same physical shape as the dense arrow
-path — one ``mapInPandas`` scan, one partial row per partition, driver
-merge in sorted-pid order — but the per-batch math is CSR-style numpy:
+path — one scan, one partial row per partition, driver merge in
+sorted-pid order — but the scan is ``mapInArrow`` (round 13: the
+arrow→pandas conversion of list columns allocates one ndarray per row;
+reading the flat Arrow buffers is ~300× cheaper) and the per-batch math
+is CSR-style numpy:
 
     xb   = bincount(row_ids, weights = values * beta[indices])   O(nnz)
     grad = bincount(indices, weights = r[row_ids] * values)      O(nnz)
@@ -30,24 +33,60 @@ from pyspark.sql import DataFrame
 from dask_glm_spark.functions.kernels import _arrow_partials_generic
 
 
-def _batch_csr(pdf: pd.DataFrame, idx_col: str, val_col: str):
+def _batch_csr(batch, idx_col: str, val_col: str):
     """Flatten a batch of (indices, values) lists into CSR-ish arrays:
-    (flat_idx int64, flat_val float64, row_ids int64, n_rows)."""
-    idx_lists = pdf[idx_col].to_numpy()
-    val_lists = pdf[val_col].to_numpy()
+    (flat_idx int64, flat_val float64, row_ids int64, n_rows).
+
+    Accepts a pandas batch (``mapInPandas`` — one small ndarray per row,
+    bulk-concatenated) or a ``pyarrow.RecordBatch`` (``mapInArrow`` —
+    round 13: the flat value/offset buffers are read directly, no per-row
+    allocation; measured ~300× cheaper than the arrow→pandas conversion
+    of the same list columns). Identical outputs either way."""
+    if not isinstance(batch, pd.DataFrame):
+        import pyarrow.compute as pc
+
+        ic = batch.column(batch.schema.get_field_index(idx_col))
+        vc = batch.column(batch.schema.get_field_index(val_col))
+        flat_idx = ic.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        flat_val = vc.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        lens = pc.list_value_length(ic).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        row_ids = np.repeat(np.arange(len(lens)), lens)
+        return flat_idx, flat_val, row_ids, len(lens)
+    idx_lists = batch[idx_col].to_numpy()
+    val_lists = batch[val_col].to_numpy()
     lens = np.fromiter((len(v) for v in idx_lists), dtype=np.int64, count=len(idx_lists))
+    # bulk concatenate over the object array (C-side loop over row
+    # buffers) — the per-row np.asarray listcomp it replaces was ~3× the
+    # cost at typical batch sizes (round 13)
     flat_idx = (
-        np.concatenate([np.asarray(v, dtype=np.int64) for v in idx_lists])
+        np.concatenate(idx_lists).astype(np.int64, copy=False)
         if len(idx_lists)
         else np.zeros(0, dtype=np.int64)
     )
     flat_val = (
-        np.concatenate([np.asarray(v, dtype=np.float64) for v in val_lists])
+        np.concatenate(val_lists).astype(np.float64, copy=False)
         if len(val_lists)
         else np.zeros(0)
     )
     row_ids = np.repeat(np.arange(len(lens)), lens)
     return flat_idx, flat_val, row_ids, len(lens)
+
+
+def _f64(batch, col: str) -> np.ndarray:
+    """Float64 column pull from a pandas batch or pyarrow.RecordBatch."""
+    if isinstance(batch, pd.DataFrame):
+        return batch[col].to_numpy(dtype=np.float64)
+    return (
+        batch.column(batch.schema.get_field_index(col))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64, copy=False)
+    )
 
 
 class CSRMatrix:
@@ -111,15 +150,15 @@ def loss_gradient_sparse(
     per-row term to xb — same O(nnz) scan either way."""
     beta = np.asarray(beta, dtype=np.float64)
 
-    def batch_partial(pdf: pd.DataFrame) -> dict:
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
-        y = pdf[label_col].to_numpy(dtype=np.float64)
+        y = _f64(pdf, label_col)
         xb = np.bincount(row_ids, weights=flat_val * beta[flat_idx], minlength=n)
         if offset_col is not None:
-            xb = xb + pdf[offset_col].to_numpy(dtype=np.float64)
+            xb = xb + _f64(pdf, offset_col)
         r = family.residual_np(xb, y)
         if weight_col is not None:
-            w = pdf[weight_col].to_numpy(dtype=np.float64)
+            w = _f64(pdf, weight_col)
             loss = float(np.dot(w, family.loglike_terms_np(xb, y)))
             r = w * r
         else:
@@ -129,7 +168,7 @@ def loss_gradient_sparse(
 
     rows = _arrow_partials_generic(
         df, batch_partial, "loss double, grad array<double>",
-        partial_doubles=1 + p,
+        partial_doubles=1 + p, arrow_batches=True,
     )
     loss = 0.0
     grad = np.zeros(p)
@@ -152,9 +191,9 @@ def multi_loss_sparse(
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
     k = B.shape[1]
 
-    def batch_partial(pdf: pd.DataFrame) -> dict:
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
-        y = pdf[label_col].to_numpy(dtype=np.float64)
+        y = _f64(pdf, label_col)
         # One bincount per candidate — the same O(nnz) scatter the fused
         # loss_gradient uses. (np.add.at on the (n, k) target was the slow
         # buffered-ufunc path AND materialized an (nnz, k) temporary, in
@@ -169,7 +208,7 @@ def multi_loss_sparse(
 
     rows = _arrow_partials_generic(
         df, batch_partial, "losses array<double>", partial_doubles=k
-    )
+    , arrow_batches=True)
     out = np.zeros(k)
     for r_ in rows:
         out += np.asarray(r_["losses"], dtype=np.float64)
@@ -194,16 +233,16 @@ def multi_loss_gradient_sparse(
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
     k = B.shape[1]
 
-    def batch_partial(pdf: pd.DataFrame) -> dict:
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
-        y = pdf[label_col].to_numpy(dtype=np.float64)
+        y = _f64(pdf, label_col)
         w = (
-            pdf[weight_col].to_numpy(dtype=np.float64)
+            _f64(pdf, weight_col)
             if weight_col is not None
             else None
         )
         o = (
-            pdf[offset_col].to_numpy(dtype=np.float64)
+            _f64(pdf, offset_col)
             if offset_col is not None
             else None
         )
@@ -230,7 +269,7 @@ def multi_loss_gradient_sparse(
 
     rows = _arrow_partials_generic(
         df, batch_partial, "losses array<double>, grads array<double>",
-        partial_doubles=k + k * p,
+        partial_doubles=k + k * p, arrow_batches=True,
     )
     losses = np.zeros(k)
     grads = np.zeros(p * k)
@@ -262,14 +301,14 @@ def hessian_vector_product_sparse(
     beta = np.asarray(beta, dtype=np.float64)
     v = np.asarray(v, dtype=np.float64)
 
-    def batch_partial(pdf: pd.DataFrame) -> dict:
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
         xb = np.bincount(row_ids, weights=flat_val * beta[flat_idx], minlength=n)
         if offset_col is not None:
-            xb = xb + pdf[offset_col].to_numpy(dtype=np.float64)
+            xb = xb + _f64(pdf, offset_col)
         hw = family.hess_weight_np(xb)
         if weight_col is not None:
-            hw = hw * pdf[weight_col].to_numpy(dtype=np.float64)
+            hw = hw * _f64(pdf, weight_col)
         xv = np.bincount(row_ids, weights=flat_val * v[flat_idx], minlength=n)
         t = hw * xv
         return {
@@ -280,7 +319,7 @@ def hessian_vector_product_sparse(
 
     rows = _arrow_partials_generic(
         df, batch_partial, "hv array<double>", partial_doubles=p
-    )
+    , arrow_batches=True)
     hv = np.zeros(p)
     for r_ in rows:
         hv += np.asarray(r_["hv"], dtype=np.float64)
@@ -303,11 +342,11 @@ def softmax_multi_loss_sparse(
     c = len(mats)
     k = mats[0].shape[1]
 
-    def batch_partial(pdf: pd.DataFrame) -> dict:
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
-        y = pdf[label_col].to_numpy(dtype=np.float64).astype(np.int64)
+        y = _f64(pdf, label_col).astype(np.int64)
         w = (
-            pdf[weight_col].to_numpy(dtype=np.float64)
+            _f64(pdf, weight_col)
             if weight_col is not None
             else None
         )
@@ -329,7 +368,7 @@ def softmax_multi_loss_sparse(
 
     rows_ = _arrow_partials_generic(
         df, batch_partial, "losses array<double>", partial_doubles=c
-    )
+    , arrow_batches=True)
     out = np.zeros(c)
     for r_ in rows_:
         out += np.asarray(r_["losses"], dtype=np.float64)
@@ -357,9 +396,9 @@ def softmax_loss_gradient_sparse(
     B = np.ascontiguousarray(B, dtype=np.float64)
     k = B.shape[1]
 
-    def batch_partial(pdf: pd.DataFrame) -> dict:
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
-        y = pdf[label_col].to_numpy(dtype=np.float64).astype(np.int64)
+        y = _f64(pdf, label_col).astype(np.int64)
         Z = np.empty((n, k))
         for c in range(k):
             Z[:, c] = np.bincount(
@@ -374,7 +413,7 @@ def softmax_loss_gradient_sparse(
         P = ez / se[:, None]
         P[rows, y] -= 1.0
         if weight_col is not None:
-            w = pdf[weight_col].to_numpy(dtype=np.float64)
+            w = _f64(pdf, weight_col)
             loss = float(np.dot(w, ll))
             P = P * w[:, None]
         else:
@@ -388,7 +427,7 @@ def softmax_loss_gradient_sparse(
 
     rows_ = _arrow_partials_generic(
         df, batch_partial, "loss double, grad array<double>",
-        partial_doubles=1 + p * k,
+        partial_doubles=1 + p * k, arrow_batches=True,
     )
     loss = 0.0
     grad = np.zeros(p * k)
@@ -417,7 +456,7 @@ def softmax_hessian_vector_product_sparse(
     V = np.ascontiguousarray(V, dtype=np.float64)
     k = B.shape[1]
 
-    def batch_partial(pdf: pd.DataFrame) -> dict:
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
         flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
         Z = np.empty((n, k))
         A = np.empty((n, k))
@@ -433,7 +472,7 @@ def softmax_hessian_vector_product_sparse(
         P /= P.sum(axis=1, keepdims=True)
         M = P * (A - (A * P).sum(axis=1, keepdims=True))
         if weight_col is not None:
-            M = M * pdf[weight_col].to_numpy(dtype=np.float64)[:, None]
+            M = M * _f64(pdf, weight_col)[:, None]
         HV = np.empty((p, k))
         for c in range(k):
             HV[:, c] = np.bincount(
@@ -443,7 +482,7 @@ def softmax_hessian_vector_product_sparse(
 
     rows_ = _arrow_partials_generic(
         df, batch_partial, "hv array<double>", partial_doubles=p * k
-    )
+    , arrow_batches=True)
     hv = np.zeros(p * k)
     for r_ in rows_:
         hv += np.asarray(r_["hv"], dtype=np.float64)

@@ -30,6 +30,7 @@ def regularization_path(
     regularizer: str = "l1",
     family=Logistic,
     warm: bool = True,
+    batched: bool = False,
     **kwargs,
 ) -> np.ndarray:
     """Coefficients along a regularization path: returns ``(len(lamduhs),
@@ -43,11 +44,39 @@ def regularization_path(
     each fit still runs its own one-scan moments job — λ-independent but
     intentionally NOT hoisted, to keep each fit's standardization
     identical to a standalone call.
+
+    ``batched=True`` (round 13, proximal_grad only) runs every λ's ISTA
+    state machine SIMULTANEOUSLY — one fused ``multi_loss_gradient``
+    scan advances all still-active λ per iteration, instead of one fit's
+    worth of scans per λ. At 100 TB the path's cost is passes over the
+    data, and batching divides them by ~len(lamduhs): the sequential
+    sweep pays Σ_i iters(λ_i) scans, the batched sweep max_i iters(λ_i)
+    (each scan carrying every active λ's probe candidates). Per-λ update
+    policy, acceptance, and stopping are EXACTLY ``_prox_loop``'s, so
+    each row converges to the same point as a cold standalone fit
+    (``warm`` is ignored — λs no longer chain; parity pinned in
+    tests/test_model_selection.py). Standardization is hoisted to ONE
+    moments pass shared by all λ (same transform the per-fit pass would
+    compute — it is λ-independent). Dense and wide-sparse inputs.
     """
     if solver not in _PATH_SOLVERS:
         raise ValueError(
             f"regularization_path supports solver in {_PATH_SOLVERS}, "
             f"got {solver!r}"
+        )
+    if batched:
+        if solver != "proximal_grad":
+            raise ValueError(
+                "batched=True supports solver='proximal_grad' only, "
+                f"got {solver!r}"
+            )
+        lams_b = [float(v) for v in lamduhs]
+        if not lams_b:
+            raise ValueError("lamduhs must be non-empty")
+        if any(v < 0 for v in lams_b):
+            raise ValueError("lamduhs must be >= 0")
+        return _regularization_path_batched(
+            df, lams_b, regularizer, family, **kwargs
         )
     lams = [float(v) for v in lamduhs]
     if not lams:
@@ -58,8 +87,14 @@ def regularization_path(
 
     from pyspark import StorageLevel
 
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
     we_persisted = False
     if not df.is_cached:
+        # spread BEFORE caching (round 13) — the solvers' own @normalize
+        # persist is skipped on an already-cached frame, so a 3-split
+        # parquet would otherwise run every iteration scan 3-wide
+        df = ensure_min_parallelism(df)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
     # a caller-supplied fit_info would be shared (and silently
@@ -96,6 +131,229 @@ def regularization_path(
             df.unpersist()
 
 
+# Candidate budget per batched probe scan, spread across the λs still
+# backtracking — bounds the multi_loss_gradient partial at (1+p)·PROBE_TOTAL
+# doubles per partition regardless of path length.
+_BATCH_PROBE_TOTAL = 32
+
+
+def _batched_prox_core(multi_lg, p, lams, regularizer, max_iter, tol,
+                       init_beta, infos):
+    """Every λ's ISTA state machine advanced by shared fused scans.
+
+    Per-λ policy is byte-for-byte ``solvers._prox_loop``'s (same
+    backtracking sequence s·mult^k, same first-simple-decrease
+    acceptance, same step growth/underflow/relative-decrease stopping, and
+    the accepted candidate's gradient feeds its next iteration) — the
+    batching ONLY changes which scan evaluates a candidate, never which
+    candidate is accepted: within an iteration the probe sequence is
+    deterministic, so candidates can be co-evaluated speculatively across
+    λ without reading each other's results. One multi_loss_gradient scan
+    per probe round serves every active λ.
+    """
+    from dask_glm_spark.functions.regularizers import Regularizer
+
+    reg = Regularizer.get(regularizer)
+    L = len(lams)
+    first_backtrack, next_backtrack = 0.1, 0.5
+    step_growth = 1.25
+    beta0 = solvers._init_vec(init_beta, p)
+    betas = [beta0.copy() for _ in range(L)]
+    steps = [1.0] * L
+    bmult = [first_backtrack] * L
+    done = [False] * L
+    conv = [False] * L
+    iters = [0] * L
+    # one scan: loss+gradient at every starting β (identical starts give
+    # identical columns — per-candidate results are column-independent)
+    losses0, grads0 = multi_lg(betas)
+    funcs = [float(losses0[i]) for i in range(L)]
+    gradv = [np.asarray(grads0[:, i], dtype=np.float64) for i in range(L)]
+    for _ in range(max_iter):
+        active = [i for i in range(L) if not done[i]]
+        if not active:
+            break
+        for i in active:
+            iters[i] += 1
+        # per-λ backtracking state for THIS iteration
+        obeta = {i: betas[i] for i in active}
+        lf = {i: funcs[i] for i in active}
+        ograd = {i: gradv[i] for i in active}
+        nexti = {i: 0 for i in active}       # next candidate index to probe
+        accepted: dict[int, bool] = {}
+        searching = list(active)
+        while searching:
+            cpl = max(1, _BATCH_PROBE_TOTAL // len(searching))
+            batch: list[tuple[int, float, np.ndarray]] = []
+            for i in searching:
+                hi = min(nexti[i] + cpl, solvers.MAX_BACKTRACKS)
+                for k in range(nexti[i], hi):
+                    s = steps[i] * bmult[i] ** k
+                    cand = reg.proximal_operator(
+                        obeta[i] - s * ograd[i], s * lams[i]
+                    )
+                    batch.append((i, s, cand))
+                nexti[i] = hi
+            losses_b, grads_b = multi_lg([c for _, _, c in batch])
+            next_searching = []
+            pos_by_i: dict[int, list[int]] = {}
+            for pos, (i, _, _) in enumerate(batch):
+                pos_by_i.setdefault(i, []).append(pos)
+            for i in searching:
+                found = False
+                for pos in pos_by_i[i]:
+                    _, s, cand = batch[pos]
+                    fval = float(losses_b[pos])
+                    # mirror _prox_loop: every examined candidate becomes
+                    # the iterate until one is accepted
+                    betas[i] = cand
+                    funcs[i] = fval
+                    gradv[i] = np.asarray(grads_b[:, pos], dtype=np.float64)
+                    if lf[i] - fval > 0:
+                        steps[i] = s
+                        found = True
+                        break
+                if found:
+                    accepted[i] = True
+                elif nexti[i] < solvers.MAX_BACKTRACKS:
+                    next_searching.append(i)
+                else:
+                    accepted[i] = False
+                    steps[i] = s  # last probed size (_prox_loop's for-else)
+            searching = next_searching
+        for i in active:
+            if steps[i] == 0:
+                done[i] = True  # step underflow: _prox_loop's hard break
+                continue
+            df_rel = (lf[i] - funcs[i]) / max(funcs[i], lf[i])
+            if df_rel < tol:
+                conv[i] = True
+                done[i] = True
+                continue
+            steps[i] *= step_growth
+            bmult[i] = next_backtrack
+    for i in range(L):
+        solvers._fill_info(infos[i], iters[i], conv[i])
+    return np.stack(betas)
+
+
+def _regularization_path_batched(df, lams, regularizer, family, **kwargs):
+    """Dispatch + standardization wrapper for the batched λ-path: persist
+    once, hoist ONE moments pass (λ-independent — the same transform every
+    per-fit ``@normalize`` pass would compute), run the batched core in
+    the standardized space, back-transform every row exactly as
+    ``solvers.normalize`` does per fit. Wide-sparse (findices, fvalues)
+    input runs the O(k·nnz) sparse probe kernel and never standardizes
+    (the sparse-path contract)."""
+    from pyspark import StorageLevel
+
+    from dask_glm_spark.functions import kernels, kernels_sparse
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+    from dask_glm_spark.sources import vectors as V
+
+    features_col = kwargs.pop("features_col", "features")
+    label_col = kwargs.pop("label_col", "label")
+    idx_col = kwargs.pop("idx_col", "findices")
+    val_col = kwargs.pop("val_col", "fvalues")
+    weight_col = kwargs.pop("weight_col", None)
+    offset_col = kwargs.pop("offset_col", None)
+    max_iter = kwargs.pop("max_iter", 100)
+    tol = kwargs.pop("tol", 1e-8)
+    init_beta = kwargs.pop("init_beta", None)
+    do_norm = kwargs.pop("normalize", True)
+    p = kwargs.pop("p", None)
+    caller_info = kwargs.pop("fit_info", None)
+    if kwargs:
+        raise TypeError(
+            f"unexpected keyword arguments for batched path: {sorted(kwargs)}"
+        )
+    infos: list[dict] = [{} for _ in lams]
+    sparse = V.is_sparse_columns(df, idx_col, val_col)
+
+    we_persisted = False
+    if not df.is_cached:
+        df = ensure_min_parallelism(df)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    try:
+        if sparse:
+            pp = int(p) if p else V.sparse_p(df, idx_col)
+
+            def multi_lg(cands):
+                return kernels_sparse.multi_loss_gradient_sparse(
+                    df, family, cands, pp, idx_col, val_col, label_col,
+                    weight_col=weight_col, offset_col=offset_col,
+                )
+
+            out = _batched_prox_core(
+                multi_lg, pp, lams, regularizer, max_iter, tol,
+                init_beta, infos,
+            )
+        elif not do_norm:
+            pp = int(p) if p else kernels.infer_p(df, features_col)
+
+            def multi_lg(cands):
+                return kernels.multi_loss_gradient(
+                    df, family, cands, features_col, label_col,
+                    weight_col=weight_col, offset_col=offset_col,
+                )
+
+            out = _batched_prox_core(
+                multi_lg, pp, lams, regularizer, max_iter, tol,
+                init_beta, infos,
+            )
+        else:
+            # solvers.normalize's exact quirks, hoisted once: population
+            # std, >1 constant column raises, no-constant-column means
+            # scale-only standardization
+            _, mean, std = kernels.column_moments_full(
+                df, features_col, weight_col=weight_col
+            )
+            pp = len(mean)
+            intercept_idx = np.where(std == 0)[0]
+            if len(intercept_idx) > 1:
+                raise ValueError("Multiple constant columns detected!")
+            mean[intercept_idx] = 0
+            std[intercept_idx] = 1
+            if len(intercept_idx) == 0:
+                mean = np.zeros_like(mean)
+            ib = init_beta
+            if ib is not None:
+                ib = np.asarray(ib, dtype=np.float64).ravel()
+                if ib.shape != std.shape:
+                    raise ValueError(
+                        f"init_beta must have shape {std.shape}, got {ib.shape}"
+                    )
+                ib_std = ib * std
+                ib_std[intercept_idx] += np.sum(ib * mean)
+                ib = ib_std
+            dfn = df.withColumn(
+                features_col,
+                kernels.standardize_expr(mean, std, features_col),
+            )
+
+            def multi_lg(cands):
+                return kernels.multi_loss_gradient(
+                    dfn, family, cands, features_col, label_col,
+                    weight_col=weight_col, offset_col=offset_col,
+                )
+
+            out = _batched_prox_core(
+                multi_lg, pp, lams, regularizer, max_iter, tol, ib, infos,
+            )
+            # per-row inverse of solvers.normalize's back-transform
+            for b in out:
+                i_adj = np.sum(b * mean / std)
+                b[intercept_idx] -= i_adj
+                b /= std
+        if caller_info is not None:
+            caller_info["per_lamduh"] = infos
+        return out
+    finally:
+        if we_persisted:
+            df.unpersist()
+
+
 def softmax_regularization_path(
     df: DataFrame,
     lamduhs,
@@ -119,8 +377,14 @@ def softmax_regularization_path(
 
     from pyspark import StorageLevel
 
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
     we_persisted = False
     if not df.is_cached:
+        # spread BEFORE caching (round 13) — the solvers' own @normalize
+        # persist is skipped on an already-cached frame, so a 3-split
+        # parquet would otherwise run every iteration scan 3-wide
+        df = ensure_min_parallelism(df)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         we_persisted = True
     caller_info = kwargs.pop("fit_info", None)

@@ -385,3 +385,73 @@ def test_softmax_cv_lamduh_weighted_scoring(spark, softmax_cv_data):
         np.testing.assert_allclose(out["fold_test_loss"][0], losses, rtol=1e-9)
     finally:
         dfw.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# batched λ-path (round 13): every λ's ISTA advanced by shared fused scans
+# ---------------------------------------------------------------------------
+
+
+def test_batched_path_matches_sequential_cold(data):
+    # batched runs the EXACT per-λ _prox_loop policy, so it must land on
+    # the same points as the cold (warm=False) sequential sweep
+    lams = [0.5, 0.1, 0.02]
+    kw = dict(regularizer="l1", max_iter=200, tol=1e-10)
+    seq = regularization_path(
+        data, lams, solver="proximal_grad", warm=False, **kw
+    )
+    bat = regularization_path(
+        data, lams, solver="proximal_grad", batched=True, **kw
+    )
+    assert bat.shape == seq.shape == (3, 4)
+    np.testing.assert_allclose(bat, seq, atol=1e-6, rtol=0)
+
+
+def test_batched_path_no_normalize_matches_sequential(data):
+    lams = [0.3, 0.05]
+    kw = dict(regularizer="l1", max_iter=200, tol=1e-10, normalize=False)
+    seq = regularization_path(
+        data, lams, solver="proximal_grad", warm=False, **kw
+    )
+    bat = regularization_path(
+        data, lams, solver="proximal_grad", batched=True, **kw
+    )
+    np.testing.assert_allclose(bat, seq, atol=1e-6, rtol=0)
+
+
+def test_batched_path_sparse_matches_dense(data):
+    from dask_glm_spark.sources.vectors import to_sparse_columns
+
+    lams = [0.3, 0.05]
+    kw = dict(regularizer="l1", max_iter=200, tol=1e-10)
+    dense = regularization_path(
+        data, lams, solver="proximal_grad", batched=True,
+        normalize=False, **kw
+    )
+    sdf = to_sparse_columns(data.select("features", "label"))
+    sparse = regularization_path(
+        sdf, lams, solver="proximal_grad", batched=True, **kw
+    )
+    np.testing.assert_allclose(sparse, dense, atol=1e-8, rtol=0)
+
+
+def test_batched_path_fit_info_and_validation(data):
+    fi = {}
+    out = regularization_path(
+        data, [1000.0, 0.1], solver="proximal_grad", batched=True,
+        regularizer="l1", max_iter=50, tol=1e-8, fit_info=fi,
+    )
+    assert out.shape == (2, 4)
+    per = fi["per_lamduh"]
+    assert len(per) == 2
+    assert all({"n_iter", "converged"} <= set(d) for d in per)
+    # λ=1000 crushes everything to zero
+    assert np.abs(out[0]).max() < 1e-10
+    with pytest.raises(ValueError, match="proximal_grad"):
+        regularization_path(
+            data, [0.1], solver="lbfgs", batched=True
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        regularization_path(data, [], batched=True)
+    with pytest.raises(ValueError, match=">= 0"):
+        regularization_path(data, [-0.1], batched=True)
