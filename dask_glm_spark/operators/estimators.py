@@ -1357,10 +1357,11 @@ def cross_val_score(
     from pyspark import StorageLevel
 
     from dask_glm_spark.operators.model_selection import cv_fold_column
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
 
-    folded = cv_fold_column(df, n_folds, features_col, label_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    folded = ensure_min_parallelism(
+        cv_fold_column(df, n_folds, features_col, label_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         scores = []
         for i in range(n_folds):

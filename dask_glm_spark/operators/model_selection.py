@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 
 from dask_glm_spark.functions.families import Logistic
 from dask_glm_spark.operators import solvers
+from dask_glm_spark.plans.layout import ensure_min_parallelism
 
 # λ-sweep support: solvers whose objective actually contains lamduh*R
 _PATH_SOLVERS = ("proximal_grad", "lbfgs", "admm")
@@ -86,8 +87,6 @@ def regularization_path(
     fn = solvers._solvers[solver]
 
     from pyspark import StorageLevel
-
-    from dask_glm_spark.plans.layout import ensure_min_parallelism
 
     we_persisted = False
     if not df.is_cached:
@@ -248,7 +247,6 @@ def _regularization_path_batched(df, lams, regularizer, family, **kwargs):
     from pyspark import StorageLevel
 
     from dask_glm_spark.functions import kernels, kernels_sparse
-    from dask_glm_spark.plans.layout import ensure_min_parallelism
     from dask_glm_spark.sources import vectors as V
 
     features_col = kwargs.pop("features_col", "features")
@@ -377,8 +375,6 @@ def softmax_regularization_path(
 
     from pyspark import StorageLevel
 
-    from dask_glm_spark.plans.layout import ensure_min_parallelism
-
     we_persisted = False
     if not df.is_cached:
         # spread BEFORE caching (round 13) — the solvers' own @normalize
@@ -477,9 +473,9 @@ def cv_lamduh(
     # Σw·ll/Σw, and offsets re-enter the test linear predictor
     weight_col = kwargs.get("weight_col")
     offset_col = kwargs.get("offset_col")
-    folded = cv_fold_column(df, n_folds, features_col, label_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    folded = ensure_min_parallelism(
+        cv_fold_column(df, n_folds, features_col, label_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         fold_losses = np.empty((n_folds, len(lams)))
         for i in range(n_folds):
@@ -565,9 +561,9 @@ def softmax_cv_lamduh(
     if not lams:
         raise ValueError("lamduhs must be non-empty")
     weight_col = kwargs.get("weight_col")
-    folded = cv_fold_column(df, n_folds, features_col, label_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    folded = ensure_min_parallelism(
+        cv_fold_column(df, n_folds, features_col, label_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         fold_losses = np.empty((n_folds, len(lams)))
         for i in range(n_folds):
