@@ -455,3 +455,18 @@ def test_batched_path_fit_info_and_validation(data):
         regularization_path(data, [], batched=True)
     with pytest.raises(ValueError, match=">= 0"):
         regularization_path(data, [-0.1], batched=True)
+
+
+def test_cv_lamduh_batched_forwarding(data):
+    # batched=True rides **kwargs into every per-fold path AND the
+    # full-data refit — selection still lands on the informative λ
+    from dask_glm_spark.operators.model_selection import cv_lamduh
+
+    out = cv_lamduh(
+        data, [500.0, 0.01], regularizer="l1", n_folds=2, max_iter=80,
+        tol=1e-10, normalize=False, batched=True,
+    )
+    assert out["best_lamduh"] == 0.01
+    assert out["betas"].shape == (2, 4)
+    assert out["fold_test_loss"].shape == (2, 2)
+    assert np.abs(out["betas"][0]).max() < 1e-8
