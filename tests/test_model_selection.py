@@ -470,3 +470,46 @@ def test_cv_lamduh_batched_forwarding(data):
     assert out["betas"].shape == (2, 4)
     assert out["fold_test_loss"].shape == (2, 2)
     assert np.abs(out["betas"][0]).max() < 1e-8
+
+
+def test_batched_core_bitwise_mirrors_prox_loop():
+    # No Spark: drive _batched_prox_core and solvers._prox_loop with the
+    # SAME numpy objective closures. The batched core claims its per-λ
+    # state machine is byte-for-byte _prox_loop's — with identical
+    # arithmetic the iterates must then be EXACTLY equal (==, not
+    # allclose) for every λ, including backtracking and stopping.
+    from dask_glm_spark.operators.model_selection import _batched_prox_core
+
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(200, 5))
+    yv = (rng.random(200) < 1 / (1 + np.exp(-(X @ [1, -2, 0.5, 0, 3])))).astype(
+        float
+    )
+
+    def lg(beta):
+        xb = X @ beta
+        # logistic loss/gradient, the families.py formulas
+        loss = float(np.sum(np.logaddexp(0, xb) - yv * xb))
+        grad = X.T @ (1 / (1 + np.exp(-xb)) - yv)
+        return loss, grad
+
+    def multi_lg(cands):
+        pairs = [lg(np.asarray(c)) for c in cands]
+        return (
+            np.array([p[0] for p in pairs]),
+            np.column_stack([p[1] for p in pairs]),
+        )
+
+    lams = [3.0, 0.5, 0.05, 0.0]
+    infos = [{} for _ in lams]
+    batched = _batched_prox_core(
+        multi_lg, 5, lams, "l1", 60, 1e-9, None, infos
+    )
+    for i, lam in enumerate(lams):
+        seq = solvers._prox_loop(
+            lg, multi_lg, 5, "l1", lam, 60, 1e-9, None, None
+        )
+        assert np.array_equal(batched[i], seq), (
+            f"λ={lam}: batched {batched[i]} != sequential {seq}"
+        )
+    assert all({"n_iter", "converged"} <= set(d) for d in infos)
