@@ -847,6 +847,60 @@ def softmax_multi_loss(
     return out
 
 
+def softmax_multi_loss_gradient(
+    df: DataFrame,
+    Bs: list[np.ndarray],
+    features_col: str = "features",
+    label_col: str = "label",
+    weight_col: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(losses (c,), gradients (p·k, c)) for c candidate (p, k) softmax
+    matrices in ONE scan — the multinomial twin of ``multi_loss_gradient``
+    (round 13: the batched-λ FISTA path evaluates every λ's extrapolated
+    point together). Per candidate the arithmetic is byte-for-byte
+    ``softmax_loss_gradient``'s (two GEMMs + stable logsumexp), so the
+    c=1 column is bit-identical to the single-candidate kernel; partials
+    are c·(1 + p·k) doubles per partition."""
+    mats = [np.ascontiguousarray(b, dtype=np.float64) for b in Bs]
+    c = len(mats)
+    p, k = mats[0].shape
+
+    def partial(X, y, w=None):
+        yi = y.astype(np.int64)
+        rows = np.arange(len(yi))
+        losses = np.empty(c)
+        grads = np.empty((c, p * k))
+        with np.errstate(over="ignore", invalid="ignore"):
+            for i, B in enumerate(mats):
+                Z = X @ B
+                m = Z.max(axis=1, keepdims=True)
+                ez = np.exp(Z - m)
+                se = ez.sum(axis=1)
+                lse = m[:, 0] + np.log(se)
+                ll = lse - Z[rows, yi]
+                P = ez / se[:, None]
+                P[rows, yi] -= 1.0
+                if w is not None:
+                    losses[i] = float(np.dot(w, ll))
+                    P = P * w[:, None]
+                else:
+                    losses[i] = float(ll.sum())
+                grads[i] = (X.T @ P).ravel()
+        return {"losses": losses, "grads": grads.ravel()}
+
+    rows_ = _arrow_partials(
+        df, features_col, label_col, partial,
+        "losses array<double>, grads array<double>",
+        weight_col=weight_col, partial_doubles=c * (1 + p * k),
+    )
+    losses = np.zeros(c)
+    grads = np.zeros(c * p * k)
+    for r_ in rows_:
+        losses += np.asarray(r_["losses"], dtype=np.float64)
+        grads += np.asarray(r_["grads"], dtype=np.float64)
+    return losses, grads.reshape(c, p * k).T
+
+
 def softmax_hessian_vector_product(
     df: DataFrame,
     B: np.ndarray,

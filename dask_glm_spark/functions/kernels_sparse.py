@@ -375,6 +375,74 @@ def softmax_multi_loss_sparse(
     return out
 
 
+def softmax_multi_loss_gradient_sparse(
+    df: DataFrame,
+    Bs: list[np.ndarray],
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    weight_col: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(losses (c,), gradients (p·k, c)) for c candidate (p, k) softmax
+    matrices in one O(c·k·nnz) scan — the sparse twin of
+    ``kernels.softmax_multi_loss_gradient`` (round 13, the batched-λ
+    FISTA evaluation). Per candidate the arithmetic is byte-for-byte
+    ``softmax_loss_gradient_sparse``'s (k bincount scatters for Z, k
+    gathers for G), so the c=1 column is bit-identical to the
+    single-candidate kernel."""
+    mats = [np.ascontiguousarray(b, dtype=np.float64) for b in Bs]
+    c = len(mats)
+    k = mats[0].shape[1]
+
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        yi = _f64(pdf, label_col).astype(np.int64)
+        rows = np.arange(n)
+        w = _f64(pdf, weight_col) if weight_col is not None else None
+        losses = np.empty(c)
+        grads = np.empty((c, p * k))
+        Z = np.empty((n, k))
+        with np.errstate(over="ignore", invalid="ignore"):
+            for i, B in enumerate(mats):
+                for cc in range(k):
+                    Z[:, cc] = np.bincount(
+                        row_ids, weights=flat_val * B[flat_idx, cc],
+                        minlength=n,
+                    )
+                m = Z.max(axis=1, keepdims=True)
+                ez = np.exp(Z - m)
+                se = ez.sum(axis=1)
+                lse = m[:, 0] + np.log(se)
+                ll = lse - Z[rows, yi]
+                P = ez / se[:, None]
+                P[rows, yi] -= 1.0
+                if w is not None:
+                    losses[i] = float(np.dot(w, ll))
+                    P = P * w[:, None]
+                else:
+                    losses[i] = float(ll.sum())
+                G = np.empty((p, k))
+                for cc in range(k):
+                    G[:, cc] = np.bincount(
+                        flat_idx, weights=P[row_ids, cc] * flat_val,
+                        minlength=p,
+                    )
+                grads[i] = G.ravel()
+        return {"losses": losses, "grads": grads.ravel()}
+
+    rows_ = _arrow_partials_generic(
+        df, batch_partial, "losses array<double>, grads array<double>",
+        partial_doubles=c * (1 + p * k), arrow_batches=True,
+    )
+    losses = np.zeros(c)
+    grads = np.zeros(c * p * k)
+    for r_ in rows_:
+        losses += np.asarray(r_["losses"], dtype=np.float64)
+        grads += np.asarray(r_["grads"], dtype=np.float64)
+    return losses, grads.reshape(c, p * k).T
+
+
 def softmax_loss_gradient_sparse(
     df: DataFrame,
     B: np.ndarray,

@@ -56,7 +56,11 @@ def regularization_path(
     policy, acceptance, and stopping are EXACTLY ``_prox_loop``'s, so
     each row converges to the same point as a cold standalone fit
     (``warm`` is ignored — λs no longer chain; parity pinned in
-    tests/test_model_selection.py). Standardization is hoisted to ONE
+    tests/test_model_selection.py). ``accelerate=True`` composes: the
+    batched core then mirrors ``_fista_loop`` per λ (momentum,
+    majorization acceptance, full-objective stopping — both mirrors are
+    pinned bit-exactly against the sequential loops with shared numpy
+    closures). Standardization is hoisted to ONE
     moments pass shared by all λ (same transform the per-fit pass would
     compute — it is λ-independent). Dense and wide-sparse inputs.
     """
@@ -236,6 +240,104 @@ def _batched_prox_core(multi_lg, p, lams, regularizer, max_iter, tol,
     return np.stack(betas)
 
 
+def _batched_fista_core(multi_lg, p, lams, regularizer, max_iter, tol,
+                        init_beta, infos):
+    """Every λ's FISTA state machine advanced by shared fused scans — the
+    accelerated twin of ``_batched_prox_core`` (``solvers._fista_loop``'s
+    per-λ policy byte-for-byte: the extrapolated-point gradient, the
+    0.5^i backtracking sequence, the majorization acceptance test, the
+    Nesterov momentum update, and the full-objective stopping rule).
+    Per outer iteration: ONE multi_lg scan evaluates every active λ's
+    extrapolated point, then shared probe scans carry every
+    still-searching λ's candidates (probe losses read from the same
+    multi_lg — the sparse sequential FISTA's convention; gradients ride
+    along unused)."""
+    from dask_glm_spark.functions.regularizers import Regularizer
+
+    reg = Regularizer.get(regularizer)
+    L = len(lams)
+    x0 = solvers._init_vec(init_beta, p)
+    xs = [x0.copy() for _ in range(L)]
+    ys = [x0.copy() for _ in range(L)]
+    ts = [1.0] * L
+    steps = [1.0] * L
+    fprev: list[float | None] = [None] * L
+    done = [False] * L
+    conv = [False] * L
+    iters = [0] * L
+    for _ in range(max_iter):
+        active = [i for i in range(L) if not done[i]]
+        if not active:
+            break
+        for i in active:
+            iters[i] += 1
+        fys, gys = multi_lg([ys[i] for i in active])
+        fy = {i: float(fys[j]) for j, i in enumerate(active)}
+        gy = {
+            i: np.asarray(gys[:, j], dtype=np.float64)
+            for j, i in enumerate(active)
+        }
+        nexti = {i: 0 for i in active}
+        result: dict[int, tuple | None] = {}
+        searching = list(active)
+        while searching:
+            cpl = max(1, _BATCH_PROBE_TOTAL // len(searching))
+            batch: list[tuple[int, float, np.ndarray]] = []
+            for i in searching:
+                hi = min(nexti[i] + cpl, solvers.MAX_BACKTRACKS)
+                for kk in range(nexti[i], hi):
+                    s = steps[i] * (0.5 ** kk)
+                    cand = reg.proximal_operator(
+                        ys[i] - s * gy[i], s * lams[i]
+                    )
+                    batch.append((i, s, cand))
+                nexti[i] = hi
+            losses_b, _ = multi_lg([c for _, _, c in batch])
+            pos_by_i: dict[int, list[int]] = {}
+            for pos, (i, _, _) in enumerate(batch):
+                pos_by_i.setdefault(i, []).append(pos)
+            nxt = []
+            for i in searching:
+                found = False
+                for pos in pos_by_i[i]:
+                    _, s, cand = batch[pos]
+                    fval = float(losses_b[pos])
+                    d = cand - ys[i]
+                    if fval <= fy[i] + gy[i] @ d + (d @ d) / (2.0 * s):
+                        result[i] = (cand, fval, s)
+                        found = True
+                        break
+                if found:
+                    continue
+                if nexti[i] < solvers.MAX_BACKTRACKS:
+                    nxt.append(i)
+                else:
+                    result[i] = None
+            searching = nxt
+        for i in active:
+            r = result[i]
+            if r is None:
+                done[i] = True  # step underflow: y_i is numerically fixed
+                continue
+            xn, fx, s = r
+            steps[i] = s
+            tn = (1.0 + np.sqrt(1.0 + 4.0 * ts[i] * ts[i])) / 2.0
+            ys[i] = xn + ((ts[i] - 1.0) / tn) * (xn - xs[i])
+            xs[i], ts[i] = xn, tn
+            fobj = fx + lams[i] * reg.f(xn)
+            if fprev[i] is not None and abs(fprev[i] - fobj) / max(
+                abs(fobj), abs(fprev[i]), 1.0
+            ) < tol:
+                conv[i] = True
+                done[i] = True
+                continue
+            fprev[i] = fobj
+            steps[i] *= 1.25
+    for i in range(L):
+        solvers._fill_info(infos[i], iters[i], conv[i])
+    return np.stack(xs)
+
+
 def _regularization_path_batched(df, lams, regularizer, family, **kwargs):
     """Dispatch + standardization wrapper for the batched λ-path: persist
     once, hoist ONE moments pass (λ-independent — the same transform every
@@ -258,6 +360,7 @@ def _regularization_path_batched(df, lams, regularizer, family, **kwargs):
     max_iter = kwargs.pop("max_iter", 100)
     tol = kwargs.pop("tol", 1e-8)
     init_beta = kwargs.pop("init_beta", None)
+    accelerate = kwargs.pop("accelerate", False)
     do_norm = kwargs.pop("normalize", True)
     p = kwargs.pop("p", None)
     caller_info = kwargs.pop("fit_info", None)
@@ -266,6 +369,7 @@ def _regularization_path_batched(df, lams, regularizer, family, **kwargs):
             f"unexpected keyword arguments for batched path: {sorted(kwargs)}"
         )
     infos: list[dict] = [{} for _ in lams]
+    core = _batched_fista_core if accelerate else _batched_prox_core
     sparse = V.is_sparse_columns(df, idx_col, val_col)
 
     we_persisted = False
@@ -283,7 +387,7 @@ def _regularization_path_batched(df, lams, regularizer, family, **kwargs):
                     weight_col=weight_col, offset_col=offset_col,
                 )
 
-            out = _batched_prox_core(
+            out = core(
                 multi_lg, pp, lams, regularizer, max_iter, tol,
                 init_beta, infos,
             )
@@ -296,7 +400,7 @@ def _regularization_path_batched(df, lams, regularizer, family, **kwargs):
                     weight_col=weight_col, offset_col=offset_col,
                 )
 
-            out = _batched_prox_core(
+            out = core(
                 multi_lg, pp, lams, regularizer, max_iter, tol,
                 init_beta, infos,
             )
@@ -336,7 +440,7 @@ def _regularization_path_batched(df, lams, regularizer, family, **kwargs):
                     weight_col=weight_col, offset_col=offset_col,
                 )
 
-            out = _batched_prox_core(
+            out = core(
                 multi_lg, pp, lams, regularizer, max_iter, tol, ib, infos,
             )
             # per-row inverse of solvers.normalize's back-transform
@@ -358,6 +462,7 @@ def softmax_regularization_path(
     k: int,
     regularizer: str = "l1",
     warm: bool = True,
+    batched: bool = False,
     **kwargs,
 ) -> np.ndarray:
     """Multinomial λ-path (round 12): the softmax twin of
@@ -366,12 +471,22 @@ def softmax_regularization_path(
     (input order preserved; execution strongest-λ-first with (p, k)
     warm starts over one shared cache). ``label_col`` must hold class
     indices in [0, k) — the solver-level contract; use
-    ``SoftmaxRegression`` for label mapping."""
+    ``SoftmaxRegression`` for label mapping.
+
+    ``batched=True`` (round 13): every λ's FISTA state machine advanced
+    by shared ``softmax_multi_loss_gradient`` scans — the multinomial
+    twin of ``regularization_path(batched=True)``, same Σ-of-iterations →
+    max-of-iterations pass count. Per-λ policy is exactly
+    ``solvers._fista_loop``'s (the loop ``softmax_proximal`` runs), so
+    each row lands on the cold standalone fit's optimum; ``warm`` is
+    ignored. Dense features only (the ``softmax_proximal`` scope)."""
     lams = [float(v) for v in lamduhs]
     if not lams:
         raise ValueError("lamduhs must be non-empty")
     if any(v < 0 for v in lams):
         raise ValueError("lamduhs must be >= 0")
+    if batched:
+        return _softmax_path_batched(df, lams, k, regularizer, **kwargs)
 
     from pyspark import StorageLevel
 
@@ -405,6 +520,70 @@ def softmax_regularization_path(
         if caller_info is not None:
             caller_info["per_lamduh"] = infos
         return np.stack(betas)
+    finally:
+        if we_persisted:
+            df.unpersist()
+
+
+def _softmax_path_batched(df, lams, k, regularizer, **kwargs):
+    """Batched multinomial λ-path: one ``_SoftmaxStandardizer`` pass
+    hoisted for all λ (the same λ-independent transform each
+    ``softmax_proximal`` call would compute), then ``_batched_fista_core``
+    over the flattened (p·k) vectors with ONE
+    ``softmax_multi_loss_gradient`` scan per evaluation round. Probe
+    scans ride the same kernel (gradients along unused — the sparse
+    sequential FISTA convention), so the per-scan partial is
+    c·(1 + p·k) doubles; the candidate budget caps c at
+    ``_BATCH_PROBE_TOTAL``."""
+    from pyspark import StorageLevel
+
+    from dask_glm_spark.functions import kernels
+
+    features_col = kwargs.pop("features_col", "features")
+    label_col = kwargs.pop("label_col", "label")
+    weight_col = kwargs.pop("weight_col", None)
+    max_iter = kwargs.pop("max_iter", 100)
+    tol = kwargs.pop("tol", 1e-8)
+    init_beta = kwargs.pop("init_beta", None)
+    normalize = kwargs.pop("normalize", True)
+    caller_info = kwargs.pop("fit_info", None)
+    if kwargs:
+        raise TypeError(
+            f"unexpected keyword arguments for batched path: {sorted(kwargs)}"
+        )
+    infos: list[dict] = [{} for _ in lams]
+    we_persisted = False
+    if not df.is_cached:
+        df = ensure_min_parallelism(df)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    try:
+        stdz = solvers._SoftmaxStandardizer(
+            df, features_col, weight_col, normalize
+        )
+        p, dfn = stdz.p, stdz.dfn
+        b0 = stdz.forward(init_beta, k)
+
+        def multi_lg(cands):
+            return kernels.softmax_multi_loss_gradient(
+                dfn,
+                [np.asarray(c, dtype=np.float64).reshape(p, k) for c in cands],
+                features_col, label_col, weight_col=weight_col,
+            )
+
+        flat = _batched_fista_core(
+            multi_lg, p * k, lams, regularizer, max_iter, tol, b0, infos,
+        )
+        if caller_info is not None:
+            caller_info["per_lamduh"] = infos
+        return np.stack(
+            [
+                stdz.backward(
+                    np.asarray(v, dtype=np.float64).reshape(p, k)
+                )
+                for v in flat
+            ]
+        )
     finally:
         if we_persisted:
             df.unpersist()

@@ -513,3 +513,61 @@ def test_batched_core_bitwise_mirrors_prox_loop():
             f"λ={lam}: batched {batched[i]} != sequential {seq}"
         )
     assert all({"n_iter", "converged"} <= set(d) for d in infos)
+
+
+def test_batched_fista_core_bitwise_mirrors_fista_loop():
+    # accelerate=True twin of the ISTA mirror test above: same numpy
+    # closures drive _batched_fista_core and solvers._fista_loop —
+    # iterates must be EXACTLY equal per λ (momentum, majorization
+    # acceptance, and full-objective stopping included).
+    from dask_glm_spark.operators.model_selection import _batched_fista_core
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(150, 4))
+    yv = (rng.random(150) < 1 / (1 + np.exp(-(X @ [2, -1, 0, 0.5])))).astype(
+        float
+    )
+
+    def lg(beta):
+        xb = X @ beta
+        loss = float(np.sum(np.logaddexp(0, xb) - yv * xb))
+        grad = X.T @ (1 / (1 + np.exp(-xb)) - yv)
+        return loss, grad
+
+    def multi_lg(cands):
+        pairs = [lg(np.asarray(c)) for c in cands]
+        return (
+            np.array([p[0] for p in pairs]),
+            np.column_stack([p[1] for p in pairs]),
+        )
+
+    lams = [2.0, 0.3, 0.01]
+    infos = [{} for _ in lams]
+    batched = _batched_fista_core(
+        multi_lg, 4, lams, "l1", 80, 1e-10, None, infos
+    )
+    for i, lam in enumerate(lams):
+        seq = solvers._fista_loop(
+            lg, multi_lg, 4, "l1", lam, 80, 1e-10, None, None
+        )
+        assert np.array_equal(batched[i], seq), (
+            f"λ={lam}: batched {batched[i]} != sequential {seq}"
+        )
+    assert all({"n_iter", "converged"} <= set(d) for d in infos)
+
+
+def test_batched_path_accelerate_matches_sequential(data):
+    # Spark integration: batched+accelerate lands on the same optima as
+    # the cold sequential FISTA sweep
+    lams = [0.5, 0.05]
+    kw = dict(
+        regularizer="l1", max_iter=250, tol=1e-12, normalize=False,
+        accelerate=True,
+    )
+    seq = regularization_path(
+        data, lams, solver="proximal_grad", warm=False, **kw
+    )
+    bat = regularization_path(
+        data, lams, solver="proximal_grad", batched=True, **kw
+    )
+    np.testing.assert_allclose(bat, seq, atol=1e-6, rtol=0)
