@@ -571,3 +571,18 @@ def test_batched_path_accelerate_matches_sequential(data):
         data, lams, solver="proximal_grad", batched=True, **kw
     )
     np.testing.assert_allclose(bat, seq, atol=1e-6, rtol=0)
+
+
+def test_softmax_cv_lamduh_batched_forwarding(softmax_cv_data):
+    # batched=True rides **kwargs into every per-fold softmax path and
+    # the full-data refit
+    from dask_glm_spark.operators.model_selection import softmax_cv_lamduh
+
+    df, k, p = softmax_cv_data
+    out = softmax_cv_lamduh(
+        df, [500.0, 0.01], k, regularizer="l1", n_folds=2, max_iter=60,
+        tol=1e-10, normalize=False, batched=True,
+    )
+    assert out["best_lamduh"] == 0.01
+    assert out["betas"].shape == (2, p, k)
+    assert np.abs(out["betas"][0]).max() < 1e-8
