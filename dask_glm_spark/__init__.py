@@ -50,4 +50,7 @@ from dask_glm_spark.operators.model_selection import (  # noqa: F401
     cv_lamduh,
     lamduh_max,
     regularization_path,
+    softmax_cv_lamduh,
+    softmax_lamduh_max,
+    softmax_regularization_path,
 )

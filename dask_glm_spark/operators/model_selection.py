@@ -809,3 +809,28 @@ def lamduh_max(
         weight_col=weight_col,
     )
     return float(np.max(np.abs(grad)))
+
+
+def softmax_lamduh_max(
+    df: DataFrame,
+    k: int,
+    features_col: str = "features",
+    label_col: str = "label",
+    weight_col: str | None = None,
+) -> float:
+    """Multinomial twin of ``lamduh_max`` (round 13): ``||∇L(0)||_∞``
+    over the flattened (p, k) gradient — at B=0 every class probability
+    is 1/k and one fused ``softmax_loss_gradient`` scan yields
+    Xᵀ(1/k − onehot); any ``lamduh`` at or above this soft-thresholds
+    the whole first ISTA/FISTA step to zero, and B=0 satisfies the L1
+    stationarity condition (the elementwise penalty's subdifferential
+    covers every coordinate). Same raw-space caveat as the binary
+    version: pair with ``normalize=False`` or standardize yourself."""
+    from dask_glm_spark.functions import kernels
+
+    p = kernels.infer_p(df, features_col)
+    _, G = kernels.softmax_loss_gradient(
+        df, np.zeros((p, k)), features_col, label_col,
+        weight_col=weight_col,
+    )
+    return float(np.max(np.abs(G)))

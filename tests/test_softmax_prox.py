@@ -218,3 +218,23 @@ def test_softmax_path_batched_matches_sequential(data):
     )
     assert bat.shape == seq.shape == (2, P, K)
     np.testing.assert_allclose(bat, seq, atol=5e-5, rtol=0)
+
+
+def test_softmax_lamduh_max_kills_all_coefficients(data):
+    from dask_glm_spark.operators.model_selection import softmax_lamduh_max
+
+    df, X, y = data
+    lmax = softmax_lamduh_max(df, K)
+    # numpy twin: gradient at B=0
+    _, g0 = _np_softmax_loss_grad(np.zeros(P * K), X, y)
+    np.testing.assert_allclose(lmax, np.max(np.abs(g0)), rtol=1e-10)
+    B = solvers.softmax_proximal(
+        df, K, regularizer="l1", lamduh=lmax * 1.001, max_iter=100,
+        normalize=False,
+    )
+    assert np.all(B == 0.0)
+    B = solvers.softmax_proximal(
+        df, K, regularizer="l1", lamduh=lmax * 0.25, max_iter=200,
+        normalize=False,
+    )
+    assert np.any(np.abs(B) > 1e-10)
