@@ -30,7 +30,11 @@ from dask_glm_spark.operators.estimators import (  # noqa: E402
     load_model,
     save_model,
 )
-from dask_glm_spark.operators.model_selection import lamduh_max  # noqa: E402
+from dask_glm_spark.operators.model_selection import (  # noqa: E402
+    lamduh_max,
+    softmax_lamduh_max,
+    softmax_regularization_path,
+)
 from dask_glm_spark.session import get_spark  # noqa: E402
 from dask_glm_spark.sources.glm_source import load_glm_fast  # noqa: E402
 
@@ -147,6 +151,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"[8] sparse coords SE (matrix-free CG): "
         f"{[round(v, 4) for v in s_sp.std_errors]}"
     )
+
+    # 9. round 13: the batched λ-path — every λ's FISTA advanced by
+    # shared fused scans (Σ-of-iterations → max-of-iterations passes
+    # over the data), and the multinomial λ_max / path / CV trio
+    bat = regularization_path(
+        dfw, lams, solver="proximal_grad", regularizer="l1",
+        batched=True, accelerate=True, max_iter=200, normalize=False,
+    )
+    print(
+        f"[9] batched λ-path max|Δ| vs sequential: "
+        f"{np.max(np.abs(bat - path)):.2e}"
+    )
+    df3 = dfw.withColumn(
+        "label", (F.abs(F.hash("label")) % 3).cast("double")
+    )
+    slmax = softmax_lamduh_max(df3, 3)
+    spath = softmax_regularization_path(
+        df3, [slmax * 1.01, slmax / 20], 3, regularizer="l1",
+        batched=True, max_iter=150, normalize=False,
+    )
+    print(
+        f"[9] softmax λ_max={slmax:.3g}: nnz along path = "
+        f"{[(np.abs(B) > 1e-8).sum() for B in spath]} (first must be 0)"
+    )
+    assert (np.abs(spath[0]) > 1e-8).sum() == 0
 
     dfw.unpersist()
     print("workflow complete")
