@@ -2774,12 +2774,31 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (candidate 0 duplicates sloss/sgrad) (r13)
     """
     import numpy as np
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    from dask_glm_spark.functions import kernels
+    from dask_glm_spark.functions import inference, kernels, kernels_sparse
+    from dask_glm_spark.functions.families import Logistic
     from dask_glm_spark.operators import solvers
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+    from dask_glm_spark.sources.vectors import to_sparse_columns
 
-    df = _glm_nosort(spark, sf_dir)
+    # r13 optimization (guide §5 operator-internal caching): the ~13
+    # kernel evaluations below each full-scan the same glm projection, so
+    # it is persisted ONCE inside the query (materialized by one count,
+    # released before returning) — the kernels then scan memory instead
+    # of re-deriving the parquet scan 13 times. Every value is still
+    # produced by the identical REAL kernel/solver entry point with
+    # identical inputs, so each job's result (and therefore the DuckDB
+    # hash) is unchanged. A thread-pool variant (guide §2.6) was tried
+    # and MEASURED SLOWER (sequential-warm ~4-12 s vs 31-47 s with 8
+    # concurrent chains, 3-run A/B at sf0.1): every job's latency here is
+    # driver-event-loop-bound, and the DAGScheduler loop is single-
+    # threaded, so concurrent tiny jobs queue behind each other instead
+    # of overlapping — don't "fix" this again.
+    df = _glm_nosort(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # materialize once
+
     beta1, loss1 = solvers.gd_step(df, BETA, GD_STEP_S)
     bp = solvers.prox_step(df, BETA, GD_STEP_S, PROX_LAMDUH, regularizer="l1")
     # round 7: the softmax kernel under the same gate — one fused
@@ -2790,7 +2809,6 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     df3 = df.select(
         "features", (F.col("label_cnt") % 3).cast("double").alias("label")
     )
-    smloss, G = kernels.softmax_loss_gradient(df3, np.asarray(SOFTMAX_B))
     # round 11 (VERDICT r10 #1): the r10 weighted/offset kernel math under
     # the hash gate — kernels.loss_gradient with weight_col / offset_col at
     # the pinned expressions w = label_cnt%3+1 and o = 0.05*f2 (the same
@@ -2801,51 +2819,26 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label_cnt").cast("int") % 3 + 1).cast("double").alias("w"),
         (F.col("features")[1] * 0.05).alias("o"),
     )
-    from dask_glm_spark.functions.families import Logistic
 
-    wloss, wgrad = kernels.loss_gradient(
-        dfwo, Logistic, np.asarray(BETA), 4, weight_col="w"
-    )
-    oloss, ograd = kernels.loss_gradient(
-        dfwo, Logistic, np.asarray(BETA), 4, offset_col="o"
-    )
-    # round 11 (cont.): the Wald-inference variance function under the
-    # gate — Pearson chi^2 at the pinned BETA via the REAL glm_residuals
-    # (kind='pearson'), sum of squares; the oracle recomputes
-    # (y - sig)^2 / (sig*(1 - sig)) symbolically in the wo CTE.
-    from dask_glm_spark.functions import inference
+    # round 11 (cont.): pchi2 — the Wald-inference variance function under
+    # the gate: Pearson chi^2 at the pinned BETA via the REAL
+    # glm_residuals (kind='pearson'), sum of squares; the oracle
+    # recomputes (y - sig)^2 / (sig*(1 - sig)) symbolically in the wo CTE.
+    # round 12 (VERDICT r11 #6): dres — the per-row DEVIANCE residual at
+    # the pinned BETA via the REAL glm_residuals (kind='deviance'); the
+    # oracle recomputes sign(y−μ)·sqrt(2·binomial unit deviance), and
+    # summing the SIGNED residuals keeps the sign branch under the gate.
+    def _residual_sum(kind: str, squared: bool) -> float:
+        res = inference.glm_residuals(
+            df.select("features", "label"), Logistic, np.asarray(BETA), kind
+        )
+        term = (
+            F.col("residual") * F.col("residual")
+            if squared
+            else F.col("residual")
+        )
+        return float(res.agg(F.sum(term).alias("s")).collect()[0]["s"])
 
-    pres = inference.glm_residuals(
-        df.select("features", "label"), Logistic, np.asarray(BETA),
-        "pearson",
-    )
-    pchi2 = float(
-        pres.agg(
-            F.sum(F.col("residual") * F.col("residual")).alias("s")
-        ).collect()[0]["s"]
-    )
-    # round 12 (VERDICT r11 #6): the per-row DEVIANCE residual at the
-    # pinned BETA via the REAL glm_residuals (kind='deviance') — the
-    # oracle recomputes sign(y−μ)·sqrt(2·binomial unit deviance)
-    # symbolically in the wo CTE; summing the SIGNED residuals (not their
-    # squares) keeps the sign branch under the gate.
-    dresd = inference.glm_residuals(
-        df.select("features", "label"), Logistic, np.asarray(BETA),
-        "deviance",
-    )
-    dres = float(
-        dresd.agg(F.sum("residual").alias("s")).collect()[0]["s"]
-    )
-    # round 12: the Newton-CG Hessian-vector-product kernel under the
-    # gate — kernels.hessian_vector_product at the pinned BETA and HVP_V;
-    # the oracle recomputes Σ f_j·σ(1−σ)·(x·v). Round 13 (VERDICT r12
-    # #7): path pinned to ARROW — the path production wide-p fits use —
-    # so the Arrow physical plan itself sits under the DuckDB hash gate
-    # (sql/arrow bit-parity is separately pytest-pinned).
-    hv = kernels.hessian_vector_product(
-        df.select("features", "label"), Logistic, np.asarray(BETA),
-        np.asarray(HVP_V), 4, path="arrow",
-    )
     # round 13 (cont.): the SPARSE CSR physical path under the gate —
     # sources.vectors.to_sparse_columns (declarative nonzero filter) feeds
     # kernels_sparse.loss_gradient_sparse + hessian_vector_product_sparse
@@ -2854,20 +2847,34 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bincount flatten/scatter/gather is what the oracle hashes (its sp
     # CTE recomputes the masked sums symbolically — an absent coordinate
     # contributes exactly nothing, IEEE-identical to adding 0·beta_j).
-    from dask_glm_spark.functions import kernels_sparse
-    from dask_glm_spark.plans.layout import ensure_min_parallelism
-    from dask_glm_spark.sources.vectors import to_sparse_columns
-
     masked = F.transform(
         "features",
         lambda x, i: F.when(
             i == F.col("label_cnt").cast("int") % 4, F.lit(0.0)
         ).otherwise(x),
     )
+
+    smloss, G = kernels.softmax_loss_gradient(df3, np.asarray(SOFTMAX_B))
+    wloss, wgrad = kernels.loss_gradient(
+        dfwo, Logistic, np.asarray(BETA), 4, weight_col="w"
+    )
+    oloss, ograd = kernels.loss_gradient(
+        dfwo, Logistic, np.asarray(BETA), 4, offset_col="o"
+    )
+    pchi2 = _residual_sum("pearson", True)
+    dres = _residual_sum("deviance", False)
+    # round 12 / r13: the Newton-CG Hvp kernel, path pinned to ARROW
+    # (VERDICT r12 #7 — the path production wide-p fits use), so the
+    # Arrow physical plan itself sits under the DuckDB hash gate
+    # (sql/arrow bit-parity is separately pytest-pinned).
+    hv = kernels.hessian_vector_product(
+        df.select("features", "label"), Logistic, np.asarray(BETA),
+        np.asarray(HVP_V), 4, path="arrow",
+    )
     # spread BEFORE the sparse conversion: the sf0.1 parquet arrives as 3
     # splits, and the JVM→Python Arrow write of list columns (the
-    # dominant cost of a sparse scan, ~2.4 s single-task at this SF) would
-    # otherwise run 3-wide on a 32-core box — the same layout fix
+    # dominant cost of a sparse scan, ~2.4 s single-task at this SF)
+    # would otherwise run 3-wide on a 32-core box — the same layout fix
     # _run_sparse applies to production sparse fits
     sdf = to_sparse_columns(
         ensure_min_parallelism(df).select(masked.alias("features"), "label"),
@@ -2879,7 +2886,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     shv = kernels_sparse.hessian_vector_product_sparse(
         sdf, Logistic, np.asarray(BETA), np.asarray(HVP_V), 4
     )
-    # round 13 (cont.): the fused multi-probe line-search kernels at the
+    # round 13: the fused multi-probe line-search kernels at the
     # candidate pair [BETA, beta1] — multi_loss_gradient (auto → ARROW:
     # the exact per-iteration probe dense gd/lbfgs run) and its sparse
     # twin over the same ragged view. Candidate 0 must reproduce the
@@ -2894,6 +2901,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, Logistic, [np.asarray(BETA), np.asarray(beta1)], 4
     )
     sdf.unpersist()
+    df.unpersist()
     rows = [
         (
             j + 1,

@@ -36,6 +36,8 @@ no shuffle of X, ever.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
 from functools import reduce
 from typing import Iterable, Iterator
 
@@ -45,6 +47,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 UNROLL_MAX = 64
+
+# ---------------------------------------------------------------------------
+# AQE bypass for kernel jobs (r13 optimization, guide §1.2/§2.4).
+#
+# Every kernel job here is scan -> partial aggregate -> one tiny exchange
+# (O(p)/O(p²) bytes) -> final aggregate. AQE has nothing to optimize on
+# that shape AT ANY SCALE: a global aggregate's final stage is single-
+# partition regardless, there is no join to re-strategize, and the tree
+# merge's repartition(n, ...) is an explicit user partitioning AQE leaves
+# alone. What AQE does add is a materialization barrier per query stage —
+# pure scheduling latency that an ITERATIVE solver pays once per
+# evaluation (isolated A/B on a warm cached 600k-row agg job: 772 ms with
+# AQE vs 176 ms without; x10-25 evaluations per fit). Pipeline operators
+# (joins, dedup, groupBys) keep the session's AQE setting — coalescing
+# and skew handling matter there.
+#
+# Session-conf toggle, refcounted + locked so concurrently running kernel
+# jobs (e.g. the q48 thread pool) never leave the session conf flipped.
+# ---------------------------------------------------------------------------
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, tuple[int, str]] = {}  # session id -> (depth, saved)
+
+
+@contextmanager
+def kernel_exec(spark):
+    """Run a tiny-result kernel action with AQE off, restoring the
+    session's prior setting when the outermost kernel job finishes."""
+    key = id(spark)
+    with _AQE_LOCK:
+        depth, saved = _AQE_STATE.get(key, (0, "true"))
+        if depth == 0:
+            try:
+                saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            except Exception:
+                saved = "true"
+            if saved != "false":
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_STATE[key] = (depth + 1, saved)
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            depth, saved = _AQE_STATE[key]
+            if depth == 1:
+                if saved != "false":
+                    spark.conf.set("spark.sql.adaptive.enabled", saved)
+                del _AQE_STATE[key]
+            else:
+                _AQE_STATE[key] = (depth - 1, saved)
 
 
 # ---------------------------------------------------------------------------
@@ -65,7 +116,8 @@ def add_intercept(df: DataFrame, features_col: str = "features") -> DataFrame:
 
 
 def infer_p(df: DataFrame, features_col: str = "features") -> int:
-    row = df.select(F.size(F.col(features_col)).alias("p")).first()
+    with kernel_exec(df.sparkSession):
+        row = df.select(F.size(F.col(features_col)).alias("p")).first()
     if row is None:
         raise ValueError("empty input DataFrame")
     return int(row["p"])
@@ -305,13 +357,14 @@ def _arrow_partials_generic(
     # the pid-sorted driver fold order (the determinism contract) is
     # unchanged. toArrow is a PySpark 4.0 API — on the declared 3.5
     # minimum fall back to collect() (same values, boxed transfer).
-    if hasattr(out, "toArrow"):
-        recs = out.toArrow().to_pandas().to_dict("records")
-        recs.sort(key=lambda r: int(r["pid"]))
-        return recs
-    rows = out.collect()
-    rows.sort(key=lambda r: r["pid"])
-    return rows
+    with kernel_exec(df.sparkSession):
+        if hasattr(out, "toArrow"):
+            recs = out.toArrow().to_pandas().to_dict("records")
+            recs.sort(key=lambda r: int(r["pid"]))
+            return recs
+        rows = out.collect()
+        rows.sort(key=lambda r: r["pid"])
+        return rows
 
 
 def _arrow_partials(
@@ -386,7 +439,8 @@ def loss_gradient(
         # 0.0/zeros — keep both physical paths consistent (ADVICE r1).
         aggs = [F.coalesce(F.sum(ll), F.lit(0.0)).alias("loss")]
         aggs += [F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"g{j}") for j in range(p)]
-        row = df.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession):
+            row = df.agg(*aggs).collect()[0]
         return float(row["loss"]), np.array([row[f"g{j}"] for j in range(p)])
 
     def partial(X, y, w=None, o=None):
@@ -453,7 +507,8 @@ def gradient_hessian(
             for i in range(p)
             for j in range(i, p)
         ]
-        row = df.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession):
+            row = df.agg(*aggs).collect()[0]
         grad = np.array([row[f"g{j}"] for j in range(p)])
         hess = np.empty((p, p))
         for i in range(p):
@@ -525,7 +580,8 @@ def hessian_vector_product(
             F.coalesce(F.sum(fcol[j] * t), F.lit(0.0)).alias(f"hv{j}")
             for j in range(p)
         ]
-        row = df.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession):
+            row = df.agg(*aggs).collect()[0]
         return np.array([row[f"hv{j}"] for j in range(p)])
 
     def partial(X, y, sw=None, o=None):
@@ -578,7 +634,8 @@ def multi_loss(
             F.coalesce(F.sum(_term(b)), F.lit(0.0)).alias(f"s{i}")
             for i, b in enumerate(betas)
         ]
-        row = df.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession):
+            row = df.agg(*aggs).collect()[0]
         return np.array([row[f"s{i}"] for i in range(k)])
 
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
@@ -695,7 +752,8 @@ def multi_loss_gradient(
                 ).alias(f"g{i}_{j}")
                 for j in range(p)
             ]
-        row = base.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession):
+            row = base.agg(*aggs).collect()[0]
         losses = np.array([row[f"s{i}"] for i in range(k)])
         grads = np.empty((p, k))
         for i in range(k):
@@ -1045,7 +1103,8 @@ def column_moments(
     fcol = F.col(features_col)
     aggs = [F.avg(fcol[j]).alias(f"m{j}") for j in range(p)]
     aggs += [F.stddev_pop(fcol[j]).alias(f"s{j}") for j in range(p)]
-    row = df.agg(*aggs).collect()[0]
+    with kernel_exec(df.sparkSession):
+        row = df.agg(*aggs).collect()[0]
     mean = np.array([row[f"m{j}"] for j in range(p)])
     std = np.array([row[f"s{j}"] for j in range(p)])
     return mean, std
