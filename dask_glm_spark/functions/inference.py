@@ -42,6 +42,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dask_glm_spark.functions.kernels import kernel_exec
+
 # gradient_hessian returns the Hessian of each family's OBJECTIVE, which
 # for Normal is the unscaled SSE (reference parity: hess_weight = 2), i.e.
 # 2·XᵀX — twice the unit-dispersion Fisher information. Scale back here.
@@ -218,12 +220,13 @@ def _pearson_and_n(
     w = F.col(weight_col) if weight_col is not None else F.lit(1.0)
     if weight_col is not None:
         term = w * term
-    row = df.agg(
-        F.sum(term).alias("pearson"),
-        F.count("*").alias("n"),
-        F.sum(w * y).alias("swy"),
-        F.sum(w).alias("sw"),
-    ).collect()[0]
+    with kernel_exec(df.sparkSession):
+        row = df.agg(
+            F.sum(term).alias("pearson"),
+            F.count("*").alias("n"),
+            F.sum(w * y).alias("swy"),
+            F.sum(w).alias("sw"),
+        ).collect()[0]
     return (
         float(row["pearson"]),
         float(row["n"]),
@@ -521,11 +524,12 @@ def glm_summary(
     y = F.col(label_col)
     w = F.col(weight_col) if weight_col is not None else F.lit(1.0)
     if name in _FIXED_DISPERSION:
-        row0 = df.agg(
-            F.count("*").alias("n"),
-            F.sum(w * y).alias("swy"),
-            F.sum(w).alias("sw"),
-        ).collect()[0]
+        with kernel_exec(df.sparkSession):
+            row0 = df.agg(
+                F.count("*").alias("n"),
+                F.sum(w * y).alias("swy"),
+                F.sum(w).alias("sw"),
+            ).collect()[0]
         n = float(row0["n"])
         ybar = float(row0["swy"]) / float(row0["sw"])
         dispersion, fixed = 1.0, True
@@ -560,9 +564,10 @@ def glm_summary(
     else:  # g⁻¹(0), per-family table (loud on unknown families)
         mu0 = _null_mu(family)
     d_null = _unit_deviance_expr(family, y, F.lit(mu0))
-    drow = df.agg(
-        F.sum(w * d_fit).alias("dev"), F.sum(w * d_null).alias("dev0")
-    ).collect()[0]
+    with kernel_exec(df.sparkSession):
+        drow = df.agg(
+            F.sum(w * d_fit).alias("dev"), F.sum(w * d_null).alias("dev0")
+        ).collect()[0]
     deviance = float(drow["dev"])
     null_deviance = float(drow["dev0"])
 
@@ -813,7 +818,8 @@ def _sparse_coef_se_body(
     if name in _FIXED_DISPERSION:
         # z statistics: df_resid is reporting-only (clamped — a hashed
         # p > n is normal for sparse fits and irrelevant at φ = 1)
-        n = float(df.count())
+        with kernel_exec(df.sparkSession):
+            n = float(df.count())
         dispersion, fixed = 1.0, True
         df_resid = max(n - p, 0.0)
     else:

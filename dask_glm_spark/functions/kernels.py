@@ -615,7 +615,12 @@ def multi_loss(
     path: str = "auto",
     weight_col: str | None = None,
     offset_col: str | None = None,
+    with_denom: bool = False,
 ) -> np.ndarray:
+    """``with_denom=True`` additionally returns Σw (or the row count when
+    unweighted) from the SAME scan — the CV fold scorer's per-unit
+    denominator, which otherwise cost a second full pass over the split
+    (r13, guide §2.1: shuffle/scan fewer bytes by fusing aggregates)."""
     k = len(betas)
     p = len(betas[0])
     if path == "auto":
@@ -634,9 +639,19 @@ def multi_loss(
             F.coalesce(F.sum(_term(b)), F.lit(0.0)).alias(f"s{i}")
             for i, b in enumerate(betas)
         ]
+        if with_denom:
+            d = (
+                F.sum(F.col(weight_col))
+                if weight_col is not None
+                else F.count("*").cast("double")
+            )
+            aggs.append(F.coalesce(d, F.lit(0.0)).alias("_denom"))
         with kernel_exec(df.sparkSession):
             row = df.agg(*aggs).collect()[0]
-        return np.array([row[f"s{i}"] for i in range(k)])
+        losses_out = np.array([row[f"s{i}"] for i in range(k)])
+        if with_denom:
+            return losses_out, float(row["_denom"])
+        return losses_out
 
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
 
@@ -650,15 +665,25 @@ def multi_loss(
             losses = np.array(
                 [np.dot(w, family.loglike_terms_np(XB[:, i], y)) for i in range(k)]
             )
-        return {"losses": losses}
+        out = {"losses": losses}
+        if with_denom:
+            out["denom"] = float(w.sum() if w is not None else len(y))
+        return out
 
+    fields = "losses array<double>" + (", denom double" if with_denom else "")
     rows = _arrow_partials(
-        df, features_col, label_col, partial, "losses array<double>",
-        weight_col=weight_col, offset_col=offset_col, partial_doubles=k,
+        df, features_col, label_col, partial, fields,
+        weight_col=weight_col, offset_col=offset_col,
+        partial_doubles=k + (1 if with_denom else 0),
     )
     out = np.zeros(k)
+    denom = 0.0
     for r_ in rows:
         out += np.asarray(r_["losses"], dtype=np.float64)
+        if with_denom:
+            denom += float(r_["denom"])
+    if with_denom:
+        return out, denom
     return out
 
 
@@ -873,12 +898,14 @@ def softmax_multi_loss(
     features_col: str = "features",
     label_col: str = "label",
     weight_col: str | None = None,
+    with_denom: bool = False,
 ) -> np.ndarray:
     """Negative log-likelihoods of c candidate (p, k) softmax coefficient
     matrices in ONE scan (the multinomial twin of ``multi_loss`` — the
     FISTA/ISTA backtracking probe surface, round 12): per Arrow batch one
     (n,p)×(p,k) GEMM and one stable logsumexp per candidate; partials are
-    c doubles per partition."""
+    c doubles per partition. ``with_denom=True`` fuses the Σw / row-count
+    denominator into the same scan (r13, the ``multi_loss`` twin)."""
     mats = [np.ascontiguousarray(b, dtype=np.float64) for b in Bs]
     c = len(mats)
 
@@ -893,15 +920,24 @@ def softmax_multi_loss(
                 lse = m[:, 0] + np.log(np.exp(Z - m).sum(axis=1))
                 ll = lse - Z[rows, yi]
                 losses[i] = np.dot(w, ll) if w is not None else ll.sum()
-        return {"losses": losses}
+        out = {"losses": losses}
+        if with_denom:
+            out["denom"] = float(w.sum() if w is not None else len(y))
+        return out
 
+    fields = "losses array<double>" + (", denom double" if with_denom else "")
     rows_ = _arrow_partials(
-        df, features_col, label_col, partial, "losses array<double>",
-        weight_col=weight_col, partial_doubles=c,
+        df, features_col, label_col, partial, fields,
+        weight_col=weight_col, partial_doubles=c + (1 if with_denom else 0),
     )
     out = np.zeros(c)
+    denom = 0.0
     for r_ in rows_:
         out += np.asarray(r_["losses"], dtype=np.float64)
+        if with_denom:
+            denom += float(r_["denom"])
+    if with_denom:
+        return out, denom
     return out
 
 

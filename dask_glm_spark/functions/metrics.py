@@ -37,7 +37,10 @@ def poisson_deviance_expr(y_true: Column, y_pred: Column) -> Column:
 
 
 def _agg_scalar(df: DataFrame, expr: Column) -> float:
-    return float(df.agg(expr.alias("v")).collect()[0]["v"])
+    from dask_glm_spark.functions.kernels import kernel_exec
+
+    with kernel_exec(df.sparkSession):
+        return float(df.agg(expr.alias("v")).collect()[0]["v"])
 
 
 def mean_squared_error(
@@ -181,7 +184,12 @@ def roc_auc_score(
             pid = ctx.partitionId() if ctx is not None else 0
             yield pd.DataFrame({"pid": [pid], "neg": [tot_neg]})
 
-    rows = gr.mapInPandas(part_totals, "pid int, neg double").collect()
+    from dask_glm_spark.functions.kernels import kernel_exec
+
+    # O(partitions)-row results: both prefix-sum jobs (and the range
+    # shuffle they materialize) are tiny-result kernel actions (r13)
+    with kernel_exec(df.sparkSession):
+        rows = gr.mapInPandas(part_totals, "pid int, neg double").collect()
     offsets = {}
     cum = 0.0
     for r in sorted(rows, key=lambda r: r["pid"]):
@@ -209,7 +217,8 @@ def roc_auc_score(
             }
         )
 
-    out = gr.mapInPandas(contrib, "v double, pos double, neg double").collect()
+    with kernel_exec(df.sparkSession):
+        out = gr.mapInPandas(contrib, "v double, pos double, neg double").collect()
     gr.unpersist()
     n_pos = sum(r["pos"] for r in out)
     n_neg = sum(r["neg"] for r in out)
@@ -275,7 +284,10 @@ def precision_recall_f1(df: DataFrame, y_true: str, y_pred: str) -> dict:
     {class: {"precision": p, "recall": r, "f1": f, "support": n}};
     classes with no predicted instances score precision 0 (and f1 0),
     mirroring the usual zero-division convention."""
-    cells = confusion_matrix(df, y_true, y_pred).collect()
+    from dask_glm_spark.functions.kernels import kernel_exec
+
+    with kernel_exec(df.sparkSession):
+        cells = confusion_matrix(df, y_true, y_pred).collect()
     pred_tot: dict = {}
     true_tot: dict = {}
     diag: dict = {}

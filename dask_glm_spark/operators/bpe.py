@@ -103,15 +103,18 @@ def bpe_train(
             F.length("w") > 0
         )
     )
-    wc = (
-        tok.select(F.replace(F.col("w"), F.lit(SEP), F.lit("")).alias("w"))
-        .where(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), F.asc("w"))
-        .limit(int(max_words))
-        .collect()
-    )
+    from dask_glm_spark.functions.kernels import kernel_exec
+
+    with kernel_exec(tok.sparkSession):
+        wc = (
+            tok.select(F.replace(F.col("w"), F.lit(SEP), F.lit("")).alias("w"))
+            .where(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("w"))
+            .limit(int(max_words))
+            .collect()
+        )
     words: list[tuple[tuple[str, ...], int]] = []
     for r in wc:
         syms = tuple(r["w"]) + ((end_of_word,) if end_of_word else ())

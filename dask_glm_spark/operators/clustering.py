@@ -34,6 +34,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dask_glm_spark.functions.kernels import kernel_exec
 from dask_glm_spark.operators.similarity import (
     IVF_SAMPLE_ROWS,
     IVF_SEED,
@@ -129,9 +130,12 @@ def kmeans_fit(
                         }
                     )
 
-            rows = data.mapInPandas(
-                partials, "cluster int, n long, s array<double>"
-            ).collect()
+            # O(n_partitions * k) partial rows, no exchange in the plan —
+            # the GLM kernels' tiny-result action shape (skip AQE barriers)
+            with kernel_exec(data.sparkSession):
+                rows = data.mapInPandas(
+                    partials, "cluster int, n long, s array<double>"
+                ).collect()
             tot_n = np.zeros(k)
             tot_s = np.zeros_like(cent)
             for r in rows:

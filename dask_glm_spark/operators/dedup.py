@@ -246,9 +246,13 @@ def lsh_candidates(
         banded = banded_minhash(df, text_col, id_col, k)
     sizes = banded.groupBy("band_key").agg(F.count("*").alias("m"))
     if log_dropped:
-        row = sizes.where(F.col("m") > max_bucket).agg(
-            F.count("*").alias("b"), F.coalesce(F.sum("m"), F.lit(0)).alias("d")
-        ).collect()[0]
+        from dask_glm_spark.functions.kernels import kernel_exec
+
+        with kernel_exec(sizes.sparkSession):
+            row = sizes.where(F.col("m") > max_bucket).agg(
+                F.count("*").alias("b"),
+                F.coalesce(F.sum("m"), F.lit(0)).alias("d"),
+            ).collect()[0]
         if row["b"]:
             _log.warning(
                 "lsh_candidates: dropped %d oversized buckets (> %d members) "

@@ -579,11 +579,12 @@ def _mean_unit_deviance(pred: DataFrame, d, weight_col: str | None) -> float:
     """``Σw·d / Σw`` — weighted mean unit deviance (sklearn
     ``sample_weight`` semantics, matching the package's other weighted
     metrics; ``weight_col=None`` is plain ``avg`` — ADVICE r10)."""
-    if weight_col is None:
-        row = pred.agg(F.avg(d).alias("dev")).collect()[0]
-    else:
-        w = F.col(weight_col)
-        row = pred.agg((F.sum(w * d) / F.sum(w)).alias("dev")).collect()[0]
+    with kernels.kernel_exec(pred.sparkSession):
+        if weight_col is None:
+            row = pred.agg(F.avg(d).alias("dev")).collect()[0]
+        else:
+            w = F.col(weight_col)
+            row = pred.agg((F.sum(w * d) / F.sum(w)).alias("dev")).collect()[0]
     return float(row["dev"])
 
 
@@ -752,13 +753,14 @@ class MulticlassLogisticRegression(_GLM):
             raise NotImplementedError(
                 "multiclass estimators do not support offset_col"
             )
-        classes = [
-            r[0]
-            for r in df.select(self.label_col)
-            .distinct()
-            .orderBy(self.label_col)
-            .collect()
-        ]
+        with kernels.kernel_exec(df.sparkSession):
+            classes = [
+                r[0]
+                for r in df.select(self.label_col)
+                .distinct()
+                .orderBy(self.label_col)
+                .collect()
+            ]
         if len(classes) < 2:
             raise ValueError(f"need >= 2 classes, got {classes!r}")
         sparse_p_once = None
@@ -1065,13 +1067,14 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             )
         if V.is_sparse_columns(df):
             return self._fit_softmax_sparse(df, **extra)
-        classes = [
-            r[0]
-            for r in df.select(self.label_col)
-            .distinct()
-            .orderBy(self.label_col)
-            .collect()
-        ]
+        with kernels.kernel_exec(df.sparkSession):
+            classes = [
+                r[0]
+                for r in df.select(self.label_col)
+                .distinct()
+                .orderBy(self.label_col)
+                .collect()
+            ]
         if len(classes) < 2:
             raise ValueError(f"need >= 2 classes, got {classes!r}")
         k = len(classes)
@@ -1144,13 +1147,14 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             extra["p"] = int(p_base) + 1
         elif p_base is not None:
             extra["p"] = int(p_base)
-        classes = [
-            r[0]
-            for r in df.select(self.label_col)
-            .distinct()
-            .orderBy(self.label_col)
-            .collect()
-        ]
+        with kernels.kernel_exec(df.sparkSession):
+            classes = [
+                r[0]
+                for r in df.select(self.label_col)
+                .distinct()
+                .orderBy(self.label_col)
+                .collect()
+            ]
         if len(classes) < 2:
             raise ValueError(f"need >= 2 classes, got {classes!r}")
         k = len(classes)

@@ -47,10 +47,13 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _local_components(edges: DataFrame) -> DataFrame:
+def _local_components(edges: DataFrame, rows=None) -> DataFrame:
     """Driver-side union-find over a small collected edge set. Produces the
-    same min-label components as the distributed contraction."""
-    rows = edges.collect()
+    same min-label components as the distributed contraction. ``rows``
+    lets the caller pass an already-collected edge list (the
+    single-probe-job path in ``connected_components``)."""
+    if rows is None:
+        rows = edges.collect()
     parent: dict = {}
 
     def find(x):
@@ -110,12 +113,32 @@ def connected_components(
     broadcast join. Set ``local_threshold=0`` to force the distributed
     contraction (huge graphs take it automatically).
     """
-    edges = _canonical(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    from pyspark import StorageLevel
 
-    if local_threshold and edges.count() <= local_threshold:
-        return _local_components(edges)
+    from dask_glm_spark.functions.kernels import kernel_exec
+
+    canon = _canonical(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
+    if local_threshold:
+        # ONE bounded probe job decides the escape hatch AND fetches the
+        # edges (r13, guide §1/§5: the old shape paid three fixed-latency
+        # jobs — eager checkpoint, count, collect — before any real work).
+        # If limit(threshold+1) did not truncate, the collected list IS the
+        # entire deduplicated edge set; otherwise the persisted partials
+        # and the probe's completed shuffle map stages feed the checkpoint
+        # below instead of being recomputed from the source.
+        canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+        with kernel_exec(canon.sparkSession):
+            probe = canon.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            out = _local_components(canon, rows=probe)
+            canon.unpersist()
+            return out
+
+    edges = canon.localCheckpoint(eager=True)
+    if local_threshold:
+        canon.unpersist()
 
     prev_sig = None
     for it in range(max_iter):
@@ -147,11 +170,13 @@ def connected_components(
 
         edges = small.localCheckpoint(eager=True)
         # bit_xor: order-independent AND overflow-free under ANSI mode
-        # (sum(hash) raises ARITHMETIC_OVERFLOW on long)
-        row = edges.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
+        # (sum(hash) raises ARITHMETIC_OVERFLOW on long); scalar result
+        # over a checkpointed set — tiny-result kernel action shape
+        with kernel_exec(edges.sparkSession):
+            row = edges.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
             _log.info("connected_components converged after %d rounds", it + 1)

@@ -132,11 +132,14 @@ def _asof_skew_probe(
                 }
             )
 
-    rows = probed.mapInPandas(
-        op,
-        schema="ks array<long>, cs array<long>, tmin long, tmax long, "
-        "has_t boolean, n long",
-    ).collect()
+    from dask_glm_spark.functions.kernels import kernel_exec
+
+    with kernel_exec(probed.sparkSession):
+        rows = probed.mapInPandas(
+            op,
+            schema="ks array<long>, cs array<long>, tmin long, tmax long, "
+            "has_t boolean, n long",
+        ).collect()
     if not rows:
         return 0.0, 0.0
     merged: dict = {}

@@ -665,21 +665,20 @@ def cv_lamduh(
                 family=family, features_col=features_col,
                 label_col=label_col, **kwargs,
             )
-            if weight_col is not None:
-                row = test.agg(F.sum(weight_col).alias("sw")).first()
-                denom = float(row["sw"] or 0.0)
-            else:
-                denom = float(test.count())
+            # denominator (Σw or row count) fused into the scoring scan —
+            # the separate agg/count job was a second full pass over the
+            # held-out split per fold (r13, guide §2.1)
+            losses, denom = kernels.multi_loss(
+                test, family, [betas[j] for j in range(len(lams))],
+                features_col=features_col, label_col=label_col,
+                weight_col=weight_col, offset_col=offset_col,
+                with_denom=True,
+            )
             if denom <= 0:
                 raise ValueError(
                     f"fold {i} has no held-out mass (n_folds={n_folds} "
                     "too large for this dataset)"
                 )
-            losses = kernels.multi_loss(
-                test, family, [betas[j] for j in range(len(lams))],
-                features_col=features_col, label_col=label_col,
-                weight_col=weight_col, offset_col=offset_col,
-            )
             fold_losses[i] = np.asarray(losses) / denom
         mean_loss = fold_losses.mean(axis=0)
         best = lams[int(np.argmin(mean_loss))]
@@ -752,21 +751,18 @@ def softmax_cv_lamduh(
                 train, lams, k, regularizer=regularizer,
                 features_col=features_col, label_col=label_col, **kwargs,
             )
-            if weight_col is not None:
-                row = test.agg(F.sum(weight_col).alias("sw")).first()
-                denom = float(row["sw"] or 0.0)
-            else:
-                denom = float(test.count())
+            # denominator fused into the scoring scan (r13, guide §2.1 —
+            # see cv_lamduh)
+            losses, denom = kernels.softmax_multi_loss(
+                test, [betas[j] for j in range(len(lams))],
+                features_col=features_col, label_col=label_col,
+                weight_col=weight_col, with_denom=True,
+            )
             if denom <= 0:
                 raise ValueError(
                     f"fold {i} has no held-out mass (n_folds={n_folds} "
                     "too large for this dataset)"
                 )
-            losses = kernels.softmax_multi_loss(
-                test, [betas[j] for j in range(len(lams))],
-                features_col=features_col, label_col=label_col,
-                weight_col=weight_col,
-            )
             fold_losses[i] = np.asarray(losses) / denom
         mean_loss = fold_losses.mean(axis=0)
         best = lams[int(np.argmin(mean_loss))]

@@ -68,7 +68,10 @@ def repartition_for_payloads(
         if size_col
         else F.length(F.col("payload")).cast("long")
     )
-    total = df.agg(F.sum(size).alias("b")).first()["b"] or 0
+    from dask_glm_spark.functions.kernels import kernel_exec
+
+    with kernel_exec(df.sparkSession):
+        total = df.agg(F.sum(size).alias("b")).first()["b"] or 0
     n = max(1, int(total / (target_mb * 1024 * 1024)) + 1)
     return df.repartition(n)
 

@@ -40,6 +40,7 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dask_glm_spark.functions.kernels import kernel_exec
 from dask_glm_spark.operators.text import token_count_expr, tokens_expr
 
 _log = logging.getLogger(__name__)
@@ -355,7 +356,9 @@ def build_ngram_bloom(
         ).alias("p")
     ).distinct()
     words = [0] * ((n_bits + 63) // 64)
-    for r in pos.collect():
+    with kernel_exec(benchmark.sparkSession):
+        pos_rows = pos.collect()
+    for r in pos_rows:
         p = int(r["p"])
         words[p >> 6] |= 1 << (p & 63)
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
@@ -854,16 +857,17 @@ def strip_boilerplate_lines(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), esc)).alias("_ln"),
     )
-    common_rows = (
-        lines.where(F.length(F.trim("_ln")) >= min_line_chars)
-        .select("_id", _fp_expr(F.trim(F.col("_ln"))).alias("_fp"))
-        .groupBy("_fp")
-        .agg(F.count_distinct("_id").alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .orderBy(F.desc("_nd"), F.asc("_fp"))
-        .limit(int(max_common) + 1)
-        .collect()
-    )
+    with kernel_exec(df.sparkSession):
+        common_rows = (
+            lines.where(F.length(F.trim("_ln")) >= min_line_chars)
+            .select("_id", _fp_expr(F.trim(F.col("_ln"))).alias("_fp"))
+            .groupBy("_fp")
+            .agg(F.count_distinct("_id").alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .orderBy(F.desc("_nd"), F.asc("_fp"))
+            .limit(int(max_common) + 1)
+            .collect()
+        )
     if len(common_rows) > max_common:
         _log.warning(
             "strip_boilerplate_lines: common-line set exceeds max_common=%d; "
@@ -891,20 +895,21 @@ def strip_boilerplate_lines(
         n_hashes = 4
         salt = "bplines"
         fp_df = df.sparkSession.createDataFrame([(f,) for f in fps], "fp long")
-        pos_rows = (
-            fp_df.select(
-                F.explode(
-                    F.array(
-                        *[
-                            _bloom_pos_expr(F.col("fp"), n_bits, salt, j)
-                            for j in range(n_hashes)
-                        ]
-                    )
-                ).alias("p")
+        with kernel_exec(df.sparkSession):
+            pos_rows = (
+                fp_df.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                _bloom_pos_expr(F.col("fp"), n_bits, salt, j)
+                                for j in range(n_hashes)
+                            ]
+                        )
+                    ).alias("p")
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
         words = [0] * ((n_bits + 63) // 64)
         for r in pos_rows:
             p = int(r["p"])
@@ -1030,21 +1035,24 @@ def corpus_report(
 
     ntok = count_expr if count_expr is not None else token_count_expr(text_col)
     empty = F.trim(F.col(text_col)) == ""
-    row = df.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(ntok).cast("long").alias("total_tokens"),
-        F.round(F.avg(ntok), 2).alias("avg_tokens"),
-        F.min(ntok).cast("long").alias("min_tokens"),
-        F.max(ntok).cast("long").alias("max_tokens"),
-        F.percentile_approx(ntok, F.lit(0.5), F.lit(10_000))
-        .cast("long")
-        .alias("median_tokens_est"),
-        F.sum(empty.cast("long")).cast("long").alias("n_empty"),
-        F.sum((ntok < 10).cast("long")).cast("long").alias("n_under_10_tokens"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg(fingerprint_fast_expr(text_col), F.lit(14))
-        ).cast("long").alias("distinct_texts_est"),
-    ).collect()[0]
+    with kernel_exec(df.sparkSession):
+        row = df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(ntok).cast("long").alias("total_tokens"),
+            F.round(F.avg(ntok), 2).alias("avg_tokens"),
+            F.min(ntok).cast("long").alias("min_tokens"),
+            F.max(ntok).cast("long").alias("max_tokens"),
+            F.percentile_approx(ntok, F.lit(0.5), F.lit(10_000))
+            .cast("long")
+            .alias("median_tokens_est"),
+            F.sum(empty.cast("long")).cast("long").alias("n_empty"),
+            F.sum((ntok < 10).cast("long"))
+            .cast("long")
+            .alias("n_under_10_tokens"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(fingerprint_fast_expr(text_col), F.lit(14))
+            ).cast("long").alias("distinct_texts_est"),
+        ).collect()[0]
     out = dict(row.asDict())
     out["dup_rate_est"] = (
         round(1.0 - min(out["distinct_texts_est"], out["n_docs"]) / out["n_docs"], 4)
@@ -1052,10 +1060,11 @@ def corpus_report(
         else 0.0
     )
     if lang_col is not None and lang_col in df.columns:
-        out["lang_mix"] = {
-            r["l"]: r["n"]
-            for r in df.groupBy(F.col(lang_col).alias("l"))
-            .agg(F.count("*").cast("long").alias("n"))
-            .collect()
-        }
+        with kernel_exec(df.sparkSession):
+            out["lang_mix"] = {
+                r["l"]: r["n"]
+                for r in df.groupBy(F.col(lang_col).alias("l"))
+                .agg(F.count("*").cast("long").alias("n"))
+                .collect()
+            }
     return out

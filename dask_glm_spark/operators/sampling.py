@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dask_glm_spark.functions.kernels import kernel_exec
 from dask_glm_spark.operators.text import polyhash_expr
 
 
@@ -341,12 +342,14 @@ def quantile_band_expr(
         raise ValueError(f"edges must be in (0, 1), got {edges}")
     if sorted(edges) != list(edges):
         raise ValueError(f"edges must be ascending, got {edges}")
-    row = df.agg(
-        F.percentile_approx(
-            F.col(score_col).cast("double"), F.array(*[F.lit(e) for e in edges]),
-            F.lit(accuracy),
-        ).alias("t")
-    ).collect()[0]
+    with kernel_exec(df.sparkSession):
+        row = df.agg(
+            F.percentile_approx(
+                F.col(score_col).cast("double"),
+                F.array(*[F.lit(e) for e in edges]),
+                F.lit(accuracy),
+            ).alias("t")
+        ).collect()[0]
     thresholds = [float(t) for t in (row["t"] or [])]
     return band_by_thresholds_expr(score_col, thresholds), thresholds
 
@@ -423,13 +426,14 @@ def downsample_to_mixture(
     pos = {g: w for g, w in targets.items() if w > 0}
     if not pos:
         raise ValueError("at least one target weight must be positive")
-    counts = {
-        r["g"]: r["n"]
-        for r in df.groupBy(F.col(by).alias("g"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-        if r["g"] in pos
-    }
+    with kernel_exec(df.sparkSession):
+        counts = {
+            r["g"]: r["n"]
+            for r in df.groupBy(F.col(by).alias("g"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+            if r["g"] in pos
+        }
     missing = [g for g in pos if counts.get(g, 0) == 0]
     if missing:
         raise ValueError(
@@ -477,10 +481,11 @@ def negative_sample_ids(
 
     if k <= 0 or pool_size <= 1:
         raise ValueError(f"k and pool_size must be positive, got {k}/{pool_size}")
-    pool_rows = sample_k_per_group(
-        df.select(key_col), pool_size, by=None, key_col=key_col,
-        salt=f"{salt}-pool", keys_only=True,
-    ).collect()
+    with kernel_exec(df.sparkSession):
+        pool_rows = sample_k_per_group(
+            df.select(key_col), pool_size, by=None, key_col=key_col,
+            salt=f"{salt}-pool", keys_only=True,
+        ).collect()
     pool = sorted(r[key_col] for r in pool_rows)
     if len(pool) < 2:
         raise ValueError("pool needs at least 2 distinct keys")
@@ -571,36 +576,42 @@ def dsir_logratio_vector(
         return v
 
     if target_cond is not None:
-        rows = (
-            target_df.select(
-                target_cond.cast("long").alias("_tgt"),
-                F.explode(
-                    F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
-                ).alias("t"),
+        with kernel_exec(target_df.sparkSession):
+            rows = (
+                target_df.select(
+                    target_cond.cast("long").alias("_tgt"),
+                    F.explode(
+                        F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
+                    ).alias("t"),
+                )
+                .select(
+                    "_tgt", _dsir_bucket_expr(F.col("t"), nf, hash).alias("b")
+                )
+                .groupBy("b")
+                .agg(
+                    F.count("*").alias("sc"),
+                    F.coalesce(F.sum("_tgt"), F.lit(0)).alias("tc"),
+                )
+                .collect()
             )
-            .select("_tgt", _dsir_bucket_expr(F.col("t"), nf, hash).alias("b"))
-            .groupBy("b")
-            .agg(
-                F.count("*").alias("sc"),
-                F.coalesce(F.sum("_tgt"), F.lit(0)).alias("tc"),
-            )
-            .collect()
-        )
         sc, tc = to_vec(rows, "sc"), to_vec(rows, "tc")
     else:
 
         def counts(df):
-            rows = (
-                df.select(
-                    F.explode(
-                        F.filter(tokens_expr(text_col), lambda t: F.length(t) > 0)
-                    ).alias("t")
+            with kernel_exec(df.sparkSession):
+                rows = (
+                    df.select(
+                        F.explode(
+                            F.filter(
+                                tokens_expr(text_col), lambda t: F.length(t) > 0
+                            )
+                        ).alias("t")
+                    )
+                    .select(_dsir_bucket_expr(F.col("t"), nf, hash).alias("b"))
+                    .groupBy("b")
+                    .agg(F.count("*").alias("c"))
+                    .collect()
                 )
-                .select(_dsir_bucket_expr(F.col("t"), nf, hash).alias("b"))
-                .groupBy("b")
-                .agg(F.count("*").alias("c"))
-                .collect()
-            )
             return to_vec(rows, "c")
 
         tc, sc = counts(target_df), counts(source_df)

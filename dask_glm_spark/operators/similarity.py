@@ -30,6 +30,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dask_glm_spark.functions.kernels import kernel_exec
+
 LSH_SEED = 42
 DEFAULT_PLANES = 8
 
@@ -122,7 +124,8 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row — with a CLEAN error on
     an empty corpus (first() -> None) or a null first vector (size -> -1),
     instead of a TypeError / negative-dimension crash downstream."""
-    row = df.select(F.size(F.col(vec_col))).first()
+    with kernel_exec(df.sparkSession):
+        row = df.select(F.size(F.col(vec_col))).first()
     if row is None or row[0] is None or row[0] < 0:
         raise ValueError(
             f"cannot infer embedding dim from {vec_col!r}: empty input "
@@ -149,17 +152,20 @@ def sample_vectors(
     O(n) driver memory. Ties on the hash break by vector value for full
     determinism."""
     vd = F.col(vec_col).cast("array<double>")
-    rows = (
-        df.select(vd.alias("_v"))
-        # null vectors would hash to null and sort FIRST under asc —
-        # poisoning the whole sample instead of being skipped
-        .where(F.col("_v").isNotNull())
-        .withColumn("_h", F.xxhash64(F.lit("vec-sample:s0"), F.col("_v")))
-        .orderBy(F.col("_h").asc(), F.col("_v").asc())
-        .limit(limit or IVF_SAMPLE_ROWS)
-        .select("_v")
-        .collect()
-    )
+    # bounded O(limit) result through TakeOrderedAndProject — a tiny-result
+    # kernel action (no exchange to adapt), so skip the AQE stage barriers
+    with kernel_exec(df.sparkSession):
+        rows = (
+            df.select(vd.alias("_v"))
+            # null vectors would hash to null and sort FIRST under asc —
+            # poisoning the whole sample instead of being skipped
+            .where(F.col("_v").isNotNull())
+            .withColumn("_h", F.xxhash64(F.lit("vec-sample:s0"), F.col("_v")))
+            .orderBy(F.col("_h").asc(), F.col("_v").asc())
+            .limit(limit or IVF_SAMPLE_ROWS)
+            .select("_v")
+            .collect()
+        )
     if not rows:
         raise ValueError("cannot sample vectors from an empty DataFrame")
     return np.asarray([r[0] for r in rows], dtype=np.float64)
@@ -772,9 +778,11 @@ def sq_brute_force_topk(
     # match the scale the codes were made with
     hi = np.where(hi - lo > 0, hi, lo + 1.0)
     dec = (hi - lo) / 255.0
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).collect()
+    # query side is bounded by contract (a handful of probe vectors)
+    with kernel_exec(queries.sparkSession):
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ).collect()
     qids = [r["query_id"] for r in qrows]
     Q = np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -1315,9 +1323,10 @@ def _ivf_pq_ann(
         # becomes a PARTITION filter on a cell-partitioned index layout
         # (save_ivf_pq_index(partition_by_cell=True)) — the scan then
         # reads nprobe/C of the index bytes, the point of IVF at 100 TB.
-        probed = sorted(
-            r["cell"] for r in qb.select("cell").distinct().collect()
-        )
+        with kernel_exec(qb.sparkSession):
+            probed = sorted(
+                r["cell"] for r in qb.select("cell").distinct().collect()
+            )
         index = index.where(F.col("cell").isin(probed))
 
     cand = index.join(
@@ -1786,7 +1795,9 @@ def embedding_dedup_incremental(
             .distinct()
         )
         new_vecs = new_vecs.join(hits, id_col, "left_anti")
-        if new_vecs.limit(1).count() == 0:
+        with kernel_exec(new_vecs.sparkSession):
+            empty = new_vecs.limit(1).count() == 0
+        if empty:
             # everything matched the index (e.g. a full replay): nothing
             # to dedup internally, and the in-batch path can't infer the
             # embedding dim from an empty frame

@@ -1264,7 +1264,10 @@ def admm(
     if nblocks is None:
         # row count threaded from @normalize's fused moments pass when
         # present; a direct admm() call pays one cached-scan count
-        n_rows = kwargs.pop("n_rows", None) or df.count()
+        n_rows = kwargs.pop("n_rows", None)
+        if n_rows is None:
+            with kernels.kernel_exec(df.sparkSession):
+                n_rows = df.count()
         # Both caps are min(row cap, byte cap / 8p): identical to the
         # row-only heuristic at the benched p <= 6, but at wide p (round
         # 11 probe) the byte caps keep each materialized numpy block

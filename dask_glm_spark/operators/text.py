@@ -92,6 +92,7 @@ WORD_DELIMS_RE = r"[\t\n\r.,;:!?]"
 # 25 probes plus quality's 5 re-normalized the text 30x per row (measured
 # 2.8 s for the q39 filter at sf0.1 — round 6).
 from dask_glm_spark.functions.exprs import let as _let  # noqa: E402
+from dask_glm_spark.functions.kernels import kernel_exec  # noqa: E402
 
 
 def _padded_norm(text: Column) -> Column:
@@ -633,17 +634,18 @@ def tfidf_features(
         # N and df(b) in ONE job: each doc contributes a -1 sentinel plus
         # its distinct buckets, so the same tiny groupBy yields the doc
         # count (sentinel row) and every doc-frequency.
-        idf_map = {
-            int(r["bucket"]): float(r["df"])
-            for r in sparse.select(
-                F.explode(
-                    F.concat(F.array(F.lit(-1)), F.col("buckets"))
-                ).alias("bucket")
-            )
-            .groupBy("bucket")
-            .agg(F.count("*").cast("double").alias("df"))
-            .collect()
-        }
+        with kernel_exec(df.sparkSession):
+            idf_map = {
+                int(r["bucket"]): float(r["df"])
+                for r in sparse.select(
+                    F.explode(
+                        F.concat(F.array(F.lit(-1)), F.col("buckets"))
+                    ).alias("bucket")
+                )
+                .groupBy("bucket")
+                .agg(F.count("*").cast("double").alias("df"))
+                .collect()
+            }
         # default 0: an all-empty corpus yields no sentinel rows at all
         n_docs = int(idf_map.pop(-1, 0))
         idf = (
@@ -656,13 +658,14 @@ def tfidf_features(
     counts = _bucket_counts(df, text_col, id_col, num_features).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_docs = counts.select(id_col).distinct().count()
-    idf_map = {
-        int(r["bucket"]): float(r["df"])
-        for r in counts.groupBy("bucket")
-        .agg(F.count("*").cast("double").alias("df"))
-        .collect()
-    }
+    with kernel_exec(df.sparkSession):
+        n_docs = counts.select(id_col).distinct().count()
+        idf_map = {
+            int(r["bucket"]): float(r["df"])
+            for r in counts.groupBy("bucket")
+            .agg(F.count("*").cast("double").alias("df"))
+            .collect()
+        }
     idf = (
         _sparse_idf(n_docs, idf_map)
         if num_features > IDF_DENSE_MAX
@@ -749,7 +752,8 @@ def unigram_logprob_scores(
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    total = counts.agg(F.sum("c")).first()[0] or 0
+    with kernel_exec(df.sparkSession):
+        total = counts.agg(F.sum("c")).first()[0] or 0
     if total == 0:
         # empty corpus: every doc reports zero tokens
         return df.select(
@@ -868,7 +872,8 @@ def bigram_logprob_scores(
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    total = pair_counts.agg(F.sum("c")).first()[0] or 0
+    with kernel_exec(df.sparkSession):
+        total = pair_counts.agg(F.sum("c")).first()[0] or 0
     if total == 0:
         if owns_cache:
             bi.unpersist()

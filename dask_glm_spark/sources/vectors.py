@@ -153,7 +153,10 @@ def from_coo(
 def sparse_p(df: DataFrame, idx_col: str = "findices") -> int:
     """Feature dimension of a sparse-columns frame: max index + 1 (one
     column-pruned scan; callers should pass p explicitly when known)."""
-    row = df.agg(F.max(F.array_max(F.col(idx_col))).alias("m")).first()
+    from dask_glm_spark.functions.kernels import kernel_exec
+
+    with kernel_exec(df.sparkSession):
+        row = df.agg(F.max(F.array_max(F.col(idx_col))).alias("m")).first()
     if row is None or row["m"] is None:
         raise ValueError("cannot infer p from empty sparse frame")
     return int(row["m"]) + 1
