@@ -106,12 +106,34 @@ def regularization_path(
     caller_info = kwargs.pop("fit_info", None)
     infos: list[dict] = [{} for _ in lams]
     try:
+        # r13 (guide §2.1: don't run identical passes twice): the per-fit
+        # @normalize moments job is λ-INDEPENDENT — same cached frame, same
+        # weight column — so ONE fused moments scan here seeds every fit
+        # through the wrapper's ``_moments`` hook. The seed holds the
+        # identical floats each per-fit scan would produce (the sweep goes
+        # from len(lams) moments jobs to 1); copies are passed per fit
+        # because the wrapper zeroes the intercept coordinate in place.
+        moments = None
+        if kwargs.get("normalize", True):
+            from dask_glm_spark.functions import kernels
+            from dask_glm_spark.sources import vectors as V
+
+            if not V.is_sparse_columns(df):
+                moments = kernels.column_moments_full(
+                    df,
+                    kwargs.get("features_col", "features"),
+                    weight_col=kwargs.get("weight_col"),
+                )
         order = sorted(range(len(lams)), key=lambda i: -lams[i])
         betas: list[np.ndarray | None] = [None] * len(lams)
         prev = None
         for i in order:
             kw = dict(kwargs)
             kw["fit_info"] = infos[i]
+            if moments is not None:
+                kw["_moments"] = (
+                    moments[0], moments[1].copy(), moments[2].copy(),
+                )
             if warm and prev is not None:
                 kw.setdefault("init_beta", prev)
             beta = np.asarray(

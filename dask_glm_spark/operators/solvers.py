@@ -93,6 +93,13 @@ def normalize(algo):
     @wraps(algo)
     def wrapped(df: DataFrame, *args, **kwargs):
         do_norm = kwargs.pop("normalize", True)
+        # r13: ``_moments`` lets λ-sweep callers (regularization_path)
+        # seed the λ-independent (n_rows, mean, std) from ONE shared scan
+        # instead of re-running the identical moments job per fit. The
+        # seed must be the exact tuple column_moments_full would return
+        # for (df, features_col, weight_col) — callers pass array copies
+        # because mean/std are mutated in place below.
+        moments_seed = kwargs.pop("_moments", None)
         features_col = kwargs.get("features_col", "features")
         persist = kwargs.pop("persist", True)
         we_persisted = False
@@ -117,8 +124,12 @@ def normalize(algo):
             # r10) — the moments of the row-replicated dataset, so the L2/L1
             # penalty applies in the same standardized space replication
             # (and MLlib's weighted summarizer) would produce
-            n_rows, mean, std = kernels.column_moments_full(
-                df, features_col, weight_col=kwargs.get("weight_col")
+            n_rows, mean, std = (
+                moments_seed
+                if moments_seed is not None
+                else kernels.column_moments_full(
+                    df, features_col, weight_col=kwargs.get("weight_col")
+                )
             )
             kwargs.setdefault("p", len(mean))
             kwargs.setdefault("n_rows", n_rows)

@@ -311,12 +311,18 @@ def _sparse_rows(
     text_col: str,
     id_col: str,
     num_features: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, buckets array<int>, tfs array<double>) — one row per doc, the
     doc's complete hashed-TF in sparse form, built in ONE narrow
     mapInPandas pass (a doc lives in exactly one Arrow batch, so its
     aggregation completes in-batch; no shuffle). Token-less docs emit
-    empty arrays (callers filter to match the sql path's semantics)."""
+    empty arrays (callers filter to match the sql path's semantics).
+    ``carry_cols`` ride through unchanged (output rows are 1:1 with input
+    rows) — the r13 job-shape fix that lets ``fit_text_classifier`` keep
+    the label on the featurized row instead of joining it back on doc id
+    (guide §2.4: that join was two avoidable exchanges of doc-scale
+    rows)."""
     import pandas as pd
 
     from dask_glm_spark.plans.layout import ensure_min_parallelism
@@ -348,10 +354,20 @@ def _sparse_rows(
                 ids.append(doc_id)
                 bks.append([k for k, _ in items])
                 tfs.append([float(v) for _, v in items])
-            yield pd.DataFrame({id_col: ids, "buckets": bks, "tfs": tfs})
+            out = pd.DataFrame({id_col: ids, "buckets": bks, "tfs": tfs})
+            for c in carry_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield out
 
-    return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
-        build, f"{id_col} {id_type}, buckets array<int>, tfs array<double>"
+    carry_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
+    return ensure_min_parallelism(
+        df.select(id_col, text_col, *carry_cols)
+    ).mapInPandas(
+        build,
+        f"{id_col} {id_type}, buckets array<int>, tfs array<double>"
+        f"{carry_schema}",
     )
 
 
@@ -957,10 +973,14 @@ def fit_text_classifier(
         sparse = num_features > 4096
     labels = docs.select(id_col, F.col(label_col).alias("label"))
     if sparse:
-        rows = _sparse_rows(docs, text_col, id_col, num_features).where(
-            F.size("buckets") > 0
-        )
-        data = rows.join(labels, id_col).select(
+        # label rides the featurizing scan itself (carry_cols) — joining
+        # it back on doc id cost two exchanges of doc-scale rows for data
+        # that was already on the row (r13, guide §2.4)
+        rows = _sparse_rows(
+            docs.withColumn("label", F.col(label_col)),
+            text_col, id_col, num_features, carry_cols=("label",),
+        ).where(F.size("buckets") > 0)
+        data = rows.select(
             F.col("buckets").alias("findices"),
             F.col("tfs").alias("fvalues"),
             "label",

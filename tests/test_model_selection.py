@@ -59,6 +59,27 @@ def test_path_input_order_preserved(data):
     np.testing.assert_allclose(path[0], direct_01, atol=1e-3, rtol=0)
 
 
+def test_path_hoisted_moments_bit_exact(data):
+    """r13: regularization_path seeds every fit's @normalize with ONE
+    shared moments scan (the ``_moments`` hook) instead of a per-fit
+    moments job. The seed holds the identical floats each per-fit scan
+    would compute over the same cached frame, so the path must equal a
+    manual warm-started per-fit loop (which still runs its own moments
+    job per fit) BIT-exactly — not merely to tolerance."""
+    lams = [0.3, 0.1]
+    path = regularization_path(
+        data, lams, solver="proximal_grad", regularizer="l1", max_iter=7,
+    )
+    prev = None
+    for lam, row in zip(lams, path):  # descending order == input order here
+        kw = {} if prev is None else {"init_beta": prev}
+        beta = solvers.proximal_grad(
+            data, regularizer="l1", lamduh=lam, max_iter=7, **kw
+        )
+        assert np.array_equal(row, np.asarray(beta, dtype=np.float64))
+        prev = beta
+
+
 def test_path_validation(data):
     with pytest.raises(ValueError, match="solver"):
         regularization_path(data, [0.1], solver="newton")
