@@ -2797,24 +2797,31 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_glm_spark.plans.layout import ensure_min_parallelism
     from dask_glm_spark.sources.vectors import to_sparse_columns
 
-    # r13 optimization (guide §5 operator-internal caching): the ~13
-    # kernel evaluations below each full-scan the same glm projection, so
-    # it is persisted ONCE inside the query (materialized by one count,
-    # released before returning) — the kernels then scan memory instead
-    # of re-deriving the parquet scan 13 times. Every value is still
-    # produced by the identical REAL kernel/solver entry point with
-    # identical inputs, so each job's result (and therefore the DuckDB
-    # hash) is unchanged. A thread-pool variant (guide §2.6) was tried
-    # and MEASURED SLOWER (sequential-warm ~4-12 s vs 31-47 s with 8
-    # concurrent chains, 3-run A/B at sf0.1): every job's latency here is
-    # driver-event-loop-bound, and the DAGScheduler loop is single-
-    # threaded, so concurrent tiny jobs queue behind each other instead
-    # of overlapping — don't "fix" this again.
+    # r13 optimization (guide §5 operator-internal caching): the kernel
+    # evaluations below each full-scan the same glm projection, so it is
+    # persisted ONCE inside the query (materialized by the FIRST kernel
+    # job — r14 dropped the separate count() job: the plan is a pure
+    # narrow scan+project, so the first agg populates the identical
+    # cache as a side effect), released before returning — the kernels
+    # then scan memory instead of re-deriving the parquet scan each
+    # time. Every value is still produced by the identical REAL
+    # kernel/solver entry point with identical inputs, so each job's
+    # result (and therefore the DuckDB hash) is unchanged. A thread-pool
+    # variant (guide §2.6) was tried and MEASURED SLOWER (sequential-warm
+    # ~4-12 s vs 31-47 s with 8 concurrent chains, 3-run A/B at sf0.1):
+    # every job's latency here is driver-event-loop-bound, and the
+    # DAGScheduler loop is single-threaded, so concurrent tiny jobs queue
+    # behind each other instead of overlapping — don't "fix" this again.
     df = _glm_nosort(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()  # materialize once
 
     beta1, loss1 = solvers.gd_step(df, BETA, GD_STEP_S)
-    bp = solvers.prox_step(df, BETA, GD_STEP_S, PROX_LAMDUH, regularizer="l1")
+    # r14 (guide §2.4, VERDICT r13 #1): gd_step already ran the identical
+    # deterministic loss_gradient at (BETA, GD_STEP_S) — its beta1 IS the
+    # prox candidate beta - s*grad, so prox_step skips the duplicate
+    # gradient job and applies the REAL proximal_operator to it.
+    bp = solvers.prox_step(
+        df, BETA, GD_STEP_S, PROX_LAMDUH, regularizer="l1", candidate=beta1
+    )
     # round 7: the softmax kernel under the same gate — one fused
     # loss+gradient evaluation at the pinned (4,3) SOFTMAX_B over the
     # 3-class label label_cnt % 3; the oracle recomputes the max-shifted
@@ -2842,16 +2849,26 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pinned BETA via the REAL glm_residuals (kind='deviance'); the
     # oracle recomputes sign(y−μ)·sqrt(2·binomial unit deviance), and
     # summing the SIGNED residuals keeps the sign branch under the gate.
-    def _residual_sum(kind: str, squared: bool) -> float:
+    def _residual_sums() -> tuple[float, float]:
+        """BOTH residual sums in ONE scan/agg job (r14, VERDICT r13 #1):
+        glm_residuals is a pure per-row projection, so chaining the
+        pearson and deviance columns onto one frame and summing both in
+        one agg computes the identical per-row expressions with the
+        identical per-column accumulation order — the two values are
+        bit-equal to the former two separate jobs."""
         res = inference.glm_residuals(
-            df.select("features", "label"), Logistic, np.asarray(BETA), kind
+            df.select("features", "label"), Logistic, np.asarray(BETA),
+            "pearson", out_col="_rp",
         )
-        term = (
-            F.col("residual") * F.col("residual")
-            if squared
-            else F.col("residual")
+        res = inference.glm_residuals(
+            res, Logistic, np.asarray(BETA), "deviance", out_col="_rd"
         )
-        return float(res.agg(F.sum(term).alias("s")).collect()[0]["s"])
+        with kernels.kernel_exec(spark):
+            row = res.agg(
+                F.sum(F.col("_rp") * F.col("_rp")).alias("p"),
+                F.sum("_rd").alias("d"),
+            ).collect()[0]
+        return float(row["p"]), float(row["d"])
 
     # round 13 (cont.): the SPARSE CSR physical path under the gate —
     # sources.vectors.to_sparse_columns (declarative nonzero filter) feeds
@@ -2869,14 +2886,15 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     smloss, G = kernels.softmax_loss_gradient(df3, np.asarray(SOFTMAX_B))
-    wloss, wgrad = kernels.loss_gradient(
-        dfwo, Logistic, np.asarray(BETA), 4, weight_col="w"
+    # r14 (guide §2.3/§2.4, VERDICT r13 #1): the weighted and the offset
+    # kernel evaluations share one scan of dfwo — loss_gradient_fused
+    # builds both agg expression lists from the same sql builder, so the
+    # four values are bit-identical to the two former separate jobs.
+    (wloss, wgrad), (oloss, ograd) = kernels.loss_gradient_fused(
+        dfwo, Logistic, np.asarray(BETA), 4,
+        specs=[{"weight_col": "w"}, {"offset_col": "o"}],
     )
-    oloss, ograd = kernels.loss_gradient(
-        dfwo, Logistic, np.asarray(BETA), 4, offset_col="o"
-    )
-    pchi2 = _residual_sum("pearson", True)
-    dres = _residual_sum("deviance", False)
+    pchi2, dres = _residual_sums()
     # round 12 / r13: the Newton-CG Hvp kernel, path pinned to ARROW
     # (VERDICT r12 #7 — the path production wide-p fits use), so the
     # Arrow physical plan itself sits under the DuckDB hash gate

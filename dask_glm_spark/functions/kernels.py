@@ -63,8 +63,15 @@ UNROLL_MAX = 64
 # (joins, dedup, groupBys) keep the session's AQE setting — coalescing
 # and skew handling matter there.
 #
-# Session-conf toggle, refcounted + locked so concurrently running kernel
-# jobs (e.g. the q48 thread pool) never leave the session conf flipped.
+# Session-conf toggle, refcounted + locked so nested/overlapping kernel
+# actions never leave the session conf flipped. CAVEAT (ADVICE r13): the
+# flip is session-wide, so a PIPELINE query planned on another thread of
+# the same session while a kernel action is in flight would be planned
+# without AQE. This library runs kernel actions sequentially on the
+# calling thread (the r13 thread-pool experiment measured concurrent
+# driver jobs slower and was removed); callers embedding the library in a
+# multi-threaded driver should serialize kernel actions with their own
+# pipeline queries or give them a separate SparkSession.newSession().
 # ---------------------------------------------------------------------------
 _AQE_LOCK = threading.Lock()
 _AQE_STATE: dict[int, tuple[int, str]] = {}  # session id -> (depth, saved)
@@ -91,9 +98,15 @@ def kernel_exec(spark):
         with _AQE_LOCK:
             depth, saved = _AQE_STATE[key]
             if depth == 1:
-                if saved != "false":
-                    spark.conf.set("spark.sql.adaptive.enabled", saved)
-                del _AQE_STATE[key]
+                # Delete the state entry even if the restore throws (e.g.
+                # stopped session) — a leaked depth-1 entry would make a
+                # later session that reuses this id() skip the save/disable
+                # entirely (ADVICE r13).
+                try:
+                    if saved != "false":
+                        spark.conf.set("spark.sql.adaptive.enabled", saved)
+                finally:
+                    del _AQE_STATE[key]
             else:
                 _AQE_STATE[key] = (depth - 1, saved)
 
@@ -403,6 +416,46 @@ def _arrow_partials(
 # Fused loss + gradient (the per-iteration job of lbfgs/GD/prox_grad; O4:
 # loss and gradient share the xb subexpression and one scan of X)
 # ---------------------------------------------------------------------------
+def _loss_gradient_sql_aggs(
+    family,
+    beta: np.ndarray,
+    p: int,
+    features_col: str,
+    label_col: str,
+    weight_col: str | None,
+    offset_col: str | None,
+    prefix: str = "",
+) -> list[Column]:
+    """The sql-path loss+gradient aggregate expressions — the ONE
+    definition, shared by ``loss_gradient`` and ``loss_gradient_fused``
+    so a fused multi-spec scan computes bit-identical sums (same
+    expressions, same per-partition accumulation order)."""
+    xb = matvec_expr(beta, features_col)
+    # offset/exposure (round 10, MLlib offsetCol): the linear predictor
+    # becomes xb + offset — a fixed per-row term with no coefficient
+    if offset_col is not None:
+        xb = xb + F.col(offset_col)
+    y = F.col(label_col)
+    r = family.residual(xb, y)
+    fcol = F.col(features_col)
+    # weighted GLM (round 10): loss = sum(w*ll), grad = X^T (w*r) —
+    # same single scan, one extra multiply inside codegen
+    if weight_col is not None:
+        w = F.col(weight_col)
+        ll = w * family.loglike_terms(xb, y)
+        r = w * r
+    else:
+        ll = family.loglike_terms(xb, y)
+    # coalesce: F.sum is NULL on empty input; the arrow path returns
+    # 0.0/zeros — keep both physical paths consistent (ADVICE r1).
+    aggs = [F.coalesce(F.sum(ll), F.lit(0.0)).alias(f"{prefix}loss")]
+    aggs += [
+        F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"{prefix}g{j}")
+        for j in range(p)
+    ]
+    return aggs
+
+
 def loss_gradient(
     df: DataFrame,
     family,
@@ -419,26 +472,9 @@ def loss_gradient(
     if path == "auto":
         path = "sql" if p <= UNROLL_MAX else "arrow"
     if path == "sql":
-        xb = matvec_expr(beta, features_col)
-        # offset/exposure (round 10, MLlib offsetCol): the linear predictor
-        # becomes xb + offset — a fixed per-row term with no coefficient
-        if offset_col is not None:
-            xb = xb + F.col(offset_col)
-        y = F.col(label_col)
-        r = family.residual(xb, y)
-        fcol = F.col(features_col)
-        # weighted GLM (round 10): loss = sum(w*ll), grad = X^T (w*r) —
-        # same single scan, one extra multiply inside codegen
-        if weight_col is not None:
-            w = F.col(weight_col)
-            ll = w * family.loglike_terms(xb, y)
-            r = w * r
-        else:
-            ll = family.loglike_terms(xb, y)
-        # coalesce: F.sum is NULL on empty input; the arrow path returns
-        # 0.0/zeros — keep both physical paths consistent (ADVICE r1).
-        aggs = [F.coalesce(F.sum(ll), F.lit(0.0)).alias("loss")]
-        aggs += [F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"g{j}") for j in range(p)]
+        aggs = _loss_gradient_sql_aggs(
+            family, beta, p, features_col, label_col, weight_col, offset_col
+        )
         with kernel_exec(df.sparkSession):
             row = df.agg(*aggs).collect()[0]
         return float(row["loss"]), np.array([row[f"g{j}"] for j in range(p)])
@@ -468,6 +504,44 @@ def loss_gradient(
 
 def gradient(df, family, beta, **kw) -> np.ndarray:
     return loss_gradient(df, family, beta, **kw)[1]
+
+
+def loss_gradient_fused(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    p: int | None = None,
+    specs: list[dict] | None = None,
+    features_col: str = "features",
+    label_col: str = "label",
+) -> list[tuple[float, np.ndarray]]:
+    """Several sql-path ``loss_gradient`` evaluations at the SAME beta in
+    ONE scan/agg job — e.g. the weighted and the offset variant of a
+    model over one frame (r14, guide §2.3 "aggregate before you shuffle"
+    / §2.4: N scans sharing a source become one). Each ``specs`` entry is
+    ``{"weight_col": ..., "offset_col": ...}`` (both optional). Sums are
+    bit-identical to N separate ``loss_gradient`` calls: the per-spec
+    expressions come from the same ``_loss_gradient_sql_aggs`` builder and
+    each sum's per-partition accumulation order is unchanged (pinned by
+    tests/test_kernels.py::test_loss_gradient_fused_matches_separate)."""
+    beta = np.asarray(beta, dtype=np.float64)
+    p = p or len(beta)
+    specs = specs or [{}]
+    aggs: list[Column] = []
+    for i, spec in enumerate(specs):
+        aggs += _loss_gradient_sql_aggs(
+            family, beta, p, features_col, label_col,
+            spec.get("weight_col"), spec.get("offset_col"), prefix=f"s{i}_",
+        )
+    with kernel_exec(df.sparkSession):
+        row = df.agg(*aggs).collect()[0]
+    return [
+        (
+            float(row[f"s{i}_loss"]),
+            np.array([row[f"s{i}_g{j}"] for j in range(p)]),
+        )
+        for i in range(len(specs))
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -129,16 +129,19 @@ def connected_components(
         # and the probe's completed shuffle map stages feed the checkpoint
         # below instead of being recomputed from the source.
         canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
-        with kernel_exec(canon.sparkSession):
-            probe = canon.limit(local_threshold + 1).collect()
-        if len(probe) <= local_threshold:
-            out = _local_components(canon, rows=probe)
+        # try/finally (ADVICE r13): a raise in the probe collect or the
+        # local union-find must not leak the MEMORY_AND_DISK cache for the
+        # session lifetime.
+        try:
+            with kernel_exec(canon.sparkSession):
+                probe = canon.limit(local_threshold + 1).collect()
+            if len(probe) <= local_threshold:
+                return _local_components(canon, rows=probe)
+            edges = canon.localCheckpoint(eager=True)
+        finally:
             canon.unpersist()
-            return out
-
-    edges = canon.localCheckpoint(eager=True)
-    if local_threshold:
-        canon.unpersist()
+    else:
+        edges = canon.localCheckpoint(eager=True)
 
     prev_sig = None
     for it in range(max_iter):

@@ -536,6 +536,7 @@ def prox_step(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
+    candidate=None,
 ) -> np.ndarray:
     """ONE unrolled proximal-gradient iteration at a fixed step size.
 
@@ -545,15 +546,24 @@ def prox_step(
     update is deterministic. Uses the REAL ``Regularizer.proximal_operator``
     — for q49 the DuckDB oracle re-derives the L1 soft-threshold
     symbolically, putting the prox math under the hash gate.
+
+    ``candidate`` (r14, guide §2.4): a precomputed ``beta - stepsize*grad``
+    — when the caller just ran ``gd_step`` at the SAME (beta, stepsize),
+    its ``beta1`` IS this candidate, so passing it skips a duplicate
+    gradient job; the result is bit-identical because the skipped job is
+    deterministic (pinned by tests/test_solvers_steps parity).
     """
     beta = np.asarray(beta, dtype=np.float64)
     p = len(beta)
-    _, grad = kernels.loss_gradient(
-        df, family, beta, p, features_col, label_col, path
-    )
+    if candidate is None:
+        _, grad = kernels.loss_gradient(
+            df, family, beta, p, features_col, label_col, path
+        )
+        candidate = beta - float(stepsize) * grad
     reg = Regularizer.get(regularizer)
     return reg.proximal_operator(
-        beta - float(stepsize) * grad, float(stepsize) * float(lamduh)
+        np.asarray(candidate, dtype=np.float64),
+        float(stepsize) * float(lamduh),
     )
 
 

@@ -327,6 +327,17 @@ def _sparse_rows(
 
     from dask_glm_spark.plans.layout import ensure_min_parallelism
 
+    # Reserved-name guard (ADVICE r13): a carry column colliding with the
+    # id/text columns or the sparse output columns would silently produce
+    # a wrong/overwritten schema.
+    reserved = {id_col, text_col, "buckets", "tfs"}
+    clash = [c for c in carry_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"carry_cols {clash} collide with reserved output columns "
+            f"({sorted(reserved)})"
+        )
+
     id_type = df.schema[id_col].dataType.simpleString()
     nf = int(num_features)
 

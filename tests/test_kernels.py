@@ -295,3 +295,49 @@ def test_multi_level_merge_generic_sum(spark, monkeypatch):
     assert total_s == pytest.approx(
         sum(float(i % 7) for i in range(160))
     )
+
+
+def test_loss_gradient_fused_matches_separate(data):
+    """r14 q48 job fusion: loss_gradient_fused builds each spec's agg
+    expressions from the same sql builder as loss_gradient, so the fused
+    single-scan values must match the separate-job values exactly."""
+    df, X, y = data
+    dfw = df.withColumn("w", 1.0 + (F.col("id") % 5).cast("double") / 4.0)
+    dfwo = dfw.withColumn("o", (F.col("id") % 3).cast("double") / 10.0)
+
+    (wl, wg), (ol, og) = kernels.loss_gradient_fused(
+        dfwo, Logistic, BETA, 4,
+        specs=[{"weight_col": "w"}, {"offset_col": "o"}],
+    )
+    wl2, wg2 = kernels.loss_gradient(dfwo, Logistic, BETA, 4, weight_col="w")
+    ol2, og2 = kernels.loss_gradient(dfwo, Logistic, BETA, 4, offset_col="o")
+    np.testing.assert_allclose(wl, wl2, rtol=1e-12)
+    np.testing.assert_allclose(wg, wg2, rtol=1e-12)
+    np.testing.assert_allclose(ol, ol2, rtol=1e-12)
+    np.testing.assert_allclose(og, og2, rtol=1e-12)
+    # and against driver numpy ground truth
+    pdf = dfwo.orderBy("id").toPandas()
+    w = pdf["w"].to_numpy()
+    o = pdf["o"].to_numpy()
+    np.testing.assert_allclose(
+        wg, X.T @ (w * Logistic.residual_np(X @ BETA, y)), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        og, X.T @ Logistic.residual_np(X @ BETA + o, y), rtol=1e-9
+    )
+
+
+def test_prox_step_candidate_matches_internal_gradient(data):
+    """r14 q48 job fusion: prox_step(candidate=gd_step's beta1) must equal
+    prox_step computing its own gradient — gd_step's update IS the prox
+    candidate at the same (beta, stepsize)."""
+    from dask_glm_spark.operators.solvers import gd_step, prox_step
+
+    df, _, _ = data
+    s, lam = 1e-3, 500.0
+    beta1, _ = gd_step(df, BETA, s, family=Logistic, path="sql")
+    via_candidate = prox_step(
+        df, BETA, s, lam, regularizer="l1", candidate=beta1
+    )
+    recomputed = prox_step(df, BETA, s, lam, regularizer="l1", path="sql")
+    np.testing.assert_allclose(via_candidate, recomputed, rtol=1e-12, atol=0)
