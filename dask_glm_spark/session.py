@@ -62,6 +62,25 @@ def get_spark(
         # plans and results are untouched.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Session hygiene (r14, guide §5 "unpersist when done"). Spark
+        # frees dead RDD/broadcast/shuffle state via ContextCleaner WEAK
+        # REFERENCES, which only fire when the driver JVM actually runs a
+        # GC — and a long-running driver with a large, pressure-free heap
+        # may not run one for hours (the documented failure mode this
+        # conf exists for). localCheckpoint() blocks in particular are
+        # invisible to catalog.clearCache(), so a long session
+        # accumulates dead cached blocks that crowd the unified storage
+        # pool and degrade later persist-heavy jobs (measured with
+        # scripts/drift_gc.py: same fit 10.9 s fresh -> 37.8 s after 50
+        # queries -> 9.4 s after a forced GC; see OPTIMIZATION_r14.md).
+        # Default 30min is far too slow for both the bench session and a
+        # 100 TB driver managing millions of shuffle files; 60s bounds
+        # the dead-state window at the cost of one concurrent-safe
+        # System.gc() per minute on the driver only.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC_INTERVAL", "60s"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
