@@ -753,35 +753,41 @@ class MulticlassLogisticRegression(_GLM):
             raise NotImplementedError(
                 "multiclass estimators do not support offset_col"
             )
-        with kernels.kernel_exec(df.sparkSession):
-            classes = [
-                r[0]
-                for r in df.select(self.label_col)
-                .distinct()
-                .orderBy(self.label_col)
-                .collect()
-            ]
-        if len(classes) < 2:
-            raise ValueError(f"need >= 2 classes, got {classes!r}")
-        sparse_p_once = None
-        if sparse_in:
-            from dask_glm_spark.sources.vectors import sparse_p
-
-            # resolve the width ONCE — each per-class _fit_sparse would
-            # otherwise rerun the max-index scan
-            sparse_p_once = extra.pop("p", None) or sparse_p(df)
+        # Persist BEFORE class discovery (r14, guide §5/§2.4): when the
+        # input is an uncached derivation (e.g. the text featurizer's
+        # mapInPandas scan), the classes-distinct job otherwise pays one
+        # full derivation pass and the first sub-fit pays a second one to
+        # materialize the cache — persisting first makes the distinct
+        # materialize the cache, so the derivation runs exactly once.
         we_persisted = False
         if not df.is_cached:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
             we_persisted = True
-        # per-class warm start only when the class set is unchanged —
-        # otherwise coefficient columns would pair with the wrong class
-        prev = (
-            self._coefs
-            if self.warm_start and getattr(self, "classes_", None) == classes
-            else None
-        )
         try:
+            with kernels.kernel_exec(df.sparkSession):
+                classes = [
+                    r[0]
+                    for r in df.select(self.label_col)
+                    .distinct()
+                    .orderBy(self.label_col)
+                    .collect()
+                ]
+            if len(classes) < 2:
+                raise ValueError(f"need >= 2 classes, got {classes!r}")
+            sparse_p_once = None
+            if sparse_in:
+                from dask_glm_spark.sources.vectors import sparse_p
+
+                # resolve the width ONCE — each per-class _fit_sparse would
+                # otherwise rerun the max-index scan
+                sparse_p_once = extra.pop("p", None) or sparse_p(df)
+            # per-class warm start only when the class set is unchanged —
+            # otherwise coefficient columns would pair with the wrong class
+            prev = (
+                self._coefs
+                if self.warm_start and getattr(self, "classes_", None) == classes
+                else None
+            )
             coefs = []
             n_iters: list = []
             convs: list = []
@@ -1067,58 +1073,79 @@ class SoftmaxRegression(MulticlassLogisticRegression):
             )
         if V.is_sparse_columns(df):
             return self._fit_softmax_sparse(df, **extra)
-        with kernels.kernel_exec(df.sparkSession):
-            classes = [
-                r[0]
-                for r in df.select(self.label_col)
-                .distinct()
-                .orderBy(self.label_col)
-                .collect()
-            ]
-        if len(classes) < 2:
-            raise ValueError(f"need >= 2 classes, got {classes!r}")
-        k = len(classes)
-        # label -> class index (position in the sorted class array);
-        # array_position is 1-based and the label column is replaced only
-        # in the solver's view of the data
-        cls_arr = F.array(*[F.lit(c) for c in classes])
-        dfi = df.withColumn(
-            self.label_col,
-            (F.array_position(cls_arr, F.col(self.label_col)) - 1).cast(
-                "double"
-            ),
-        )
-        dfi = self._maybe_add_intercept(dfi)
-        if self.warm_start and getattr(self, "classes_", None) == classes:
-            extra.setdefault("init_beta", np.column_stack(self._coefs))
-        if self.weight_col is not None:
-            extra.setdefault("weight_col", self.weight_col)
-        info = extra.setdefault("fit_info", {})
-        if self.solver == "newton_cg":
-            # pure-MLE path (the binary newton/newton_cg routing contract:
-            # no regularizer reaches these solvers)
-            B = solvers.softmax_newton_cg(
-                dfi, k, max_iter=self.max_iter, tol=self.tol,
-                features_col=self.features_col, label_col=self.label_col,
-                **extra,
+        from pyspark import StorageLevel
+
+        from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+        # Persist BEFORE class discovery (r14, guide §5/§2.4 — same
+        # rationale as the OvR parent and the sparse twin): an uncached
+        # featurizer input otherwise pays one derivation pass for the
+        # classes-distinct and another when the solver materializes its
+        # own cache. The solver is told persist=False; the relabel/
+        # intercept/standardize views scan this cache narrowly.
+        we_persisted = False
+        if not df.is_cached:
+            df = ensure_min_parallelism(df).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
-        else:
-            solver_fn = (
-                solvers.softmax_proximal
-                if self.solver == "proximal_grad"
-                else solvers.softmax_lbfgs
+            we_persisted = True
+            extra.setdefault("persist", False)
+        try:
+            with kernels.kernel_exec(df.sparkSession):
+                classes = [
+                    r[0]
+                    for r in df.select(self.label_col)
+                    .distinct()
+                    .orderBy(self.label_col)
+                    .collect()
+                ]
+            if len(classes) < 2:
+                raise ValueError(f"need >= 2 classes, got {classes!r}")
+            k = len(classes)
+            # label -> class index (position in the sorted class array);
+            # array_position is 1-based and the label column is replaced only
+            # in the solver's view of the data
+            cls_arr = F.array(*[F.lit(c) for c in classes])
+            dfi = df.withColumn(
+                self.label_col,
+                (F.array_position(cls_arr, F.col(self.label_col)) - 1).cast(
+                    "double"
+                ),
             )
-            B = solver_fn(
-                dfi,
-                k,
-                regularizer=self.regularizer,
-                lamduh=self.lamduh,
-                max_iter=self.max_iter,
-                tol=self.tol,
-                features_col=self.features_col,
-                label_col=self.label_col,
-                **extra,
-            )
+            dfi = self._maybe_add_intercept(dfi)
+            if self.warm_start and getattr(self, "classes_", None) == classes:
+                extra.setdefault("init_beta", np.column_stack(self._coefs))
+            if self.weight_col is not None:
+                extra.setdefault("weight_col", self.weight_col)
+            info = extra.setdefault("fit_info", {})
+            if self.solver == "newton_cg":
+                # pure-MLE path (the binary newton/newton_cg routing
+                # contract: no regularizer reaches these solvers)
+                B = solvers.softmax_newton_cg(
+                    dfi, k, max_iter=self.max_iter, tol=self.tol,
+                    features_col=self.features_col, label_col=self.label_col,
+                    **extra,
+                )
+            else:
+                solver_fn = (
+                    solvers.softmax_proximal
+                    if self.solver == "proximal_grad"
+                    else solvers.softmax_lbfgs
+                )
+                B = solver_fn(
+                    dfi,
+                    k,
+                    regularizer=self.regularizer,
+                    lamduh=self.lamduh,
+                    max_iter=self.max_iter,
+                    tol=self.tol,
+                    features_col=self.features_col,
+                    label_col=self.label_col,
+                    **extra,
+                )
+        finally:
+            if we_persisted:
+                df.unpersist()
         self.classes_ = classes
         self.n_iter_ = info.get("n_iter")
         self.converged_ = info.get("converged")
@@ -1137,61 +1164,92 @@ class SoftmaxRegression(MulticlassLogisticRegression):
         fit_intercept (round 12) appends a constant-1 coordinate at index
         p_base per row — the same densification-free trick as the binary
         ``_fit_sparse``; standardization never applies (it would densify)."""
-        p_base = extra.pop("p", None)
-        if self.fit_intercept:
-            from dask_glm_spark.sources.vectors import append_intercept_coord, sparse_p
+        from pyspark import StorageLevel
 
-            if p_base is None:
-                p_base = sparse_p(df)
-            df = append_intercept_coord(df, p_base)
-            extra["p"] = int(p_base) + 1
-        elif p_base is not None:
-            extra["p"] = int(p_base)
-        with kernels.kernel_exec(df.sparkSession):
-            classes = [
-                r[0]
-                for r in df.select(self.label_col)
-                .distinct()
-                .orderBy(self.label_col)
-                .collect()
-            ]
-        if len(classes) < 2:
-            raise ValueError(f"need >= 2 classes, got {classes!r}")
-        k = len(classes)
-        cls_arr = F.array(*[F.lit(c) for c in classes])
-        dfi = df.withColumn(
-            self.label_col,
-            (F.array_position(cls_arr, F.col(self.label_col)) - 1).cast(
-                "double"
-            ),
-        )
-        extra.pop("normalize", None)  # sparse path never standardizes
-        if self.warm_start and getattr(self, "classes_", None) == classes:
-            extra.setdefault("init_beta", np.column_stack(self._coefs))
-        if self.weight_col is not None:
-            extra.setdefault("weight_col", self.weight_col)
-        info = extra.setdefault("fit_info", {})
-        if self.solver == "newton_cg":
-            B = solvers.softmax_newton_cg_sparse(
-                dfi, k, max_iter=self.max_iter, tol=self.tol,
-                label_col=self.label_col, **extra,
+        from dask_glm_spark.plans.layout import ensure_min_parallelism
+
+        # Persist the (findices, fvalues, label) frame BEFORE class
+        # discovery and width probing (r14, guide §5/§2.4): the input is
+        # typically an uncached featurizer derivation (fit_text_classifier's
+        # mapInPandas scan), and the old order paid that derivation once
+        # for the classes-distinct, once for sparse_p when probing, and
+        # once more when _run_sparse materialized its own cache for the
+        # L-BFGS evaluations. Persisting here makes the first of those
+        # jobs materialize the cache, so the featurize runs exactly once;
+        # the solvers are told persist=False (intercept/relabel views
+        # scan this cache through narrow projections — the OvR "k classes
+        # never means k cached copies" contract).
+        base = df
+        we_persisted = False
+        if not df.is_cached:
+            base = ensure_min_parallelism(df).persist(
+                StorageLevel.MEMORY_AND_DISK
             )
-        else:
-            solver_fn = (
-                solvers.softmax_proximal_sparse
-                if self.solver == "proximal_grad"
-                else solvers.softmax_lbfgs_sparse
+            df = base
+            we_persisted = True
+            extra["persist"] = False
+        try:
+            p_base = extra.pop("p", None)
+            if self.fit_intercept:
+                from dask_glm_spark.sources.vectors import (
+                    append_intercept_coord,
+                    sparse_p,
+                )
+
+                if p_base is None:
+                    p_base = sparse_p(df)
+                df = append_intercept_coord(df, p_base)
+                extra["p"] = int(p_base) + 1
+            elif p_base is not None:
+                extra["p"] = int(p_base)
+            with kernels.kernel_exec(df.sparkSession):
+                classes = [
+                    r[0]
+                    for r in df.select(self.label_col)
+                    .distinct()
+                    .orderBy(self.label_col)
+                    .collect()
+                ]
+            if len(classes) < 2:
+                raise ValueError(f"need >= 2 classes, got {classes!r}")
+            k = len(classes)
+            cls_arr = F.array(*[F.lit(c) for c in classes])
+            dfi = df.withColumn(
+                self.label_col,
+                (F.array_position(cls_arr, F.col(self.label_col)) - 1).cast(
+                    "double"
+                ),
             )
-            B = solver_fn(
-                dfi,
-                k,
-                regularizer=self.regularizer,
-                lamduh=self.lamduh,
-                max_iter=self.max_iter,
-                tol=self.tol,
-                label_col=self.label_col,
-                **extra,
-            )
+            extra.pop("normalize", None)  # sparse path never standardizes
+            if self.warm_start and getattr(self, "classes_", None) == classes:
+                extra.setdefault("init_beta", np.column_stack(self._coefs))
+            if self.weight_col is not None:
+                extra.setdefault("weight_col", self.weight_col)
+            info = extra.setdefault("fit_info", {})
+            if self.solver == "newton_cg":
+                B = solvers.softmax_newton_cg_sparse(
+                    dfi, k, max_iter=self.max_iter, tol=self.tol,
+                    label_col=self.label_col, **extra,
+                )
+            else:
+                solver_fn = (
+                    solvers.softmax_proximal_sparse
+                    if self.solver == "proximal_grad"
+                    else solvers.softmax_lbfgs_sparse
+                )
+                B = solver_fn(
+                    dfi,
+                    k,
+                    regularizer=self.regularizer,
+                    lamduh=self.lamduh,
+                    max_iter=self.max_iter,
+                    tol=self.tol,
+                    label_col=self.label_col,
+                    **extra,
+                )
+        finally:
+            if we_persisted:
+                base.unpersist()
         self.classes_ = classes
         self.n_iter_ = info.get("n_iter")
         self.converged_ = info.get("converged")

@@ -1978,6 +1978,7 @@ def softmax_lbfgs_sparse(
     init_beta=None,
     fit_info=None,
     weight_col: str | None = None,
+    persist: bool = True,
     **kwargs,
 ):
     """True multinomial fit over wide-sparse (indices, values) features:
@@ -2026,7 +2027,7 @@ def softmax_lbfgs_sparse(
         )
         return bflat.reshape(pp, k)
 
-    return _run_sparse(df, idx_col, p, body)
+    return _run_sparse(df, idx_col, p, body, persist=persist)
 
 
 def softmax_proximal(
@@ -2103,6 +2104,7 @@ def softmax_proximal_sparse(
     init_beta=None,
     fit_info=None,
     weight_col: str | None = None,
+    persist: bool = True,
 ) -> np.ndarray:
     """Sparse twin of ``softmax_proximal``: O(k·nnz) fused scans, no
     standardization (it would densify) — the 2^18-dim hashed-text
@@ -2139,7 +2141,7 @@ def softmax_proximal_sparse(
         )
         return np.asarray(bflat, dtype=np.float64).reshape(pp, k)
 
-    return _run_sparse(df, idx_col, p, body)
+    return _run_sparse(df, idx_col, p, body, persist=persist)
 
 
 def _softmax_shift_proj(vf: np.ndarray, p: int, k: int) -> np.ndarray:

@@ -387,13 +387,19 @@ def _dense_from_sparse_rows(
     id_col: str,
     num_features: int,
     scale: list[float] | tuple | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, features array<double>) from the one-row-per-doc sparse form:
     a narrow vectorized numpy scatter (zero shuffle), with ``scale`` (e.g.
-    idf) folded into the same pass."""
+    idf) folded into the same pass. ``carry_cols`` ride through 1:1
+    (r14, guide §2.4 — the dense twin of the _sparse_rows seam)."""
     import numpy as np
     import pandas as pd
 
+    if "features" in carry_cols or id_col in carry_cols:
+        raise ValueError(
+            f"carry_cols {carry_cols!r} collide with the output columns"
+        )
     id_type = sparse.schema[id_col].dataType.simpleString()
     nf = int(num_features)
     # scale: dense list (low dims — folds into the closure) or the sparse
@@ -422,10 +428,18 @@ def _dense_from_sparse_rows(
                 if scale_arr is not None:
                     v *= scale_arr
                 feats.append(v.tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            out = pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            for c in carry_cols:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield out
 
+    carry_schema = "".join(
+        f", {c} {sparse.schema[c].dataType.simpleString()}"
+        for c in carry_cols
+    )
     return sparse.mapInPandas(
-        scatter, f"{id_col} {id_type}, features array<double>"
+        scatter,
+        f"{id_col} {id_type}, features array<double>{carry_schema}",
     )
 
 
@@ -609,19 +623,30 @@ def hashing_tf(
     id_col: str = "doc_id",
     num_features: int = 64,
     path: str = "arrow",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Hashed term-frequency vectors: (id_col, features array<double>).
 
     arrow (default): ONE narrow mapInPandas pass — tokenize, memo-hash,
     scatter to dense — ZERO shuffles end-to-end. sql: the pure-codegen
     ``_bucket_counts`` + pivot shape (see those docstrings). Docs with no
-    tokens emit no row (both paths)."""
+    tokens emit no row (both paths). ``carry_cols`` (arrow only, r14)
+    ride the featurizing pass 1:1 — the seam that lets a caller keep its
+    label/metadata on the featurized row instead of joining it back on
+    doc id (guide §2.4: that join is two exchanges of doc-scale rows)."""
     _check_tf_path(path)
     if path == "arrow":
-        sparse = _sparse_rows(df, text_col, id_col, num_features).where(
-            F.size("buckets") > 0
+        sparse = _sparse_rows(
+            df, text_col, id_col, num_features, carry_cols=carry_cols
+        ).where(F.size("buckets") > 0)
+        return _dense_from_sparse_rows(
+            sparse, id_col, num_features, carry_cols=carry_cols
         )
-        return _dense_from_sparse_rows(sparse, id_col, num_features)
+    if carry_cols:
+        raise NotImplementedError(
+            "carry_cols requires path='arrow' (the sql pivot aggregates "
+            "away non-key columns)"
+        )
     return _dense_pivot(
         _bucket_counts(df, text_col, id_col, num_features), id_col, num_features
     )
@@ -661,6 +686,13 @@ def tfidf_features(
         # N and df(b) in ONE job: each doc contributes a -1 sentinel plus
         # its distinct buckets, so the same tiny groupBy yields the doc
         # count (sentinel row) and every doc-frequency.
+        # AQE-bypass scale audit (r14, VERDICT r13 #6): the groupBy keys
+        # are BOUNDED (num_features+1 buckets) and the built-in agg
+        # partial-aggregates map-side, so the exchange carries at most
+        # O(partitions × nf) rows at any corpus scale; the sparse cache
+        # itself materializes through a NARROW chain (mapInPandas over
+        # the scan — zero exchanges), which AQE never touches. Bounded
+        # exchange + tiny result = in-scope for kernel_exec.
         with kernel_exec(df.sparkSession):
             idf_map = {
                 int(r["bucket"]): float(r["df"])
@@ -685,8 +717,14 @@ def tfidf_features(
     counts = _bucket_counts(df, text_col, id_col, num_features).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # r14 (VERDICT r13 #6): the distinct-doc count shuffles DOC-scale ids
+    # (unbounded key set) and additionally materializes the counts cache
+    # through _bucket_counts' own (id, token)-scale shuffle — data-scale
+    # exchanges stay under the session AQE config. Only the bucket
+    # doc-frequency groupBy (bounded nf keys, map-side combined, reading
+    # the now-warm cache) keeps the bypass.
+    n_docs = counts.select(id_col).distinct().count()
     with kernel_exec(df.sparkSession):
-        n_docs = counts.select(id_col).distinct().count()
         idf_map = {
             int(r["bucket"]): float(r["df"])
             for r in counts.groupBy("bucket")
@@ -982,7 +1020,6 @@ def fit_text_classifier(
 
     if sparse is None:
         sparse = num_features > 4096
-    labels = docs.select(id_col, F.col(label_col).alias("label"))
     if sparse:
         # label rides the featurizing scan itself (carry_cols) — joining
         # it back on doc id cost two exchanges of doc-scale rows for data
@@ -1002,10 +1039,15 @@ def fit_text_classifier(
         )
         model.fit(data, p=num_features)
     else:
+        # label rides the featurizing scan itself (r14, the sparse twin's
+        # r13 fix): the old feats.join(labels, id_col) was two exchanges
+        # of doc-scale rows for data already on the row
         feats = hashing_tf(
-            docs, text_col=text_col, id_col=id_col, num_features=num_features
+            docs.withColumn("label", F.col(label_col)),
+            text_col=text_col, id_col=id_col, num_features=num_features,
+            carry_cols=("label",),
         )
-        data = feats.join(labels, id_col).select("features", "label")
+        data = feats.select("features", "label")
         model = SoftmaxRegression(
             solver="lbfgs", regularizer=regularizer, lamduh=lamduh,
             max_iter=max_iter,
