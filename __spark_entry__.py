@@ -2293,7 +2293,11 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             truth[qid] = set(cand_ids[:k].tolist())
             hn_truth[qid] = cand_ids[cand_labs != labs[qi]][:k].tolist()
         lsh_rec = _recall(
-            lsh_ann_topk(emb, queries, k=k, n_planes=3).collect(), truth
+            # dim=64 (r14, VERDICT r13 #3): the table dim is pinned by the
+            # histogram's own _hyperplanes(64, ...) above — passing it
+            # skips the operator's per-call _infer_dim probe job
+            lsh_ann_topk(emb, queries, k=k, n_planes=3, dim=64).collect(),
+            truth,
         )
         sv = sample_vectors(emb, "embedding")  # ONE sample trains IVF + PQ
         cent = train_ivf_centroids(emb, 12, sample=sv)
@@ -2356,7 +2360,7 @@ def _pq_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the 0.4 bound is margin.
         hn_found: dict = {}
         for r in hard_negative_ids(
-            emb, k=k, n_planes=3, anchors=queries
+            emb, k=k, n_planes=3, anchors=queries, dim=64
         ).collect():
             hn_found.setdefault(r["anchor_id"], set()).add(r["neg_id"])
         hn_rec = sum(
@@ -2394,16 +2398,36 @@ def _pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dask_glm_spark.functions.kernels import kernel_exec
 
+    from pyspark import StorageLevel
+
+    from dask_glm_spark.plans.layout import ensure_min_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
-    vd = emb.select(F.col("embedding").cast("array<double>").alias("_v"))
-    init = C._init_centroids(vd, 8, "_v", C.IVF_SEED)
-    cent = C.kmeans_fit(emb, k=8, max_iter=5, tol=0.0, centroids=init.copy())
-    # bounded results (k-row histogram; gate-only corpus collect) — skip
-    # the AQE stage barriers like the Lloyd rounds themselves do (r13)
-    with kernel_exec(spark):
-        sizes = C.cluster_sizes(emb, cent).collect()
-        n_total = int(sum(r["n"] for r in sizes))
-        X = np.asarray([r[0] for r in vd.collect()], dtype=np.float64)
+    # r14 (guide §5, VERDICT r13 #7 — the q48 shared-projection pattern):
+    # ONE persisted vector projection serves the init sample, all 5 Lloyd
+    # rounds, the sizes histogram AND the gate collect — previously init/
+    # fit/sizes/collect each re-derived it from parquet (4 full scans).
+    # Released before returning; float->double widening is exact, so the
+    # sizes assignments over the cast projection are bit-identical to the
+    # raw-embedding expression they replace.
+    vd = ensure_min_parallelism(
+        emb.select(F.col("embedding").cast("array<double>").alias("_v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = C._init_centroids(vd, 8, "_v", C.IVF_SEED)
+        cent = C.kmeans_fit(
+            vd, k=8, vec_col="_v", max_iter=5, tol=0.0, centroids=init.copy()
+        )
+        # bounded results (k-row histogram over the cache; gate-only corpus
+        # collect) — skip the AQE stage barriers like the Lloyd rounds (r13)
+        with kernel_exec(spark):
+            sizes = C.cluster_sizes(vd, cent, vec_col="_v").collect()
+            n_total = int(sum(r["n"] for r in sizes))
+            X = np.asarray(
+                [r[0] for r in vd.collect()], dtype=np.float64
+            )
+    finally:
+        vd.unpersist()
     want = C.lloyd_np(X, init, iters=5, tol=0.0)
     match = bool(np.allclose(cent, want, rtol=1e-8, atol=1e-10))
     sizes_ok = n_total == len(X)  # corpus count from the same gate collect

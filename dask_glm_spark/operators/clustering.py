@@ -84,10 +84,22 @@ def kmeans_fit(
     # solvers.py:65-75): project to just the vector column and persist
     # ONCE, so each Lloyd round scans the cache instead of re-reading the
     # source and re-executing the ensure_min_parallelism shuffle.
-    vd = F.col(vec_col).cast("array<double>")
-    data = ensure_min_parallelism(df.select(vd.alias("_v"))).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # r14 (guide §5, the q48 shared-projection pattern): when the CALLER
+    # already holds the prepared projection — cached, single vector
+    # column — reuse it instead of building a second identical cache
+    # (q46 shares one cache across init, the Lloyd rounds, the sizes
+    # histogram and its gate collect; contract: the column must already
+    # be array<double>, which exact float->double widening guarantees
+    # for float embeddings).
+    we_persisted = False
+    if df.is_cached and df.columns == [vec_col]:
+        data = df if vec_col == "_v" else df.select(F.col(vec_col).alias("_v"))
+    else:
+        vd = F.col(vec_col).cast("array<double>")
+        data = ensure_min_parallelism(df.select(vd.alias("_v"))).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        we_persisted = True
     try:
         if centroids is None:
             centroids = _init_centroids(data, k, "_v", seed)
@@ -149,7 +161,8 @@ def kmeans_fit(
             if shift <= tol:
                 break
     finally:
-        data.unpersist()
+        if we_persisted:
+            data.unpersist()
     return centroids
 
 
