@@ -58,6 +58,9 @@ def main() -> int:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # partest is the FULL-suite runner: include the files the default
+    # serial run skips as slow (r14, VERDICT r13 #2 — see conftest)
+    env["SPARK_GRAFT_RUN_SLOW"] = "1"
     # one derby/warehouse dir per worker pid is not needed: each pytest
     # process runs in its own JVM and CWD; spark.ui is disabled in
     # get_spark so there are no port collisions either.

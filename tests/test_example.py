@@ -6,6 +6,12 @@ from __future__ import annotations
 import importlib.util
 import os
 
+import pytest
+
+# r14 (VERDICT r13 #2): multi-minute file on a latency-floor box — skipped
+# by the default serial run, always run by scripts/partest.py (see conftest)
+pytestmark = pytest.mark.slow
+
 
 def test_end_to_end_example(tmp_path):
     spec = importlib.util.spec_from_file_location(
