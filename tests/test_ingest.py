@@ -5,6 +5,10 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+
+# r14 (VERDICT r13 #2): multi-minute file on a latency-floor box — skipped
+# by the default serial run, always run by scripts/partest.py (see conftest)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from dask_glm_spark.sources import ingest

@@ -4,6 +4,10 @@ must equal their plain counterparts."""
 from __future__ import annotations
 
 import pytest
+
+# r14 (VERDICT r13 #2): multi-minute file on a latency-floor box — skipped
+# by the default serial run, always run by scripts/partest.py (see conftest)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from dask_glm_spark.operators import joins as J
