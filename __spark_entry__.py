@@ -1904,14 +1904,22 @@ def _pq_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would squat a corpus-row-sized cache for the rest of the 50-query
     # gate session (the q16/q51 pattern; checkpoint blocks are released
     # by the ContextCleaner when the frame is GC'd).
-    meta = cur.select(
+    # r14 (VERDICT r13 #8, guide §2.4): the checkpoint moves UP to the
+    # filtered slice itself, so the dedup branch reads it too — before,
+    # meta checkpointed a text-free projection and minhash_dedup_pairs
+    # re-ran the parquet scan + quality/langid filter a second time to
+    # get the text. One materialization now feeds both branches (scan
+    # count 2 -> 1); meta stays a lazy view over it (consumed once by
+    # the survivors join), so n_tok is still computed exactly once.
+    curc = cur.localCheckpoint()
+    meta = curc.select(
         "doc_id",
         "source",
         "quality",
         T.token_count_expr("text").cast("long").alias("n_tok"),
-    ).localCheckpoint()
+    )
     surv = G.neardup_survivors(
-        meta, D.minhash_dedup_pairs(cur, threshold=0.5, path="arrow")
+        meta, D.minhash_dedup_pairs(curc, threshold=0.5, path="arrow")
     )
     return (
         surv.groupBy("source")
