@@ -42,9 +42,10 @@ def regularization_path(
     fit warm-starts from its predecessor (``warm=False`` cold-starts
     every fit, for A/Bs). The input is persisted once around the sweep so
     the per-λ fits share one cache; with ``normalize`` on (the default)
-    each fit still runs its own one-scan moments job — λ-independent but
-    intentionally NOT hoisted, to keep each fit's standardization
-    identical to a standalone call.
+    the λ-independent moments job runs ONCE here (r13) and seeds every
+    dense fit through the wrapper's ``_moments`` hook — the identical
+    floats each per-fit scan would have produced, so standardization is
+    bit-equal to a standalone call (pinned in tests/test_model_selection).
 
     ``batched=True`` (round 13, proximal_grad only) runs every λ's ISTA
     state machine SIMULTANEOUSLY — one fused ``multi_loss_gradient``
