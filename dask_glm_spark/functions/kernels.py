@@ -75,12 +75,36 @@ UNROLL_MAX = 64
 # ---------------------------------------------------------------------------
 _AQE_LOCK = threading.Lock()
 _AQE_STATE: dict[int, tuple[int, str]] = {}  # session id -> (depth, saved)
+# r14 (second pass): iterative solvers re-plan the same SQL kernel with a
+# NEW beta every evaluation. Scalar double literals are inlined into the
+# whole-stage-codegen SOURCE, so each evaluation is a Janino cache MISS —
+# measured +70-100 ms/evaluation on this box (scripts/kernel_eval_cost.py:
+# loss_gradient 249 vs 179 ms, gradient_hessian 387 vs 289, hvp 258 vs
+# 177). The fix: beta rides ONE ArrayType literal (non-primitive literals
+# are codegen REFERENCES — data, not source), and ConstantFolding is
+# excluded while the kernel action plans so the optimizer cannot fold the
+# element accesses back into inlined scalars. The generated source is then
+# byte-identical across evaluations -> Janino cache HIT. Values are
+# bit-identical (folding is pure extraction), pinned by
+# tests/test_kernels.py::test_matvec_array_literal_bit_exact.
+_NOFOLD_STATE: dict[int, tuple[int, str | None]] = {}
+_NOFOLD_RULE = "org.apache.spark.sql.catalyst.optimizer.ConstantFolding"
+_EXCLUDED_RULES_KEY = "spark.sql.optimizer.excludedRules"
 
 
 @contextmanager
-def kernel_exec(spark):
+def kernel_exec(spark, stable_source: bool = False):
     """Run a tiny-result kernel action with AQE off, restoring the
-    session's prior setting when the outermost kernel job finishes."""
+    session's prior setting when the outermost kernel job finishes.
+
+    ``stable_source=True`` (iterative GLM kernels only) additionally
+    excludes the ConstantFolding optimizer rule for the action, keeping
+    per-iteration beta array literals out of the generated code so the
+    solver loop reuses one compiled plan instead of paying a Janino
+    compile per evaluation. Only the GLM kernel aggregates opt in: their
+    plans contain no foldable work besides the beta elements (a pipeline
+    plan with e.g. a folded ``from_json`` literal table must NOT run
+    under it)."""
     key = id(spark)
     with _AQE_LOCK:
         depth, saved = _AQE_STATE.get(key, (0, "true"))
@@ -92,10 +116,36 @@ def kernel_exec(spark):
             if saved != "false":
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
         _AQE_STATE[key] = (depth + 1, saved)
+        if stable_source:
+            nf_depth, nf_saved = _NOFOLD_STATE.get(key, (0, None))
+            if nf_depth == 0:
+                try:
+                    nf_saved = spark.conf.get(_EXCLUDED_RULES_KEY, None)
+                except Exception:
+                    nf_saved = None
+                if not nf_saved:
+                    spark.conf.set(_EXCLUDED_RULES_KEY, _NOFOLD_RULE)
+                elif _NOFOLD_RULE not in nf_saved:
+                    spark.conf.set(
+                        _EXCLUDED_RULES_KEY, nf_saved + "," + _NOFOLD_RULE
+                    )
+            _NOFOLD_STATE[key] = (nf_depth + 1, nf_saved)
     try:
         yield
     finally:
         with _AQE_LOCK:
+            if stable_source and key in _NOFOLD_STATE:
+                nf_depth, nf_saved = _NOFOLD_STATE[key]
+                if nf_depth == 1:
+                    try:
+                        if nf_saved:
+                            spark.conf.set(_EXCLUDED_RULES_KEY, nf_saved)
+                        else:
+                            spark.conf.unset(_EXCLUDED_RULES_KEY)
+                    finally:
+                        del _NOFOLD_STATE[key]
+                else:
+                    _NOFOLD_STATE[key] = (nf_depth - 1, nf_saved)
             depth, saved = _AQE_STATE[key]
             if depth == 1:
                 # Delete the state entry even if the restore throws (e.g.
@@ -114,10 +164,34 @@ def kernel_exec(spark):
 # ---------------------------------------------------------------------------
 # P1: mat-vec as a codegen'd expression (beta folded in as literals — P8)
 # ---------------------------------------------------------------------------
+def _vec_elems(vec, n: int) -> list[Column]:
+    """The n elements of ``vec`` as Columns over ONE ArrayType literal.
+
+    An ArrayType literal lands in the codegen ``references`` array (data),
+    not the generated source, so a plan built from these elements has
+    byte-identical source across different vec values — under
+    ``kernel_exec(stable_source=True)`` (ConstantFolding excluded) the
+    iterative solvers then hit the Janino cache every evaluation instead
+    of recompiling per beta (measured +70-100 ms/evaluation saved; see
+    kernel_exec). Anywhere ConstantFolding IS active (every declared
+    query plan) the optimizer folds each element access back into the
+    exact scalar literal the old form inlined — the optimized plans are
+    byte-identical, pinned by the plans/r14 dumps. Falls back to plain
+    float literals when the runtime cannot build an ndarray literal
+    (pre-4.0 PySpark)."""
+    try:
+        arr = F.lit(np.asarray(list(vec), dtype=np.float64))
+        return [arr[int(j)] for j in range(n)]
+    except Exception:
+        return [F.lit(float(b)) for b in list(vec)[:n]]
+
+
 def matvec_expr(beta: Iterable[float], features_col: str = "features") -> Column:
     """``xb = Σ_j features[j] * beta[j]`` — unrolled, constant-folded."""
     col = F.col(features_col)
-    terms = [col[int(j)] * float(b) for j, b in enumerate(beta)]
+    beta = list(beta)
+    elems = _vec_elems(beta, len(beta))
+    terms = [col[int(j)] * elems[j] for j in range(len(beta))]
     return reduce(lambda a, b: a + b, terms)
 
 
@@ -416,7 +490,7 @@ def _arrow_partials(
 # Fused loss + gradient (the per-iteration job of lbfgs/GD/prox_grad; O4:
 # loss and gradient share the xb subexpression and one scan of X)
 # ---------------------------------------------------------------------------
-def _loss_gradient_sql_aggs(
+def _loss_gradient_sql_parts(
     family,
     beta: np.ndarray,
     p: int,
@@ -425,11 +499,26 @@ def _loss_gradient_sql_aggs(
     weight_col: str | None,
     offset_col: str | None,
     prefix: str = "",
-) -> list[Column]:
-    """The sql-path loss+gradient aggregate expressions — the ONE
-    definition, shared by ``loss_gradient`` and ``loss_gradient_fused``
-    so a fused multi-spec scan computes bit-identical sums (same
-    expressions, same per-partition accumulation order)."""
+) -> tuple[list[Column], list[Column]]:
+    """The sql-path loss+gradient as (projection columns, aggregate
+    columns) — the ONE definition, shared by ``loss_gradient`` and
+    ``loss_gradient_fused`` so a fused multi-spec scan computes
+    bit-identical sums (same expressions, same per-partition
+    accumulation order).
+
+    Split shape (r14, plan-stability): the beta-dependent per-row terms
+    (``ll``, ``r``) are PROJECTED below the aggregate instead of inlined
+    into every sum. Catalyst's subexpression elimination orders its
+    extracted functions by a hash that includes literal VALUES, so an
+    aggregate whose sums all embed beta emitted differently-ordered code
+    per evaluation — a Janino cache miss per solver iteration even with
+    the beta array literal kept out of the source. With the terms
+    projected, the aggregate's expressions are literal-free (stable
+    hash ⇒ stable order) and the projection's subexpressions (xb and its
+    exp terms) have distinct heights (stable sort). Per-row arithmetic
+    and per-partition accumulation order are unchanged, so every sum is
+    bit-identical to the inlined form (pinned by
+    tests/test_kernels.py::test_matvec_array_literal_bit_exact)."""
     xb = matvec_expr(beta, features_col)
     # offset/exposure (round 10, MLlib offsetCol): the linear predictor
     # becomes xb + offset — a fixed per-row term with no coefficient
@@ -437,7 +526,6 @@ def _loss_gradient_sql_aggs(
         xb = xb + F.col(offset_col)
     y = F.col(label_col)
     r = family.residual(xb, y)
-    fcol = F.col(features_col)
     # weighted GLM (round 10): loss = sum(w*ll), grad = X^T (w*r) —
     # same single scan, one extra multiply inside codegen
     if weight_col is not None:
@@ -446,14 +534,21 @@ def _loss_gradient_sql_aggs(
         r = w * r
     else:
         ll = family.loglike_terms(xb, y)
+    proj = [ll.alias(f"_{prefix}ll"), r.alias(f"_{prefix}r")]
+    fcol = F.col(features_col)
+    rcol = F.col(f"_{prefix}r")
     # coalesce: F.sum is NULL on empty input; the arrow path returns
     # 0.0/zeros — keep both physical paths consistent (ADVICE r1).
-    aggs = [F.coalesce(F.sum(ll), F.lit(0.0)).alias(f"{prefix}loss")]
+    aggs = [
+        F.coalesce(F.sum(F.col(f"_{prefix}ll")), F.lit(0.0)).alias(
+            f"{prefix}loss"
+        )
+    ]
     aggs += [
-        F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"{prefix}g{j}")
+        F.coalesce(F.sum(fcol[j] * rcol), F.lit(0.0)).alias(f"{prefix}g{j}")
         for j in range(p)
     ]
-    return aggs
+    return proj, aggs
 
 
 def loss_gradient(
@@ -472,11 +567,11 @@ def loss_gradient(
     if path == "auto":
         path = "sql" if p <= UNROLL_MAX else "arrow"
     if path == "sql":
-        aggs = _loss_gradient_sql_aggs(
+        proj, aggs = _loss_gradient_sql_parts(
             family, beta, p, features_col, label_col, weight_col, offset_col
         )
-        with kernel_exec(df.sparkSession):
-            row = df.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession, stable_source=True):
+            row = df.select(F.col(features_col), *proj).agg(*aggs).collect()[0]
         return float(row["loss"]), np.array([row[f"g{j}"] for j in range(p)])
 
     def partial(X, y, w=None, o=None):
@@ -521,20 +616,25 @@ def loss_gradient_fused(
     / §2.4: N scans sharing a source become one). Each ``specs`` entry is
     ``{"weight_col": ..., "offset_col": ...}`` (both optional). Sums are
     bit-identical to N separate ``loss_gradient`` calls: the per-spec
-    expressions come from the same ``_loss_gradient_sql_aggs`` builder and
+    expressions come from the same ``_loss_gradient_sql_parts`` builder and
     each sum's per-partition accumulation order is unchanged (pinned by
     tests/test_kernels.py::test_loss_gradient_fused_matches_separate)."""
     beta = np.asarray(beta, dtype=np.float64)
     p = p or len(beta)
     specs = specs or [{}]
+    proj: list[Column] = []
     aggs: list[Column] = []
     for i, spec in enumerate(specs):
-        aggs += _loss_gradient_sql_aggs(
+        sp, sa = _loss_gradient_sql_parts(
             family, beta, p, features_col, label_col,
             spec.get("weight_col"), spec.get("offset_col"), prefix=f"s{i}_",
         )
-    with kernel_exec(df.sparkSession):
-        row = df.agg(*aggs).collect()[0]
+        proj += sp
+        aggs += sa
+    with kernel_exec(df.sparkSession, stable_source=True):
+        row = (
+            df.select(F.col(features_col), *proj).agg(*aggs).collect()[0]
+        )
     return [
         (
             float(row[f"s{i}_loss"]),
@@ -575,14 +675,26 @@ def gradient_hessian(
             r = sw * r
             w = sw * w
         fcol = F.col(features_col)
-        aggs = [F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"g{j}") for j in range(p)]
+        # beta-dependent per-row terms projected below the aggregate —
+        # keeps the aggregate's subexpression hashes literal-free so the
+        # generated source is identical across iterations (see
+        # _loss_gradient_sql_parts); arithmetic and accumulation order
+        # unchanged, sums bit-identical.
+        pre = df.select(fcol, r.alias("_r"), w.alias("_w"))
+        rcol, wcol = F.col("_r"), F.col("_w")
+        aggs = [
+            F.coalesce(F.sum(fcol[j] * rcol), F.lit(0.0)).alias(f"g{j}")
+            for j in range(p)
+        ]
         aggs += [
-            F.coalesce(F.sum(w * fcol[i] * fcol[j]), F.lit(0.0)).alias(f"h{i}_{j}")
+            F.coalesce(
+                F.sum(wcol * fcol[i] * fcol[j]), F.lit(0.0)
+            ).alias(f"h{i}_{j}")
             for i in range(p)
             for j in range(i, p)
         ]
-        with kernel_exec(df.sparkSession):
-            row = df.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession, stable_source=True):
+            row = pre.agg(*aggs).collect()[0]
         grad = np.array([row[f"g{j}"] for j in range(p)])
         hess = np.empty((p, p))
         for i in range(p):
@@ -644,18 +756,31 @@ def hessian_vector_product(
         xb = matvec_expr(beta, features_col)
         if offset_col is not None:
             xb = xb + F.col(offset_col)
-        xv = matvec_expr(v, features_col)
-        hw = family.hess_weight(xb)
+        fcol = F.col(features_col)
+        # per-row scalar t = hw·(X·v) projected below the aggregate for
+        # iteration-stable codegen source (see _loss_gradient_sql_parts).
+        # Two stacked projects: xb and xv are SAME-height matvecs whose
+        # subexpression hashes both embed literal values, so one project
+        # holding both re-ties the extraction order per (beta, v) —
+        # aliasing xb first leaves each project with at most one
+        # literal-bearing subexpression tree. Sums bit-identical.
+        pre1 = df.select(
+            fcol,
+            xb.alias("_xb"),
+            *([F.col(weight_col)] if weight_col is not None else []),
+        )
+        hw = family.hess_weight(F.col("_xb"))
         if weight_col is not None:
             hw = F.col(weight_col) * hw
-        t = hw * xv
-        fcol = F.col(features_col)
+        t = hw * matvec_expr(v, features_col)
+        pre = pre1.select(fcol, t.alias("_t"))
+        tcol = F.col("_t")
         aggs = [
-            F.coalesce(F.sum(fcol[j] * t), F.lit(0.0)).alias(f"hv{j}")
+            F.coalesce(F.sum(fcol[j] * tcol), F.lit(0.0)).alias(f"hv{j}")
             for j in range(p)
         ]
-        with kernel_exec(df.sparkSession):
-            row = df.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession, stable_source=True):
+            row = pre.agg(*aggs).collect()[0]
         return np.array([row[f"hv{j}"] for j in range(p)])
 
     def partial(X, y, sw=None, o=None):
@@ -709,9 +834,16 @@ def multi_loss(
             t = family.loglike_terms(xb, y)
             return F.col(weight_col) * t if weight_col is not None else t
 
+        # per-candidate loglike terms projected below the aggregate for
+        # iteration-stable codegen source at k=1, the solver-loop shape
+        # (see _loss_gradient_sql_parts); sums bit-identical.
+        proj = [_term(b).alias(f"_t{i}") for i, b in enumerate(betas)]
+        if with_denom and weight_col is not None:
+            proj.append(F.col(weight_col))
+        pre = df.select(*proj)
         aggs = [
-            F.coalesce(F.sum(_term(b)), F.lit(0.0)).alias(f"s{i}")
-            for i, b in enumerate(betas)
+            F.coalesce(F.sum(F.col(f"_t{i}")), F.lit(0.0)).alias(f"s{i}")
+            for i in range(len(betas))
         ]
         if with_denom:
             d = (
@@ -720,8 +852,8 @@ def multi_loss(
                 else F.count("*").cast("double")
             )
             aggs.append(F.coalesce(d, F.lit(0.0)).alias("_denom"))
-        with kernel_exec(df.sparkSession):
-            row = df.agg(*aggs).collect()[0]
+        with kernel_exec(df.sparkSession, stable_source=True):
+            row = pre.agg(*aggs).collect()[0]
         losses_out = np.array([row[f"s{i}"] for i in range(k)])
         if with_denom:
             return losses_out, float(row["_denom"])
@@ -851,7 +983,7 @@ def multi_loss_gradient(
                 ).alias(f"g{i}_{j}")
                 for j in range(p)
             ]
-        with kernel_exec(df.sparkSession):
+        with kernel_exec(df.sparkSession, stable_source=True):
             row = base.agg(*aggs).collect()[0]
         losses = np.array([row[f"s{i}"] for i in range(k)])
         grads = np.empty((p, k))

@@ -341,3 +341,61 @@ def test_prox_step_candidate_matches_internal_gradient(data):
     )
     recomputed = prox_step(df, BETA, s, lam, regularizer="l1", path="sql")
     np.testing.assert_allclose(via_candidate, recomputed, rtol=1e-12, atol=0)
+
+
+def test_matvec_array_literal_bit_exact(data, spark):
+    """r14: beta rides ONE ArrayType literal (stable codegen source) and
+    ConstantFolding is excluded during kernel actions. The sums must be
+    BIT-identical to the folded-literal form — folding is pure element
+    extraction, so evaluating with folding ON (a plain collect outside
+    kernel_exec, which folds each ``lit(arr)[j]`` back into the exact
+    scalar literal the old form inlined) must reproduce every float."""
+    df, X, y = data
+    rng = np.random.RandomState(41)
+    for _ in range(3):
+        beta = rng.rand(4) - 0.4
+        # library form: stable-source kernel action (folding excluded)
+        loss, grad = kernels.loss_gradient(df, Logistic, beta, path="sql")
+        # reference: the pre-r14 INLINED scalar-literal aggregate shape,
+        # collected OUTSIDE kernel_exec (folding on, subexprs re-fused) —
+        # the exact plan the old kernels ran
+        fcol = F.col("features")
+        xb = sum(
+            (fcol[j] * float(beta[j]) for j in range(1, 4)),
+            fcol[0] * float(beta[0]),
+        )
+        y = F.col("label")
+        r = Logistic.residual(xb, y)
+        ll = Logistic.loglike_terms(xb, y)
+        aggs = [F.coalesce(F.sum(ll), F.lit(0.0)).alias("loss")]
+        aggs += [
+            F.coalesce(F.sum(fcol[j] * r), F.lit(0.0)).alias(f"g{j}")
+            for j in range(4)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        assert loss == float(row["loss"])
+        assert np.array_equal(
+            grad, np.array([row[f"g{j}"] for j in range(4)])
+        )
+
+
+def test_kernel_exec_stable_source_restores_conf(spark):
+    """The excludedRules override must restore the prior session value on
+    exit, including nesting and a pre-existing user value."""
+    key = "spark.sql.optimizer.excludedRules"
+    try:
+        spark.conf.unset(key)
+    except Exception:
+        pass
+    with kernels.kernel_exec(spark, stable_source=True):
+        assert kernels._NOFOLD_RULE in spark.conf.get(key)
+        with kernels.kernel_exec(spark, stable_source=True):
+            assert kernels._NOFOLD_RULE in spark.conf.get(key)
+    assert spark.conf.get(key, None) in (None, "")
+    prior = "org.apache.spark.sql.catalyst.optimizer.OptimizeIn"
+    spark.conf.set(key, prior)
+    with kernels.kernel_exec(spark, stable_source=True):
+        val = spark.conf.get(key)
+        assert prior in val and kernels._NOFOLD_RULE in val
+    assert spark.conf.get(key) == prior
+    spark.conf.unset(key)
