@@ -913,83 +913,73 @@ def multi_loss_gradient(
     the probe already read).
 
     Arrow path: XB and XᵀR are two (n,p)x(p,k)-shaped GEMMs per batch;
-    partials are (k + p·k) doubles. SQL path: k matvec/loglike/residual
-    projections then k(p+1) unrolled agg columns.
+    partials are (k + p·k) doubles. SQL path (r14, explode form): the k
+    candidates ride ONE array-of-array-literals column, ``posexplode``
+    fans each row out to (candidate_id, beta_c) pairs, and a
+    ``groupBy(candidate_id)`` aggregates each candidate's loss and
+    gradient sums — per-candidate row arithmetic and accumulation order
+    are IDENTICAL to the former unrolled k-column aggregate (bit-equal,
+    pinned by tests/test_kernels.py::test_multi_loss_gradient_paths_agree
+    via the unchanged 1e-12 sql/arrow parity plus the solver-trajectory
+    suites), but the plan contains no per-candidate expressions, so its
+    codegen source is byte-identical across iterations — the Janino-
+    recompile-per-iteration problem that originally forced ``auto`` to
+    ARROW (r6: gd 5.4 s sql vs 3.5 arrow) is gone at the root.
 
-    ``auto`` resolves to ARROW unconditionally (unlike the other kernels'
-    size-based split): this kernel only ever runs inside the solver
-    iteration loop with fresh beta literals every call, so the SQL plan —
-    k(p+1) agg columns over k matvec projections — pays a Janino codegen
-    compile per iteration and measures SLOWER than the two jobs it
-    replaced (gd 5.4 s vs 5.0 r6). The arrow plan is literal-free (B
-    rides the closure), byte-identical across iterations, and lands at
-    3.5-3.6 s — the same plan-stability lesson as the k-means round
-    (SURVEY §13)."""
+    ``auto`` now resolves like ``multi_loss``: sql while p·k stays small
+    (one JVM-only job, ~300 ms/probe on this box vs ~500 ms for the
+    arrow path's Python-worker round trip), arrow beyond (the explode
+    multiplies row work by k; wide p·k wants the per-batch GEMMs)."""
     k = len(betas)
     p = len(betas[0])
     if path == "auto":
-        path = "arrow"
+        path = "sql" if p * k <= 4 * UNROLL_MAX else "arrow"
     if path == "sql":
-        # Pre-project each candidate's xb, loglike term, and residual ONCE
-        # per row before aggregating: naively inlining xb into all p+1 agg
-        # columns per candidate evaluates the matvec k·(p+1) times per row
-        # (~6x the row work at p=4+1 — measured as a net fit REGRESSION
-        # despite the job savings). The stacked selects collapse into one
-        # codegen stage evaluating k matvecs + k residuals per row.
         y = F.col(label_col)
-        wsel = (
-            [F.col(weight_col).alias("_w")] if weight_col is not None else []
+        fcol = F.col(features_col)
+        cand = F.array(
+            *[F.lit(np.asarray(b, dtype=np.float64)) for b in betas]
         )
-
-        def _xb(b):
-            e = matvec_expr(b, features_col)
-            return e + F.col(offset_col) if offset_col is not None else e
-
-        base = df.select(
-            F.col(features_col).alias("_f"),
+        extra = [F.col(c) for c in (weight_col, offset_col) if c is not None]
+        pre = df.select(
+            fcol,
             y.alias("_y"),
-            *wsel,
-            *[_xb(b).alias(f"_xb{i}") for i, b in enumerate(betas)],
+            *extra,
+            F.posexplode(cand).alias("_c", "_b"),
         )
-        def _weighted(expr):
-            # keep the unweighted plan byte-identical (plan-stability
-            # discipline, SURVEY §13) — only weighted fits pay the multiply
-            return F.col("_w") * expr if weight_col is not None else expr
-
-        base = base.select(
-            "_f",
-            *[
-                _weighted(
-                    family.loglike_terms(F.col(f"_xb{i}"), F.col("_y"))
-                ).alias(f"_ll{i}")
-                for i in range(k)
-            ],
-            *[
-                _weighted(
-                    family.residual(F.col(f"_xb{i}"), F.col("_y"))
-                ).alias(f"_r{i}")
-                for i in range(k)
-            ],
+        b = F.col("_b")
+        xb = reduce(
+            lambda a, c: a + c, [fcol[j] * b[j] for j in range(p)]
         )
-        fcol = F.col("_f")
-        aggs = []
-        for i in range(k):
-            aggs.append(
-                F.coalesce(F.sum(F.col(f"_ll{i}")), F.lit(0.0)).alias(f"s{i}")
+        if offset_col is not None:
+            xb = xb + F.col(offset_col)
+        ll = family.loglike_terms(xb, F.col("_y"))
+        r = family.residual(xb, F.col("_y"))
+        if weight_col is not None:
+            w = F.col(weight_col)
+            ll = w * ll
+            r = w * r
+        pre2 = pre.select("_c", fcol, ll.alias("_ll"), r.alias("_r"))
+        aggs = [F.coalesce(F.sum("_ll"), F.lit(0.0)).alias("s")]
+        aggs += [
+            F.coalesce(F.sum(fcol[j] * F.col("_r")), F.lit(0.0)).alias(
+                f"g{j}"
             )
-            aggs += [
-                F.coalesce(
-                    F.sum(fcol[j] * F.col(f"_r{i}")), F.lit(0.0)
-                ).alias(f"g{i}_{j}")
-                for j in range(p)
-            ]
+            for j in range(p)
+        ]
         with kernel_exec(df.sparkSession, stable_source=True):
-            row = base.agg(*aggs).collect()[0]
-        losses = np.array([row[f"s{i}"] for i in range(k)])
-        grads = np.empty((p, k))
+            rows = pre2.groupBy("_c").agg(*aggs).collect()
+        by_c = {int(r_["_c"]): r_ for r_ in rows}
+        # empty input produces zero groups: zero-fill to match the arrow
+        # path's zeros and the former coalesce-0.0 per-candidate sums
+        losses = np.zeros(k)
+        grads = np.zeros((p, k))
         for i in range(k):
-            for j in range(p):
-                grads[j, i] = row[f"g{i}_{j}"]
+            r_ = by_c.get(i)
+            if r_ is not None:
+                losses[i] = r_["s"]
+                for j in range(p):
+                    grads[j, i] = r_[f"g{j}"]
         return losses, grads
 
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
