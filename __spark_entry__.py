@@ -2776,7 +2776,11 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``beta1``       solvers.gd_step → kernels.loss_gradient at BETA,
                       fixed step GD_STEP_S (r1)
-    - ``loss1``       kernels.loss (multi_loss k=1) at beta1 (r1)
+    - ``loss1``       loss at beta1 (r1); since r14's second pass read
+                      from kernels.multi_loss_gradient's candidate 1 at
+                      [BETA, beta1] — bit-identical to the kernels.loss
+                      job it replaces (parity pinned in
+                      tests/test_kernels.py)
     - ``beta1_prox``  solvers.prox_step → regularizers.L1.
                       proximal_operator at (beta1, GD_STEP_S·PROX_LAMDUH)
                       (r6, merged q49)
@@ -2846,7 +2850,14 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behind each other instead of overlapping — don't "fix" this again.
     df = _glm_nosort(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
 
-    beta1, loss1 = solvers.gd_step(df, BETA, GD_STEP_S)
+    # r14 (second pass, guide §2.4): loss1 — the loss at beta1 — is also
+    # candidate 1 of the fused multi_loss_gradient probe below, whose
+    # per-candidate sums are bit-identical to the standalone loss job
+    # (same per-row terms, same row-order accumulation; pinned by
+    # tests/test_kernels.py::test_multi_loss_gradient_candidate_loss_
+    # matches_loss). gd_step therefore skips its loss scan and loss1 is
+    # read from mlg_losses[1] — one whole kernel job removed.
+    beta1, _ = solvers.gd_step(df, BETA, GD_STEP_S, compute_loss=False)
     # r14 (guide §2.4, VERDICT r13 #1): gd_step already ran the identical
     # deterministic loss_gradient at (BETA, GD_STEP_S) — its beta1 IS the
     # prox candidate beta - s*grad, so prox_step skips the duplicate
@@ -2951,16 +2962,19 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf, Logistic, np.asarray(BETA), np.asarray(HVP_V), 4
     )
     # round 13: the fused multi-probe line-search kernels at the
-    # candidate pair [BETA, beta1] — multi_loss_gradient (auto → ARROW:
-    # the exact per-iteration probe dense gd/lbfgs run) and its sparse
-    # twin over the same ragged view. Candidate 0 must reproduce the
+    # candidate pair [BETA, beta1] — multi_loss_gradient (auto → the
+    # literal-free explode-SQL probe since r14's second pass: still the
+    # exact per-iteration probe dense gd/prox run) and its sparse twin
+    # over the same ragged view. Candidate 0 must reproduce the
     # single-candidate kernels' gated values (mlgl0 = q02's loss, mlgg0 =
     # q05's gradient); candidate 1's gradient is new math the oracle's b
-    # CTE recomputes.
+    # CTE recomputes. Candidate 1's LOSS doubles as loss1 (the gd_step
+    # loss scan it replaces is bit-identical — see the gd_step call above).
     mlg_losses, mlg_grads = kernels.multi_loss_gradient(
         df.select("features", "label"), Logistic,
         [np.asarray(BETA), np.asarray(beta1)],
     )
+    loss1 = float(mlg_losses[1])
     smlg_losses, smlg_grads = kernels_sparse.multi_loss_gradient_sparse(
         sdf, Logistic, [np.asarray(BETA), np.asarray(beta1)], 4
     )

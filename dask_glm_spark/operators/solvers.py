@@ -500,7 +500,8 @@ def gd_step(
     features_col: str = "features",
     label_col: str = "label",
     path: str = "auto",
-) -> tuple[np.ndarray, float]:
+    compute_loss: bool = True,
+) -> tuple[np.ndarray, float | None]:
     """ONE unrolled fixed-step gradient-descent iteration.
 
     Exactly the update line of the GD loop (``beta - stepSize * grad``,
@@ -512,6 +513,14 @@ def gd_step(
     beta1)``. This is the oracle surface for the solver update math (q48):
     the same ``kernels.loss_gradient`` the real loop calls, hash-checked
     against DuckDB running the algebra symbolically.
+
+    ``compute_loss=False`` (r14, guide §2.4) skips the loss scan and
+    returns ``(beta1, None)`` — for callers that already evaluate a fused
+    probe at a candidate set containing ``beta1`` (q48's
+    ``multi_loss_gradient [BETA, beta1]``), whose candidate loss is
+    bit-identical to the skipped job (same per-row terms, same row-order
+    accumulation per candidate; pinned by
+    tests/test_kernels.py::test_multi_loss_gradient_candidate_loss_matches_loss).
     """
     beta = np.asarray(beta, dtype=np.float64)
     p = len(beta)
@@ -519,6 +528,8 @@ def gd_step(
         df, family, beta, p, features_col, label_col, path
     )
     beta1 = beta - float(stepsize) * grad
+    if not compute_loss:
+        return beta1, None
     loss1 = kernels.loss(
         df, family, beta1,
         features_col=features_col, label_col=label_col, path=path,

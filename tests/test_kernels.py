@@ -399,3 +399,19 @@ def test_kernel_exec_stable_source_restores_conf(spark):
         assert prior in val and kernels._NOFOLD_RULE in val
     assert spark.conf.get(key) == prior
     spark.conf.unset(key)
+
+
+def test_multi_loss_gradient_candidate_loss_matches_loss(data):
+    """q48 reads loss1 from the fused probe's candidate-1 loss instead of
+    a standalone kernels.loss job — the two must be BIT-identical (same
+    per-row terms, same row-order accumulation per candidate)."""
+    df, X, y = data
+    rng = np.random.RandomState(17)
+    for _ in range(3):
+        b0 = rng.rand(4) - 0.5
+        b1 = rng.rand(4) - 0.5
+        losses, _ = kernels.multi_loss_gradient(df, Logistic, [b0, b1])
+        direct0 = kernels.loss(df, Logistic, b0)
+        direct1 = kernels.loss(df, Logistic, b1)
+        assert float(losses[0]) == direct0
+        assert float(losses[1]) == direct1
