@@ -87,9 +87,20 @@ _AQE_STATE: dict[int, tuple[int, str]] = {}  # session id -> (depth, saved)
 # byte-identical across evaluations -> Janino cache HIT. Values are
 # bit-identical (folding is pure extraction), pinned by
 # tests/test_kernels.py::test_matvec_array_literal_bit_exact.
-_NOFOLD_STATE: dict[int, tuple[int, str | None]] = {}
+_NOFOLD_STATE: dict[int, tuple[int, str | None, str | None]] = {}
 _NOFOLD_RULE = "org.apache.spark.sql.catalyst.optimizer.ConstantFolding"
 _EXCLUDED_RULES_KEY = "spark.sql.optimizer.excludedRules"
+# Stable-source kernel actions also pin the reduce side of their (by
+# contract BOUNDED) exchanges to one task: the explode-probe's
+# groupBy(candidate) otherwise fans its k×(p+1)-value exchange across
+# the session's full shuffle.partitions — 31 empty reduce tasks of pure
+# scheduling latency per solver iteration (measured 343 -> 237 ms/probe
+# at 32 -> 4). Scale-safe for exactly the reason kernel_exec exists:
+# every wrapped exchange carries O(p²)/O(k·p) bytes at ANY data scale,
+# and per-group merge order stays map-id order (values bit-identical).
+# Pipeline shuffles never run under stable_source and keep the session
+# setting.
+_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
 
 
 @contextmanager
@@ -117,7 +128,9 @@ def kernel_exec(spark, stable_source: bool = False):
                 spark.conf.set("spark.sql.adaptive.enabled", "false")
         _AQE_STATE[key] = (depth + 1, saved)
         if stable_source:
-            nf_depth, nf_saved = _NOFOLD_STATE.get(key, (0, None))
+            nf_depth, nf_saved, sp_saved = _NOFOLD_STATE.get(
+                key, (0, None, None)
+            )
             if nf_depth == 0:
                 try:
                     nf_saved = spark.conf.get(_EXCLUDED_RULES_KEY, None)
@@ -129,23 +142,33 @@ def kernel_exec(spark, stable_source: bool = False):
                     spark.conf.set(
                         _EXCLUDED_RULES_KEY, nf_saved + "," + _NOFOLD_RULE
                     )
-            _NOFOLD_STATE[key] = (nf_depth + 1, nf_saved)
+                try:
+                    sp_saved = spark.conf.get(_SHUFFLE_KEY, None)
+                except Exception:
+                    sp_saved = None
+                if sp_saved != "1":
+                    spark.conf.set(_SHUFFLE_KEY, "1")
+            _NOFOLD_STATE[key] = (nf_depth + 1, nf_saved, sp_saved)
     try:
         yield
     finally:
         with _AQE_LOCK:
             if stable_source and key in _NOFOLD_STATE:
-                nf_depth, nf_saved = _NOFOLD_STATE[key]
+                nf_depth, nf_saved, sp_saved = _NOFOLD_STATE[key]
                 if nf_depth == 1:
                     try:
                         if nf_saved:
                             spark.conf.set(_EXCLUDED_RULES_KEY, nf_saved)
                         else:
                             spark.conf.unset(_EXCLUDED_RULES_KEY)
+                        if sp_saved is not None and sp_saved != "1":
+                            spark.conf.set(_SHUFFLE_KEY, sp_saved)
+                        elif sp_saved is None:
+                            spark.conf.unset(_SHUFFLE_KEY)
                     finally:
                         del _NOFOLD_STATE[key]
                 else:
-                    _NOFOLD_STATE[key] = (nf_depth - 1, nf_saved)
+                    _NOFOLD_STATE[key] = (nf_depth - 1, nf_saved, sp_saved)
             depth, saved = _AQE_STATE[key]
             if depth == 1:
                 # Delete the state entry even if the restore throws (e.g.

@@ -387,11 +387,14 @@ def test_kernel_exec_stable_source_restores_conf(spark):
         spark.conf.unset(key)
     except Exception:
         pass
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
     with kernels.kernel_exec(spark, stable_source=True):
         assert kernels._NOFOLD_RULE in spark.conf.get(key)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
         with kernels.kernel_exec(spark, stable_source=True):
             assert kernels._NOFOLD_RULE in spark.conf.get(key)
     assert spark.conf.get(key, None) in (None, "")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_sp
     prior = "org.apache.spark.sql.catalyst.optimizer.OptimizeIn"
     spark.conf.set(key, prior)
     with kernels.kernel_exec(spark, stable_source=True):
