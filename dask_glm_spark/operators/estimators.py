@@ -1202,16 +1202,32 @@ class SoftmaxRegression(MulticlassLogisticRegression):
                 extra["p"] = int(p_base) + 1
             elif p_base is not None:
                 extra["p"] = int(p_base)
+            # class discovery as a grouped COUNT (same single job, same
+            # class set/order as the old distinct) so the row count comes
+            # out for free — it sizes the kernel-cache coalesce view below
+            # (r14 pass 3, guide §2.2)
             with kernels.kernel_exec(df.sparkSession):
-                classes = [
-                    r[0]
-                    for r in df.select(self.label_col)
-                    .distinct()
+                _crows = (
+                    df.groupBy(self.label_col)
+                    .agg(F.count("*").alias("_n"))
                     .orderBy(self.label_col)
                     .collect()
-                ]
+                )
+            classes = [r[0] for r in _crows]
+            n_rows = int(sum(r["_n"] for r in _crows))
             if len(classes) < 2:
                 raise ValueError(f"need >= 2 classes, got {classes!r}")
+            if we_persisted:
+                # every L-BFGS evaluation is a python-boundary scan of this
+                # cache — at small n each of its (core-count) partitions is
+                # a separate python-worker round trip (measured 0.40 ->
+                # 0.21 s/eval at bench shape). View only; `base` is still
+                # what gets unpersisted (r14 pass 3, guide §2.2).
+                from dask_glm_spark.plans.layout import (
+                    right_size_kernel_cache,
+                )
+
+                df = right_size_kernel_cache(df, n_rows)
             k = len(classes)
             cls_arr = F.array(*[F.lit(c) for c in classes])
             dfi = df.withColumn(

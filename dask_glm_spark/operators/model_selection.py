@@ -94,12 +94,14 @@ def regularization_path(
     from pyspark import StorageLevel
 
     we_persisted = False
+    cached = None  # unpersist handle (df may be re-bound to a coalesce view)
     if not df.is_cached:
         # spread BEFORE caching (round 13) — the solvers' own @normalize
         # persist is skipped on an already-cached frame, so a 3-split
         # parquet would otherwise run every iteration scan 3-wide
         df = ensure_min_parallelism(df)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = df
         we_persisted = True
     # a caller-supplied fit_info would be shared (and silently
     # overwritten) by every per-λ fit — collect per-λ dicts instead,
@@ -125,6 +127,17 @@ def regularization_path(
                     kwargs.get("features_col", "features"),
                     weight_col=kwargs.get("weight_col"),
                 )
+        # r14 pass 3 (guide §2.2): the shared moments job materialized the
+        # cache and yields n_rows — every per-λ fit's kernel evaluations
+        # then run over a right-sized coalesce VIEW of it (see
+        # plans.layout.right_size_kernel_cache; no-op at scale). persist is
+        # forced off for the fits: a view is not ``is_cached``, and the
+        # wrapper would otherwise build a second cache over this one.
+        if we_persisted and moments is not None:
+            from dask_glm_spark.plans.layout import right_size_kernel_cache
+
+            df = right_size_kernel_cache(df, moments[0])
+            kwargs.setdefault("persist", False)
         order = sorted(range(len(lams)), key=lambda i: -lams[i])
         betas: list[np.ndarray | None] = [None] * len(lams)
         prev = None
@@ -154,7 +167,7 @@ def regularization_path(
         return np.stack(betas)
     finally:
         if we_persisted:
-            df.unpersist()
+            cached.unpersist()
 
 
 # Candidate budget per batched probe scan, spread across the λs still

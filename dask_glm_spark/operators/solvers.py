@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 from dask_glm_spark.functions import kernels
 from dask_glm_spark.functions.families import Logistic
 from dask_glm_spark.functions.regularizers import Regularizer
-from dask_glm_spark.plans.layout import ensure_min_parallelism
+from dask_glm_spark.plans.layout import (
+    ensure_min_parallelism,
+    right_size_kernel_cache,
+)
 
 import logging
 
@@ -103,6 +106,8 @@ def normalize(algo):
         features_col = kwargs.get("features_col", "features")
         persist = kwargs.pop("persist", True)
         we_persisted = False
+        cached = None  # the handle unpersist must see (df may be re-bound
+        # to a coalesce view of this cache below)
         if persist and not df.is_cached:
             # Single-row-group inputs arrive as ONE scan task; every
             # iteration would then run on one core. Spread BEFORE caching
@@ -113,6 +118,7 @@ def normalize(algo):
             if algo.__name__ != "admm":
                 df = ensure_min_parallelism(df)
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            cached = df
             we_persisted = True
         try:
             if not do_norm:
@@ -140,6 +146,16 @@ def normalize(algo):
             std[intercept_idx] = 1
             if len(intercept_idx) == 0:
                 mean = np.zeros_like(mean)
+            # r14 pass 3 (guide §2.2): the moments job just materialized
+            # the cache AND told us n_rows — every subsequent kernel
+            # evaluation then runs over a coalesce VIEW sized to the data
+            # instead of the blanket core-count partitioning (a 600k-row
+            # bench cache pays ~60 ms/evaluation of task scheduling at 32
+            # partitions vs ~10). View only, no re-materialization; the
+            # original handle is what gets unpersisted in finally. ADMM is
+            # excluded (it owns its block layout via nblocks).
+            if we_persisted and algo.__name__ != "admm":
+                df = right_size_kernel_cache(df, n_rows)
             ib = kwargs.get("init_beta")
             if ib is not None:
                 # inverse of the back-transform: b -> b*std, then the
@@ -163,7 +179,7 @@ def normalize(algo):
             return out / std
         finally:
             if we_persisted:
-                df.unpersist()
+                cached.unpersist()
 
     return wrapped
 
