@@ -2870,8 +2870,13 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-class label label_cnt % 3; the oracle recomputes the max-shifted
     # softmax and all 12 gradient sums in SQL. Row j carries gradient row
     # j-1 (one column per class); smloss repeats like loss1.
+    # carries BOTH label views: _l3 (the softmax 3-class index) and the
+    # binary label (the Hvp's y) — the fused arrow gate job reads each
+    # through the same float64 pull the standalone jobs used
     df3 = df.select(
-        "features", (F.col("label_cnt") % 3).cast("double").alias("label")
+        "features",
+        "label",
+        (F.col("label_cnt") % 3).cast("double").alias("_l3"),
     )
     # round 11 (VERDICT r10 #1): the r10 weighted/offset kernel math under
     # the hash gate — kernels.loss_gradient with weight_col / offset_col at
@@ -2892,26 +2897,60 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pinned BETA via the REAL glm_residuals (kind='deviance'); the
     # oracle recomputes sign(y−μ)·sqrt(2·binomial unit deviance), and
     # summing the SIGNED residuals keeps the sign branch under the gate.
-    def _residual_sums() -> tuple[float, float]:
-        """BOTH residual sums in ONE scan/agg job (r14, VERDICT r13 #1):
-        glm_residuals is a pure per-row projection, so chaining the
-        pearson and deviance columns onto one frame and summing both in
-        one agg computes the identical per-row expressions with the
-        identical per-column accumulation order — the two values are
-        bit-equal to the former two separate jobs."""
+    def _sql_gate_sums():
+        """wloss/wgrad + oloss/ograd + BOTH residual sums in ONE scan/agg
+        job (r14 pass 3, guide §2.4 — extends the r14 pairwise fusions):
+        the weighted and offset spec expressions come from the same
+        ``_loss_gradient_sql_parts`` builder ``loss_gradient_fused`` uses,
+        glm_residuals contributes its pure per-row projections, and every
+        sum column accumulates over the same cached rows in the same
+        per-partition order with the same single-partition final merge —
+        all six values are bit-equal to the former two separate jobs
+        (pinned by tests/test_kernels.py::test_sql_gate_fusion_bit_equal,
+        which replays this exact fused agg against the standalone
+        kernels)."""
+        from dask_glm_spark.functions.kernels import _loss_gradient_sql_parts
+
+        proj_w, aggs_w = _loss_gradient_sql_parts(
+            Logistic, np.asarray(BETA), 4, "features", "label", "w", None,
+            prefix="s0_",
+        )
+        proj_o, aggs_o = _loss_gradient_sql_parts(
+            Logistic, np.asarray(BETA), 4, "features", "label", None, "o",
+            prefix="s1_",
+        )
         res = inference.glm_residuals(
-            df.select("features", "label"), Logistic, np.asarray(BETA),
-            "pearson", out_col="_rp",
+            dfwo, Logistic, np.asarray(BETA), "pearson", out_col="_rp"
         )
         res = inference.glm_residuals(
             res, Logistic, np.asarray(BETA), "deviance", out_col="_rd"
         )
-        with kernels.kernel_exec(spark):
-            row = res.agg(
-                F.sum(F.col("_rp") * F.col("_rp")).alias("p"),
-                F.sum("_rd").alias("d"),
-            ).collect()[0]
-        return float(row["p"]), float(row["d"])
+        with kernels.kernel_exec(spark, stable_source=True):
+            row = (
+                res.select(
+                    F.col("features"), F.col("_rp"), F.col("_rd"),
+                    *proj_w, *proj_o,
+                )
+                .agg(
+                    *aggs_w,
+                    *aggs_o,
+                    F.sum(F.col("_rp") * F.col("_rp")).alias("_pchi2"),
+                    F.sum("_rd").alias("_dres"),
+                )
+                .collect()[0]
+            )
+        return (
+            (
+                float(row["s0_loss"]),
+                np.array([row[f"s0_g{j}"] for j in range(4)]),
+            ),
+            (
+                float(row["s1_loss"]),
+                np.array([row[f"s1_g{j}"] for j in range(4)]),
+            ),
+            float(row["_pchi2"]),
+            float(row["_dres"]),
+        )
 
     # round 13 (cont.): the SPARSE CSR physical path under the gate —
     # sources.vectors.to_sparse_columns (declarative nonzero filter) feeds
@@ -2928,24 +2967,20 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(x),
     )
 
-    smloss, G = kernels.softmax_loss_gradient(df3, np.asarray(SOFTMAX_B))
-    # r14 (guide §2.3/§2.4, VERDICT r13 #1): the weighted and the offset
-    # kernel evaluations share one scan of dfwo — loss_gradient_fused
-    # builds both agg expression lists from the same sql builder, so the
-    # four values are bit-identical to the two former separate jobs.
-    (wloss, wgrad), (oloss, ograd) = kernels.loss_gradient_fused(
-        dfwo, Logistic, np.asarray(BETA), 4,
-        specs=[{"weight_col": "w"}, {"offset_col": "o"}],
+    # r14 pass 3 (guide §2.4): the softmax evaluation and the ARROW-pinned
+    # Hvp (round 12 / r13, VERDICT r12 #7 — the path production wide-p
+    # fits use, so the Arrow physical plan itself sits under the DuckDB
+    # hash gate) share ONE arrow scan — each value's per-batch numpy is
+    # the unchanged kernel closure, so all values are bit-identical to
+    # the two former separate jobs (pytest-pinned; see fused_softmax_hvp).
+    smloss, G, hv = kernels.fused_softmax_hvp(
+        df3, np.asarray(SOFTMAX_B), Logistic, np.asarray(BETA),
+        np.asarray(HVP_V), 4, softmax_label_col="_l3",
     )
-    pchi2, dres = _residual_sums()
-    # round 12 / r13: the Newton-CG Hvp kernel, path pinned to ARROW
-    # (VERDICT r12 #7 — the path production wide-p fits use), so the
-    # Arrow physical plan itself sits under the DuckDB hash gate
-    # (sql/arrow bit-parity is separately pytest-pinned).
-    hv = kernels.hessian_vector_product(
-        df.select("features", "label"), Logistic, np.asarray(BETA),
-        np.asarray(HVP_V), 4, path="arrow",
-    )
+    # r14 / r14 pass 3 (guide §2.3/§2.4, VERDICT r13 #1): the weighted and
+    # offset kernel evaluations AND both residual sums share one scan of
+    # dfwo — six values, one job, bit-identical (see _sql_gate_sums).
+    (wloss, wgrad), (oloss, ograd), pchi2, dres = _sql_gate_sums()
     # spread BEFORE the sparse conversion: the sf0.1 parquet arrives as 3
     # splits, and the JVM→Python Arrow write of list columns (the
     # dominant cost of a sparse scan, ~2.4 s single-task at this SF)
@@ -2954,13 +2989,7 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = to_sparse_columns(
         ensure_min_parallelism(df).select(masked.alias("features"), "label"),
         "features",
-    ).persist()  # three kernel scans below share one exchange+conversion
-    sloss, sgrad = kernels_sparse.loss_gradient_sparse(
-        sdf, Logistic, np.asarray(BETA), 4
-    )
-    shv = kernels_sparse.hessian_vector_product_sparse(
-        sdf, Logistic, np.asarray(BETA), np.asarray(HVP_V), 4
-    )
+    ).persist()  # the fused sparse gate job shares one exchange+conversion
     # round 13: the fused multi-probe line-search kernels at the
     # candidate pair [BETA, beta1] — multi_loss_gradient (auto → the
     # literal-free explode-SQL probe since r14's second pass: still the
@@ -2975,8 +3004,16 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         [np.asarray(BETA), np.asarray(beta1)],
     )
     loss1 = float(mlg_losses[1])
-    smlg_losses, smlg_grads = kernels_sparse.multi_loss_gradient_sparse(
-        sdf, Logistic, [np.asarray(BETA), np.asarray(beta1)], 4
+    # r14 pass 3 (guide §2.4): the three sparse gate kernels (loss+grad,
+    # Hvp, and the [BETA, beta1] line-search probe) share ONE mapInArrow
+    # scan of the cached sparse view — each value's per-batch CSR numpy is
+    # the unchanged kernel closure, so all values are bit-identical to the
+    # three former separate jobs (pytest-pinned; see fused_sparse_gate).
+    (sloss, sgrad), shv, (smlg_losses, smlg_grads) = (
+        kernels_sparse.fused_sparse_gate(
+            sdf, Logistic, np.asarray(BETA), np.asarray(HVP_V),
+            [np.asarray(BETA), np.asarray(beta1)], 4,
+        )
     )
     sdf.unpersist()
     df.unpersist()

@@ -758,6 +758,22 @@ def gradient_hessian(
 # carries lbfgs's byte shape while CG recovers Newton's curvature. One
 # fused scan per CG iteration (xb, hw, X·v, and the Xᵀ reduce share it).
 # ---------------------------------------------------------------------------
+def _hvp_arrow_partial(family, beta: np.ndarray, v: np.ndarray):
+    """Per-batch closure of ``hessian_vector_product``'s arrow path as a
+    factory (see ``_softmax_lg_partial``)."""
+    beta = np.asarray(beta, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+
+    def partial(X, y, sw=None, o=None):
+        xb = X @ beta if o is None else X @ beta + o
+        hw = family.hess_weight_np(xb)
+        if sw is not None:
+            hw = sw * hw
+        return {"hv": X.T @ (hw * (X @ v))}
+
+    return partial
+
+
 def hessian_vector_product(
     df: DataFrame,
     family,
@@ -806,12 +822,7 @@ def hessian_vector_product(
             row = pre.agg(*aggs).collect()[0]
         return np.array([row[f"hv{j}"] for j in range(p)])
 
-    def partial(X, y, sw=None, o=None):
-        xb = X @ beta if o is None else X @ beta + o
-        hw = family.hess_weight_np(xb)
-        if sw is not None:
-            hw = sw * hw
-        return {"hv": X.T @ (hw * (X @ v))}
+    partial = _hvp_arrow_partial(family, beta, v)
 
     rows = _arrow_partials(
         df, features_col, label_col, partial, "hv array<double>",
@@ -1059,24 +1070,11 @@ def loss(df, family, beta, **kw) -> float:
 # (dask_glm/estimators.py:146) with a true jointly-normalized softmax
 # instead of k one-vs-rest re-scans (VERDICT r6 gap #1).
 # ---------------------------------------------------------------------------
-def softmax_loss_gradient(
-    df: DataFrame,
-    B: np.ndarray,
-    features_col: str = "features",
-    label_col: str = "label",
-    weight_col: str | None = None,
-) -> tuple[float, np.ndarray]:
-    """(negative log-likelihood, (p, k) gradient) for multinomial logistic.
-
-    ``label_col`` must hold the class INDEX in [0, k). Per Arrow batch:
-    Z = X·B is one (n,p)x(p,k) GEMM, the row logsumexp is numerically
-    stable (max-shifted), and the gradient is Xᵀ(softmax(Z) − onehot(y)) —
-    another GEMM. Partials are (1 + p·k) doubles per partition; driver
-    fold order is pid-sorted (run-invariant) like every other kernel.
-    ``weight_col`` applies per-row sample weights: loss Σ w·ll and the
-    per-row probability residual scales by w before the gradient GEMM."""
+def _softmax_lg_partial(B: np.ndarray):
+    """Per-batch closure of ``softmax_loss_gradient`` as a factory, so a
+    fused multi-kernel scan (``fused_softmax_hvp``) evaluates the
+    byte-identical arithmetic the standalone kernel job runs."""
     B = np.ascontiguousarray(B, dtype=np.float64)
-    p, k = B.shape
 
     def _batch(X, y, w=None):
         Z = X @ B
@@ -1096,7 +1094,29 @@ def softmax_loss_gradient(
             loss = float(ll.sum())
         return {"loss": loss, "grad": (X.T @ P).ravel()}
 
-    partial = _batch
+    return _batch
+
+
+def softmax_loss_gradient(
+    df: DataFrame,
+    B: np.ndarray,
+    features_col: str = "features",
+    label_col: str = "label",
+    weight_col: str | None = None,
+) -> tuple[float, np.ndarray]:
+    """(negative log-likelihood, (p, k) gradient) for multinomial logistic.
+
+    ``label_col`` must hold the class INDEX in [0, k). Per Arrow batch:
+    Z = X·B is one (n,p)x(p,k) GEMM, the row logsumexp is numerically
+    stable (max-shifted), and the gradient is Xᵀ(softmax(Z) − onehot(y)) —
+    another GEMM. Partials are (1 + p·k) doubles per partition; driver
+    fold order is pid-sorted (run-invariant) like every other kernel.
+    ``weight_col`` applies per-row sample weights: loss Σ w·ll and the
+    per-row probability residual scales by w before the gradient GEMM."""
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    p, k = B.shape
+
+    partial = _softmax_lg_partial(B)
 
     rows_ = _arrow_partials(
         df, features_col, label_col, partial,
@@ -1109,6 +1129,56 @@ def softmax_loss_gradient(
         loss += r_["loss"]
         grad += np.asarray(r_["grad"], dtype=np.float64)
     return loss, grad.reshape(p, k)
+
+
+def fused_softmax_hvp(
+    df: DataFrame,
+    B: np.ndarray,
+    family,
+    beta: np.ndarray,
+    v: np.ndarray,
+    p: int | None = None,
+    softmax_label_col: str = "_l3",
+    label_col: str = "label",
+    features_col: str = "features",
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """``softmax_loss_gradient`` (over ``softmax_label_col``) +
+    ``hessian_vector_product(path='arrow')`` (over ``label_col``) in ONE
+    scan of the same frame (r14 pass 3, guide §2.4: two jobs sharing a
+    cached source become one — q48's dense arrow gate section).
+
+    Returns ``(smloss, smgrad (p,k), hv (p,))``, bit-identical to the two
+    standalone jobs: each value's per-batch arithmetic is the unchanged
+    factory closure (``_softmax_lg_partial`` / ``_hvp_arrow_partial``)
+    fed the same ``_features_matrix`` X and the same float64 label pulls
+    the ``_arrow_partials`` wrapper performs, batch boundaries are fixed
+    by row count, and fold/merge are the shared machinery. Pinned by
+    tests/test_kernels.py::test_fused_softmax_hvp_matches_separate."""
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    pB, k = B.shape
+    p = p or pB
+    smb = _softmax_lg_partial(B)
+    hvb = _hvp_arrow_partial(family, beta, v)
+
+    def batch_partial(pdf: pd.DataFrame) -> dict:
+        X = _features_matrix(pdf, features_col)
+        d1 = smb(X, pdf[softmax_label_col].to_numpy(dtype=np.float64))
+        d2 = hvb(X, pdf[label_col].to_numpy(dtype=np.float64))
+        return {"smloss": d1["loss"], "smgrad": d1["grad"], "hv": d2["hv"]}
+
+    rows = _arrow_partials_generic(
+        df, batch_partial,
+        "smloss double, smgrad array<double>, hv array<double>",
+        partial_doubles=1 + pB * k + p,
+    )
+    smloss = 0.0
+    smgrad = np.zeros(pB * k)
+    hv = np.zeros(p)
+    for r_ in rows:
+        smloss += r_["smloss"]
+        smgrad += np.asarray(r_["smgrad"], dtype=np.float64)
+        hv += np.asarray(r_["hv"], dtype=np.float64)
+    return float(smloss), smgrad.reshape(pB, k), hv
 
 
 def softmax_multi_loss(

@@ -133,21 +133,19 @@ class _CSRTranspose:
         )
 
 
-def loss_gradient_sparse(
-    df: DataFrame,
+def _loss_gradient_sparse_partial(
     family,
     beta: np.ndarray,
     p: int,
-    idx_col: str = "findices",
-    val_col: str = "fvalues",
-    label_col: str = "label",
+    idx_col: str,
+    val_col: str,
+    label_col: str,
     weight_col: str | None = None,
     offset_col: str | None = None,
-) -> tuple[float, np.ndarray]:
-    """Fused loss + gradient (O(nnz) per batch, O(p) per partition out).
-    ``weight_col`` applies per-row sample weights (round 10): loss
-    Σ w·ll, gradient scatter of (w⊙r); ``offset_col`` adds a fixed
-    per-row term to xb — same O(nnz) scan either way."""
+):
+    """The per-batch closure of ``loss_gradient_sparse`` as a factory, so
+    a fused multi-kernel scan (``fused_sparse_gate``) evaluates the
+    byte-identical arithmetic the standalone kernel job runs."""
     beta = np.asarray(beta, dtype=np.float64)
 
     def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
@@ -165,6 +163,28 @@ def loss_gradient_sparse(
             loss = family.loglike_np(xb, y)
         grad = np.bincount(flat_idx, weights=r[row_ids] * flat_val, minlength=p)
         return {"loss": loss, "grad": grad}
+
+    return batch_partial
+
+
+def loss_gradient_sparse(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+) -> tuple[float, np.ndarray]:
+    """Fused loss + gradient (O(nnz) per batch, O(p) per partition out).
+    ``weight_col`` applies per-row sample weights (round 10): loss
+    Σ w·ll, gradient scatter of (w⊙r); ``offset_col`` adds a fixed
+    per-row term to xb — same O(nnz) scan either way."""
+    batch_partial = _loss_gradient_sparse_partial(
+        family, beta, p, idx_col, val_col, label_col, weight_col, offset_col
+    )
 
     rows = _arrow_partials_generic(
         df, batch_partial, "loss double, grad array<double>",
@@ -215,21 +235,18 @@ def multi_loss_sparse(
     return out
 
 
-def multi_loss_gradient_sparse(
-    df: DataFrame,
+def _multi_loss_gradient_sparse_partial(
     family,
     betas: list[np.ndarray],
     p: int,
-    idx_col: str = "findices",
-    val_col: str = "fvalues",
-    label_col: str = "label",
+    idx_col: str,
+    val_col: str,
+    label_col: str,
     weight_col: str | None = None,
     offset_col: str | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """(losses (k,), grads (p, k)) for k candidates in one O(k·nnz) scan —
-    the sparse twin of ``kernels.multi_loss_gradient`` (fused line-search
-    probe: the accepted candidate's gradient feeds the next iteration, so
-    the separate per-iteration loss_gradient job disappears)."""
+):
+    """Per-batch closure of ``multi_loss_gradient_sparse`` as a factory
+    (see ``_loss_gradient_sparse_partial``)."""
     B = np.column_stack([np.asarray(b, dtype=np.float64) for b in betas])
     k = B.shape[1]
 
@@ -267,6 +284,29 @@ def multi_loss_gradient_sparse(
                 )
         return {"losses": losses, "grads": grads.ravel()}
 
+    return batch_partial
+
+
+def multi_loss_gradient_sparse(
+    df: DataFrame,
+    family,
+    betas: list[np.ndarray],
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(losses (k,), grads (p, k)) for k candidates in one O(k·nnz) scan —
+    the sparse twin of ``kernels.multi_loss_gradient`` (fused line-search
+    probe: the accepted candidate's gradient feeds the next iteration, so
+    the separate per-iteration loss_gradient job disappears)."""
+    k = len(betas)
+    batch_partial = _multi_loss_gradient_sparse_partial(
+        family, betas, p, idx_col, val_col, label_col, weight_col, offset_col
+    )
+
     rows = _arrow_partials_generic(
         df, batch_partial, "losses array<double>, grads array<double>",
         partial_doubles=k + k * p, arrow_batches=True,
@@ -277,6 +317,40 @@ def multi_loss_gradient_sparse(
         losses += np.asarray(r_["losses"], dtype=np.float64)
         grads += np.asarray(r_["grads"], dtype=np.float64)
     return losses, grads.reshape(p, k)
+
+
+def _hvp_sparse_partial(
+    family,
+    beta: np.ndarray,
+    v: np.ndarray,
+    p: int,
+    idx_col: str,
+    val_col: str,
+    weight_col: str | None = None,
+    offset_col: str | None = None,
+):
+    """Per-batch closure of ``hessian_vector_product_sparse`` as a factory
+    (see ``_loss_gradient_sparse_partial``)."""
+    beta = np.asarray(beta, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
+        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
+        xb = np.bincount(row_ids, weights=flat_val * beta[flat_idx], minlength=n)
+        if offset_col is not None:
+            xb = xb + _f64(pdf, offset_col)
+        hw = family.hess_weight_np(xb)
+        if weight_col is not None:
+            hw = hw * _f64(pdf, weight_col)
+        xv = np.bincount(row_ids, weights=flat_val * v[flat_idx], minlength=n)
+        t = hw * xv
+        return {
+            "hv": np.bincount(
+                flat_idx, weights=t[row_ids] * flat_val, minlength=p
+            )
+        }
+
+    return batch_partial
 
 
 def hessian_vector_product_sparse(
@@ -298,24 +372,9 @@ def hessian_vector_product_sparse(
     solver (``newton_cg_sparse``) — plain newton is excluded from sparse
     because its p² Gram is the wrong object there; the Hvp never forms
     it."""
-    beta = np.asarray(beta, dtype=np.float64)
-    v = np.asarray(v, dtype=np.float64)
-
-    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
-        flat_idx, flat_val, row_ids, n = _batch_csr(pdf, idx_col, val_col)
-        xb = np.bincount(row_ids, weights=flat_val * beta[flat_idx], minlength=n)
-        if offset_col is not None:
-            xb = xb + _f64(pdf, offset_col)
-        hw = family.hess_weight_np(xb)
-        if weight_col is not None:
-            hw = hw * _f64(pdf, weight_col)
-        xv = np.bincount(row_ids, weights=flat_val * v[flat_idx], minlength=n)
-        t = hw * xv
-        return {
-            "hv": np.bincount(
-                flat_idx, weights=t[row_ids] * flat_val, minlength=p
-            )
-        }
+    batch_partial = _hvp_sparse_partial(
+        family, beta, v, p, idx_col, val_col, weight_col, offset_col
+    )
 
     rows = _arrow_partials_generic(
         df, batch_partial, "hv array<double>", partial_doubles=p
@@ -555,3 +614,70 @@ def softmax_hessian_vector_product_sparse(
     for r_ in rows_:
         hv += np.asarray(r_["hv"], dtype=np.float64)
     return hv.reshape(p, k)
+
+
+def fused_sparse_gate(
+    df: DataFrame,
+    family,
+    beta: np.ndarray,
+    v: np.ndarray,
+    betas: list[np.ndarray],
+    p: int,
+    idx_col: str = "findices",
+    val_col: str = "fvalues",
+    label_col: str = "label",
+) -> tuple[tuple[float, np.ndarray], np.ndarray, tuple[np.ndarray, np.ndarray]]:
+    """``loss_gradient_sparse`` + ``hessian_vector_product_sparse`` +
+    ``multi_loss_gradient_sparse`` over ONE scan of the same frame (r14
+    pass 3, guide §2.4: three jobs sharing a cached source become one —
+    q48's sparse gate section).
+
+    Returns ``((loss, grad), hv, (mlosses, mgrads))``. Every output is
+    bit-identical to the three standalone kernel jobs: each value's
+    per-batch arithmetic is the unchanged factory closure
+    (``_loss_gradient_sparse_partial`` / ``_hvp_sparse_partial`` /
+    ``_multi_loss_gradient_sparse_partial``), batch boundaries are fixed
+    by row count (``arrow.maxRecordsPerBatch``) so they match the
+    standalone scans, and per-batch fold, per-partition row emission and
+    the pid-sorted driver merge are the shared ``_arrow_partials_generic``
+    machinery. Pinned by
+    tests/test_kernels.py::test_fused_sparse_gate_matches_separate."""
+    k = len(betas)
+    p_lg = _loss_gradient_sparse_partial(
+        family, beta, p, idx_col, val_col, label_col
+    )
+    p_hv = _hvp_sparse_partial(family, beta, v, p, idx_col, val_col)
+    p_ml = _multi_loss_gradient_sparse_partial(
+        family, betas, p, idx_col, val_col, label_col
+    )
+
+    def batch_partial(pdf) -> dict:  # pyarrow.RecordBatch (arrow_batches=True)
+        d1 = p_lg(pdf)
+        d2 = p_hv(pdf)
+        d3 = p_ml(pdf)
+        return {
+            "loss": d1["loss"],
+            "grad": d1["grad"],
+            "hv": d2["hv"],
+            "mlosses": d3["losses"],
+            "mgrads": d3["grads"],
+        }
+
+    rows = _arrow_partials_generic(
+        df, batch_partial,
+        "loss double, grad array<double>, hv array<double>, "
+        "mlosses array<double>, mgrads array<double>",
+        partial_doubles=1 + p + p + k + k * p, arrow_batches=True,
+    )
+    loss = 0.0
+    grad = np.zeros(p)
+    hv = np.zeros(p)
+    mlosses = np.zeros(k)
+    mgrads = np.zeros(p * k)
+    for r_ in rows:
+        loss += r_["loss"]
+        grad += np.asarray(r_["grad"], dtype=np.float64)
+        hv += np.asarray(r_["hv"], dtype=np.float64)
+        mlosses += np.asarray(r_["mlosses"], dtype=np.float64)
+        mgrads += np.asarray(r_["mgrads"], dtype=np.float64)
+    return (float(loss), grad), hv, (mlosses, mgrads.reshape(p, k))

@@ -418,3 +418,136 @@ def test_multi_loss_gradient_candidate_loss_matches_loss(data):
         direct1 = kernels.loss(df, Logistic, b1)
         assert float(losses[0]) == direct0
         assert float(losses[1]) == direct1
+
+
+def test_fused_softmax_hvp_matches_separate(data):
+    """r14 pass 3 q48 fusion: fused_softmax_hvp runs the softmax and the
+    arrow Hvp per-batch closures over ONE scan — values must be
+    BIT-identical to the two standalone kernel jobs (same closures, same
+    batch boundaries, same fold/merge machinery)."""
+    df, X, y = data
+    d = df.select(
+        "features", "label", (F.col("id") % 3).cast("double").alias("_l3")
+    )
+    B = np.array(
+        [[0.1, -0.2, 0.05], [0.3, 0.0, -0.1], [-0.4, 0.2, 0.1],
+         [0.0, 0.15, -0.25]]
+    )
+    v = np.array([0.5, -1.0, 0.25, 2.0])
+    sm1, G1 = kernels.softmax_loss_gradient(
+        d.select("features", F.col("_l3").alias("label")), B
+    )
+    hv1 = kernels.hessian_vector_product(
+        d.select("features", "label"), Logistic, BETA, v, 4, path="arrow"
+    )
+    sm2, G2, hv2 = kernels.fused_softmax_hvp(
+        d, B, Logistic, BETA, v, 4, softmax_label_col="_l3"
+    )
+    assert sm2 == sm1
+    np.testing.assert_array_equal(G2, G1)
+    np.testing.assert_array_equal(hv2, hv1)
+
+
+def test_fused_sparse_gate_matches_separate(data):
+    """r14 pass 3 q48 fusion: fused_sparse_gate runs the three sparse
+    kernels' per-batch CSR closures over ONE mapInArrow scan — values
+    must be BIT-identical to the three standalone kernel jobs."""
+    from dask_glm_spark.functions import kernels_sparse
+    from dask_glm_spark.sources.vectors import to_sparse_columns
+
+    df, X, y = data
+    sdf = to_sparse_columns(df.select("features", "label"), "features")
+    sdf = sdf.persist()
+    try:
+        v = np.array([0.5, -1.0, 0.25, 2.0])
+        beta1 = BETA - 0.01 * np.array([1.0, -2.0, 0.5, 0.25])
+        l1, g1 = kernels_sparse.loss_gradient_sparse(sdf, Logistic, BETA, 4)
+        hv1 = kernels_sparse.hessian_vector_product_sparse(
+            sdf, Logistic, BETA, v, 4
+        )
+        ml1, mg1 = kernels_sparse.multi_loss_gradient_sparse(
+            sdf, Logistic, [BETA, beta1], 4
+        )
+        (l2, g2), hv2, (ml2, mg2) = kernels_sparse.fused_sparse_gate(
+            sdf, Logistic, BETA, v, [BETA, beta1], 4
+        )
+        assert l2 == l1
+        np.testing.assert_array_equal(g2, g1)
+        np.testing.assert_array_equal(hv2, hv1)
+        np.testing.assert_array_equal(ml2, ml1)
+        np.testing.assert_array_equal(mg2, mg1)
+    finally:
+        sdf.unpersist()
+
+
+def test_sql_gate_fusion_bit_equal(data, spark):
+    """r14 pass 3 q48 fusion: the single agg computing the weighted spec,
+    the offset spec AND both residual sums (q48's _sql_gate_sums shape)
+    must be BIT-equal to the standalone kernels — every sum column
+    accumulates the same per-row expressions over the same rows in the
+    same per-partition order."""
+    from dask_glm_spark.functions import inference
+    from dask_glm_spark.functions.kernels import (
+        _loss_gradient_sql_parts,
+        kernel_exec,
+    )
+
+    df, X, y = data
+    dfwo = df.select(
+        "features",
+        "label",
+        (1.0 + (F.col("id") % 5).cast("double") / 4.0).alias("w"),
+        ((F.col("id") % 3).cast("double") / 10.0).alias("o"),
+    ).persist()
+    try:
+        dfwo.count()
+        proj_w, aggs_w = _loss_gradient_sql_parts(
+            Logistic, BETA, 4, "features", "label", "w", None, prefix="s0_"
+        )
+        proj_o, aggs_o = _loss_gradient_sql_parts(
+            Logistic, BETA, 4, "features", "label", None, "o", prefix="s1_"
+        )
+        res = inference.glm_residuals(
+            dfwo, Logistic, BETA, "pearson", out_col="_rp"
+        )
+        res = inference.glm_residuals(
+            res, Logistic, BETA, "deviance", out_col="_rd"
+        )
+        with kernel_exec(spark, stable_source=True):
+            row = (
+                res.select(
+                    F.col("features"), F.col("_rp"), F.col("_rd"),
+                    *proj_w, *proj_o,
+                )
+                .agg(
+                    *aggs_w,
+                    *aggs_o,
+                    F.sum(F.col("_rp") * F.col("_rp")).alias("_pchi2"),
+                    F.sum("_rd").alias("_dres"),
+                )
+                .collect()[0]
+            )
+        (wl, wg), (ol, og) = kernels.loss_gradient_fused(
+            dfwo, Logistic, BETA, 4,
+            specs=[{"weight_col": "w"}, {"offset_col": "o"}],
+        )
+        res2 = inference.glm_residuals(
+            dfwo.select("features", "label"), Logistic, BETA, "pearson",
+            out_col="_rp",
+        )
+        res2 = inference.glm_residuals(
+            res2, Logistic, BETA, "deviance", out_col="_rd"
+        )
+        with kernel_exec(spark):
+            row2 = res2.agg(
+                F.sum(F.col("_rp") * F.col("_rp")).alias("p"),
+                F.sum("_rd").alias("d"),
+            ).collect()[0]
+        assert float(row["s0_loss"]) == wl
+        assert [row[f"s0_g{j}"] for j in range(4)] == list(wg)
+        assert float(row["s1_loss"]) == ol
+        assert [row[f"s1_g{j}"] for j in range(4)] == list(og)
+        assert float(row["_pchi2"]) == float(row2["p"])
+        assert float(row["_dres"]) == float(row2["d"])
+    finally:
+        dfwo.unpersist()
