@@ -26,7 +26,7 @@ gates between raw text and the trainer). Public-knowledge heuristics:
                           per source" into an actual row selection.
 
 Everything is built-in Spark SQL (no Python UDFs): repetition stats are
-explode→agg over (doc, line|bigram) keys co-partitioned on doc_id;
+one shuffle-free per-row projection (in-row sorted-array counting);
 scrubbing is a pure narrow map; decontamination's only wide op is the
 broadcast of the benchmark n-grams; budget selection is one window per
 group. All four are DuckDB-oracle-checkable (q41-q44) with the regex
@@ -94,87 +94,131 @@ def repetition_stats(
     most degenerate docs previously vanished from the report, exactly the
     ones a curation threshold needs to see).
 
-    Plan: one explode per measure family, aggregated back on ``id_col``
-    (all shuffles hash on doc_id, co-partitioned), joined narrowly. No
-    per-doc state exceeds the doc's own token count.
+    Plan (r14): every measure depends only on the doc's OWN text, so the
+    whole report is ONE narrow per-row projection — no explode, no
+    shuffle, no join at any scale. Duplicate counting runs on xxhash64 of
+    the line/gram (8-byte elements instead of gram-sized strings; a
+    collision would need ~2^32 distinct grams IN ONE DOCUMENT to become
+    likely — not a real document), via sorted in-row arrays:
+    ``array_distinct`` for distinct counts, sorted-neighbor equality for
+    repeated-line chars, a run-length ``aggregate`` for the top-bigram
+    count. Every fraction divides the SAME integer counts the former
+    explode→groupBy plan produced, so the doubles are bit-identical.
+    Per-doc state stays bounded by the doc's own token count (the same
+    bound the exploded rows had).
     """
+    from dask_glm_spark.functions.exprs import let as _let
     from dask_glm_spark.plans.layout import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)
     c = F.col(text_col)
-    # Group on xxhash64 of the line/gram, not the string: the shuffles
-    # carry 8-byte keys instead of n-gram-sized payloads, and every output
-    # is a count/length statistic, never the text itself. (A 64-bit
-    # collision would need ~2^32 distinct grams IN ONE DOCUMENT to become
-    # likely — not a real document.)
-    lines = df.select(
-        id_col,
-        F.explode(
+    zero = F.lit(0).cast("long")
+
+    def _lines_structs():
+        # (lh, llen) per non-empty trimmed line — the former groupBy key.
+        return F.transform(
             F.filter(
                 F.transform(F.split(c, line_sep), lambda s: F.trim(s)),
                 lambda s: F.length(s) > 0,
-            )
-        ).alias("line"),
-    ).select(
-        id_col, F.xxhash64("line").alias("lh"), F.length("line").alias("llen")
-    )
-    per_line = lines.groupBy(id_col, "lh", "llen").agg(F.count("*").alias("cnt"))
-    line_stats = per_line.groupBy(id_col).agg(
-        F.sum("cnt").cast("long").alias("n_lines"),
-        (
-            F.lit(1.0)
-            - F.count("*").cast("double") / F.sum("cnt").cast("double")
-        ).alias("dup_line_frac"),
-        (
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("llen")).otherwise(0))
-            .cast("double")
-            / F.sum(F.col("cnt") * F.col("llen")).cast("double")
-        ).alias("dup_line_char_frac"),
-    )
-
-    bigrams = df.select(
-        id_col, F.explode(ngrams_expr(text_col, 2)).alias("bg")
-    ).select(id_col, F.xxhash64("bg").alias("bh"))
-    per_bg = bigrams.groupBy(id_col, "bh").agg(F.count("*").alias("cnt"))
-    bg_stats = per_bg.groupBy(id_col).agg(
-        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
-            "top_bigram_frac"
+            ),
+            lambda s: F.struct(
+                F.xxhash64(s).alias("lh"), F.length(s).alias("llen")
+            ),
         )
-    )
 
-    ngrams = df.select(
-        id_col, F.explode(ngrams_expr(text_col, dup_ngram_n)).alias("g")
-    ).select(id_col, F.xxhash64("g").alias("gh"))
-    ng_stats = ngrams.groupBy(id_col).agg(
-        (
+    def _frac_dup(arr):
+        # 1 - distinct/total over an in-row array (0.0 when empty), the
+        # same longs the former two-level agg divided.
+        n = F.size(arr)
+        return F.when(
+            n > 0,
             F.lit(1.0)
-            - F.count_distinct("gh").cast("double") / F.count("*").cast("double")
-        ).alias("dup_ngram_frac")
+            - F.size(F.array_distinct(arr)).cast("double") / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    n_lines_e = F.size(
+        F.filter(
+            F.transform(F.split(c, line_sep), lambda s: F.trim(s)),
+            lambda s: F.length(s) > 0,
+        )
+    ).cast("long")
+
+    dup_line_frac_e = _let(_lines_structs(), _frac_dup)
+
+    def _dup_char_frac(ls):
+        # ls sorted by (lh, llen): an occurrence belongs to a repeated
+        # line iff it equals a neighbor. Numerator/denominator are the
+        # former sum(cnt*llen | cnt>1) / sum(cnt*llen) longs.
+        dup_chars = F.aggregate(
+            F.transform(
+                ls,
+                lambda x, i: F.when(
+                    (F.get(ls, i - 1) == x) | (F.get(ls, i + 1) == x),
+                    x["llen"].cast("long"),
+                ).otherwise(zero),
+            ),
+            zero,
+            lambda a, b: a + b,
+        )
+        total_chars = F.aggregate(
+            ls, zero, lambda a, x: a + x["llen"].cast("long")
+        )
+        return F.when(
+            total_chars > 0,
+            dup_chars.cast("double") / total_chars.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    dup_line_char_frac_e = _let(F.array_sort(_lines_structs()), _dup_char_frac)
+
+    def _top_run_frac(bs):
+        # bs sorted: the max per-value count is the longest equal run.
+        best = F.aggregate(
+            bs,
+            F.struct(
+                F.lit(None).cast("bigint").alias("prev"),
+                zero.alias("run"),
+                zero.alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        n = F.size(bs)
+        return F.when(
+            n > 0, best.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    top_bigram_frac_e = _let(
+        F.array_sort(
+            F.transform(ngrams_expr(text_col, 2), lambda g: F.xxhash64(g))
+        ),
+        _top_run_frac,
     )
 
-    # Anchor on the input ids so zero-line docs still report (as zeros)
-    # instead of silently vanishing with the empty explode.
-    return (
-        df.select(id_col)
-        .join(line_stats, id_col, "left")
-        .join(bg_stats, id_col, "left")
-        .join(ng_stats, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
-            F.round(F.coalesce("dup_line_frac", F.lit(0.0)), 6)
-            .cast("double")
-            .alias("dup_line_frac"),
-            F.round(F.coalesce("dup_line_char_frac", F.lit(0.0)), 6)
-            .cast("double")
-            .alias("dup_line_char_frac"),
-            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6)
-            .cast("double")
-            .alias("top_bigram_frac"),
-            F.round(F.coalesce("dup_ngram_frac", F.lit(0.0)), 6)
-            .cast("double")
-            .alias("dup_ngram_frac"),
-        )
+    dup_ngram_frac_e = _let(
+        F.transform(ngrams_expr(text_col, dup_ngram_n), lambda g: F.xxhash64(g)),
+        _frac_dup,
+    )
+
+    return df.select(
+        id_col,
+        n_lines_e.alias("n_lines"),
+        F.round(dup_line_frac_e, 6).cast("double").alias("dup_line_frac"),
+        F.round(dup_line_char_frac_e, 6)
+        .cast("double")
+        .alias("dup_line_char_frac"),
+        F.round(top_bigram_frac_e, 6).cast("double").alias("top_bigram_frac"),
+        F.round(dup_ngram_frac_e, 6).cast("double").alias("dup_ngram_frac"),
     )
 
 
