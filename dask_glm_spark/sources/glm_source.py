@@ -118,6 +118,17 @@ def nano_ts_columns_of(path: str) -> list[str]:
         return []
 
 
+# r14 (guide §6): schema-inference memo. A schema-less
+# ``spark.read.parquet`` runs a footer-read job on EVERY call; a path's
+# schema is stable within a process (the metastore assumption every
+# catalog makes), so the first read's inferred schema is replayed via
+# ``.schema(...)`` for later reads of the same path — metadata only, row
+# data is always re-read from the files. Keyed by (path, nanosAsLong
+# conf is constant here); cleared never — testdata and production tables
+# do not change schema mid-process.
+_SCHEMA_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Session-independence (VERDICT r1 #1): the driver supplies its own plain
     # SparkSession, so the nanos handling must be set HERE, at runtime — it is
@@ -125,7 +136,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # it, reading any TIMESTAMP(NANOS) column (events.ts, l_shipdate,
     # o_orderdate) throws PARQUET_TYPE_ILLEGAL.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     return repair_nano_timestamps(df, NANO_TS_COLS.get(name, []))
 
 
