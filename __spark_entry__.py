@@ -2679,15 +2679,13 @@ def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    with kernels.kernel_exec(spark):
-        row = g.agg(
-            F.sum(
-                F.when(F.col("_s") > 0.5, F.col("pos")).otherwise(F.col("neg"))
-            ).alias("correct"),
-            F.sum(F.col("pos") + F.col("neg")).alias("n"),
-        ).collect()[0]
-    acc = float(row["correct"]) / float(row["n"])
-    auc = metrics.roc_auc_score(g, y_score="_s", pregrouped=True)
+    # r14: the accuracy masses ride the AUC's own prefix-sum pass
+    # (acc_threshold) — the former standalone accuracy job is gone; the
+    # histogram persist now materializes inside the AUC's first job. The
+    # sums are integer-valued, so the fused accuracy is bit-identical.
+    auc, acc = metrics.roc_auc_score(
+        g, y_score="_s", pregrouped=True, acc_threshold=0.5
+    )
     g.unpersist()
     return spark.createDataFrame(
         [(float(round(acc, 6)), float(round(auc, 6)))], "acc double, auc double"

@@ -101,6 +101,7 @@ def roc_auc_score(
     y_score: str = "score",
     pregrouped: bool = False,
     weight_col: str | None = None,
+    acc_threshold: float | None = None,
 ) -> float:
     """Distributed ROC AUC — beyond-reference (the classifier metric real
     pipelines report next to accuracy).
@@ -121,7 +122,16 @@ def roc_auc_score(
        per-partition contribution sums (one row each).
 
     Returns nan when either class is absent (0/0 — degenerate input
-    poisons loudly, the poisson_deviance convention)."""
+    poisons loudly, the poisson_deviance convention).
+
+    ``acc_threshold`` (r14, guide §2.3 fuse aggregates): also return the
+    accuracy of the rule ``predict positive iff score > threshold`` as a
+    second value — ``(auc, acc)``. The correct/total masses ride the
+    prefix-sum pass that already scans every (score, pos, neg) group, so
+    the caller's separate accuracy job disappears; the sums are
+    integer-valued (or weight) masses whose addition order cannot change
+    the float result. With ``weight_col`` this is the weighted accuracy,
+    consistent with the weighted AUC."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -174,15 +184,32 @@ def roc_auc_score(
 
     def part_totals(batches):
         tot_neg = 0.0
+        correct = 0.0
+        total = 0.0
         seen = False
         for pdf in batches:
             if len(pdf):
                 seen = True
                 tot_neg += float(pdf["neg"].sum())
+                if acc_threshold is not None:
+                    # integer-valued masses: every partial sum is exact,
+                    # so regrouping the additions cannot move the result
+                    hi = pdf["_s"].to_numpy(dtype=np.float64) > acc_threshold
+                    p = pdf["pos"].to_numpy(dtype=np.float64)
+                    ng = pdf["neg"].to_numpy(dtype=np.float64)
+                    correct += float(p[hi].sum() + ng[~hi].sum())
+                    total += float(p.sum() + ng.sum())
         if seen:
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
-            yield pd.DataFrame({"pid": [pid], "neg": [tot_neg]})
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "neg": [tot_neg],
+                    "correct": [correct],
+                    "total": [total],
+                }
+            )
 
     from dask_glm_spark.functions.kernels import kernel_exec
 
@@ -193,7 +220,9 @@ def roc_auc_score(
     # 100 TB — so it runs under the session config. Only the second job,
     # a pure scan of the now-cached group table (zero exchanges at any
     # scale), keeps the tiny-result AQE bypass.
-    rows = gr.mapInPandas(part_totals, "pid int, neg double").collect()
+    rows = gr.mapInPandas(
+        part_totals, "pid int, neg double, correct double, total double"
+    ).collect()
     offsets = {}
     cum = 0.0
     for r in sorted(rows, key=lambda r: r["pid"]):
@@ -226,9 +255,16 @@ def roc_auc_score(
     gr.unpersist()
     n_pos = sum(r["pos"] for r in out)
     n_neg = sum(r["neg"] for r in out)
-    if n_pos == 0 or n_neg == 0:
-        return float("nan")
-    return float(sum(r["v"] for r in out) / (n_pos * n_neg))
+    auc = (
+        float("nan")
+        if n_pos == 0 or n_neg == 0
+        else float(sum(r["v"] for r in out) / (n_pos * n_neg))
+    )
+    if acc_threshold is None:
+        return auc
+    total = sum(r["total"] for r in rows)
+    correct = sum(r["correct"] for r in rows)
+    return auc, (float(correct / total) if total else float("nan"))
 
 
 def roc_auc_score_np(y_true, y_score):

@@ -246,6 +246,39 @@ def test_roc_auc_distributed_matches_numpy(spark):
     assert math.isnan(roc_auc_score(df1, "label", "score"))
 
 
+def test_roc_auc_fused_accuracy_bit_identical(spark):
+    """r14: acc_threshold rides the prefix-sum pass — (auc, acc) must be
+    BIT-identical to the standalone AUC and a separately aggregated
+    accuracy (integer-valued masses: addition order cannot move either),
+    independent of partitioning."""
+    from pyspark.sql import functions as F
+
+    from dask_glm_spark.functions.metrics import roc_auc_score
+
+    rng = np.random.RandomState(7)
+    n = 400
+    scores = np.round(rng.uniform(0, 1, n), 2)
+    labels = (rng.uniform(0, 1, n) < scores).astype(np.float64)
+    rows = [(float(l), float(s)) for l, s in zip(labels, scores)]
+    for nparts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "label double, score double"
+        ).repartition(nparts)
+        g = df.groupBy(F.col("score").alias("_s")).agg(
+            F.sum("label").alias("pos"),
+            (F.count("*") - F.sum("label")).alias("neg"),
+        )
+        auc_alone = roc_auc_score(g, y_score="_s", pregrouped=True)
+        auc, acc = roc_auc_score(
+            g, y_score="_s", pregrouped=True, acc_threshold=0.5
+        )
+        correct = float(
+            ((scores > 0.5) == (labels > 0.5)).astype(np.float64).sum()
+        )
+        assert auc == auc_alone, nparts
+        assert acc == correct / n, nparts
+
+
 def test_multi_level_tree_merge_bytes_capped(data, monkeypatch):
     """Round 12 (ADVICE r11): when the byte budget caps fanin below the
     partition count, the merge runs MULTIPLE levels — each combine task
