@@ -136,11 +136,16 @@ def repetition_stats(
             - F.size(F.array_distinct(arr)).cast("double") / n.cast("double"),
         ).otherwise(F.lit(0.0))
 
-    n_lines_e = F.size(
-        F.filter(
-            F.transform(F.split(c, line_sep), lambda s: F.trim(s)),
-            lambda s: F.length(s) > 0,
-        )
+    # coalesce: a NULL text yields a NULL array (size -> NULL), but the
+    # former anchor-join design reported 0 for every input doc
+    n_lines_e = F.coalesce(
+        F.size(
+            F.filter(
+                F.transform(F.split(c, line_sep), lambda s: F.trim(s)),
+                lambda s: F.length(s) > 0,
+            )
+        ),
+        F.lit(0),
     ).cast("long")
 
     dup_line_frac_e = _let(_lines_structs(), _frac_dup)

@@ -141,12 +141,16 @@ def test_repetition_stats_includes_zero_line_docs(spark):
     from dask_glm_spark.operators.quality import repetition_stats
 
     df = spark.createDataFrame(
-        [(0, "a b a b"), (1, ""), (2, " \n  \n")], "doc_id long, text string"
+        [(0, "a b a b"), (1, ""), (2, " \n  \n"), (3, None)],
+        "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
-    assert set(out) == {0, 1, 2}
+    assert set(out) == {0, 1, 2, 3}
     assert out[1]["n_lines"] == 0 and out[1]["dup_line_frac"] == 0.0
     assert out[2]["n_lines"] == 0 and out[2]["dup_ngram_frac"] == 0.0
+    # NULL text reports the same all-zeros row the anchor-join design did
+    assert out[3]["n_lines"] == 0 and out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_line_char_frac"] == 0.0 and out[3]["dup_ngram_frac"] == 0.0
 
 
 def test_ngrams_expr_binds_tokens_once():
