@@ -1529,8 +1529,8 @@ def _pq_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = T.fingerprint_expr("ctext").cast("long")
     s0, idx = D.exact_dedup_incremental(b0, None, text_col="ctext", fp_expr=fp)
     s1, _ = D.exact_dedup_incremental(b1, idx, text_col="ctext", fp_expr=fp)
-    inc = spark.createDataFrame(
-        [(s0.count(), s1.count())], "inc_b0 long, inc_b1 long"
+    inc = _local_rows_df(
+        spark, [(s0.count(), s1.count())], "inc_b0 long, inc_b1 long"
     )
     return D.duplicate_stats(docs, ["text"]).crossJoin(inc)
 
@@ -2439,7 +2439,8 @@ def _pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     want = C.lloyd_np(X, init, iters=5, tol=0.0)
     match = bool(np.allclose(cent, want, rtol=1e-8, atol=1e-10))
     sizes_ok = n_total == len(X)  # corpus count from the same gate collect
-    return spark.createDataFrame(
+    return _local_rows_df(
+        spark,
         [(len(cent), n_total, sizes_ok, match)],
         "k bigint, n_total bigint, sizes_sum_ok boolean, matches_numpy_lloyd boolean",
     )
@@ -2545,11 +2546,52 @@ def _glm_nosort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """LocalRelation twin of ``spark.createDataFrame(rows, schema)`` for
+    SMALL driver-computed results (r14, guide §2.4): a VALUES literal
+    plan collects via LocalTableScan with ZERO Spark jobs, where the
+    RDD-backed createDataFrame pays a parallelize job (plus a range
+    exchange + sampling job under orderBy) — measured 3 jobs / 0.75 s →
+    0 jobs / 0.03 s for q48's 4-row result on this box. Bit-exact:
+    double literals are ``repr(x)`` (shortest round-trip form; Spark's
+    literal parse is correctly rounded, so the parsed double is x) with
+    the D suffix, NaN/±Infinity via CAST; ints/longs/booleans are plain
+    literals. Row ORDER is the literal order — callers emit rows already
+    sorted where the former plan had an orderBy."""
+    import math as _math
+
+    cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+
+    def lit(v, typ: str) -> str:
+        t = typ.strip().lower()
+        if t == "double":
+            x = float(v)
+            if _math.isnan(x):
+                return "CAST('NaN' AS DOUBLE)"
+            if _math.isinf(x):
+                return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+            return repr(x) + "D"
+        if t in ("int", "integer"):
+            return str(int(v))
+        if t in ("bigint", "long"):
+            return str(int(v)) + "L"
+        if t == "boolean":
+            return "true" if bool(v) else "false"
+        raise ValueError(f"unsupported local-literal type {typ!r}")
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v, c[1]) for v, c in zip(r, cols)) + ")"
+        for r in rows
+    )
+    names = ", ".join(c[0] for c in cols)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+
+
 def _scalar_df(spark: SparkSession, value: float, name: str, digits: int) -> DataFrame:
     from pyspark.sql import functions as F
 
-    return spark.range(1).select(
-        F.round(F.lit(float(value)), digits).cast("double").alias(name)
+    return _local_rows_df(spark, [(float(value),)], f"{name} double").select(
+        F.round(F.col(name), digits).cast("double").alias(name)
     )
 
 
@@ -2589,10 +2631,10 @@ def _q_gradient(family_name: str, label_col: str):
         df = _glm_nosort(spark, sf_dir)
         g = kernels.gradient(df, FAMILIES[family_name], BETA, label_col=label_col)
         rows = [(j + 1, float(g[j])) for j in range(len(g))]
-        return (
-            spark.createDataFrame(rows, "j int, g double")
-            .select("j", F.round("g", 4).cast("double").alias("g"))
-            .orderBy("j")
+        # rows are emitted j-ascending — the literal order IS the former
+        # orderBy("j") order (LocalTableScan preserves it)
+        return _local_rows_df(spark, rows, "j int, g double").select(
+            "j", F.round("g", 4).cast("double").alias("g")
         )
 
     return run
@@ -2608,10 +2650,10 @@ def _q_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, hess = kernels.gradient_hessian(df, Logistic, BETA, label_col="label")
     p = hess.shape[0]
     rows = [(i + 1, j + 1, float(hess[i, j])) for i in range(p) for j in range(i, p)]
-    return (
-        spark.createDataFrame(rows, "i int, j int, h double")
-        .select("i", "j", F.round("h", 4).cast("double").alias("h"))
-        .orderBy("i", "j")
+    # rows are emitted (i, j)-ascending — the literal order IS the former
+    # orderBy("i", "j") order
+    return _local_rows_df(spark, rows, "i int, j int, h double").select(
+        "i", "j", F.round("h", 4).cast("double").alias("h")
     )
 
 
@@ -2623,14 +2665,12 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _glm_nosort(spark, sf_dir)
     mean, std = kernels.column_moments(df, p=4)
     rows = [(j + 1, float(mean[j]), float(std[j])) for j in range(4)]
-    return (
-        spark.createDataFrame(rows, "j int, mean double, std double")
-        .select(
-            "j",
-            F.round("mean", 6).cast("double").alias("mean"),
-            F.round("std", 6).cast("double").alias("std"),
-        )
-        .orderBy("j")
+    # rows are emitted j-ascending — the literal order IS the former
+    # orderBy("j") order
+    return _local_rows_df(spark, rows, "j int, mean double, std double").select(
+        "j",
+        F.round("mean", 6).cast("double").alias("mean"),
+        F.round("std", 6).cast("double").alias("std"),
     )
 
 
@@ -2687,8 +2727,10 @@ def _q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         g, y_score="_s", pregrouped=True, acc_threshold=0.5
     )
     g.unpersist()
-    return spark.createDataFrame(
-        [(float(round(acc, 6)), float(round(auc, 6)))], "acc double, auc double"
+    return _local_rows_df(
+        spark,
+        [(float(round(acc, 6)), float(round(auc, 6)))],
+        "acc double, auc double",
     )
 
 
@@ -3044,8 +3086,13 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(len(beta1))
     ]
+    # rows are emitted j-ascending — the literal order IS the former
+    # orderBy("j") order (LocalTableScan preserves it); the VALUES form
+    # collects with zero Spark jobs where the RDD-backed frame paid a
+    # parallelize job + the orderBy's sampling/exchange jobs
     return (
-        spark.createDataFrame(
+        _local_rows_df(
+            spark,
             rows,
             "j int, beta1 double, loss1 double, beta1_prox double, "
             "smloss double, smg_c0 double, smg_c1 double, smg_c2 double, "
@@ -3081,7 +3128,6 @@ def _q_solver_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("smlgl1", 3).cast("double").alias("smlgl1"),
             F.round("smlgg1", 3).cast("double").alias("smlgg1"),
         )
-        .orderBy("j")
     )
 
 
